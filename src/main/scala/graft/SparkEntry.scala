@@ -1,13 +1,675 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{Dedup, PrefixMatch, Similarity, TemplateFilters}
+import graft.functions.TextAnalytics
+
+/** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
+  * oracles. Every query: deterministic ORDER BY on a key, derived integer
+  * columns cast to BIGINT on both sides, float aggregates rounded, no
+  * structs/maps/arrays in the output (SURVEY.md §5 rule 1).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Longest-prefix type map used by the flagship + prefix queries —
+    * mirrors the reference's config.types lookup (geonames.js:129–132)
+    * over `p_type`: PROMO exact, ECONOMY/MEDIUM via 3-char prefix,
+    * SMALL/STANDARD via 1-char prefix, LARGE unmatched ⇒ dropped.
+    */
+  private val typeMap = Map(
+    "PROMO" -> "promo", "ECO" -> "economy", "MED" -> "medium", "S" -> "small")
+
+  private val typeCaseSql =
+    """CASE WHEN p_type LIKE 'PROMO%' THEN 'promo'
+      |     WHEN p_type LIKE 'ECO%'   THEN 'economy'
+      |     WHEN p_type LIKE 'MED%'   THEN 'medium'
+      |     WHEN p_type LIKE 'S%'     THEN 'small' END""".stripMargin
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qFlagship(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------ queries
+
+  /** The reference `transform` pipeline re-expressed over the test tables
+    * (SURVEY.md §7 M2): scan → OR-of-equality-template filter →
+    * left-semi whitelist → broadcast join → longest-prefix classification
+    * (unmatched dropped) → aggregate → stable sort. Single shuffle (the
+    * final groupBy); both joins broadcast.
+    */
+  private def qFlagship(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val urgent = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val parts = Tables.part(s, dir)
+      .withColumn("type_class", PrefixMatch.classify(col("p_type"), typeMap))
+      .where(col("type_class").isNotNull)
+      .select(col("p_partkey"), col("type_class"))
+    li.where(TemplateFilters.anyTemplate(Seq(
+        Map("l_returnflag" -> "R", "l_linestatus" -> "F"),
+        Map("l_returnflag" -> "A"))))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("type_class"), col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("type_class"), col("l_returnflag"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_flagship" -> ((s, dir) => qFlagship(s, dir)),
+
+    // -- scans / projection / filters -------------------------------
+    "q_scan_project" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_quantity") > 45.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_filter_whereeq" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(TemplateFilters.whereEq(Map("l_returnflag" -> "R", "l_linestatus" -> "F")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_filter_any" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(TemplateFilters.anyTemplate(Seq(
+          Map("l_returnflag" -> "R", "l_linestatus" -> "F"),
+          Map("l_returnflag" -> "A"))))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_prefix_match" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .withColumn("type_class", PrefixMatch.classify(col("p_type"), typeMap))
+        .where(col("type_class").isNotNull)
+        .select(col("p_partkey"), col("p_type"), col("type_class"))
+        .orderBy(col("p_partkey"))),
+
+    // -- joins --------------------------------------------------------
+    "q_semi_join" -> ((s, dir) => {
+      val bld = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      Tables.orders(s, dir)
+        .join(broadcast(bld), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      cust.join(Tables.orders(s, dir).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_broadcast_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))),
+
+    // Two-level fallback enrichment (geonames.js:103–109 shape): probe the
+    // fine dimension; where the probe "fails" (negative balance stands in
+    // for parent==self), fall back to the coarse dimension.
+    "q_join_fallback" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      Tables.orders(s, dir)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey"),
+          when(col("c_acctbal") < 0, col("n_name")).otherwise(col("c_name")).as("parent_name"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_smj" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).hint("merge")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_outer_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))),
+
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("p0_1k", 0.0, 1000.0), ("p1k_5k", 1000.0, 5000.0),
+        ("p5k_10k", 5000.0, 10000.0), ("p10k_up", 10000.0, 1000000000.0))
+        .toDF("band_name", "lo", "hi")
+      Tables.lineitem(s, dir)
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy(col("band_name"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("total"))
+        .orderBy(col("band_name"))
+    }),
+
+    // -- aggregations --------------------------------------------------
+    "q_agg_group_count" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n")).orderBy(col("l_returnflag"))),
+
+    "q_agg_multi" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= to_timestamp(lit("1999-12-31")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_count_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rflag"), col("lstatus"))),
+
+    "q_groupby_having" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n")).where(col("n") > 30)
+        .orderBy(col("l_partkey"))),
+
+    // -- sort / top-k ---------------------------------------------------
+    "q_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // -- windows --------------------------------------------------------
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .orderBy(col("l_returnflag"), col("rn"))
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"),
+          round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2).as("prev_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // -- set operations ---------------------------------------------------
+    "q_union_all" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(lit("customer").as("rec_type"),
+        col("c_custkey").as("id"), col("c_name").as("name"))
+      val sup = Tables.supplier(s, dir).select(lit("supplier").as("rec_type"),
+        col("s_suppkey").as("id"), col("s_name").as("name"))
+      c.unionByName(sup).orderBy(col("rec_type"), col("id"))
+    }),
+
+    "q_except" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    "q_intersect" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_nationkey"))
+        .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("c_nationkey")))
+        .orderBy(col("c_nationkey"))),
+
+    // -- scalar function library ------------------------------------------
+    "q_string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+          col("p_partkey"),
+          concat(lit("urn:part:"), col("p_partkey").cast("string")).as("uri"),
+          upper(col("p_brand")).as("brand_uc"),
+          regexp_replace(col("p_type"), "O", "0").as("type_sub"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .orderBy(col("p_partkey"))),
+
+    "q_cast" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast("long").as("qty_int"),
+          col("l_linenumber").cast("string").as("line_str"),
+          (col("l_discount") > 0.05).as("is_disc"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_math_funcs" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          // floor(x*100+0.5)/100 instead of round(x, 2): identical double
+          // arithmetic on both engines, immune to HALF_UP-vs-representation
+          // divergence at exact .xx5 ties
+          (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 100.0 + 0.5) / 100.0).as("charge"),
+          round(abs(col("l_discount") - 0.05), 4).as("dev"),
+          ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+          pmod(col("l_orderkey"), lit(7)).cast("long").as("key_mod"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_date" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od_str"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("days_since"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_json" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))),
+
+    "q_array_ops" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          element_at(toks, 1).as("first_token"),
+          array_contains(toks, "spark").as("has_spark"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- text analytics (LLM-pipeline extensions) ---------------------------
+    "q_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).groupBy(col("lang"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars2"),
+          TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(TextAnalytics.stopwordRatio(col("text"), Seq("the", "a", "of", "and")), 4)
+            .as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "q_explode_freq" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(20)),
+
+    // -- dedup (LLM-pipeline extensions) -------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper_id"))),
+
+    "q_dedup_hash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper_id"))),
+
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // -- similarity search (LLM-pipeline extensions) --------------------------
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", k = 5, roundTo = 6)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_embedding_norm" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+          col("vec_id"),
+          round(Similarity.l2Norm(Similarity.asDouble(col("embedding"))), 6).as("l2_norm"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy(col("vec_id"))),
+
+    "q_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", k = 5, numPlanes = 8)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // -- multimodal plumbing: opaque binary + deterministic content ids -------
+    "q_multimodal_meta" -> ((s, dir) => {
+      val bin = col("text").cast("binary")
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(bin).cast("long").as("n_bytes"),
+          md5(bin).as("content_md5"),
+          substring(md5(bin), 1, 8).as("fp8"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- events: batch windowing (streaming-equivalent plan, SURVEY.md §2.9) --
+    "q_tumbling_batch" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("w.start").cast("long").as("win_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts").cast("long"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull || (col("ts").cast("long") - col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q_flagship" ->
+      s"""SELECT type_class, l_returnflag,
+         |       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         |       count(*) AS n_items
+         |FROM (SELECT l.*, $typeCaseSql AS type_class
+         |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |      WHERE ((l_returnflag='R' AND l_linestatus='F') OR (l_returnflag='A'))
+         |        AND l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority='1-URGENT')) t
+         |WHERE type_class IS NOT NULL
+         |GROUP BY type_class, l_returnflag
+         |ORDER BY type_class, l_returnflag""".stripMargin,
+
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45.0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_whereeq" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem
+        |WHERE l_returnflag='R' AND l_linestatus='F'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_any" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem
+        |WHERE (l_returnflag='R' AND l_linestatus='F') OR (l_returnflag='A')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_prefix_match" ->
+      s"""SELECT p_partkey, p_type, type_class FROM
+         |(SELECT p_partkey, p_type, $typeCaseSql AS type_class FROM part) t
+         |WHERE type_class IS NOT NULL ORDER BY p_partkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_fallback" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN c.c_acctbal < 0 THEN n.n_name ELSE c.c_name END AS parent_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |             JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_smj" ->
+      """SELECT o_orderstatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT band_name, count(*) AS n_items, round(sum(l_extendedprice),2) AS total
+        |FROM lineitem l JOIN (VALUES ('p0_1k',0.0,1000.0),('p1k_5k',1000.0,5000.0),
+        |      ('p5k_10k',5000.0,10000.0),('p10k_up',10000.0,1000000000.0)) b(band_name,lo,hi)
+        |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        |GROUP BY band_name ORDER BY band_name""".stripMargin,
+
+    "q_agg_group_count" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+
+    "q_agg_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  round(avg(l_extendedprice),4) AS avg_price,
+        |  round(avg(l_discount),6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+        |       count(DISTINCT l_suppkey) AS nd_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rflag, coalesce(l_linestatus,'ALL') AS lstatus,
+        |       round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_groupby_having" ->
+      """SELECT l_partkey, count(*) AS n FROM lineitem
+        |GROUP BY l_partkey HAVING count(*) > 30 ORDER BY l_partkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM
+        |(SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) t
+        |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total,
+        |  round(coalesce(lag(o_totalprice,1) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey), 0.0),2) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS rec_type, c_custkey AS id, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier' AS rec_type, s_suppkey AS id, s_name AS name FROM supplier) t
+        |ORDER BY rec_type, id""".stripMargin,
+
+    "q_except" ->
+      """SELECT * FROM (SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders) t ORDER BY c_custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT * FROM (SELECT c_nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS c_nationkey FROM supplier) t ORDER BY c_nationkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, concat('urn:part:', cast(p_partkey AS VARCHAR)) AS uri,
+        |  upper(p_brand) AS brand_uc, replace(p_type,'O','0') AS type_sub,
+        |  substring(p_name,1,8) AS name_prefix, cast(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_cast" ->
+      """SELECT l_orderkey, l_linenumber, cast(floor(l_quantity) AS BIGINT) AS qty_int,
+        |  cast(l_linenumber AS VARCHAR) AS line_str, (l_discount > 0.05) AS is_disc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100.0 + 0.5)/100.0 AS charge,
+        |  round(abs(l_discount-0.05),4) AS dev,
+        |  cast(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  cast(l_orderkey % 7 AS BIGINT) AS key_mod
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_date" ->
+      """SELECT o_orderkey, cast(year(o_orderdate) AS BIGINT) AS yr,
+        |  cast(month(o_orderdate) AS BIGINT) AS mo,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS od_str,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  cast(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_id, cast(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_array_ops" ->
+      """SELECT doc_id, cast(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  string_split(text,' ')[1] AS first_token,
+        |  list_contains(string_split(text,' '), 'spark') AS has_spark
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT lang, cast(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, cast(length(text) AS BIGINT) AS n_chars2,
+        |  cast(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  round(len(list_filter(string_split(lower(text),' '),
+        |        t -> t IN ('the','a','of','and'))) * 1.0
+        |        / len(string_split(text,' ')), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_explode_freq" ->
+      """SELECT token, count(*) AS freq FROM
+        |(SELECT unnest(string_split(text,' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+
+    "q_dedup_hash" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    "q_cosine_topk" ->
+      """SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(c.cv, q.qv),6) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(c.cv, q.qv),6) DESC, c.neighbor_id) AS rank
+        |  FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |        FROM embeddings WHERE vec_id < 5) q,
+        |       (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings) c
+        |  WHERE c.neighbor_id <> q.query_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embedding_norm" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))),6) AS l2_norm,
+        |  cast(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, cast(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5, substring(md5(text),1,8) AS fp8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tumbling_batch" ->
+      """SELECT win_start, event_type, count(*) AS n, round(sum(value),2) AS total FROM
+        |(SELECT (epoch_ns(ts)//1000000000) - ((epoch_ns(ts)//1000000000) % 600) AS win_start,
+        |        event_type, value FROM events) t
+        |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, cast(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM
+        |(SELECT user_id,
+        |   CASE WHEN lag(epoch_ns(ts)//1000000000) OVER w IS NULL
+        |          OR (epoch_ns(ts)//1000000000) - (lag(epoch_ns(ts)//1000000000) OVER w) > 1800
+        |        THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
 }

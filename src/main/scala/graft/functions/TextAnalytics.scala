@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM training-data pipelines, built
+  * entirely from codegen'd Catalyst expressions (no UDFs) so they run
+  * inside WholeStageCodegen and scale linearly with input splits — the
+  * per-document cost is embarrassingly parallel and shuffle-free.
+  */
+object TextAnalytics {
+
+  /** Whitespace tokenizer; drops empty tokens (split on repeated blanks). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword-aware token count: splits on whitespace AND
+    * punctuation boundaries, the usual pre-tokenization regex shape.
+    */
+  def bpeishTokens(text: Column): Column =
+    filter(split(text, "(?=[^A-Za-z0-9\\s])|(?<=[^A-Za-z0-9\\s])|\\s+"),
+      t => length(trim(t)) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Ratio of tokens found in `stopwords` (lower-cased exact match). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val sw = typedLit(stopwords.map(_.toLowerCase))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+  }
+
+  /** Punctuation density: non-alphanumeric-non-space chars / total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / length(text))
+
+  /** Mean token length (0.0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0, 1]: rewards mid-length docs with low
+    * punctuation density and a natural stopword ratio. Heuristic, but
+    * deterministic and expression-only.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val swScore = lit(1.0) - abs(stopwordRatio(text, stopwords) - 0.4)
+    round((lenScore + punctScore + swScore) / 3.0, 4)
+  }
+
+  /** Character n-grams of the lower-cased, space-normalized text —
+    * the profile unit for language ID and shingle dedup.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    filter(
+      transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n))),
+      g => length(g) === n)
+  }
+
+  /** N-gram-profile language ID: score each candidate language by how many
+    * of its marker trigrams appear in the document; pick the argmax
+    * (ties → lexicographically first language, deterministic).
+    * `profiles` maps language → marker n-grams. Expression-only: the
+    * profiles fold into the plan as literals, so this is shuffle-free and
+    * broadcast-free at any scale.
+    */
+  def langId(text: Column, profiles: Map[String, Seq[String]]): Column = {
+    val norm = concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
+    // score(lang) = #markers contained in text
+    val scored: Seq[Column] = profiles.toSeq.sortBy(_._1).map { case (lang, marks) =>
+      val score = marks.map(m => when(norm.contains(lit(m)), 1).otherwise(0))
+        .reduce((a, b) => a + b)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    // left-fold with strict > : ties keep the earlier (lexicographically
+    // first) language — deterministic argmax
+    val best = scored.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    best.getField("lang")
+  }
+
+  /** Rolling polynomial fingerprint over tokens (order-sensitive 64-bit
+    * document hash): acc = acc * 31 + xxhash64(token). Deterministic,
+    * collision-resistant enough for dedup bucketing.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalytics
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Scale design: every variant is expressed as hash-partitioned
+  * aggregations / joins on *derived compact keys* (64-bit hashes,
+  * signatures, band buckets), never on the raw document text — at 100 TB
+  * the shuffle carries a few dozen bytes per row instead of the document.
+  * All per-row computation is Catalyst expressions (codegen'd, no UDFs).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by content hash: keep the smallest id per distinct key.
+    * GroupBy on a 64-bit hash of the content, not the content itself —
+    * map-side partial aggregation collapses duplicates before the shuffle.
+    */
+  def exactByKey(df: DataFrame, keyCol: Column, idCol: Column): DataFrame =
+    df.groupBy(xxhash64(keyCol).as("content_hash"))
+      .agg(min(idCol).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** dropDuplicates over explicit columns (Spark-native exact dedup). */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame = df.dropDuplicates(cols)
+
+  // -------------------------------------------------------------- minhash
+
+  /** Word k-shingles of a document (distinct, order-free).
+    *
+    * PERFORMANCE: `text` should be a plain attribute (a materialized
+    * column), not a derived expression — higher-order functions are
+    * interpreted (CodegenFallback) and re-evaluate their argument
+    * subtrees per lambda call, so an inlined token pipeline here turns
+    * O(S) into O(S·T) string work. The staged pipelines below project
+    * each intermediate array into its own column for exactly this reason.
+    */
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromTokens(TextAnalytics.tokens(text), k)
+
+  /** k-shingles from an already-materialized token array column. */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+          i => array_join(slice(toks, i + 1, lit(k)), " ")),
+        s => length(s) > 0))
+
+  /** MinHash signature: numHashes seeded min-hashes over the shingle set.
+    * hash_i(s) = xxhash64(i, s); the signature is an array<long> column —
+    * compact (8·numHashes bytes) and deterministic across the cluster.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * `rowsPerBand` values and hash each band. Two docs collide in a band
+    * iff that band of the signature matches exactly.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(concat_ws(",",
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("string")).as("bkey")))
+
+  /** Estimated Jaccard from two signatures: fraction of equal positions. */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+      .cast("double") / size(sigA)
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * Plan shape (the 100 TB path): per-doc signature (map-only) → explode
+    * band keys (fan-out ×bands, still narrow) → shuffle on (band, bkey) —
+    * the only shuffle, keyed by a 64-bit bucket — → within-bucket
+    * self-join (bucket sizes are skew-bounded because identical bands
+    * imply near-identical docs) → distinct pairs → estimate Jaccard from
+    * the signatures carried on the pair. Returns (id_a, id_b, est_jaccard)
+    * with id_a < id_b, filtered to `threshold`.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // Stage tokens → shingles → signature as separate projections: each
+    // array is computed ONCE per row; the interpreted lambda bodies then
+    // only dereference attributes. (Catalyst's CollapseProject keeps
+    // multi-referenced non-cheap aliases un-inlined, so the staging
+    // survives optimization.)
+    val sigd = df.select(col(idCol).as("id"),
+        TextAnalytics.tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .withColumn("bandkey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+      .select(col("id"), col("sig"), col("bandkey.band"), col("bandkey.bkey"))
+    val a = sigd.select(col("band"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigd.select(col("band"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(first("est_jaccard").as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
+    * Single `aggregate` pass: the accumulator is a 64-long array of 1-bit
+    * counts, updated with a `zip_with` against the bit-decomposition of
+    * each token hash (shift amounts are Scala constants, so everything
+    * stays in codegen'd built-ins). Bit i of the result is set iff more
+    * than half the token hashes have bit i set. No shuffle, no UDF.
+    * Future optimization slot: a custom Catalyst `Expression` with
+    * `doGenCode` collapsing the 64-wide array math to a tight loop.
+    */
+  def simhash64(text: Column): Column =
+    simhashCombine(simhashOnes(transform(TextAnalytics.tokens(text), t => xxhash64(t))),
+      size(TextAnalytics.tokens(text)).cast("long"))
+
+  /** Per-bit 1-counts (length-64 long array) over a token-hash array. */
+  def simhashOnes(hashes: Column): Column =
+    aggregate(hashes, array_repeat(lit(0L), 64), (acc, h) =>
+      zip_with(acc,
+        array((0 until 64).map(i => shiftright(h, i).bitwiseAND(1L)): _*),
+        (a, b) => a + b))
+
+  /** Majority-vote bit combine: bit i set iff ones(i)·2 > n. `ones` MUST
+    * be a materialized attribute — it is referenced 64 times.
+    */
+  def simhashCombine(ones: Column, n: Column): Column =
+    (0 until 64).map { i =>
+      when(element_at(ones, i + 1) * 2L > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Staged simhash computation: id + "sh" columns, one array per stage. */
+  def simhashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalytics.tokens(col(textCol)).as("toks"))
+      .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("hashes"),
+        size(col("toks")).cast("long").as("ntok"))
+      .select(col("id"), simhashOnes(col("hashes")).as("ones"), col("ntok"))
+      .select(col("id"), simhashCombine(col("ones"), col("ntok")).as("sh"))
+
+  /** Hamming distance between two 64-bit simhashes (bit_count of XOR). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the 4 16-bit chunks of the simhash
+    * (any pair within Hamming distance 3 of each other shares at least one
+    * exact chunk — pigeonhole), then verify with full Hamming distance.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhashed(df, idCol, textCol)
+      .withColumn("chunk", explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"), shiftright(col("sh"), i * 16)
+          .bitwiseAND(0xFFFFL).as("ckey"))): _*)))
+      .select(col("id"), col("sh"), col("chunk.ci"), col("chunk.ckey"))
+    val a = sh.select(col("ci"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("ci"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("ci", "ckey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------ n-gram jaccard
+
+  /** Exact n-gram Jaccard similarity for candidate pairs: explode shingles
+    * to (shingle_hash, id), self-join on the hash to count intersections,
+    * then |A∩B| / (|A|+|B|−|A∩B|). Shuffles only 64-bit hashes.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), TextAnalytics.tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), k).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `array<float>` embedding column.
+  *
+  * Two execution paths, both shuffle-lean:
+  *   - [[bruteForceTopK]]: broadcast the (small) query set, compute cosine
+  *     per (row × query) inside codegen, keep top-k per query with a
+  *     TakeOrdered-style window. Exact; the 100 TB baseline when the query
+  *     set is bounded (the corpus is never shuffled, only scanned).
+  *   - [[lshTopK]]: random-hyperplane (sign) LSH — bucket rows by an
+  *     h-bit signature, join queries to their own bucket only, rank
+  *     within bucket. Approximate; turns the row×query product into a
+  *     per-bucket product, the scale path when queries are many.
+  *
+  * All arithmetic is double-precision over `transform`-cast arrays using
+  * built-in higher-order functions (`zip_with` + `aggregate`) — no UDFs.
+  */
+object Similarity {
+
+  /** Elementwise cast to double (floats upcast exactly). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
+  }
+
+  /** Exact top-k neighbours per query vector.
+    * `queries` must be small (it is broadcast); `corpus` can be arbitrarily
+    * large. Ranking key is (rounded cosine desc, corpus id asc) so results
+    * are deterministic under float reassociation.
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int, roundTo: Int = 6): DataFrame = {
+    val joined = corpus.join(broadcast(queries), col(idCol) =!= col(qidCol))
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col(vecCol), col(qvecCol)), roundTo).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplane component: a value in
+    * [-1, 1) derived from (plane index, dimension index) via xxhash64 —
+    * reproducible on every executor with zero state shipped.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** h-bit sign-LSH signature of a vector: bit p = sign(v · plane_p). */
+  def signLshSignature(vec: Column, numPlanes: Int): Column = {
+    val vd = asDouble(vec)
+    (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates = same-signature bucket, ranked by
+    * exact cosine within the bucket. Shuffles only (signature, id, vec) —
+    * and the join key is a long, so AQE can handle bucket skew.
+    */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, numPlanes: Int = 12, roundTo: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      signLshSignature(col(vecCol), numPlanes).as("_sig"))
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("_qv"),
+      signLshSignature(col(qvecCol), numPlanes).as("_sig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    c.join(q, Seq("_sig")).where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_cv"), col("_qv")), roundTo).as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
