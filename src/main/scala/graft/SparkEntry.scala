@@ -23,6 +23,14 @@ object SparkEntry {
   private val typeMap = Map(
     "PROMO" -> "promo", "ECO" -> "economy", "MED" -> "medium", "S" -> "small")
 
+  /** Marker-trigram language profiles for q_lang_id (deterministic n-gram
+    * heuristic; accuracy is not the point — the declared op is the scored
+    * argmax pipeline, SURVEY.md §2.10).
+    */
+  private[graft] val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "))
+
   private val typeCaseSql =
     """CASE WHEN p_type LIKE 'PROMO%' THEN 'promo'
       |     WHEN p_type LIKE 'ECO%'   THEN 'economy'
@@ -335,6 +343,27 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token").asc)
         .limit(20)),
 
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalytics.langId(col("text"), SparkEntry.langProfiles).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+
+    "q_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalytics.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // chained-xxhash64 fingerprint + lookaround tokenizer: not expressible
+    // in DuckDB SQL → rows-only check
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalytics.fingerprint(col("text")).as("fp"),
+          size(TextAnalytics.bpeishTokens(col("text"))).cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
     // -- dedup (LLM-pipeline extensions) -------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Tables.documents(s, dir).groupBy(col("text"))
@@ -625,6 +654,41 @@ object SparkEntry {
       """SELECT token, count(*) AS freq FROM
         |(SELECT unnest(string_split(text,' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN en_score > de_score THEN 'en' ELSE 'de' END AS lang_guess
+        |FROM (SELECT doc_id,
+        |        (CASE WHEN contains(norm,' the ') THEN 1 ELSE 0 END +
+        |         CASE WHEN contains(norm,' and ') THEN 1 ELSE 0 END +
+        |         CASE WHEN contains(norm,' of ') THEN 1 ELSE 0 END +
+        |         CASE WHEN contains(norm,' to ') THEN 1 ELSE 0 END) AS en_score,
+        |        (CASE WHEN contains(norm,' der ') THEN 1 ELSE 0 END +
+        |         CASE WHEN contains(norm,' und ') THEN 1 ELSE 0 END +
+        |         CASE WHEN contains(norm,' die ') THEN 1 ELSE 0 END +
+        |         CASE WHEN contains(norm,' ist ') THEN 1 ELSE 0 END) AS de_score
+        |      FROM (SELECT doc_id,
+        |              ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ' AS norm
+        |            FROM documents) a) b
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  round((len_score + punct_score + sw_score) / 3.0, 4) AS quality
+        |FROM (SELECT doc_id,
+        |        least(length(text) / 500.0, 1.0) AS len_score,
+        |        1.0 - least(
+        |          (CASE WHEN length(text) = 0 THEN 0.0
+        |                ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |           END) * 5.0, 1.0) AS punct_score,
+        |        1.0 - abs(
+        |          (CASE WHEN len(toks) = 0 THEN 0.0
+        |                ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |           END) - 0.4) AS sw_score
+        |      FROM (SELECT doc_id, text,
+        |              list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |            FROM documents) a) b
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies

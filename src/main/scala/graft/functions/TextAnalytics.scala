@@ -18,8 +18,9 @@ object TextAnalytics {
     * punctuation boundaries, the usual pre-tokenization regex shape.
     */
   def bpeishTokens(text: Column): Column =
-    filter(split(text, "(?=[^A-Za-z0-9\\s])|(?<=[^A-Za-z0-9\\s])|\\s+"),
-      t => length(trim(t)) > 0)
+    filter(
+      transform(split(text, "(?=[^A-Za-z0-9\\s])|(?<=[^A-Za-z0-9\\s])|\\s+"), t => trim(t)),
+      t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -88,10 +89,12 @@ object TextAnalytics {
     best.getField("lang")
   }
 
-  /** Rolling polynomial fingerprint over tokens (order-sensitive 64-bit
-    * document hash): acc = acc * 31 + xxhash64(token). Deterministic,
-    * collision-resistant enough for dedup bucketing.
+  /** Rolling fingerprint over tokens (order-sensitive 64-bit document
+    * hash): acc = xxhash64(acc, token), i.e. a chained hash. Deterministic
+    * and collision-resistant enough for dedup bucketing. A polynomial
+    * acc*31+h would overflow LongType — a runtime error under ANSI mode
+    * (Spark 4 default) — so we chain through the hash instead.
     */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens splits on runs of whitespace, drops empties") {
+    val got = Seq("  the quick\t brown\n fox ").toDF("t")
+      .select(TextAnalytics.tokens(col("t")).as("x")).as[Seq[String]].head()
+    got shouldBe Seq("the", "quick", "brown", "fox")
+  }
+
+  test("bpeishTokens splits punctuation into separate tokens") {
+    val got = Seq("don't stop, now!").toDF("t")
+      .select(TextAnalytics.bpeishTokens(col("t")).as("x")).as[Seq[String]].head()
+    got shouldBe Seq("don", "'", "t", "stop", ",", "now", "!")
+  }
+
+  test("stopwordRatio counts lowercase matches; empty doc → 0.0") {
+    val got = Seq("The cat and THE dog", "").toDF("t")
+      .select(TextAnalytics.stopwordRatio(col("t"), Seq("the", "and")).as("r"))
+      .as[Double].collect()
+    got(0) shouldBe 0.6 +- 1e-12 // the, and, THE → 3 of 5
+    got(1) shouldBe 0.0
+  }
+
+  test("punctRatio: punctuation chars over total chars") {
+    val got = Seq("ab,c!").toDF("t")
+      .select(TextAnalytics.punctRatio(col("t")).as("r")).as[Double].head()
+    got shouldBe 0.4 +- 1e-12
+  }
+
+  test("meanTokenLen averages token lengths") {
+    val got = Seq("ab abcd").toDF("t")
+      .select(TextAnalytics.meanTokenLen(col("t")).as("r")).as[Double].head()
+    got shouldBe 3.0 +- 1e-12
+  }
+
+  test("charNgrams produce sliding character windows over normalized text") {
+    val got = Seq("ab  cd").toDF("t")
+      .select(TextAnalytics.charNgrams(col("t"), 3).as("x")).as[Seq[String]].head()
+    got shouldBe Seq("ab ", "b c", " cd")
+  }
+
+  test("langId picks language with most marker hits; tie → lexicographically first") {
+    val profiles = Map(
+      "en" -> Seq(" the ", " and ", " of "),
+      "de" -> Seq(" der ", " und ", " die "))
+    val got = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze",
+      "zzz qqq xxx" // no markers: tie at 0 → "de" (lexicographically first)
+    ).toDF("t").select(TextAnalytics.langId(col("t"), profiles).as("l"))
+      .as[String].collect()
+    got shouldBe Array("en", "de", "de")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val got = Seq("a b c", "c b a", "a b c").toDF("t")
+      .select(TextAnalytics.fingerprint(col("t")).as("f")).as[Long].collect()
+    got(0) shouldBe got(2)
+    got(0) should not be got(1)
+  }
+
+  test("qualityScore in [0,1], rewards natural text over junk") {
+    val got = Seq(
+      "the quick brown fox jumps over the lazy dog and runs through the field " * 5,
+      "!!!###$$$%%%^^^&&&***((()))" // pure punctuation junk
+    ).toDF("t")
+      .select(TextAnalytics.qualityScore(col("t"), Seq("the", "and", "of", "a")).as("q"))
+      .as[Double].collect()
+    all(got.toSeq) should (be >= 0.0 and be <= 1.0)
+    got(0) should be > got(1)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),      // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "the quick brown fox jumps over the lazy cat today") // near dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactByKey keeps min id and counts copies") {
+    val got = Dedup.exactByKey(docs, col("text"), col("doc_id"))
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toMap
+    got(1L) shouldBe 2L  // docs 1+2 collapse
+    got(3L) shouldBe 1L
+    got.keySet shouldBe Set(1L, 3L, 4L, 5L)
+  }
+
+  test("exact dropDuplicates dedups on column subset") {
+    Dedup.exact(docs, Seq("text")).count() shouldBe 4
+  }
+
+  test("shingles: distinct word k-grams, order-free set") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(Dedup.shingles(col("text"), 2).as("sh"))
+      .as[Seq[String]].head()
+    sh.toSet shouldBe Set("a b", "b c", "c d")
+  }
+
+  test("shingles of short doc (fewer tokens than k) fall back to whole doc") {
+    val sh = Seq("a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    sh.toSet shouldBe Set("a b")
+  }
+
+  test("minhash signature: identical texts → identical signatures, length numHashes") {
+    val sigs = docs.where(col("doc_id").isin(1L, 2L, 4L))
+      .select(col("doc_id"), Dedup.minhashSignature(
+        Dedup.shingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    sigs(1L) shouldBe sigs(2L)
+    sigs(1L).length shouldBe 16
+    sigs(1L) should not be sigs(4L)
+  }
+
+  test("estJaccard: equal signatures → 1.0, disjoint → low") {
+    val df = docs.select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 32).as("sig"))
+    val pairs = df.as("a").join(df.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.estJaccard(col("a.sig"), col("b.sig")).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    pairs((1L, 2L)) shouldBe 1.0
+    pairs((1L, 4L)) should be < 0.3
+    pairs((1L, 3L)) should be > pairs((1L, 4L)) // near-dup scores higher
+  }
+
+  test("minhashPairs finds exact + near duplicates, not unrelated docs") {
+    val got = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got should contain((1L, 2L))
+    all(got.toSeq.map(p => p._1 < p._2)) shouldBe true
+    got.flatMap(p => Set(p._1, p._2)) should not contain 4L
+  }
+
+  test("simhash: identical text same hash; hamming to near-dup small") {
+    val sh = Dedup.simhashed(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    sh(1L) shouldBe sh(2L)
+    java.lang.Long.bitCount(sh(1L) ^ sh(3L)) should be < 16
+    java.lang.Long.bitCount(sh(1L) ^ sh(4L)) should be > 10
+  }
+
+  test("simhashPairs: exact dups at distance 0; verified by full hamming") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = got.map { case (a, b, h) => (a, b) -> h }.toMap
+    m((1L, 2L)) shouldBe 0
+    m.keySet should not contain ((1L, 4L))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on shingle sets") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.4)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val m = got.map { case (a, b, j) => (a, b) -> j }.toMap
+    m((1L, 2L)) shouldBe 1.0
+    // 1 vs 3: tokens differ in one word; 2-shingles: 8 per doc, 6 shared → 6/10
+    m((1L, 3L)) shouldBe 0.6 +- 1e-9
+    m.keySet should not contain ((1L, 4L))
+  }
+}

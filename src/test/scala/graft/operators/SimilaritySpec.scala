@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.0f, 1.0f, 0.0f)),
+    (2L, Seq(1.0f, 1.0f, 0.0f)),
+    (3L, Seq(-1.0f, 0.0f, 0.0f)),
+    (4L, Seq(2.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dot / l2Norm / cosine match hand-computed values") {
+    val r = vecs.where(col("vec_id") === 2L)
+      .select(
+        Similarity.dot(Similarity.asDouble(col("embedding")),
+          Similarity.asDouble(col("embedding"))).as("d"),
+        Similarity.l2Norm(Similarity.asDouble(col("embedding"))).as("n"),
+        Similarity.cosine(col("embedding"), typedLit(Seq(1.0, 0.0, 0.0))).as("c"))
+      .as[(Double, Double, Double)].head()
+    r._1 shouldBe 2.0 +- 1e-12
+    r._2 shouldBe math.sqrt(2) +- 1e-12
+    r._3 shouldBe (1.0 / math.sqrt(2)) +- 1e-12
+  }
+
+  test("bruteForceTopK: correct neighbours, ranked by cosine desc, self excluded") {
+    val queries = vecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        queries, "query_id", "qv", k = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // cos to q=[1,0,0]: id4=1.0, id2=0.707, id1=0.0, id3=-1.0
+    got.map(_._1) shouldBe Array(4L, 2L, 1L)
+    got.map(_._2) shouldBe Array(1, 2, 3)
+  }
+
+  test("lshTopK: identical-direction vectors share a bucket, rank by cosine") {
+    val queries = vecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = Similarity.lshTopK(vecs, "vec_id", "embedding",
+        queries, "query_id", "qv", k = 3, numPlanes = 4)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect().toMap
+    // id 4 = 2×query direction: identical signature, cosine 1.0 — must appear
+    got(4L) shouldBe 1.0 +- 1e-9
+    // opposite vector can never share a sign-LSH bucket with the query
+    got.keySet should not contain 3L
+  }
+}
