@@ -433,12 +433,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // -- events: batch windowing (streaming-equivalent plan, SURVEY.md §2.9) --
+    // -- events: batch windowing (streaming-equivalent plan, SURVEY.md §2.9).
+    // Runs the SAME Streams.tumblingAgg plan the streaming path uses
+    // (unified batch/stream model) — the DuckDB oracle is therefore the
+    // batch-equivalence check for the streaming operator. The batch run
+    // has no watermark node (watermarks are no-ops in batch mode anyway).
     "q_tumbling_batch" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-        .select(col("w.start").cast("long").as("win_start"), col("event_type"),
+      graft.streaming.Streams.tumblingAggBatch(Tables.events(s, dir))
+        .select(col("win_start").cast("long").as("win_start"), col("event_type"),
           col("n"), col("total"))
         .orderBy(col("win_start"), col("event_type"))),
 

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2.9 — declared capability;
+  * the reference is batch-only but incremental, so these are the
+  * streaming analogues of its one-pass dataflow).
+  *
+  * Every transform here takes a DataFrame that may be batch OR streaming —
+  * the plans are identical (Spark's unified model); the batch run doubles
+  * as the correctness oracle for the streaming run (batch-equivalence,
+  * tested with MemoryStream in StreamsSpec and declared to the driver as
+  * q_tumbling_batch).
+  *
+  * Scale notes: all aggregations key their state by (window ∪ group key),
+  * so state is hash-partitioned across executors by the shuffle; the
+  * watermark bounds state size — without it a 100 TB stream accretes
+  * unbounded window state. File sources use `maxFilesPerTrigger` to
+  * bound per-batch work.
+  */
+object Streams {
+
+  /** Streaming file source with explicit schema (never inferred). */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "parquet", maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+
+  /** Tumbling-window count+sum per event_type with late-data drop. */
+  def tumblingAgg(events: DataFrame, window_ : String = "10 minutes",
+                  watermark: String = "10 minutes"): DataFrame =
+    tumblingAggBatch(events.withWatermark("ts", watermark), window_)
+
+  /** The watermark-free core of [[tumblingAgg]] — identical plan shape;
+    * used directly for batch runs (batch-equivalence oracle,
+    * SparkEntry q_tumbling_batch).
+    */
+  def tumblingAggBatch(events: DataFrame, window_ : String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding windows: each event lands in window_/slide overlapping panes. */
+  def slidingAgg(events: DataFrame, window_ : String = "10 minutes",
+                 slide: String = "5 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows (gap-based, built-in session_window). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total"))
+
+  /** Stateful stream dedup: drops duplicate event_ids arriving within the
+    * watermark horizon (state is bounded by the watermark, unlike plain
+    * dropDuplicates which keeps keys forever).
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
+
+  // ----------------------------------------------- arbitrary state (FMGWS)
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(nEvents: Long, total: Double, startMs: Long, lastMs: Long)
+  case class SessionOut(user_id: Long, n_events: Long, total: Double,
+                        start_ms: Long, end_ms: Long)
+
+  /** Gap-based sessionization with explicit state — the
+    * `flatMapGroupsWithState` path for session logic the built-in
+    * `session_window` can't express (custom emit shape, per-session
+    * aggregates, explicit timeout control). Emits a session when the
+    * event-time timeout fires (watermark passed start+gap with no new
+    * events).
+    *
+    * State per user is O(1) (a running aggregate, not the events), keyed
+    * and partitioned by user_id — the 100 TB-scale pattern for arbitrary
+    * stateful ops.
+    */
+  def sessionizeWithState(events: Dataset[Event], gapMs: Long,
+                          watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.nEvents, s.total, s.startMs, s.lastMs))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1,
+                    total = s.total + e.value, lastMs = t))
+                case Some(s) => // gap exceeded: close previous, open new
+                  out += SessionOut(userId, s.nEvents, s.total, s.startMs, s.lastMs)
+                  cur = Some(SessionState(1, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import Streams._
+
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  private val batch = Seq(
+    Event(1L, ts(1), 10L, "click", 1.0),
+    Event(2L, ts(2), 10L, "click", 2.0),
+    Event(3L, ts(11), 10L, "view", 3.0),
+    Event(4L, ts(12), 20L, "click", 4.0),
+    Event(5L, ts(55), 10L, "click", 5.0), // new session for user 10
+    Event(6L, ts(56), 20L, "view", 6.0))
+
+  private def runStream[T](stream: MemoryStream[T], transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                           data: Seq[T], complete: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val name = s"mem_${System.nanoTime()}"
+    val q = transform(stream.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(if (complete) "complete" else "append").start()
+    stream.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumblingAgg: streaming result equals the batch run of the same plan") {
+    val fromBatch = tumblingAgg(batch.toDF()).orderBy("win_start", "event_type")
+      .collect().map(_.toSeq)
+    val stream = MemoryStream[Event]
+    val fromStream = runStream(stream, df => tumblingAgg(df), batch)
+      .orderBy("win_start", "event_type").collect().map(_.toSeq)
+    fromStream shouldBe fromBatch
+    fromBatch.length shouldBe 5 // (0-10:click),(10-20:view),(10-20:click),(50-60:click),(50-60:view)
+  }
+
+  test("slidingAgg: events land in overlapping panes") {
+    val got = slidingAgg(batch.toDF(), "10 minutes", "5 minutes")
+      .where(col("event_type") === "click")
+      .orderBy("win_start")
+      .as[(Timestamp, String, Long)].collect()
+    // click at minute 1,2 → panes starting -5 and 0; minute 12 → 5,10; minute 55 → 50,55
+    got.map(g => (g._1.getTime / 60000, g._3)) shouldBe
+      Seq((-5L, 2L), (0L, 2L), (5L, 1L), (10L, 1L), (50L, 1L), (55L, 1L))
+  }
+
+  test("sessionAgg (session_window): 30-min gap splits user 10 into two sessions") {
+    val got = sessionAgg(batch.toDF(), "30 minutes")
+      .orderBy("user_id", "session_start")
+      .as[(Timestamp, Timestamp, Long, Long, Double)].collect()
+    got.map(g => (g._3, g._4, g._5)) shouldBe
+      Seq((10L, 3L, 6.0), (10L, 1L, 5.0), (20L, 1L, 4.0), (20L, 1L, 6.0))
+  }
+
+  test("dedupWithinWatermark drops duplicate ids in a stream") {
+    val stream = MemoryStream[Event]
+    val dup = batch ++ Seq(Event(1L, ts(1), 10L, "click", 1.0)) // id 1 again
+    val got = runStream(stream, df => dedupWithinWatermark(df), dup, complete = false)
+    got.count() shouldBe 6
+    got.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L, 4L, 5L, 6L)
+  }
+
+  test("sessionizeWithState: custom-state sessionization matches expected sessions") {
+    val stream = MemoryStream[Event]
+    val name = s"mem_${System.nanoTime()}"
+    val q = sessionizeWithState(stream.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    stream.addData(batch: _*)
+    q.processAllAvailable()
+    // advance the watermark far past all sessions so timeouts fire
+    stream.addData(Event(99L, ts(1000), 99L, "tick", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).as[SessionOut].collect()
+      .map(s => (s.user_id, s.n_events, s.total)).toSet
+    got should contain allOf(
+      (10L, 3L, 6.0), // user 10 events at minute 1,2,11 — one session
+      (10L, 1L, 5.0), // user 10 minute 55
+      (20L, 1L, 4.0), // user 20 minute 12; 44-min gap to minute 56 > 30
+      (20L, 1L, 6.0))
+  }
+}
