@@ -433,6 +433,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // -- multimodal: declarative frame fan-out over synthetic video assets --
+    "q_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sampleFrames(
+          graft.multimodal.Multimodal.assetsFromDocuments(Tables.documents(s, dir)), 3)
+        .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"), col("ts_ms"))
+        .orderBy(col("asset_id"), col("frame_idx"))),
+
     // -- events: batch windowing (streaming-equivalent plan, SURVEY.md §2.9).
     // Runs the SAME Streams.tumblingAgg plan the streaming path uses
     // (unified batch/stream model) — the DuckDB oracle is therefore the
@@ -722,6 +729,13 @@ object SparkEntry {
       """SELECT doc_id, cast(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5, substring(md5(text),1,8) AS fp8
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """SELECT doc_id AS asset_id, frame_idx,
+        |       cast(floor(frame_idx * duration_ms / 3.0) AS BIGINT) AS ts_ms FROM
+        |(SELECT doc_id, unnest(range(3)) AS frame_idx, length(text)*10 AS duration_ms
+        | FROM documents) t
+        |ORDER BY asset_id, frame_idx""".stripMargin,
 
     "q_tumbling_batch" ->
       """SELECT win_start, event_type, count(*) AS n, round(sum(value),2) AS total FROM
