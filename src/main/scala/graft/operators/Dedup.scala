@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextAnalytics
+import graft.functions.{DedupExpr, TextAnalytics}
 
 /** Deduplication operators for LLM training-data pipelines.
   *
@@ -85,20 +85,17 @@ object Dedup {
                    numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Stage tokens → shingles → signature as separate projections: each
-    // array is computed ONCE per row; the interpreted lambda bodies then
-    // only dereference attributes. (Catalyst's CollapseProject keeps
-    // multi-referenced non-cheap aliases un-inlined, so the staging
-    // survives optimization.)
+    // Signature + band keys via native kernel expressions
+    // (graft.functions.DedupKernels): one codegen'd call per row instead
+    // of 32·S interpreted lambda evaluations; the band index is folded
+    // into the key so the self-join shuffles a single long.
     val sigd = df.select(col(idCol).as("id"),
-        TextAnalytics.tokens(col(textCol)).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-      .withColumn("bandkey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
-      .select(col("id"), col("sig"), col("bandkey.band"), col("bandkey.bkey"))
-    val a = sigd.select(col("band"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigd.select(col("band"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
+        DedupExpr.minhashSig(TextAnalytics.tokens(col(textCol)), shingleK, numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(DedupExpr.bandKeys(col("sig"), bands, rowsPerBand)).as("bkey"))
+    val a = sigd.select(col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigd.select(col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bkey"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
@@ -136,13 +133,12 @@ object Dedup {
       when(element_at(ones, i + 1) * 2L > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Staged simhash computation: id + "sh" columns, one array per stage. */
+  /** id + simhash column via the native kernel (value-identical to the
+    * composed [[simhash64]] pipeline, one codegen'd call per row).
+    */
   def simhashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalytics.tokens(col(textCol)).as("toks"))
-      .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("hashes"),
-        size(col("toks")).cast("long").as("ntok"))
-      .select(col("id"), simhashOnes(col("hashes")).as("ones"), col("ntok"))
-      .select(col("id"), simhashCombine(col("ones"), col("ntok")).as("sh"))
+    df.select(col(idCol).as("id"),
+      DedupExpr.simhash(TextAnalytics.tokens(col(textCol))).as("sh"))
 
   /** Hamming distance between two 64-bit simhashes (bit_count of XOR). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -175,10 +171,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), TextAnalytics.tokens(col(textCol)).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), k).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    val sh = df.select(col(idCol).as("id"),
+        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
     val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("h")).where(col("id_a") < col("id_b"))

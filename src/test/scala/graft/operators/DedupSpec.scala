@@ -88,6 +88,25 @@ class DedupSpec extends SparkSpec {
     m.keySet should not contain ((1L, 4L))
   }
 
+  test("native simhash kernel is value-identical to the composed HOF pipeline") {
+    import graft.functions.{DedupExpr, TextAnalytics}
+    val both = docs.select(
+        Dedup.simhash64(col("text")).as("composed"),
+        DedupExpr.simhash(TextAnalytics.tokens(col("text"))).as("kernel"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (c, k) => k shouldBe c }
+  }
+
+  test("minhash kernel signature: deterministic, monotone under containment") {
+    import graft.functions.{DedupExpr, TextAnalytics}
+    val sigs = docs.select(col("doc_id"),
+        DedupExpr.minhashSig(TextAnalytics.tokens(col("text")), 3, 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    sigs(1L) shouldBe sigs(2L)       // identical docs
+    sigs(1L).length shouldBe 32
+    sigs(1L) should not be sigs(4L)  // unrelated docs
+  }
+
   test("ngramJaccardPairs computes exact jaccard on shingle sets") {
     val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.4)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
