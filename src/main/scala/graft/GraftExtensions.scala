@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{BandKeysExpr, MinHashSigExpr, ShingleHashesExpr, SimHashExpr}
+
+/** Registers the engine's native expressions as SQL functions, so
+  * `spark.sql("SELECT simhash64(...)")` works and the kernels are usable
+  * from pure-SQL pipelines.
+  *
+  * Two paths:
+  *   - session build time (new sessions):
+  *     `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  *     `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  *   - live session: `GraftExtensions.register(spark)`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  /** (identifier, info, builder) triples, shared by both paths. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens, k, n) =>
+          MinHashSigExpr(tokens, intArg(k, "shingleK"), intArg(n, "numHashes"))
+        case _ => throw new IllegalArgumentException(
+          "usage: minhash_sig(tokens array<string>, shingleK int, numHashes int)")
+      }),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => SimHashExpr(tokens)
+        case _ => throw new IllegalArgumentException(
+          "usage: simhash64(tokens array<string>)")
+      }),
+    (new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens, k) => ShingleHashesExpr(tokens, intArg(k, "shingleK"))
+        case _ => throw new IllegalArgumentException(
+          "usage: shingle_hashes(tokens array<string>, shingleK int)")
+      }),
+    (new FunctionIdentifier("lsh_band_keys"),
+      new ExpressionInfo(classOf[BandKeysExpr].getName, "lsh_band_keys"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sig, bands, rpb) =>
+          BandKeysExpr(sig, intArg(bands, "bands"), intArg(rpb, "rowsPerBand"))
+        case _ => throw new IllegalArgumentException(
+          "usage: lsh_band_keys(sig array<long>, bands int, rowsPerBand int)")
+      }))
+
+  /** Register all functions on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      ColumnBridge.registerFunction(spark, ident, info, builder)
+    }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Dedup, PrefixMatch, Similarity, TemplateFilters}
+import graft.operators.{AsOfJoin, Dedup, Ivf, PrefixMatch, Similarity, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -167,6 +167,20 @@ object SparkEntry {
         .groupBy(col("band_name"))
         .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("total"))
         .orderBy(col("band_name"))
+    }),
+
+    // As-of join (union + single shuffle + window; no nested-loop join)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asOfBackward(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Map("value" -> "last_purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("last_purchase_value"), lit(-1.0)).as("last_purchase_value"))
+        .orderBy(col("event_id"))
     }),
 
     // -- aggregations --------------------------------------------------
@@ -433,6 +447,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // IVF approximate ANN (no oracle — probe-dependent recall)
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Ivf.topK(emb, "vec_id", "embedding", queries, "query_id", "qv",
+          k = 5, numCentroids = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // -- multimodal: declarative frame fan-out over synthetic video assets --
     "q_frame_sample" -> ((s, dir) =>
       graft.multimodal.Multimodal.sampleFrames(
@@ -537,6 +563,13 @@ object SparkEntry {
         |      ('p5k_10k',5000.0,10000.0),('p10k_up',10000.0,1000000000.0)) b(band_name,lo,hi)
         |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
         |GROUP BY band_name ORDER BY band_name""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, coalesce(r.value, -1.0) AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
+        |  ON l.user_id = r.user_id AND l.ts > r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_agg_group_count" ->
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbour index — the scale
+  * path for similarity search when the query set is too large for the
+  * brute-force broadcast (Similarity.bruteForceTopK) and sign-LSH
+  * recall is insufficient.
+  *
+  * Build: deterministic seed centroids (lowest ids) → Lloyd assignment
+  * iterations (assign = crossJoin(broadcast(centroids)) + map-side
+  * min_by partial agg, so the shuffle carries one row per vector;
+  * recompute = [[CentroidAgg]], a typed Aggregator UDAF). Search: probe
+  * only the `nprobe` clusters nearest to each query — the row×query
+  * product shrinks to row×query-per-cluster.
+  *
+  * Centroid count is a bounded dimension (≲ √N by rule of thumb), so
+  * broadcasting it is the sanctioned "small dim" pattern; vectors are
+  * never collected to the driver.
+  */
+object Ivf {
+
+  /** Typed Aggregator computing the elementwise mean of float vectors —
+    * the custom-UDAF surface (SURVEY.md §2.4 A7), registered per-use via
+    * `udaf()`. Buffer is (sums, count); merge is elementwise — classic
+    * commutative/associative shape, safe for partial aggregation.
+    */
+  case class CentBuf(sums: Array[Double], n: Long)
+
+  class CentroidAgg extends Aggregator[Seq[Float], CentBuf, Seq[Float]] {
+    override def zero: CentBuf = CentBuf(Array.emptyDoubleArray, 0L)
+    override def reduce(b: CentBuf, v: Seq[Float]): CentBuf = {
+      val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
+      var i = 0
+      while (i < v.length) { s(i) += v(i); i += 1 }
+      CentBuf(s, b.n + 1)
+    }
+    override def merge(a: CentBuf, b: CentBuf): CentBuf =
+      if (a.sums.isEmpty) b
+      else if (b.sums.isEmpty) a
+      else {
+        val s = a.sums.clone()
+        var i = 0
+        while (i < s.length) { s(i) += b.sums(i); i += 1 }
+        CentBuf(s, a.n + b.n)
+      }
+    override def finish(b: CentBuf): Seq[Float] =
+      if (b.n == 0) Seq.empty else b.sums.map(x => (x / b.n).toFloat).toSeq
+    override def bufferEncoder: Encoder[CentBuf] = Encoders.product[CentBuf]
+    override def outputEncoder: Encoder[Seq[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+  }
+
+  /** Column-API centroid aggregate. */
+  def centroid(vec: Column): Column =
+    udaf(new CentroidAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()).apply(vec)
+
+  /** Nearest centroid id for a vector against a broadcast centroid set. */
+  private def assign(vectors: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        col("cluster_id"),
+        Similarity.cosine(col(vecCol), col("cvec")).as("_sim"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cluster_id"), col("_sim")).as("cluster_id"),
+        first(col(vecCol)).as(vecCol))
+
+  /** Build the index: returns (assignments, centroids).
+    * assignments: (id, vec, cluster_id); centroids: (cluster_id, cvec).
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+            numCentroids: Int, lloydIters: Int = 1): (DataFrame, DataFrame) = {
+    // deterministic seeds: the numCentroids lowest ids
+    var centroids = corpus.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol), col(vecCol))
+      .withColumn("cluster_id", row_number().over(Window.orderBy(col(idCol))).cast("long"))
+      .select(col("cluster_id"), col(vecCol).as("cvec"))
+    var assignments: DataFrame = null
+    var it = 0
+    while (it <= lloydIters) {
+      assignments = assign(corpus, idCol, vecCol, centroids)
+      if (it < lloydIters)
+        centroids = assignments
+          .groupBy(col("cluster_id"))
+          .agg(centroid(col(vecCol)).as("cvec"))
+      it += 1
+    }
+    (assignments, centroids)
+  }
+
+  /** Approximate top-k: search only the nprobe closest clusters per
+    * query. One shuffle on cluster_id (corpus side is the build output),
+    * then per-query ranking.
+    */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+           queries: DataFrame, qidCol: String, qvecCol: String,
+           k: Int, numCentroids: Int, nprobe: Int = 2,
+           roundTo: Int = 6): DataFrame = {
+    val (assignments, centroids) = build(corpus, idCol, vecCol, numCentroids)
+    // nprobe nearest clusters per query
+    val probeW = Window.partitionBy(col(qidCol))
+      .orderBy(col("_csim").desc, col("cluster_id").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col(qidCol), col(qvecCol), col("cluster_id"),
+        Similarity.cosine(col(qvecCol), col("cvec")).as("_csim"))
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nprobe)
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("_qv"), col("cluster_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    assignments
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("cluster_id"))
+      .join(probes, Seq("cluster_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("_cv"), col("_qv")), roundTo).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

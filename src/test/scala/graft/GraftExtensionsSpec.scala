@@ -1,0 +1,36 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("SQL functions registered on a live session") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT simhash64(array('the','quick','fox')) AS sh,
+        |       minhash_sig(array('a','b','c','d'), 2, 8) AS sig,
+        |       shingle_hashes(array('a','b','c'), 2) AS shs,
+        |       lsh_band_keys(minhash_sig(array('a','b','c','d'), 2, 8), 4, 2) AS bk""".stripMargin)
+      .collect().head
+    row.getAs[Long]("sh") should not be 0L
+    row.getSeq[Long](1).length shouldBe 8
+    row.getSeq[Long](2).length shouldBe 2
+    row.getSeq[Long](3).length shouldBe 4
+  }
+
+  test("SQL simhash matches the Column-API kernel") {
+    GraftExtensions.register(spark)
+    import graft.functions.DedupExpr
+    import org.apache.spark.sql.functions._
+    val viaSql = spark.sql("SELECT simhash64(array('x','y','z')) AS sh")
+      .collect().head.getAs[Long]("sh")
+    val viaCol = spark.range(1)
+      .select(DedupExpr.simhash(typedLit(Seq("x", "y", "z"))).as("sh"))
+      .collect().head.getAs[Long]("sh")
+    viaSql shouldBe viaCol
+  }
+
+  test("builder-time extensions path constructs (class is instantiable as fn)") {
+    val ext = new GraftExtensions
+    val se = new org.apache.spark.sql.SparkSessionExtensions
+    noException should be thrownBy ext(se)
+  }
+}
