@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{BandKeysExpr, MinHashSigExpr, ShingleHashesExpr, SimHashExpr}
+import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, ShingleHashesExpr, SimHashExpr}
 
 /** Registers the engine's native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works and the kernels are usable
@@ -53,6 +53,20 @@ object GraftExtensions {
         case Seq(tokens, k) => ShingleHashesExpr(tokens, intArg(k, "shingleK"))
         case _ => throw new IllegalArgumentException(
           "usage: shingle_hashes(tokens array<string>, shingleK int)")
+      }),
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSimExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: cosine_sim(a array<double>, b array<double>)")
+      }),
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProductExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: dot_product(a array<double>, b array<double>)")
       }),
     (new FunctionIdentifier("lsh_band_keys"),
       new ExpressionInfo(classOf[BandKeysExpr].getName, "lsh_band_keys"),

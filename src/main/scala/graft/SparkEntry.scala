@@ -228,6 +228,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n")).where(col("n") > 30)
         .orderBy(col("l_partkey"))),
 
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_price"), col("n"))
+        .orderBy(col("rflag"), col("lstatus"))),
+
+    "q_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy(col("l_returnflag"))),
+
     // -- sort / top-k ---------------------------------------------------
     "q_topk" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -405,6 +421,19 @@ object SparkEntry {
           k = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact embedding near-dup: all-pairs kernel cosine (nested-loop
+    // broadcast; the LSH-bucketed scale path is Dedup.embeddingNearDupPairs)
+    "q_embedding_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // -- similarity search (LLM-pipeline extensions) --------------------------
     "q_cosine_topk" -> ((s, dir) => {
@@ -606,6 +635,25 @@ object SparkEntry {
     "q_groupby_having" ->
       """SELECT l_partkey, count(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING count(*) > 30 ORDER BY l_partkey""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rflag, coalesce(l_linestatus,'ALL') AS lstatus,
+        |       round(sum(l_extendedprice),2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -163,6 +163,29 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // -------------------------------------------- embedding-cosine near-dup
+
+  /** Embedding-based near-duplicate pairs, LSH-bucketed (the scale path):
+    * candidates = identical sign-LSH signature (numPlanes-bit bucket),
+    * verified with exact cosine (native kernel). The row×row product
+    * shrinks to within-bucket products; recall is tunable via numPlanes
+    * (fewer planes → bigger buckets → higher recall, more work).
+    * For exhaustive small-corpus runs use the exact variant declared as
+    * q_embedding_neardup (all-pairs nested-loop broadcast + kernel
+    * cosine).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, numPlanes: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.signLshSignature(col(vecCol), numPlanes).as("sig"))
+    val a = sig.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
+    val b = sig.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   // ------------------------------------------------------ n-gram jaccard
 
   /** Exact n-gram Jaccard similarity for candidate pairs: explode shingles

@@ -29,7 +29,14 @@ object Similarity {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Native kernel (graft.functions.VectorKernels): one JIT loop per row,
+    * bit-identical to the HOF composition dot/(‖a‖·‖b‖).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpr.cosineSim(a, b)
+
+  /** The composed HOF form, kept as executable documentation/reference. */
+  def cosineComposed(a: Column, b: Column): Column = {
     val ad = asDouble(a); val bd = asDouble(b)
     dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
   }

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for the 100 TB tier: partitioned directories for
+  * coarse pruning, bucketed tables for shuffle-free co-located joins,
+  * and compaction sizing.
+  *
+  * The reference materializes plain files between steps (geonames.js:224,
+  * 230, `dirs.previous` → `dirs.current`); at scale the materialization
+  * layer IS the query accelerator:
+  *   - partitionBy(k) → static + dynamic partition pruning prune entire
+  *     directories before any I/O (e.g. GeoNames bronze partitioned by
+  *     countryCode: a one-country query touches 1/250 of the data).
+  *   - bucketBy(n, k) → both sides of a recurring equi-join pre-hashed
+  *     into the same bucket layout join with ZERO shuffle.
+  *   - repartition before write → bounded file counts (the many-small-
+  *     files problem kills the driver's file index at 100 TB).
+  */
+object Layout {
+
+  /** Write partitioned parquet: one directory level per partition column.
+    * `targetFilesPerPartition` bounds file count (small-files discipline).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       targetFilesPerPartition: Int = 1): Unit =
+    df.repartition(targetFilesPerPartition, partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Read back with explicit base path so partition columns materialize. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Persist as a bucketed managed table (bucket layout only exists for
+    * tables, not bare files). Joins between tables bucketed the same way
+    * on the join key skip the shuffle entirely.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (sortCol match {
+      case Some(s) => w.sortBy(s)
+      case None => w
+    }).saveAsTable(table)
+  }
+}

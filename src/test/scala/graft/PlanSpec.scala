@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression tests: the 100 TB discipline encoded as
+  * assertions — pushdown reaches the scan, dimension joins broadcast,
+  * big-big joins sort-merge, top-k fuses, dedup kernels stay inside
+  * WholeStageCodegen. Runs against sf0.001 (plan shape is
+  * scale-invariant; AQE's initial plan is what we assert on).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_project: filter and column pruning pushed to parquet scan") {
+    val p = planOf("q_scan_project")
+    p should include("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]")
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>")
+  }
+
+  test("q_flagship: both dimension joins broadcast, no sort-merge join") {
+    val p = planOf("q_flagship")
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q_semi_join: broadcast left-semi, not shuffled") {
+    val p = planOf("q_semi_join")
+    p should include("BroadcastHashJoin")
+    p should include("LeftSemi")
+  }
+
+  test("q_smj: big-big join resolves to sort-merge") {
+    planOf("q_smj") should include("SortMergeJoin")
+  }
+
+  test("q_topk: global sort+limit fuses to TakeOrderedAndProject") {
+    val p = planOf("q_topk")
+    p should include("TakeOrderedAndProject")
+    (p should not).include("ShuffleExchange") // no full range-partitioned sort
+  }
+
+  test("q_prefix_match: classification is a plan constant (coalesce chain), no join") {
+    val p = planOf("q_prefix_match")
+    (p should not).include("Join")
+    p should include("element_at") // the constant-folded map probe chain
+  }
+
+  test("q_minhash_pairs: native kernels in the plan, single-long band join key") {
+    val p = planOf("q_minhash_pairs")
+    p should include("minhash_sig")
+    p should include("lsh_band_keys")
+    (p should not).include("SortMergeJoin(keys=[bkey") // band join may SMJ, but on one key
+    p should include("bkey")
+  }
+
+  test("q_agg_multi: partial aggregation before the shuffle (two-phase hash agg)") {
+    val p = planOf("q_agg_multi")
+    p should include("HashAggregate")
+    p.indexOf("partial_sum") should be > 0
+  }
+
+  test("q_range_join: banded non-equi join broadcasts the tiny band table") {
+    planOf("q_range_join") should include("BroadcastNestedLoopJoin")
+  }
+}

@@ -27,6 +27,24 @@ class SimilaritySpec extends SparkSpec {
     r._3 shouldBe (1.0 / math.sqrt(2)) +- 1e-12
   }
 
+  test("kernel cosine is bit-identical to the composed HOF cosine") {
+    val both = vecs.crossJoin(vecs.select(col("embedding").as("e2")))
+      .select(Similarity.cosine(col("embedding"), col("e2")).as("k"),
+        Similarity.cosineComposed(col("embedding"), col("e2")).as("h"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (k, h) =>
+      if (h.isNaN) k.isNaN shouldBe true else k shouldBe h
+    }
+  }
+
+  test("embeddingNearDupPairs: same-direction vectors found, opposite never bucketed") {
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.99, numPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 4L)) // colinear vectors, cosine 1.0
+    pairs.flatMap(p => Set(p._1, p._2)) should not contain 3L // opposite of 0/4
+  }
+
   test("bruteForceTopK: correct neighbours, ranked by cosine desc, self excluded") {
     val queries = vecs.where(col("vec_id") === 0L)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
