@@ -214,6 +214,13 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("nd_supps"))
         .orderBy(col("l_returnflag"))),
 
+    // HLL++ sketch — algorithm-specific estimates, no cross-engine oracle
+    // (rows-only check); the exact variant is q_count_distinct above
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_parts"))
+        .orderBy(col("l_returnflag"))),
+
     "q_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))

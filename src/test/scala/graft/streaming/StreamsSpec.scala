@@ -70,6 +70,22 @@ class StreamsSpec extends SparkSpec {
     got.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L, 4L, 5L, 6L)
   }
 
+  test("fileSource: streaming parquet source feeds the same tumbling plan") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-src").toFile.getAbsolutePath
+    val schema = batch.toDF().schema
+    batch.toDF().write.mode("overwrite").parquet(dir)
+    val name = s"mem_${System.nanoTime()}"
+    val q = tumblingAgg(Streams.fileSource(spark, dir, schema))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val fromFiles = spark.table(name).orderBy("win_start", "event_type")
+      .collect().map(_.toSeq)
+    val fromBatch = tumblingAgg(batch.toDF()).orderBy("win_start", "event_type")
+      .collect().map(_.toSeq)
+    fromFiles shouldBe fromBatch
+  }
+
   test("sessionizeWithState: custom-state sessionization matches expected sessions") {
     val stream = MemoryStream[Event]
     val name = s"mem_${System.nanoTime()}"
