@@ -442,6 +442,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Connected-components clustering over the (oracle-stable) embedding
+    // near-dup pairs: Spark hash-min label propagation vs a DuckDB
+    // recursive CTE computing min-reachable-id.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= 0.4)
+      Dedup.clusters(pairs).orderBy(col("id"))
+    }),
+
     // -- similarity search (LLM-pipeline extensions) --------------------------
     "q_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -794,6 +808,21 @@ object SparkEntry {
     "q_dedup_hash" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q_cosine_topk" ->
       """SELECT query_id, neighbor_id, cos_sim, rank FROM (

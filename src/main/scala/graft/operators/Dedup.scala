@@ -163,6 +163,55 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------- pair → cluster → keep
+
+  /** Connected components over near-duplicate pairs via hash-min label
+    * propagation: label(v) ← min(v, labels of neighbours), iterated to
+    * fixpoint. This turns any pair-producing dedup variant into keep/drop
+    * decisions (keeper = min id per component).
+    *
+    * Scale notes: this is the standard Spark CC — O(graph diameter)
+    * iterations, each one shuffle keyed by vertex id; near-dup graphs are
+    * dense blobs with tiny diameter, so it converges in a handful of
+    * rounds. Each iteration's result is cached and the previous handle
+    * unpersisted; `maxIters` bounds the loop defensively.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(prop, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Keep/drop decision per document: keeper = min id in its component;
+    * documents with no near-dup pair keep themselves.
+    */
+  def keepers(allIds: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    allIds.select(col(idCol).as("id"))
+      .join(clusters(pairs), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("keeper_id"))
+      .withColumn("keep", col("id") === col("keeper_id"))
+
   // -------------------------------------------- embedding-cosine near-dup
 
   /** Embedding-based near-duplicate pairs, LSH-bucketed (the scale path):

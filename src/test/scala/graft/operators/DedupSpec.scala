@@ -88,6 +88,25 @@ class DedupSpec extends SparkSpec {
     m.keySet should not contain ((1L, 4L))
   }
 
+  test("clusters: hash-min label propagation finds connected components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 8L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    got(1L) shouldBe 1L; got(2L) shouldBe 1L; got(3L) shouldBe 1L // chain 1-2-3
+    got(5L) shouldBe 5L; got(6L) shouldBe 5L
+    got(8L) shouldBe 8L; got(9L) shouldBe 8L; got(10L) shouldBe 8L // cycle
+  }
+
+  test("keepers: min-id per component keeps itself, others dropped; singletons keep") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.keepers(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got(1L) shouldBe ((1L, true))
+    got(2L) shouldBe ((1L, false))
+    got(3L) shouldBe ((1L, false))
+    got(4L) shouldBe ((4L, true)) // no pair → keeps itself
+  }
+
   test("native simhash kernel is value-identical to the composed HOF pipeline") {
     import graft.functions.{DedupExpr, TextAnalytics}
     val both = docs.select(
