@@ -281,6 +281,18 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    "q_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1.0)).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("o_orderkey")).over(w).as("first_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // -- set operations ---------------------------------------------------
     "q_union_all" -> ((s, dir) => {
       val c = Tables.customer(s, dir).select(lit("customer").as("rec_type"),
@@ -695,6 +707,15 @@ object SparkEntry {
         |  round(coalesce(lag(o_totalprice,1) OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate, o_orderkey), 0.0),2) AS prev_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  dense_rank() OVER w AS drank,
+        |  coalesce(lead(o_totalprice,1) OVER w, -1.0) AS next_price,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_union_all" ->
       """SELECT * FROM (

@@ -184,6 +184,28 @@ object GeoNames {
     pitJson.unionByName(relJson)
   }
 
+  /** Bronze materialization of the main table, partitioned by country —
+    * at full GeoNames scale (or 100 TB) partition pruning makes a
+    * one-country analysis touch ~1/250 of the data. The partition column
+    * is a sanitized COPY (`country_part`) so the original `countryCode`
+    * (including empty values) round-trips unchanged.
+    */
+  def writeBronze(places: DataFrame, path: String, filesPerPartition: Int = 1): Unit =
+    graft.sources.Layout.writePartitioned(
+      places.withColumn("country_part",
+        when(length(col("countryCode")) > 0, col("countryCode")).otherwise(lit("NONE"))),
+      path, Seq("country_part"), filesPerPartition)
+
+  def readBronze(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Layout.readPartitioned(spark, path).drop("country_part")
+
+  /** Prune-friendly one-country slice: filter on the PARTITION column so
+    * pruning happens at planning time (directory-level skip).
+    */
+  def readBronzeCountry(spark: SparkSession, path: String, country: String): DataFrame =
+    graft.sources.Layout.readPartitioned(spark, path)
+      .where(col("country_part") === country).drop("country_part")
+
   /** The full `transform` step (geonames.js:223–254): read the three
     * files from `prevDir`, write NDJSON to `outPath`.
     */

@@ -115,6 +115,17 @@ class GeoNamesSpec extends SparkSpec {
     lines shouldBe 7
   }
 
+  test("bronze layout: partitioned by country, pruned one-country reads, lossless round-trip") {
+    val bronze = Files.createTempDirectory("geonames-bronze").toFile.getAbsolutePath + "/b"
+    GeoNames.writeBronze(places, bronze)
+    // round-trip preserves all rows and the original countryCode column
+    GeoNames.readBronze(spark, bronze).count() shouldBe 7
+    val us = GeoNames.readBronzeCountry(spark, bronze, "US")
+    us.count() shouldBe 5
+    val plan = us.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters: [isnotnull(country_part")
+  }
+
   test("ingest: local fetcher + zip extraction produce readable staging files") {
     val src = Files.createTempDirectory("geonames-src").toFile.getAbsolutePath
     // build allCountries.zip containing allCountries.txt
