@@ -78,6 +78,34 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // TSV line scan (SURVEY S3): deterministic round-trip through the
+    // text-source path — parquet table → unquoted TSV → explicit-schema
+    // csv scan; the oracle is the original table.
+    "q_scan_tsv" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tsv")
+        .toFile.getAbsolutePath + "/nation"
+      Tables.nation(s, dir).write.mode("overwrite").option("sep", "\t").csv(tmp)
+      s.read.option("sep", "\t").schema(Tables.nationSchema).csv(tmp)
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // Nested-struct construction + field access (SURVEY P7); output is
+    // flattened back to scalars for the oracle (no structs in compared
+    // output, SURVEY §5 rule 1).
+    "q_project_struct" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"), struct(
+            col("p_brand").as("brand"),
+            upper(col("p_type")).as("type_uc"),
+            struct(col("p_size").cast("long").as("size"),
+              col("p_retailprice").as("price")).as("meta")).as("s"))
+        .select(col("p_partkey"),
+          col("s.brand").as("brand"),
+          col("s.type_uc").as("type_uc"),
+          col("s.meta.size").as("size"),
+          col("s.meta.price").as("price"))
+        .orderBy(col("p_partkey"))),
+
     "q_filter_whereeq" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .where(TemplateFilters.whereEq(Map("l_returnflag" -> "R", "l_linestatus" -> "F")))
@@ -570,6 +598,14 @@ object SparkEntry {
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45.0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_scan_tsv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_project_struct" ->
+      """SELECT p_partkey, p_brand AS brand, upper(p_type) AS type_uc,
+        |       cast(p_size AS BIGINT) AS size, p_retailprice AS price
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_filter_whereeq" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem
