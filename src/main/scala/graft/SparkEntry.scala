@@ -567,6 +567,11 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy(col("win_start"), col("event_type"))),
 
+    "q_sliding_batch" -> ((s, dir) =>
+      graft.streaming.Streams.slidingAggBatch(Tables.events(s, dir))
+        .select(col("win_start").cast("long").as("win_start"), col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))),
+
     "q_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       Tables.events(s, dir)
@@ -915,6 +920,12 @@ object SparkEntry {
       """SELECT win_start, event_type, count(*) AS n, round(sum(value),2) AS total FROM
         |(SELECT (epoch_ns(ts)//1000000000) - ((epoch_ns(ts)//1000000000) % 600) AS win_start,
         |        event_type, value FROM events) t
+        |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    "q_sliding_batch" ->
+      """SELECT win_start, event_type, count(*) AS n FROM
+        |(SELECT ((epoch_ns(ts)//1000000000)//300 - i)*300 AS win_start, event_type
+        | FROM events CROSS JOIN (SELECT unnest(range(2)) AS i)) t
         |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
 
     "q_sessionize" ->

@@ -53,8 +53,12 @@ object Streams {
   def slidingAgg(events: DataFrame, window_ : String = "10 minutes",
                  slide: String = "5 minutes",
                  watermark: String = "10 minutes"): DataFrame =
+    slidingAggBatch(events.withWatermark("ts", watermark), window_, slide)
+
+  /** Watermark-free core of [[slidingAgg]] (batch-equivalence oracle). */
+  def slidingAggBatch(events: DataFrame, window_ : String = "10 minutes",
+                      slide: String = "5 minutes"): DataFrame =
     events
-      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"))

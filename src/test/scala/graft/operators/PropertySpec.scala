@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Randomized-but-seeded equivalence tests: operators vs naive
+  * reference implementations on generated data.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("asOfBackward == naive per-row scan on random data (seeded)") {
+    val keys = Gen.oneOf("a", "b", "c")
+    val leftGen = Gen.listOfN(120, Gen.zip(keys, Gen.chooseNum(0L, 50L)))
+    val rightGen = Gen.listOfN(60, Gen.zip(keys, Gen.chooseNum(0L, 50L)))
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val left = sample(leftGen, seed).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      // distinct (key, ts) on the right avoids tie-order ambiguity
+      val right = sample(rightGen, seed + 100).distinct
+        .map { case (k, t) => (k, t, t * 10.0) }
+
+      val got = AsOfJoin.asOfBackward(
+          left.toDF("lid", "k", "t"), right.toDF("k", "t", "payload"),
+          Seq("k"), "t", "t", Map("payload" -> "p"))
+        .select("lid", "p").as[(Long, Option[Double])].collect().toMap
+
+      left.foreach { case (lid, k, lt) =>
+        val expected = right.filter(r => r._1 == k && r._2 < lt)
+          .sortBy(_._2).lastOption.map(_._3)
+        withClue(s"seed=$seed lid=$lid k=$k t=$lt") { got(lid) shouldBe expected }
+      }
+    }
+  }
+
+  test("minhash estJaccard approximates exact shingle jaccard (seeded corpora)") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val doc = Gen.listOfN(30, word).map(_.mkString(" "))
+    val docs = (1 to 20).map(i => (i.toLong, sample(doc, i.toLong * 7))).toDF("doc_id", "text")
+
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val est = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 128, threshold = 0.0) // 1-row bands ⇒ all pairs collide somewhere
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+    // every estimated pair within 0.2 of the exact jaccard (128 hashes ⇒ σ≈0.044)
+    est.foreach { case (pair, e) =>
+      val x = exact.getOrElse(pair, 0.0)
+      withClue(s"pair=$pair exact=$x est=$e") { math.abs(e - x) should be < 0.2 }
+    }
+  }
+
+  test("approx_count_distinct within declared error of exact (2% rsd)") {
+    val df = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val (exact, approx) = df
+      .agg(countDistinct(col("l_partkey")).as("e"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("a"))
+      .as[(Long, Long)].head()
+    math.abs(approx - exact).toDouble / exact should be < 0.06 // 3σ
+  }
+}
