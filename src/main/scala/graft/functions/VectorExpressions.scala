@@ -34,6 +34,31 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** h-bit sign-LSH signature; bit p = sign(v · plane_p) with plane
+    * components derived from xxhash64(p, i) — value-identical to the
+    * composed HOF form in Similarity (same hash chain, same left-fold
+    * accumulation order).
+    */
+  def signLsh(v: ArrayData, isF: Boolean, planes: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val pseed = XXH64.hashInt(p, 42L)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        proj += x * (XXH64.hashInt(i, pseed).toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
     val n = a.numElements()
     var s = 0.0
@@ -92,9 +117,35 @@ case class DotProductExpr(left: Expression, right: Expression) extends VectorBin
     copy(left = l, right = r)
 }
 
+case class SignLshExpr(child: Expression, numPlanes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh"
+  private def isF: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh requires array<float|double>, got ${t.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.signLsh(input.asInstanceOf[ArrayData], isF, numPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.signLsh($c, $isF, $numPlanes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpr {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def signLsh(v: Column, numPlanes: Int): Column =
+    ColumnBridge.column(SignLshExpr(ColumnBridge.expression(v), numPlanes))
 }

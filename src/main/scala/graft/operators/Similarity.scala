@@ -64,8 +64,14 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** h-bit sign-LSH signature of a vector: bit p = sign(v · plane_p). */
-  def signLshSignature(vec: Column, numPlanes: Int): Column = {
+  /** h-bit sign-LSH signature of a vector: bit p = sign(v · plane_p).
+    * Native kernel (graft.functions.VectorKernels.signLsh).
+    */
+  def signLshSignature(vec: Column, numPlanes: Int): Column =
+    graft.functions.VectorExpr.signLsh(vec, numPlanes)
+
+  /** The composed HOF form, kept as executable documentation/reference. */
+  def signLshSignatureComposed(vec: Column, numPlanes: Int): Column = {
     val vd = asDouble(vec)
     (0 until numPlanes).map { p =>
       val proj = aggregate(

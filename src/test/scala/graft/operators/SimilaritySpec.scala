@@ -27,6 +27,14 @@ class SimilaritySpec extends SparkSpec {
     r._3 shouldBe (1.0 / math.sqrt(2)) +- 1e-12
   }
 
+  test("sign-LSH kernel is value-identical to the composed HOF signature") {
+    val both = vecs.select(
+        Similarity.signLshSignature(col("embedding"), 12).as("k"),
+        Similarity.signLshSignatureComposed(col("embedding"), 12).as("h"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (k, h) => k shouldBe h }
+  }
+
   test("kernel cosine is bit-identical to the composed HOF cosine") {
     val both = vecs.crossJoin(vecs.select(col("embedding").as("e2")))
       .select(Similarity.cosine(col("embedding"), col("e2")).as("k"),
