@@ -496,6 +496,20 @@ object SparkEntry {
       Dedup.clusters(pairs).orderBy(col("id"))
     }),
 
+    // End-to-end dedup decision: pairs → components → keeper per doc
+    "q_dedup_keepers" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= 0.4)
+      Dedup.keepers(emb, "vec_id", pairs)
+        .select(col("id"), col("keeper_id"), col("keep"))
+        .orderBy(col("id"))
+    }),
+
     // -- similarity search (LLM-pipeline extensions) --------------------------
     "q_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -885,6 +899,25 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_dedup_keepers" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT e.vec_id AS id, coalesce(c.cluster_id, e.vec_id) AS keeper_id,
+        |       e.vec_id = coalesce(c.cluster_id, e.vec_id) AS keep
+        |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+        |ORDER BY id""".stripMargin,
 
     "q_cosine_topk" ->
       """SELECT query_id, neighbor_id, cos_sim, rank FROM (
