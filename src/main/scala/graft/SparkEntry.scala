@@ -263,6 +263,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n")).where(col("n") > 30)
         .orderBy(col("l_partkey"))),
 
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0.0)).as("qty_f"),
+          coalesce(col("O"), lit(0.0)).as("qty_o"))
+        .orderBy(col("l_returnflag"))),
+
     "q_cube" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -723,6 +733,12 @@ object SparkEntry {
     "q_groupby_having" ->
       """SELECT l_partkey, count(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING count(*) > 30 ORDER BY l_partkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  coalesce(round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2),0.0) AS qty_f,
+        |  coalesce(round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END),2),0.0) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(l_returnflag,'ALL') AS rflag, coalesce(l_linestatus,'ALL') AS lstatus,
