@@ -41,6 +41,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     qFlagship(spark, "/root/testdata/sf0.001")
 
+  /** All-pairs embedding near-dup edges (shared by q_embedding_neardup /
+    * q_dedup_clusters / q_dedup_keepers). The pushed-down filter uses the
+    * UNROUNDED cosine with the exact HALF_UP boundary (round(x,6) ≥ 0.4
+    * ⟺ x ≥ 0.3999995): predicate pushdown below the projection would
+    * otherwise duplicate the kernel cosine for every pair; this way the
+    * rounded value is only computed for surviving rows.
+    */
+  private def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("_cos", Similarity.cosine(col("va"), col("vb")))
+      .where(col("_cos") >= 0.3999995)
+      .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** The reference `transform` pipeline re-expressed over the test tables
@@ -481,44 +498,20 @@ object SparkEntry {
 
     // Exact embedding near-dup: all-pairs kernel cosine (nested-loop
     // broadcast; the LSH-bucketed scale path is Dedup.embeddingNearDupPairs)
-    "q_embedding_neardup" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
-        .where(col("cos_sim") >= 0.4)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "q_embedding_neardup" -> ((s, dir) =>
+      embeddingPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
 
     // Connected-components clustering over the (oracle-stable) embedding
     // near-dup pairs: Spark hash-min label propagation vs a DuckDB
     // recursive CTE computing min-reachable-id.
-    "q_dedup_clusters" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
-        .where(col("cos_sim") >= 0.4)
-      Dedup.clusters(pairs).orderBy(col("id"))
-    }),
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(embeddingPairs(s, dir)).orderBy(col("id"))),
 
     // End-to-end dedup decision: pairs → components → keeper per doc
-    "q_dedup_keepers" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
-        .where(col("cos_sim") >= 0.4)
-      Dedup.keepers(emb, "vec_id", pairs)
+    "q_dedup_keepers" -> ((s, dir) =>
+      Dedup.keepers(Tables.embeddings(s, dir), "vec_id", embeddingPairs(s, dir))
         .select(col("id"), col("keeper_id"), col("keep"))
-        .orderBy(col("id"))
-    }),
+        .orderBy(col("id"))),
 
     // -- similarity search (LLM-pipeline extensions) --------------------------
     "q_cosine_topk" -> ((s, dir) => {
