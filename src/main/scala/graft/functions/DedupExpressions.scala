@@ -114,6 +114,18 @@ object DedupKernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, m))
   }
 
+  /** Fraction of positions where two equal-length long arrays agree —
+    * the MinHash Jaccard estimator.
+    */
+  def sigAgreement(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
   /** LSH band keys from a minhash signature: one 64-bit key per band,
     * band index folded into the key so a single-long equi-join suffices
     * (no composite (band, bkey) key, halving the shuffled bytes).
@@ -187,6 +199,19 @@ case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+case class SigAgreementExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_agreement"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DedupKernels.sigAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DedupKernels.sigAgreement($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API wrappers for the kernel expressions. */
 object DedupExpr {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -199,4 +224,6 @@ object DedupExpr {
     col(ShingleHashesExpr(expr(tokens), shingleK))
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     col(BandKeysExpr(expr(sig), bands, rowsPerBand))
+  def sigAgreement(a: Column, b: Column): Column =
+    col(SigAgreementExpr(expr(a), expr(b)))
 }

@@ -66,8 +66,14 @@ object Dedup {
       b => struct(b.as("band"), xxhash64(concat_ws(",",
         slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("string")).as("bkey")))
 
-  /** Estimated Jaccard from two signatures: fraction of equal positions. */
+  /** Estimated Jaccard from two signatures: fraction of equal positions
+    * (native kernel; HOF form kept as documentation below).
+    */
   def estJaccard(sigA: Column, sigB: Column): Column =
+    DedupExpr.sigAgreement(sigA, sigB)
+
+  /** The composed HOF form of [[estJaccard]]. */
+  def estJaccardComposed(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
       .cast("double") / size(sigA)
 
