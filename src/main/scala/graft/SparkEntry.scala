@@ -154,10 +154,14 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // customers with no URGENT order (the unfiltered variant is empty in
+    // the referentially-complete test data — a zero-row oracle match is
+    // weak evidence, so the right side is restricted)
     "q_anti_join" -> ((s, dir) => {
-      val cust = Tables.customer(s, dir)
-      cust.join(Tables.orders(s, dir).select(col("o_custkey")),
-          col("c_custkey") === col("o_custkey"), "left_anti")
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      Tables.customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     }),
@@ -357,10 +361,13 @@ object SparkEntry {
       c.unionByName(sup).orderBy(col("rec_type"), col("id"))
     }),
 
+    // parts never shipped in quantity > 45 (restricted right side for a
+    // nonzero result — see q_anti_join note)
     "q_except" -> ((s, dir) =>
-      Tables.customer(s, dir).select(col("c_custkey"))
-        .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
-        .orderBy(col("c_custkey"))),
+      Tables.part(s, dir).select(col("p_partkey"))
+        .except(Tables.lineitem(s, dir).where(col("l_quantity") > 45.0)
+          .select(col("l_partkey").as("p_partkey")))
+        .orderBy(col("p_partkey"))),
 
     "q_intersect" -> ((s, dir) =>
       Tables.customer(s, dir).select(col("c_nationkey"))
@@ -651,7 +658,7 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority='1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_broadcast_join" ->
@@ -789,8 +796,9 @@ object SparkEntry {
         |ORDER BY rec_type, id""".stripMargin,
 
     "q_except" ->
-      """SELECT * FROM (SELECT c_custkey FROM customer
-        |EXCEPT SELECT o_custkey AS c_custkey FROM orders) t ORDER BY c_custkey""".stripMargin,
+      """SELECT * FROM (SELECT p_partkey FROM part
+        |EXCEPT SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity > 45.0) t
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_intersect" ->
       """SELECT * FROM (SELECT c_nationkey FROM customer
