@@ -902,6 +902,27 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
 
+    // Exact n-gram Jaccard: Spark computes over 64-bit shingle hashes,
+    // DuckDB over string shingle sets — identical values barring a
+    // ~2^-64-probability hash collision.
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_dedup_clusters" ->
       """WITH RECURSIVE
         |pairs AS (
