@@ -206,6 +206,34 @@ object GeoNames {
     graft.sources.Layout.readPartitioned(spark, path)
       .where(col("country_part") === country).drop("country_part")
 
+  /** Parse an NDJSON envelope output back into typed (pits, relations)
+    * frames — the inverse of [[envelopes]], for downstream consumers
+    * (the Histograph importer role) and round-trip tests.
+    */
+  def readEnvelopes(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val pitSchema = StructType(Seq(
+      StructField("uri", StringType),
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("geometry", StructType(Seq(
+        StructField("type", StringType),
+        StructField("coordinates", ArrayType(DoubleType))))),
+      StructField("data", StructType(dataFields.map(StructField(_, StringType))))))
+    val relSchema = StructType(Seq(
+      StructField("from", StringType),
+      StructField("to", StringType),
+      StructField("type", StringType)))
+    val raw = spark.read.text(path)
+      .select(get_json_object(col("value"), "$.type").as("rec_type"), col("value"))
+    val pits = raw.where(col("rec_type") === "pit")
+      .select(from_json(get_json_object(col("value"), "$.obj"), pitSchema).as("o"))
+      .select(col("o.*"))
+    val rels = raw.where(col("rec_type") === "relation")
+      .select(from_json(get_json_object(col("value"), "$.obj"), relSchema).as("o"))
+      .select(col("o.*"))
+    (pits, rels)
+  }
+
   /** The full `transform` step (geonames.js:223–254): read the three
     * files from `prevDir`, write NDJSON to `outPath`.
     */

@@ -6,6 +6,7 @@ import java.nio.file.Files
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** End-to-end pipeline test on a synthetic GeoNames extract exercising
   * every SURVEY §1.4 edge case, plus a golden NDJSON comparison.
@@ -108,11 +109,19 @@ class GeoNamesSpec extends SparkSpec {
     out should contain theSameElementsInOrderAs expected
   }
 
-  test("transform writes NDJSON files end-to-end") {
+  test("transform writes NDJSON files end-to-end; readEnvelopes round-trips") {
     val outDir = Files.createTempDirectory("geonames-out").toFile.getAbsolutePath + "/t"
     GeoNames.transform(spark, dir, outDir, config)
-    val lines = spark.read.text(outDir).count()
-    lines shouldBe 7
+    spark.read.text(outDir).count() shouldBe 7
+    val (pits, rels) = GeoNames.readEnvelopes(spark, outDir)
+    pits.count() shouldBe 5
+    rels.count() shouldBe 2
+    val sf = pits.where(col("name") === "Mission District")
+      .select(col("uri"), col("geometry.coordinates"), col("data.admin2Code"))
+      .as[(String, Seq[Double], String)].head()
+    sf._1 shouldBe "http://sws.geonames.org/1001"
+    sf._2 shouldBe Seq(-122.42, 37.76)
+    sf._3 shouldBe "075"
   }
 
   test("bronze layout: partitioned by country, pruned one-country reads, lossless round-trip") {
