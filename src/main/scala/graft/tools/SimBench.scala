@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, Similarity}
+
+/** Similarity-search scale harness: N pseudorandom 64-d vectors, 50
+  * query vectors planted as tiny perturbations of known corpus rows,
+  * then (a) exact brute-force top-k (broadcast queries + kernel cosine)
+  * and (b) IVF top-k — reporting wall time and recall@1 of the planted
+  * neighbour.
+  *
+  *   sbt "runMain graft.tools.SimBench [nVectors]"
+  */
+object SimBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val nq = 50
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def vec(idCol: org.apache.spark.sql.Column, bump: Boolean) =
+      transform(sequence(lit(0), lit(63)), i => {
+        val base = (pmod(xxhash64(idCol, i), lit(1000)).cast("double") / 500.0 - 1.0)
+        (if (bump) base + 0.01 else base).cast("float")
+      })
+    val corpus = spark.range(n)
+      .select(col("id").as("vec_id"), vec(col("id"), bump = false).as("embedding"))
+      .localCheckpoint(true)
+    // query q (id offset past the corpus so self-exclusion never fires)
+    // looks for planted neighbour q*17, whose perturbed copy it is
+    val queries = spark.range(nq)
+      .select((col("id") * 17 + n).as("query_id"), vec(col("id") * 17, bump = true).as("qv"))
+      .localCheckpoint(true)
+
+    val t0 = System.nanoTime()
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qv", k = 1)
+    val bfTop = bf.where(col("neighbor_id") === col("query_id") - n).count()
+    val t1 = System.nanoTime()
+    val ivf = Ivf.topK(corpus, "vec_id", "embedding", queries, "query_id", "qv",
+      k = 1, numCentroids = 64, nprobe = 8)
+    val ivfHits = ivf.where(col("neighbor_id") === col("query_id") - n).count()
+    val t2 = System.nanoTime()
+    println(s"""{"metric":"similarity_topk","vectors":$n,"queries":$nq,"bf_sec":${(t1 - t0) / 1e9},"bf_top1":$bfTop,"ivf_sec":${(t2 - t1) / 1e9},"ivf_top1":$ivfHits,"cpus":$cpus}""")
+    spark.stop()
+  }
+}
