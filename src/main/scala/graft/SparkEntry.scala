@@ -284,6 +284,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n")).where(col("n") > 30)
         .orderBy(col("l_partkey"))),
 
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus"))),
+
     "q_pivot" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -733,6 +744,12 @@ object SparkEntry {
     "q_groupby_having" ->
       """SELECT l_partkey, count(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING count(*) > 30 ORDER BY l_partkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rflag, coalesce(l_linestatus,'ALL') AS lstatus,
+        |       count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_returnflag,
