@@ -187,10 +187,17 @@ object Dedup {
     * executor failure). `maxIters` bounds the loop defensively.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIters: Int = 20): DataFrame = {
+               maxIters: Int = 20, driverEdgeLimit: Long = 2000000L): DataFrame = {
     // materialize the (possibly expensive) pair computation ONCE — the
     // symmetrizing union below would otherwise evaluate it twice
     val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).localCheckpoint(true)
+    // Adaptive: a near-dup edge list is usually a bounded dimension (far
+    // smaller than the corpus). Below the limit, union-find on the
+    // driver beats O(diameter) distributed rounds — each round costs
+    // fixed job overhead regardless of data size. Above it, fall through
+    // to distributed hash-min propagation.
+    val edgeCount = p.count()
+    if (edgeCount <= driverEdgeLimit) return clustersDriver(p)
     val edges = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
@@ -216,6 +223,36 @@ object Dedup {
     }
     edges.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver-side union-find with path compression over a bounded edge
+    * list; labels = min id per component (same result as the
+    * distributed propagation).
+    */
+  private def clustersDriver(symPairs: DataFrame): DataFrame = {
+    val spark = symPairs.sparkSession
+    import spark.implicits._
+    val es = symPairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), v)
+    }
+    parent.keys.toSeq.sorted.map(v => (v, minOfRoot(find(v))))
+      .toDF("id", "cluster_id")
   }
 
   /** Keep/drop decision per document: keeper = min id in its component;

@@ -88,13 +88,16 @@ class DedupSpec extends SparkSpec {
     m.keySet should not contain ((1L, 4L))
   }
 
-  test("clusters: hash-min label propagation finds connected components") {
+  test("clusters: connected components, identical on driver and distributed paths") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 8L))
       .toDF("id_a", "id_b")
-    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
-    got(1L) shouldBe 1L; got(2L) shouldBe 1L; got(3L) shouldBe 1L // chain 1-2-3
-    got(5L) shouldBe 5L; got(6L) shouldBe 5L
-    got(8L) shouldBe 8L; got(9L) shouldBe 8L; got(10L) shouldBe 8L // cycle
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, // chain 1-2-3
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L, 10L -> 8L) // pair + cycle
+    val viaDriver = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val viaDistributed = Dedup.clusters(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    viaDriver shouldBe expected
+    viaDistributed shouldBe expected
   }
 
   test("keepers: min-id per component keeps itself, others dropped; singletons keep") {
