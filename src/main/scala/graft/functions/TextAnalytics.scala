@@ -22,10 +22,25 @@ object TextAnalytics {
       transform(split(text, "(?=[^A-Za-z0-9\\s])|(?<=[^A-Za-z0-9\\s])|\\s+"), t => trim(t)),
       t => length(t) > 0)
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count via the one-pass [[TextKernels]] kernel. */
+  def tokenCount(text: Column): Column =
+    TextExpr.tokenStats(text).getField("n_tokens").cast("int")
 
-  /** Ratio of tokens found in `stopwords` (lower-cased exact match). */
+  /** HOF form of [[tokenCount]] (reference composition). */
+  def tokenCountComposed(text: Column): Column = size(tokens(text))
+
+  /** Ratio of tokens found in `stopwords` (lower-cased exact match);
+    * one-pass kernel, empty doc → 0.0.
+    */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val st = TextExpr.tokenStats(text, stopwords)
+    val n = st.getField("n_tokens")
+    when(n === 0, lit(0.0))
+      .otherwise(st.getField("n_stop").cast("double") / n)
+  }
+
+  /** HOF form of [[stopwordRatio]] (reference composition). */
+  def stopwordRatioComposed(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(lower(text))
     val sw = typedLit(stopwords.map(_.toLowerCase))
     when(size(toks) === 0, lit(0.0))
@@ -38,11 +53,12 @@ object TextAnalytics {
       (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
         .cast("double") / length(text))
 
-  /** Mean token length (0.0 for empty docs). */
+  /** Mean token length (0.0 for empty docs); one-pass kernel. */
   def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+    val st = TextExpr.tokenStats(text)
+    val n = st.getField("n_tokens")
+    when(n === 0, lit(0.0))
+      .otherwise(st.getField("sum_token_len").cast("double") / n)
   }
 
   /** Composite quality score in [0, 1]: rewards mid-length docs with low

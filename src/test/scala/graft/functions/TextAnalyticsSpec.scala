@@ -26,6 +26,17 @@ class TextAnalyticsSpec extends SparkSpec {
     got(1) shouldBe 0.0
   }
 
+  test("token-stats kernel matches the composed HOF forms") {
+    val docs = Seq("the quick brown fox", "The THE the", "", "  ", "a\tb\nc").toDF("t")
+    val both = docs.select(
+        TextAnalytics.tokenCount(col("t")).as("k_n"),
+        TextAnalytics.tokenCountComposed(col("t")).as("h_n"),
+        TextAnalytics.stopwordRatio(col("t"), Seq("the", "a")).as("k_r"),
+        TextAnalytics.stopwordRatioComposed(col("t"), Seq("the", "a")).as("h_r"))
+      .as[(Int, Int, Double, Double)].collect()
+    both.foreach { case (kn, hn, kr, hr) => kn shouldBe hn; kr shouldBe hr }
+  }
+
   test("punctRatio: punctuation chars over total chars") {
     val got = Seq("ab,c!").toDF("t")
       .select(TextAnalytics.punctRatio(col("t")).as("r")).as[Double].head()
