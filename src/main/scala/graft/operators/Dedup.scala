@@ -95,17 +95,26 @@ object Dedup {
     // (graft.functions.DedupKernels): one codegen'd call per row instead
     // of 32·S interpreted lambda evaluations; the band index is folded
     // into the key so the self-join shuffles a single long.
-    val sigd = df.select(col(idCol).as("id"),
+    //
+    // Shuffle discipline: signatures are materialized ONCE (otherwise
+    // both join branches recompute the 32·S hashing) and the band
+    // self-join carries only (bkey, id) — 16 B/row instead of
+    // 16+8·numHashes; signatures rejoin the candidate-pair set, which is
+    // orders of magnitude smaller than the banded row set.
+    val sigs = df.select(col(idCol).as("id"),
         DedupExpr.minhashSig(TextAnalytics.tokens(col(textCol)), shingleK, numHashes).as("sig"))
-      .select(col("id"), col("sig"),
-        explode(DedupExpr.bandKeys(col("sig"), bands, rowsPerBand)).as("bkey"))
-    val a = sigd.select(col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigd.select(col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bkey"))
+      .localCheckpoint(true)
+    val bandRows = sigs.select(col("id"),
+      explode(DedupExpr.bandKeys(col("sig"), bands, rowsPerBand)).as("bkey"))
+    val cand = bandRows.select(col("bkey"), col("id").as("id_a"))
+      .join(bandRows.select(col("bkey"), col("id").as("id_b")), Seq("bkey"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy("id_a", "id_b").agg(first("est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 
