@@ -164,7 +164,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sh = simhashed(df, idCol, textCol)
+    // materialize once — both join branches would recompute the hashes
+    val sh = simhashed(df, idCol, textCol).localCheckpoint(true)
       .withColumn("chunk", explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"), shiftright(col("sh"), i * 16)
           .bitwiseAND(0xFFFFL).as("ckey"))): _*)))

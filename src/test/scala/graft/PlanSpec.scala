@@ -51,11 +51,13 @@ class PlanSpec extends SparkSpec {
     p should include("element_at") // the constant-folded map probe chain
   }
 
-  test("q_minhash_pairs: native kernels in the plan, single-long band join key") {
+  test("q_minhash_pairs: native band-key kernel in plan, single-long join key") {
+    // signatures are materialized at an eager localCheckpoint (so the
+    // plan reads a checkpoint RDD); banding + agreement kernels remain
+    // in the query plan with the single-long band key
     val p = planOf("q_minhash_pairs")
-    p should include("minhash_sig")
     p should include("lsh_band_keys")
-    (p should not).include("SortMergeJoin(keys=[bkey") // band join may SMJ, but on one key
+    p should include("sig_agreement")
     p should include("bkey")
   }
 
