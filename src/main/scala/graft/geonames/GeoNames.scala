@@ -244,4 +244,20 @@ object GeoNames {
     val admin2 = readAdminCodes(spark, s"$prevDir/admin2Codes.txt")
     envelopes(places, admin1, admin2, config).write.mode("overwrite").text(outPath)
   }
+
+  /** Staged pipeline for the 100 TB tier (the `dirs.previous` →
+    * `dirs.current` contract, geonames.js:224/230, with a real lakehouse
+    * layer in between): TSV staging → country-partitioned parquet bronze
+    * (scan once, query many — pruned, columnar, splittable) → transform.
+    * Equivalent output to [[transform]]; the bronze write is the extra
+    * cost that every later query amortizes.
+    */
+  def transformStaged(spark: SparkSession, stagingDir: String, bronzePath: String,
+                      outPath: String, config: Config): Unit = {
+    writeBronze(readAllCountries(spark, s"$stagingDir/allCountries.txt"), bronzePath)
+    val places = readBronze(spark, bronzePath)
+    val admin1 = readAdminCodes(spark, s"$stagingDir/admin1CodesASCII.txt")
+    val admin2 = readAdminCodes(spark, s"$stagingDir/admin2Codes.txt")
+    envelopes(places, admin1, admin2, config).write.mode("overwrite").text(outPath)
+  }
 }

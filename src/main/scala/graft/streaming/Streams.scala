@@ -81,6 +81,24 @@ object Streams {
                            watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream inner join with an event-time interval bound: left
+    * row joins right rows with `rightTs` in [leftTs − lookback, leftTs].
+    * Both sides carry watermarks, so each side's join state is bounded —
+    * without the time bound a stream-stream join must retain the full
+    * history of both sides. Column names must be disjoint except `key`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lookback: String = "30 minutes",
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"""$key = ${key}_r AND
+         |$rightTs >= $leftTs - INTERVAL $lookback AND
+         |$rightTs <= $leftTs""".stripMargin))
+  }
+
   // ----------------------------------------------- arbitrary state (FMGWS)
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

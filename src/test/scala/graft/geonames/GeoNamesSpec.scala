@@ -135,6 +135,15 @@ class GeoNamesSpec extends SparkSpec {
     plan should include("PartitionFilters: [isnotnull(country_part")
   }
 
+  test("staged pipeline (staging → bronze → NDJSON) equals direct transform") {
+    val base = Files.createTempDirectory("geonames-staged").toFile.getAbsolutePath
+    GeoNames.transform(spark, dir, s"$base/direct", config)
+    GeoNames.transformStaged(spark, dir, s"$base/bronze", s"$base/staged", config)
+    val direct = spark.read.text(s"$base/direct").as[String].collect().sorted
+    val staged = spark.read.text(s"$base/staged").as[String].collect().sorted
+    staged shouldBe direct
+  }
+
   test("ingest: local fetcher + zip extraction produce readable staging files") {
     val src = Files.createTempDirectory("geonames-src").toFile.getAbsolutePath
     // build allCountries.zip containing allCountries.txt

@@ -86,6 +86,29 @@ class StreamsSpec extends SparkSpec {
     fromFiles shouldBe fromBatch
   }
 
+  test("intervalJoin: stream-stream join within the time bound only") {
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val l = clicks.toDF().select(col("user_id").as("k"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"))
+    val r = buys.toDF().select(col("user_id").as("k_r"), col("ts").as("buy_ts"),
+      col("event_id").as("buy_id"))
+    val name = s"mem_${System.nanoTime()}"
+    val q = Streams.intervalJoin(l, r, "k", "click_ts", "buy_ts")
+      .select("click_id", "buy_id")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // user 1: buy at min 5; clicks at min 10 (within 30min) and min 50 (outside)
+    buys.addData(Event(100L, ts(5), 1L, "purchase", 9.99))
+    clicks.addData(
+      Event(1L, ts(10), 1L, "click", 0.0),
+      Event(2L, ts(50), 1L, "click", 0.0),
+      Event(3L, ts(10), 2L, "click", 0.0)) // other user: no buy
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 100L)) // only the in-window same-user pair
+  }
+
   test("sessionizeWithState: custom-state sessionization matches expected sessions") {
     val stream = MemoryStream[Event]
     val name = s"mem_${System.nanoTime()}"
