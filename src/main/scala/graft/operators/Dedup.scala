@@ -179,6 +179,38 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------ grouped minhash sketch
+
+  /** Typed Aggregator merging per-document MinHash signatures into the
+    * signature of the GROUP's union of shingles (elementwise min — the
+    * defining property of MinHash: sig(A ∪ B) = min(sig(A), sig(B))).
+    * Lets a corpus be sketched per source/domain/shard in one pass and
+    * group-level similarity estimated from fixed-size sketches, never
+    * re-touching the documents. Classic commutative/associative shape —
+    * safe for partial aggregation.
+    */
+  class MinHashUnionAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], sig: Seq[Long]): Array[Long] =
+      if (b.isEmpty) sig.toArray
+      else { var i = 0; while (i < b.length) { if (sig(i) < b(i)) b(i) = sig(i); i += 1 }; b }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else { var i = 0; while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }; a }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column-API group sketch: `df.groupBy(g).agg(minhashUnion(sigCol))`. */
+  def minhashUnion(sig: Column): Column =
+    udaf(new MinHashUnionAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()).apply(sig)
+
   // ------------------------------------------------- pair → cluster → keep
 
   /** Connected components over near-duplicate pairs via hash-min label

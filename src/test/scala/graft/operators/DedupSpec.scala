@@ -110,6 +110,18 @@ class DedupSpec extends SparkSpec {
     got(4L) shouldBe ((4L, true)) // no pair → keeps itself
   }
 
+  test("MinHashUnionAgg: group sketch equals signature of concatenated text") {
+    import graft.functions.{DedupExpr, TextAnalytics}
+    // two docs in one group; union sketch must equal elementwise min
+    val grouped = docs.where(col("doc_id").isin(1L, 4L))
+      .withColumn("sig", DedupExpr.minhashSig(TextAnalytics.tokens(col("text")), 3, 16))
+    val unionSig = grouped.agg(Dedup.minhashUnion(col("sig")).as("u"))
+      .as[Seq[Long]].head()
+    val sigs = grouped.select(col("sig")).as[Seq[Long]].collect()
+    val expected = sigs(0).zip(sigs(1)).map { case (a, b) => math.min(a, b) }
+    unionSig shouldBe expected
+  }
+
   test("native simhash kernel is value-identical to the composed HOF pipeline") {
     import graft.functions.{DedupExpr, TextAnalytics}
     val both = docs.select(
