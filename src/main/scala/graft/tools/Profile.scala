@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Percentiles}
 import graft.sources.Tables
 
 /** Scratch profiling harness (not part of the declared surface). */
@@ -37,6 +37,18 @@ object Profile {
     time("simhash full pairs again")(Dedup.simhashPairs(docs, "doc_id", "text").count())
     time("ngram full pairs")(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
     time("minhash full pairs")(Dedup.minhashPairs(docs, "doc_id", "text").count())
+
+    val li = Tables.lineitem(spark, sfDir)
+    time("percentile builtin") {
+      li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)"), expr("percentile(l_extendedprice, 0.9)"))
+        .queryExecution.toRdd.count()
+    }
+    time("percentile rank-based") {
+      val p1 = Percentiles.exact(li, "l_returnflag", "l_quantity", Seq(("p50", 0.5)))
+      val p2 = Percentiles.exact(li, "l_returnflag", "l_extendedprice", Seq(("p90", 0.9)))
+      p1.join(p2, "l_returnflag").queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 }
