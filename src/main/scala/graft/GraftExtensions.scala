@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, ShingleHashesExpr, SimHashExpr}
+import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, ShingleHashesExpr, SimHashExpr, SignLshExpr, TokenStatsExpr}
 
 /** Registers the engine's native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works and the kernels are usable
@@ -19,7 +19,7 @@ import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, MinHashSigE
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.allFunctions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -77,9 +77,27 @@ object GraftExtensions {
           "usage: lsh_band_keys(sig array<long>, bands int, rowsPerBand int)")
       }))
 
+  private val moreFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("sign_lsh"),
+      new ExpressionInfo(classOf[SignLshExpr].getName, "sign_lsh"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, p) => SignLshExpr(v, intArg(p, "numPlanes"))
+        case _ => throw new IllegalArgumentException(
+          "usage: sign_lsh(v array<float|double>, numPlanes int)")
+      }),
+    (new FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[TokenStatsExpr].getName, "token_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => TokenStatsExpr(text, Nil)
+        case _ => throw new IllegalArgumentException("usage: token_stats(text string)")
+      }))
+
   /** Register all functions on an already-running session. */
+  def allFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    functions ++ moreFunctions
+
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (ident, info, builder) =>
+    allFunctions.foreach { case (ident, info, builder) =>
       ColumnBridge.registerFunction(spark, ident, info, builder)
     }
 }

@@ -26,6 +26,12 @@ import graft.operators.{PrefixMatch, TemplateFilters}
   *     left-join and drop relations with no resolvable parent.
   *   - Output: NDJSON envelopes {type: 'pit'|'relation', obj} with the
   *     reference's exact field order (geonames.js:137–170).
+  *   - DOCUMENTED DEVIATION: the reference's LINE order equals input
+  *     file order (strictly sequential writer, geonames.js:249–250); a
+  *     distributed sink writes partition-parallel, so line order is not
+  *     guaranteed. NDJSON consumers (the Histograph importer) treat
+  *     records independently; order-sensitive consumers should sort on
+  *     `obj.uri`.
   *
   * Scale design: both admin dimensions are broadcast (≈100k rows total at
   * full GeoNames scale); the main table is never shuffled — the whole

@@ -337,9 +337,12 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // materialize once — both self-join branches would recompute the
+    // tokenize+shingle+hash kernel
     val sh = df.select(col(idCol).as("id"),
         DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
+      .localCheckpoint(true)
     val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
