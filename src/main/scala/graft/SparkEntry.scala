@@ -232,6 +232,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: value of the NEXT purchase after each click
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asOfForward(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Map("value" -> "next_purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("next_purchase_value"), lit(-1.0)).as("next_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- aggregations --------------------------------------------------
     "q_agg_group_count" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
@@ -709,6 +723,13 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') l
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
         |  ON l.user_id = r.user_id AND l.ts > r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT l.event_id, l.user_id, coalesce(r.value, -1.0) AS next_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
+        |  ON l.user_id = r.user_id AND l.ts < r.ts
         |ORDER BY l.event_id""".stripMargin,
 
     "q_agg_group_count" ->

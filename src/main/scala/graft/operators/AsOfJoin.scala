@@ -29,7 +29,21 @@ object AsOfJoin {
     */
   def asOfBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: String, rightTime: String,
-                   payload: Map[String, String]): DataFrame = {
+                   payload: Map[String, String]): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, payload, forward = false)
+
+  /** Forward variant: the EARLIEST right row with `rightTime > leftTime`
+    * (next-event join). Same single-shuffle plan, scanned in reverse
+    * time order.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  payload: Map[String, String]): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, payload, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   payload: Map[String, String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // Tag and align the two sides on a common shape.
     val l = left.select(
@@ -42,10 +56,12 @@ object AsOfJoin {
         Seq(col(rightTime).as("_t"), lit(0).as("_is_left"),
           lit(null).cast(leftStructType(left)).as("_lrow"),
           struct(payload.keys.toSeq.sorted.map(col): _*).as("_rrow")): _*)
-    // One shuffle: partition by keys; order by time with left rows first
-    // at equal timestamps so "strictly earlier" excludes ties.
+    // One shuffle: partition by keys; order by time (reversed for the
+    // forward variant) with left rows first at equal timestamps so the
+    // strict inequality excludes ties.
+    val timeOrder = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_is_left").desc)
+      .orderBy(timeOrder, col("_is_left").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionByName(r)
       .withColumn("_match", last(col("_rrow"), ignoreNulls = true).over(w))

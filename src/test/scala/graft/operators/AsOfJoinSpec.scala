@@ -28,6 +28,18 @@ class AsOfJoinSpec extends SparkSpec {
     got(("B", 15L)) shouldBe (None, None)             // only quote is later
   }
 
+  test("asOfForward: earliest strictly-later right row per key") {
+    val got = AsOfJoin.asOfForward(trades, quotes, Seq("sym"), "t", "t",
+        Map("bid" -> "next_bid", "t" -> "bid_t"))
+      .select("sym", "t", "next_bid", "bid_t")
+      .as[(String, Long, Option[Double], Option[Long])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    got(("A", 10L)) shouldBe (Some(99.5), Some(15L)) // quote@10 tied → excluded
+    got(("A", 20L)) shouldBe (None, None)            // nothing after 20
+    got(("A", 5L)) shouldBe (Some(98.5), Some(10L))
+    got(("B", 15L)) shouldBe (Some(49.0), Some(20L))
+  }
+
   test("asOfBackward keeps every left row and all left columns") {
     val got = AsOfJoin.asOfBackward(trades, quotes, Seq("sym"), "t", "t",
       Map("bid" -> "last_bid"))
