@@ -335,6 +335,20 @@ object SparkEntry {
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
         .orderBy(col("l_returnflag"))),
 
+    // SQL surface + correlated scalar subquery (Catalyst decorrelates to
+    // an aggregate + join — SURVEY §4 "built-in if expressed via SQL")
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      s.sql(
+        """SELECT p.p_brand, round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+          |       count(*) AS n
+          |FROM v_lineitem l JOIN v_part p ON l.l_partkey = p.p_partkey
+          |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          |                      FROM v_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+    }),
+
     // -- sort / top-k ---------------------------------------------------
     "q_topk" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -798,6 +812,14 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT p.p_brand, round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |       count(*) AS n
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
