@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Null propagation through the native kernels: null inputs must yield
+  * null outputs (UnaryExpression/BinaryExpression null-safe eval), never
+  * a crash — ANSI mode (Spark 4 default) turns kernel exceptions into
+  * query failures.
+  */
+class KernelNullSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("array kernels are null-safe") {
+    val df = Seq((1L, Option(Seq("a", "b", "c"))), (2L, None))
+      .toDF("id", "toks")
+    val got = df.select(col("id"),
+        DedupExpr.minhashSig(col("toks"), 2, 8).as("sig"),
+        DedupExpr.simhash(col("toks")).as("sh"),
+        DedupExpr.shingleHashes(col("toks"), 2).as("shs"))
+      .orderBy("id").collect()
+    got(0).isNullAt(1) shouldBe false
+    got(1).isNullAt(1) shouldBe true
+    got(1).isNullAt(2) shouldBe true
+    got(1).isNullAt(3) shouldBe true
+  }
+
+  test("vector kernels are null-safe and empty-array-safe") {
+    val df = Seq(
+      (1L, Option(Seq(1.0f, 2.0f)), Option(Seq(3.0f, 4.0f))),
+      (2L, None, Option(Seq(3.0f, 4.0f))),
+      (3L, Option(Seq.empty[Float]), Option(Seq.empty[Float])))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        VectorExpr.cosineSim(col("a"), col("b")).as("c"),
+        VectorExpr.dotProduct(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    got(0).getDouble(1) shouldBe (11.0 / (math.sqrt(5) * 5.0)) +- 1e-12
+    got(1).isNullAt(1) shouldBe true
+    got(2).getDouble(1).isNaN shouldBe true // 0/0 — documented, not a crash
+    got(2).getDouble(2) shouldBe 0.0
+  }
+
+  test("token_stats kernel is null-safe and empty-string-safe") {
+    val df = Seq((1L, Option("a b")), (2L, None), (3L, Option("")))
+      .toDF("id", "t")
+    val got = df.select(col("id"), TextExpr.tokenStats(col("t")).as("st"))
+      .orderBy("id").collect()
+    got(0).getStruct(1).getLong(0) shouldBe 2L
+    got(1).isNullAt(1) shouldBe true
+    got(2).getStruct(1).getLong(0) shouldBe 0L
+  }
+}
