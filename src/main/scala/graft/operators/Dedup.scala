@@ -165,17 +165,19 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     // materialize once — both join branches would recompute the hashes
-    val sh = simhashed(df, idCol, textCol).localCheckpoint(true)
-      .withColumn("chunk", explode(array((0 until 4).map(i =>
-        struct(lit(i).as("ci"), shiftright(col("sh"), i * 16)
-          .bitwiseAND(0xFFFFL).as("ckey"))): _*)))
-      .select(col("id"), col("sh"), col("chunk.ci"), col("chunk.ckey"))
-    val a = sh.select(col("ci"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("ci"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("ci", "ckey"))
+    val hashes = simhashed(df, idCol, textCol).localCheckpoint(true)
+    // candidate join carries only (chunk-key-with-index-folded, id);
+    // hamming is verified once per DISTINCT pair after rejoining hashes
+    val chunks = hashes.select(col("id"), explode(array((0 until 4).map(i =>
+        xxhash64(shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL), lit(i))): _*)).as("ck"))
+    val cand = chunks.select(col("ck"), col("id").as("id_a"))
+      .join(chunks.select(col("ck"), col("id").as("id_b")), Seq("ck"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(hashes.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hashes.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
-      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 

@@ -48,6 +48,20 @@ object DedupBench {
     // recall: planted pair (id, id+n) for id < n/10
     val planted = pairs.where(col("id_b") === col("id_a") + n && col("id_a") < n / 10).count()
     println(s"""{"metric":"minhash_dedup","docs":${n + n / 10},"pairs":$nPairs,"planted_found":$planted,"planted_total":${n / 10},"recall":${planted.toDouble / (n / 10)},"kept":$nKept,"pairs_sec":${(t1 - t0) / 1e9},"cluster_sec":${(t2 - t1) / 1e9},"cpus":$cpus}""")
+
+    val t3 = System.nanoTime()
+    val shPairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+    val shPlanted = shPairs
+      .where(col("id_b") === col("id_a") + n && col("id_a") < n / 10).count()
+    val t4 = System.nanoTime()
+    println(s"""{"metric":"simhash_dedup","docs":${n + n / 10},"planted_found":$shPlanted,"planted_total":${n / 10},"sec":${(t4 - t3) / 1e9},"cpus":$cpus}""")
+
+    val t5 = System.nanoTime()
+    val ngPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+    val ngPlanted = ngPairs
+      .where(col("id_b") === col("id_a") + n && col("id_a") < n / 10).count()
+    val t6 = System.nanoTime()
+    println(s"""{"metric":"ngram_dedup","docs":${n + n / 10},"planted_found":$ngPlanted,"planted_total":${n / 10},"sec":${(t6 - t5) / 1e9},"cpus":$cpus}""")
     spark.stop()
   }
 }
