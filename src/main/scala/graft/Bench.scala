@@ -16,19 +16,26 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // sorted: stable execution order across rounds (Map hash order is
     // arbitrary and makes per-query cross-round comparison noisy)
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd executes the query's OWN physical plan (projections, sorts
       // and all); a plain count() would let Catalyst prune the computed
       // columns and time only the scan for map-shaped queries.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        // a failing query must be loud and must never shrink the total:
+        // record it in the emitted JSON and log the cause to stderr
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

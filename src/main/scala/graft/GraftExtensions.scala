@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, ShingleHashesExpr, SimHashExpr, SignLshExpr, TokenStatsExpr}
+import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, ShingleHashesExpr, SimHashExpr, SignLshBandsExpr, SignLshExpr, TokenStatsExpr}
 
 /** Registers the engine's native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works and the kernels are usable
@@ -84,6 +84,14 @@ object GraftExtensions {
         case Seq(v, p) => SignLshExpr(v, intArg(p, "numPlanes"))
         case _ => throw new IllegalArgumentException(
           "usage: sign_lsh(v array<float|double>, numPlanes int)")
+      }),
+    (new FunctionIdentifier("sign_lsh_bands"),
+      new ExpressionInfo(classOf[SignLshBandsExpr].getName, "sign_lsh_bands"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, ppb, b) =>
+          SignLshBandsExpr(v, intArg(ppb, "planesPerBand"), intArg(b, "bands"))
+        case _ => throw new IllegalArgumentException(
+          "usage: sign_lsh_bands(v array<float|double>, planesPerBand int, bands int)")
       }),
     (new FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStatsExpr].getName, "token_stats"),

@@ -115,10 +115,14 @@ object DedupKernels {
   }
 
   /** Fraction of positions where two equal-length long arrays agree —
-    * the MinHash Jaccard estimator.
+    * the MinHash Jaccard estimator. Lengths must match (registered as a
+    * public SQL function; indexing past the shorter UnsafeArrayData
+    * would read garbage, so mismatches throw instead).
     */
   def sigAgreement(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"sig_agreement requires equal-length signatures, got $n and ${b.numElements()}")
     if (n == 0) return 0.0
     var eq = 0
     var i = 0

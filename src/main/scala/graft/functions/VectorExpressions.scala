@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -16,13 +16,29 @@ import org.apache.spark.sql.types._
   * bit-identical.
   */
 object VectorKernels {
+  /** Binary kernels validate equal lengths up front: these are registered
+    * as public SQL functions (cosine_sim, dot_product), and without the
+    * check a mismatched pair would read past the end of the shorter
+    * UnsafeArrayData — silent garbage, not an error. ANSI mode (Spark 4
+    * default) surfaces the throw as a query failure with this message.
+    */
+  private def requireSameLength(n: Int, m: Int, fn: String): Unit =
+    if (n != m) throw new IllegalArgumentException(
+      s"$fn requires equal-length arrays, got lengths $n and $m")
+
   /** aF/bF: the corresponding side is array<float> (read natively — no
     * per-row cast allocation; float→double widening is exact, so results
     * equal the cast-first form bit-for-bit). Flags are codegen-time
     * constants, so the JIT sees straight-line loops.
+    *
+    * Zero-norm inputs return 0.0 (no direction ⇒ no similarity) instead
+    * of the HOF composition's NaN — NaN compares false to everything,
+    * which silently drops rows from ≥-threshold filters; an explicit 0.0
+    * is the same filter outcome but well-defined and sortable.
     */
   def cosine(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
     val n = a.numElements()
+    requireSameLength(n, b.numElements(), "cosine_sim")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -31,7 +47,28 @@ object VectorKernels {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Cached hyperplane components: comps(p)(i) =
+    * xxhash64(i, xxhash64(p, 42)) / Long.MaxValue — exactly the hash
+    * chain the composed HOF form evaluates inline, computed once per
+    * (plane, JVM) instead of once per (row, plane, dim). Benign race:
+    * concurrent writers store identical arrays.
+    */
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+  private def planeComps(p: Int, dims: Int): Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val cached = planeCache.get(p)
+    if (cached != null && cached.length >= dims) cached
+    else {
+      val pseed = XXH64.hashInt(p, 42L)
+      val a = Array.tabulate(math.max(dims, 64))(i =>
+        XXH64.hashInt(i, pseed).toDouble / Long.MaxValue.toDouble)
+      planeCache.put(p, a)
+      a
+    }
   }
 
   /** h-bit sign-LSH signature; bit p = sign(v · plane_p) with plane
@@ -40,17 +77,16 @@ object VectorKernels {
     * accumulation order).
     */
   def signLsh(v: ArrayData, isF: Boolean, planes: Int): Long = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
     val n = v.numElements()
     var sig = 0L
     var p = 0
     while (p < planes) {
-      val pseed = XXH64.hashInt(p, 42L)
+      val comps = planeComps(p, n)
       var proj = 0.0
       var i = 0
       while (i < n) {
         val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
-        proj += x * (XXH64.hashInt(i, pseed).toDouble / Long.MaxValue.toDouble)
+        proj += x * comps(i)
         i += 1
       }
       if (proj >= 0) sig |= (1L << p)
@@ -59,8 +95,42 @@ object VectorKernels {
     sig
   }
 
+  /** Banded sign-LSH keys for OR-amplified near-dup candidate generation:
+    * `bands` independent signatures of `planesPerBand` planes each
+    * (global plane index b·planesPerBand+p keeps the bands' hyperplane
+    * sets disjoint). Returned key_b = xxhash64(sig_b, b) — the band index
+    * is folded into the key so a single-long equi-join suffices (same
+    * shuffle discipline as DedupKernels.bandKeys).
+    */
+  def signLshBands(v: ArrayData, isF: Boolean, planesPerBand: Int, bands: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = v.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var p = 0
+      while (p < planesPerBand) {
+        val comps = planeComps(b * planesPerBand + p, n)
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+          proj += x * comps(i)
+          i += 1
+        }
+        if (proj >= 0) sig |= (1L << p)
+        p += 1
+      }
+      out(b) = XXH64.hashLong(sig, b.toLong)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
     val n = a.numElements()
+    requireSameLength(n, b.numElements(), "dot_product")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -141,6 +211,30 @@ case class SignLshExpr(child: Expression, numPlanes: Int)
     copy(child = newChild)
 }
 
+case class SignLshBandsExpr(child: Expression, planesPerBand: Int, bands: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh_bands"
+  private def isF: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh_bands requires array<float|double>, got ${t.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.signLshBands(input.asInstanceOf[ArrayData], isF, planesPerBand, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.signLshBands($c, $isF, $planesPerBand, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpr {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -148,4 +242,6 @@ object VectorExpr {
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def signLsh(v: Column, numPlanes: Int): Column =
     ColumnBridge.column(SignLshExpr(ColumnBridge.expression(v), numPlanes))
+  def signLshBands(v: Column, planesPerBand: Int, bands: Int): Column =
+    ColumnBridge.column(SignLshBandsExpr(ColumnBridge.expression(v), planesPerBand, bands))
 }

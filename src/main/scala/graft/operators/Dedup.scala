@@ -226,27 +226,47 @@ object Dedup {
     * rounds. Each iteration's labels are `localCheckpoint`ed, which
     * TRUNCATES LINEAGE — with plain cache() the analyzed plan doubles
     * every iteration and driver-side optimization time explodes
-    * (measured: 219 s → ~8 s at sf0.1). On a multi-node cluster prefer
-    * reliable `checkpoint()` (localCheckpoint loses partitions on
-    * executor failure). `maxIters` bounds the loop defensively.
+    * (measured: 219 s → ~8 s at sf0.1). `maxIters` bounds the loop
+    * defensively.
+    *
+    * `reliable = true` swaps `localCheckpoint` for reliable
+    * `checkpoint()` (survives executor loss — localCheckpoint's cached
+    * partitions die with their executor, which on a multi-node cluster
+    * kills a long propagation). Requires a checkpoint dir; if unset, a
+    * process-local temp dir is used (fine for local mode; on a cluster
+    * set `sparkContext.setCheckpointDir` to shared storage first).
+    *
+    * Id columns of any orderable type are supported. The driver
+    * union-find fast path applies only to integral ids (and returns them
+    * as BIGINT); non-integral ids (e.g. string doc ids) always take the
+    * distributed path regardless of edge count.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIters: Int = 20, driverEdgeLimit: Long = 2000000L): DataFrame = {
+               maxIters: Int = 20, driverEdgeLimit: Long = 2000000L,
+               reliable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def mat(df: DataFrame): DataFrame =
+      if (reliable) { ensureCheckpointDir(df.sparkSession); df.checkpoint(true) }
+      else df.localCheckpoint(true)
     // materialize the (possibly expensive) pair computation ONCE — the
     // symmetrizing union below would otherwise evaluate it twice
-    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).localCheckpoint(true)
+    val p = mat(pairs.select(col(idA).as("src"), col(idB).as("dst")))
+    val integralIds = p.schema.fields.forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
     // Adaptive: a near-dup edge list is usually a bounded dimension (far
     // smaller than the corpus). Below the limit, union-find on the
     // driver beats O(diameter) distributed rounds — each round costs
     // fixed job overhead regardless of data size. Above it, fall through
     // to distributed hash-min propagation.
     val edgeCount = p.count()
-    if (edgeCount <= driverEdgeLimit) return clustersDriver(p)
-    val edges = p
+    if (integralIds && edgeCount <= driverEdgeLimit) return clustersDriver(p)
+    val edges = mat(p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+      .distinct())
+    var labels = mat(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var handle = labels // checkpointed DF owning the cached partitions
     var iters = 0
     var changed = 1L
@@ -254,11 +274,10 @@ object Dedup {
       val prop = edges.join(labels.withColumnRenamed("id", "dst_id"),
           col("dst") === col("dst_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(prop, col("id") === col("src"), "left")
+      val next = mat(labels.join(prop, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label")).as("_chg"))
-        .localCheckpoint(true)
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("_chg")))
       changed = next.where(col("_chg")).count()
       handle.unpersist()
       handle = next
@@ -269,14 +288,24 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Reliable checkpoints need a directory; default to a process-local
+    * temp dir so local-mode callers work out of the box (cluster callers
+    * should point this at shared storage themselves).
+    */
+  private def ensureCheckpointDir(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+
   /** Driver-side union-find with path compression over a bounded edge
-    * list; labels = min id per component (same result as the
-    * distributed propagation).
+    * list of integral ids; labels = min id per component (same result as
+    * the distributed propagation, ids widened to BIGINT).
     */
   private def clustersDriver(symPairs: DataFrame): DataFrame = {
     val spark = symPairs.sparkSession
     import spark.implicits._
-    val es = symPairs.as[(Long, Long)].collect()
+    val es = symPairs.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -310,22 +339,41 @@ object Dedup {
 
   // -------------------------------------------- embedding-cosine near-dup
 
-  /** Embedding-based near-duplicate pairs, LSH-bucketed (the scale path):
-    * candidates = identical sign-LSH signature (numPlanes-bit bucket),
-    * verified with exact cosine (native kernel). The row×row product
-    * shrinks to within-bucket products; recall is tunable via numPlanes
-    * (fewer planes → bigger buckets → higher recall, more work).
-    * For exhaustive small-corpus runs use the exact variant declared as
-    * q_embedding_neardup (all-pairs nested-loop broadcast + kernel
-    * cosine).
+  /** Embedding-based near-duplicate pairs, banded sign-LSH (the scale
+    * path): candidates = any shared band key among `bands` independent
+    * `planesPerBand`-bit signatures (OR-amplification), verified with
+    * exact kernel cosine — so the output is always a SUBSET of the exact
+    * all-pairs result at the same threshold; only recall is approximate.
+    *
+    * Plan shape (mirrors [[minhashPairs]]): signature kernel (map-only) →
+    * explode band keys → ONE shuffle keyed by a 64-bit band key →
+    * within-bucket self-join carrying only (key, id) — never the vector —
+    * → distinct candidate pairs → vectors rejoined for the cosine check.
+    * No nested-loop join anywhere; the row×row product shrinks to
+    * Σ_bucket |bucket|², i.e. ≈ n²·bands/2^planesPerBand for hash-random
+    * buckets.
+    *
+    * Tuning: recall for a pair at cosine c is 1-(1-p^b)^L with
+    * p = 1-arccos(c)/π, b = planesPerBand, L = bands. The defaults
+    * (b=3, L=16) give ≥0.95 recall down to c≈0.4 — matched to the test
+    * corpus; production near-dup at c≥0.9 should raise b to 12–20 (and
+    * optionally lower L), which shrinks buckets by orders of magnitude.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, numPlanes: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.signLshSignature(col(vecCol), numPlanes).as("sig"))
-    val a = sig.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
-    val b = sig.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
+                            threshold: Double, planesPerBand: Int = 3,
+                            bands: Int = 16): DataFrame = {
+    // materialize once — band fan-out and both candidate rejoin branches
+    // would otherwise recompute the source (and its signatures)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
+    val bandRows = vecs.select(col("id"),
+      explode(graft.functions.VectorExpr.signLshBands(col("v"), planesPerBand, bands)).as("bk"))
+    val cand = bandRows.select(col("bk"), col("id").as("id_a"))
+      .join(bandRows.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("va"), col("vb")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)

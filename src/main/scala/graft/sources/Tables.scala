@@ -109,6 +109,15 @@ object Tables {
     * surfaces the column as raw nanos-since-epoch LongType. We normalize
     * back to a microsecond TimestampType column so every downstream
     * operator (windows, watermarks) sees a standard timestamp.
+    *
+    * SESSION-WIDE SIDE EFFECT (deliberate): the conf stays set for the
+    * session — any later parquet read with a TIMESTAMP(NANOS) column will
+    * also surface it as LongType instead of failing. It cannot be
+    * set/restored around this call: DataFrames are lazy and the conf is
+    * consulted again at execution-time schema conversion, so restoring it
+    * here would make the returned frame fail downstream. `events` is the
+    * only NANOS table in this engine's surface; callers introducing other
+    * NANOS sources must normalize the same way (cast from nanos Long).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -85,14 +85,17 @@ object Streams {
     * row joins right rows with `rightTs` in [leftTs − lookback, leftTs].
     * Both sides carry watermarks, so each side's join state is bounded —
     * without the time bound a stream-stream join must retain the full
-    * history of both sides. Column names must be disjoint except `key`.
+    * history of both sides. Both sides may share the `key` column name —
+    * the right side's key is renamed to `${key}_r` internally (and kept
+    * in the output under that name); all OTHER column names must be
+    * disjoint.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    lookback: String = "30 minutes",
                    watermark: String = "30 minutes"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
+    val r = right.withColumnRenamed(key, s"${key}_r").withWatermark(rightTs, watermark)
     l.join(r, expr(
       s"""$key = ${key}_r AND
          |$rightTs >= $leftTs - INTERVAL $lookback AND

@@ -70,4 +70,17 @@ class PlanSpec extends SparkSpec {
   test("q_range_join: banded non-equi join broadcasts the tiny band table") {
     planOf("q_range_join") should include("BroadcastNestedLoopJoin")
   }
+
+  test("q_embedding_neardup_lsh: bucketed equi-join scale path, no nested-loop join") {
+    val p = planOf("q_embedding_neardup_lsh")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    p should include("sign_lsh_bands") // candidates come from the band kernel
+  }
+
+  test("q_ngram_jaccard (pair source of the _ngram cluster queries): no nested-loop join") {
+    val p = planOf("q_ngram_jaccard")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
 }

@@ -37,8 +37,33 @@ class KernelNullSpec extends SparkSpec {
       .orderBy("id").collect()
     got(0).getDouble(1) shouldBe (11.0 / (math.sqrt(5) * 5.0)) +- 1e-12
     got(1).isNullAt(1) shouldBe true
-    got(2).getDouble(1).isNaN shouldBe true // 0/0 — documented, not a crash
+    got(2).getDouble(1) shouldBe 0.0 // zero-norm guard: 0.0, never NaN
     got(2).getDouble(2) shouldBe 0.0
+  }
+
+  test("vector kernels reject mismatched lengths instead of reading garbage") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("id", "a", "b")
+    val ex = intercept[Exception] {
+      df.select(VectorExpr.cosineSim(col("a"), col("b"))).collect()
+    }
+    ex.getMessage should include("equal-length")
+    val ex2 = intercept[Exception] {
+      df.select(VectorExpr.dotProduct(col("a"), col("b"))).collect()
+    }
+    ex2.getMessage should include("equal-length")
+  }
+
+  test("cosine of a zero-norm vector is 0.0, not NaN") {
+    val df = Seq((1L, Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("id", "a", "b")
+    df.select(VectorExpr.cosineSim(col("a"), col("b"))).head.getDouble(0) shouldBe 0.0
+  }
+
+  test("sig_agreement rejects mismatched signature lengths") {
+    val df = Seq((1L, Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("id", "a", "b")
+    val ex = intercept[Exception] {
+      df.select(DedupExpr.sigAgreement(col("a"), col("b"))).collect()
+    }
+    ex.getMessage should include("equal-length")
   }
 
   test("token_stats kernel is null-safe and empty-string-safe") {

@@ -100,6 +100,26 @@ class DedupSpec extends SparkSpec {
     viaDistributed shouldBe expected
   }
 
+  test("clusters: reliable checkpoint path yields identical components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    // force the iterative distributed path so the checkpoint() calls
+    // actually run (the driver fast path would skip them)
+    val got = Dedup.clusters(pairs, driverEdgeLimit = 0L, reliable = true)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe expected
+    spark.sparkContext.getCheckpointDir should not be empty
+  }
+
+  test("clusters: string ids take the distributed path (driver fast path is integral-only)") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    // well under driverEdgeLimit — would hit the union-find cast crash
+    // before the integral-id guard existed
+    val got = Dedup.clusters(pairs).as[(String, String)].collect().toMap
+    got shouldBe Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x")
+  }
+
   test("keepers: min-id per component keeps itself, others dropped; singletons keep") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val got = Dedup.keepers(docs, "doc_id", pairs)

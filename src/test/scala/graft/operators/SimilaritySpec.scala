@@ -41,16 +41,36 @@ class SimilaritySpec extends SparkSpec {
         Similarity.cosineComposed(col("embedding"), col("e2")).as("h"))
       .as[(Double, Double)].collect()
     both.foreach { case (k, h) =>
-      if (h.isNaN) k.isNaN shouldBe true else k shouldBe h
+      // kernel deviates from the HOF form only at zero norms: 0.0, not NaN
+      if (h.isNaN) k shouldBe 0.0 else k shouldBe h
     }
   }
 
   test("embeddingNearDupPairs: same-direction vectors found, opposite never bucketed") {
     val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
-        threshold = 0.99, numPlanes = 4)
+        threshold = 0.99, planesPerBand = 4, bands = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     pairs should contain((0L, 4L)) // colinear vectors, cosine 1.0
     pairs.flatMap(p => Set(p._1, p._2)) should not contain 3L // opposite of 0/4
+  }
+
+  test("embeddingNearDupPairs ⊆ exact all-pairs, recall ≥ 0.95 on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, planesPerBand = 3, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    exact should not be empty
+    // candidate filtering can only DROP true pairs, never invent them
+    lsh.subsetOf(exact) shouldBe true
+    val recall = lsh.size.toDouble / exact.size
+    withClue(s"recall $recall (${lsh.size}/${exact.size}): ") {
+      recall should be >= 0.95
+    }
   }
 
   test("bruteForceTopK: correct neighbours, ranked by cosine desc, self excluded") {

@@ -91,7 +91,8 @@ class StreamsSpec extends SparkSpec {
     val buys = MemoryStream[Event]
     val l = clicks.toDF().select(col("user_id").as("k"), col("ts").as("click_ts"),
       col("event_id").as("click_id"))
-    val r = buys.toDF().select(col("user_id").as("k_r"), col("ts").as("buy_ts"),
+    // same key name on both sides — intervalJoin renames the right key
+    val r = buys.toDF().select(col("user_id").as("k"), col("ts").as("buy_ts"),
       col("event_id").as("buy_id"))
     val name = s"mem_${System.nanoTime()}"
     val q = Streams.intervalJoin(l, r, "k", "click_ts", "buy_ts")
