@@ -128,6 +128,33 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Argmax-cosine centroid assignment against a broadcast-by-literal
+    * centroid table (`cents` are pre-NORMALIZED, so argmax cosine ≡
+    * argmax dot — the row's own norm is a constant factor). Ties break to
+    * the lowest centroid index (deterministic). Returns ids(argmax).
+    */
+  def nearestCentroid(v: ArrayData, isF: Boolean,
+                      ids: Array[Long], cents: Array[Array[Double]]): Long = {
+    val n = v.numElements()
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      requireSameLength(n, cv.length, "nearest_centroid")
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        d += x * cv(i)
+        i += 1
+      }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    ids(best)
+  }
+
   def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
     val n = a.numElements()
     requireSameLength(n, b.numElements(), "dot_product")
@@ -235,6 +262,38 @@ case class SignLshBandsExpr(child: Expression, planesPerBand: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** Map-only Lloyd assignment: the (bounded) centroid table rides into
+  * the generated code as reference objects — no crossJoin, no shuffle.
+  * `cents` must be pre-normalized (see VectorKernels.nearestCentroid).
+  */
+case class NearestCentroidExpr(child: Expression, ids: Array[Long],
+                               cents: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+  private def isF: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid requires array<float|double>, got ${t.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroid(input.asInstanceOf[ArrayData], isF, ids, cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centroidIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("centroids", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.nearestCentroid($c, $isF, $idsRef, $centsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpr {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -244,4 +303,6 @@ object VectorExpr {
     ColumnBridge.column(SignLshExpr(ColumnBridge.expression(v), numPlanes))
   def signLshBands(v: Column, planesPerBand: Int, bands: Int): Column =
     ColumnBridge.column(SignLshBandsExpr(ColumnBridge.expression(v), planesPerBand, bands))
+  def nearestCentroid(v: Column, ids: Array[Long], cents: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(v), ids, cents))
 }

@@ -10,15 +10,19 @@ import org.apache.spark.sql.functions._
   * recall is insufficient.
   *
   * Build: deterministic seed centroids (lowest ids) → Lloyd assignment
-  * iterations (assign = crossJoin(broadcast(centroids)) + map-side
-  * min_by partial agg, so the shuffle carries one row per vector;
-  * recompute = [[CentroidAgg]], a typed Aggregator UDAF). Search: probe
+  * iterations. Assignment is MAP-ONLY: the (bounded, ≲√N) centroid set
+  * is collected to the driver, normalized, and embedded in a
+  * `nearest_centroid` kernel expression as codegen reference objects —
+  * no crossJoin, no per-iteration shuffle of the corpus (the previous
+  * crossJoin+min_by formulation shuffled every vector once per Lloyd
+  * iteration). Recompute = [[CentroidAgg]], a typed Aggregator UDAF
+  * (one bounded shuffle per iteration, keyed by cluster). Search: probe
   * only the `nprobe` clusters nearest to each query — the row×query
   * product shrinks to row×query-per-cluster.
   *
-  * Centroid count is a bounded dimension (≲ √N by rule of thumb), so
-  * broadcasting it is the sanctioned "small dim" pattern; vectors are
-  * never collected to the driver.
+  * Centroid count is a bounded dimension, so the driver collect is the
+  * sanctioned "small dim" pattern (same bound as broadcasting it);
+  * vectors are never collected to the driver.
   */
 object Ivf {
 
@@ -58,16 +62,27 @@ object Ivf {
     udaf(new CentroidAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()).apply(vec)
 
-  /** Nearest centroid id for a vector against a broadcast centroid set. */
+  /** Collect the bounded centroid table and pre-normalize it for the
+    * argmax-dot kernel (argmax cosine ≡ argmax dot after normalization —
+    * the row's own norm is constant across centroids). Sorted by
+    * cluster_id so kernel tie-breaking (lowest index) is deterministic.
+    */
+  private def collectCentroids(centroids: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids.select(col("cluster_id"), col("cvec")).collect()
+      .map { r =>
+        val cv = r.getSeq[Float](1).map(_.toDouble).toArray
+        val norm = math.sqrt(cv.map(x => x * x).sum)
+        (r.getLong(0), if (norm > 0) cv.map(_ / norm) else cv)
+      }
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Map-only nearest-centroid assignment via the kernel expression. */
   private def assign(vectors: DataFrame, idCol: String, vecCol: String,
-                     centroids: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol),
-        col("cluster_id"),
-        Similarity.cosine(col(vecCol), col("cvec")).as("_sim"))
-      .groupBy(col(idCol))
-      .agg(max_by(col("cluster_id"), col("_sim")).as("cluster_id"),
-        first(col(vecCol)).as(vecCol))
+                     ids: Array[Long], cents: Array[Array[Double]]): DataFrame =
+    vectors.select(col(idCol), col(vecCol),
+      graft.functions.VectorExpr.nearestCentroid(col(vecCol), ids, cents).as("cluster_id"))
 
   /** Build the index: returns (assignments, centroids).
     * assignments: (id, vec, cluster_id); centroids: (cluster_id, cvec).
@@ -82,7 +97,8 @@ object Ivf {
     var assignments: DataFrame = null
     var it = 0
     while (it <= lloydIters) {
-      assignments = assign(corpus, idCol, vecCol, centroids)
+      val (ids, cents) = collectCentroids(centroids)
+      assignments = assign(corpus, idCol, vecCol, ids, cents)
       if (it < lloydIters)
         centroids = assignments
           .groupBy(col("cluster_id"))

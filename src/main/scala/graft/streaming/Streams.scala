@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface (SURVEY.md §2.9 — declared capability;
@@ -158,5 +159,81 @@ object Streams {
             out.result().iterator
           }
       }
+  }
+
+  // ------------------------------- arbitrary state (transformWithState)
+
+  /** Spark 4's `transformWithState` form of the same gap sessionization
+    * as [[sessionizeWithState]] — a `StatefulProcessor` holding one typed
+    * `ValueState` per user and an event-time timer that closes the
+    * session when the watermark passes last-event + gap.
+    *
+    * Requires a state store with column-family support, i.e. RocksDB:
+    * set `spark.sql.streaming.stateStore.providerClass` to
+    * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * (the HDFS-backed default store does not support this operator).
+    * That is also the 100 TB configuration: RocksDB state is off-heap,
+    * spillable and incrementally checkpointed, so per-executor state is
+    * bounded regardless of key cardinality — unlike FMGWS on the default
+    * store, which keeps every key's state on-heap.
+    */
+  class SessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (session.exists()) Some(session.get()) else None
+      val prevTimer = cur.map(_.lastMs + gapMs)
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            cur = Some(s.copy(nEvents = s.nEvents + 1,
+              total = s.total + e.value, lastMs = t))
+          case Some(s) => // gap exceeded within the batch: close, reopen
+            out += SessionOut(userId, s.nEvents, s.total, s.startMs, s.lastMs)
+            cur = Some(SessionState(1, e.value, t, t))
+          case None =>
+            cur = Some(SessionState(1, e.value, t, t))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        prevTimer.filter(_ != s.lastMs + gapMs).foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.lastMs + gapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (session.exists()) {
+        val s = session.get()
+        // guard against a stale timer that predates a session extension
+        if (expired.getExpiryTimeInMs >= s.lastMs + gapMs) {
+          session.clear()
+          Iterator(SessionOut(userId, s.nEvents, s.total, s.startMs, s.lastMs))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** Gap sessionization via `transformWithState` (see [[SessionProcessor]]).
+    * Output contract matches [[sessionizeWithState]] exactly.
+    */
+  def sessionizeTws(events: Dataset[Event], gapMs: Long,
+                    watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -62,6 +62,32 @@ object DedupBench {
       .where(col("id_b") === col("id_a") + n && col("id_a") < n / 10).count()
     val t6 = System.nanoTime()
     println(s"""{"metric":"ngram_dedup","docs":${n + n / 10},"planted_found":$ngPlanted,"planted_total":${n / 10},"sec":${(t6 - t5) / 1e9},"cpus":$cpus}""")
+
+    // Embedding near-dup at scale: n pseudorandom 64-dim vectors plus
+    // n/10 planted near-duplicates (component noise in [-0.05, 0.05]
+    // over components in [-1, 1] ⇒ cosine ≈ 0.998). Banded sign-LSH with
+    // production-shaped parameters: 20 planes/band × 8 bands → 2^20
+    // buckets/band, so random-pair candidates ≈ n²·8/2^20 (vanishing),
+    // while planted pairs collide in ≥1 band w.p. ~0.997.
+    def vecOf(idCol: org.apache.spark.sql.Column, mutate: Boolean) = {
+      val base = transform(sequence(lit(0), lit(63)), i =>
+        (pmod(xxhash64(idCol, i), lit(2001)).cast("double") - 1000.0) / 1000.0)
+      val noisy = if (mutate)
+        zip_with(base, sequence(lit(0), lit(63)), (x, i) =>
+          x + (pmod(xxhash64(idCol, i, lit(7)), lit(201)).cast("double") - 100.0) / 2000.0)
+      else base
+      transform(noisy, x => x.cast("float"))
+    }
+    val vBase = spark.range(n).select(col("id").as("vec_id"), vecOf(col("id"), mutate = false).as("embedding"))
+    val vDups = spark.range(n / 10).select((col("id") + n).as("vec_id"), vecOf(col("id"), mutate = true).as("embedding"))
+    val vecs = vBase.unionByName(vDups).localCheckpoint(true)
+    val t7 = System.nanoTime()
+    val ePairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, planesPerBand = 20, bands = 8).localCheckpoint(true)
+    val nEPairs = ePairs.count()
+    val ePlanted = ePairs.where(col("id_b") === col("id_a") + n && col("id_a") < n / 10).count()
+    val t8 = System.nanoTime()
+    println(s"""{"metric":"embedding_lsh_dedup","vectors":${n + n / 10},"pairs":$nEPairs,"planted_found":$ePlanted,"planted_total":${n / 10},"recall":${ePlanted.toDouble / (n / 10)},"sec":${(t8 - t7) / 1e9},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -129,4 +129,35 @@ class StreamsSpec extends SparkSpec {
       (20L, 1L, 4.0), // user 20 minute 12; 44-min gap to minute 56 > 30
       (20L, 1L, 6.0))
   }
+
+  test("sessionizeTws (transformWithState + RocksDB): same sessions as FMGWS") {
+    // transformWithState requires a column-family-capable store — RocksDB
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = sessionizeTws(stream.toDS(), gapMs = 30 * 60000L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData(batch: _*)
+      q.processAllAvailable()
+      // advance the watermark far past all sessions so the timers fire
+      stream.addData(Event(99L, ts(1000), 99L, "tick", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name).as[SessionOut].collect()
+        .map(s => (s.user_id, s.n_events, s.total)).toSet
+      got should contain allOf(
+        (10L, 3L, 6.0),
+        (10L, 1L, 5.0),
+        (20L, 1L, 4.0),
+        (20L, 1L, 6.0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
