@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Dedup, Ivf, PrefixMatch, Similarity, TemplateFilters}
+import graft.operators.{AsOfJoin, Curation, Dedup, Ivf, PrefixMatch, Similarity, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -526,6 +526,43 @@ object SparkEntry {
           TextAnalytics.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition signals via the one-pass kernel (distinct
+    // tokens / top-token frequency / distinct adjacent bigrams in a
+    // single scan; shuffle-free)
+    "q_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Curation.repetitionStats(col("text")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          round(col("st.dup_token_frac"), 4).as("dup_token_frac"),
+          round(col("st.top_token_frac"), 4).as("top_token_frac"),
+          round(col("st.dup_bigram_frac"), 4).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))),
+
+    // PII scrubbing: the corpus itself is PII-free, so each doc gets a
+    // deterministic doc_id-derived PII suffix appended IN THE QUERY (both
+    // engines build the identical string) — the oracle then verifies real
+    // extraction counts and the md5 of the actually-redacted text, not
+    // vacuous zeros. Pattern behavior on hand-written PII is unit-tested
+    // in CurationSpec.
+    "q_pii_scrub" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10.0."), (col("doc_id") % 200).cast("string"),
+        lit(".7 call 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"), Curation.piiCounts(col("aug")).as("pii"),
+          md5(Curation.scrubPii(col("aug")).cast("binary")).as("redacted_md5"))
+        .select(col("doc_id"),
+          col("pii.n_emails").as("n_emails"),
+          col("pii.n_ips").as("n_ips"),
+          col("pii.n_phones").as("n_phones"),
+          col("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // chained-xxhash64 fingerprint + lookaround tokenizer: not expressible
     // in DuckDB SQL → rows-only check
     "q_fingerprint" -> ((s, dir) =>
@@ -602,6 +639,21 @@ object SparkEntry {
       Dedup.keepers(Tables.documents(s, dir), "doc_id", ngramPairs(s, dir))
         .select(col("id"), col("keeper_id"), col("keep"))
         .orderBy(col("id"))),
+
+    // Benchmark decontamination: every 50th doc plays the held-out eval
+    // set; remaining docs are flagged by distinct-shingle overlap with
+    // the (broadcast) benchmark shingle universe. Spark counts shared
+    // 64-bit shingle hashes, DuckDB shared shingle strings — identical
+    // barring a ~2^-64 collision (same argument as q_ngram_jaccard).
+    "q_decontaminate" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Curation.decontaminate(
+          all.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          all.where(col("doc_id") % 50 === 0), "text", k = 3)
+        .select(col("id").as("doc_id"), col("n_sh"), col("n_shared"),
+          round(col("overlap_frac"), 4).as("overlap_frac"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
 
     // -- similarity search (LLM-pipeline extensions) --------------------------
     "q_cosine_topk" -> ((s, dir) => {
@@ -998,6 +1050,41 @@ object SparkEntry {
         |            FROM documents) a) b
         |ORDER BY doc_id""".stripMargin,
 
+    "q_repetition" ->
+      """SELECT doc_id, cast(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |             ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END, 4)
+        |    AS dup_token_frac,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |             ELSE list_max(list_transform(list_distinct(toks),
+        |                    t -> len(list_filter(toks, x -> x = t)))) * 1.0 / len(toks) END, 4)
+        |    AS top_token_frac,
+        |  round(CASE WHEN len(bgs) = 0 THEN 0.0
+        |             ELSE 1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs) END, 4)
+        |    AS dup_bigram_frac
+        |FROM (SELECT doc_id, toks,
+        |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+        |      FROM (SELECT doc_id,
+        |              list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |            FROM documents) a) b
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  cast(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  cast(len(regexp_extract_all(aug, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |  cast(len(regexp_extract_all(aug, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM (SELECT doc_id,
+        |        text || ' contact user' || doc_id || '@example.com ip 10.0.' ||
+        |        (doc_id % 200) || '.7 call 415-555-' ||
+        |        lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
@@ -1117,6 +1204,28 @@ object SparkEntry {
         |       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         |ORDER BY id""".stripMargin,
+
+    // Same string-shingle-vs-64-bit-hash equivalence as q_ngram_jaccard:
+    // the benchmark's distinct shingle universe is a flattened list and
+    // overlap counts come from list_intersect.
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t),
+        |bench AS (SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id % 50 = 0)
+        |SELECT doc_id, cast(len(s) AS BIGINT) AS n_sh,
+        |  cast(len(list_intersect(s, bs)) AS BIGINT) AS n_shared,
+        |  round(CASE WHEN len(s) = 0 THEN 0.0
+        |             ELSE len(list_intersect(s, bs)) * 1.0 / len(s) END, 4) AS overlap_frac,
+        |  len(list_intersect(s, bs)) > 0 AS contaminated
+        |FROM sh CROSS JOIN bench WHERE doc_id % 50 != 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_cosine_topk" ->
       """SELECT query_id, neighbor_id, cos_sim, rank FROM (

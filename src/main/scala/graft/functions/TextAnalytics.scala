@@ -86,11 +86,22 @@ object TextAnalytics {
   /** N-gram-profile language ID: score each candidate language by how many
     * of its marker trigrams appear in the document; pick the argmax
     * (ties → lexicographically first language, deterministic).
-    * `profiles` maps language → marker n-grams. Expression-only: the
-    * profiles fold into the plan as literals, so this is shuffle-free and
-    * broadcast-free at any scale.
+    * `profiles` maps language → marker n-grams. One-pass kernel: the
+    * profiles ride into codegen as reference objects, the text is
+    * normalized once, and the whole scored-argmax runs as a single JIT'd
+    * call — the composed fold below compiles a when-chain that inlines
+    * the normalization into every marker probe (measured 3.5 s compile +
+    * 0.8 s warm vs sub-second for the kernel at sf0.1). Shuffle-free and
+    * broadcast-free at any scale; value-identical to [[langIdComposed]]
+    * (tested in CurationSpec).
     */
-  def langId(text: Column, profiles: Map[String, Seq[String]]): Column = {
+  def langId(text: Column, profiles: Map[String, Seq[String]]): Column =
+    CurationExpr.bestLang(text, profiles)
+
+  /** The composed expression-fold form of [[langId]] (reference
+    * composition, kept as the kernel's value oracle).
+    */
+  def langIdComposed(text: Column, profiles: Map[String, Seq[String]]): Column = {
     val norm = concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
     // score(lang) = #markers contained in text
     val scored: Seq[Column] = profiles.toSeq.sortBy(_._1).map { case (lang, marks) =>

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CurationExpr, DedupExpr, TextAnalytics}
+
+/** Corpus-curation operators for LLM training-data pipelines:
+  * benchmark decontamination, repetition signals, PII scrubbing.
+  *
+  * Scale design mirrors [[Dedup]]: shuffles carry 64-bit derived keys or
+  * small per-document stats, never document text; the benchmark side of
+  * decontamination is broadcast (eval suites are dimension-sized); all
+  * per-row work is codegen'd kernels or builtins.
+  */
+object Curation {
+
+  /** Benchmark decontamination: for every document, how many of its
+    * distinct k-token shingles also occur anywhere in `bench` (the
+    * held-out eval corpus). A doc with `n_shared > 0` is contaminated —
+    * the standard train/test-overlap filter applied before training.
+    *
+    * Plan shape: the benchmark's distinct shingle hashes (a bounded set —
+    * eval suites are MBs, not TBs) are broadcast; documents explode to
+    * (id, shingle_hash) rows, hash-join the broadcast set map-side, and
+    * aggregate counts per id — the only shuffle carries (id, partial
+    * count). Shingling runs once: the (id, shingles) projection is
+    * materialized before fan-out because both the size() branch and the
+    * explode branch consume it.
+    *
+    * Returns (id, n_sh, n_shared, overlap_frac, contaminated) for EVERY
+    * input document, including zero-overlap ones.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    k: Int = 3): DataFrame = {
+    val benchSh = bench.select(
+      explode(DedupExpr.shingleHashes(
+        TextAnalytics.tokens(col(benchTextCol)), k)).as("h")).distinct()
+    val shingled = docs.select(col(idCol).as("id"),
+        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
+      .localCheckpoint(true)
+    val shared = shingled.select(col("id"), explode(col("sh")).as("h"))
+      .join(broadcast(benchSh), Seq("h"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    shingled.select(col("id"), size(col("sh")).cast("long").as("n_sh"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"), col("n_sh"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_frac",
+        when(col("n_sh") === 0L, lit(0.0))
+          .otherwise(col("n_shared").cast("double") / col("n_sh")))
+      .withColumn("contaminated", col("n_shared") > 0L)
+  }
+
+  /** Gopher-style per-document repetition signals from the one-pass
+    * [[graft.functions.CurationKernels.repetitionStats]] kernel:
+    *   - dup_token_frac:  1 − distinct/total tokens
+    *   - top_token_frac:  highest single-token frequency / total tokens
+    *   - dup_bigram_frac: 1 − distinct/total adjacent bigrams
+    * Empty documents score 0.0 everywhere (no repetition evidence).
+    * Shuffle-free; the struct is projected once and CSE shares it across
+    * the derived fields.
+    */
+  def repetitionStats(text: Column): Column = {
+    val st = CurationExpr.repetitionStats(text)
+    val n = st.getField("n_tokens")
+    val nb = st.getField("n_bigrams")
+    struct(
+      n.as("n_tokens"),
+      when(n === 0L, lit(0.0))
+        .otherwise(lit(1.0) - st.getField("n_distinct").cast("double") / n)
+        .as("dup_token_frac"),
+      when(n === 0L, lit(0.0))
+        .otherwise(st.getField("top_count").cast("double") / n)
+        .as("top_token_frac"),
+      when(nb === 0L, lit(0.0))
+        .otherwise(lit(1.0) - st.getField("n_distinct_bigrams").cast("double") / nb)
+        .as("dup_bigram_frac"))
+  }
+
+  /** PII patterns: deliberately lookaround-free so the same pattern runs
+    * identically under Java regex (Spark) and RE2 (DuckDB oracle, most
+    * scan-side engines). Redaction order is email → IP → phone; the
+    * earlier replacements insert no digits, so later patterns cannot
+    * match inside a placeholder.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Redact emails, IPv4 addresses and NNN-NNN-NNNN phone numbers. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-document PII hit counts (same patterns as [[scrubPii]]). */
+  def piiCounts(text: Column): Column =
+    struct(
+      regexp_count(text, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(text, lit(ipRe)).cast("long").as("n_ips"),
+      regexp_count(text, lit(phoneRe)).cast("long").as("n_phones"))
+}

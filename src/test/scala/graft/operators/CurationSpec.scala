@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{CurationExpr, TextAnalytics}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------- decontaminate
+
+  test("decontaminate flags shingle overlap with the benchmark, keeps zero-overlap docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma" etc.
+      (2L, "one two three four five"),        // disjoint
+      (3L, ""),                               // empty doc: no tokens, n_sh = 0
+      (4L, "alpha beta gamma")                // exactly one benchmark shingle
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+
+    val got = Curation.decontaminate(docs, "doc_id", "text", bench, "text")
+      .orderBy("id").collect()
+
+    got.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    // doc 1: shingles {abg, bgd, gde} — abg, bgd in bench {abg, bgd}
+    got(0).getLong(2) shouldBe 2L
+    got(0).getBoolean(4) shouldBe true
+    // doc 2: no overlap, still present
+    got(1).getLong(2) shouldBe 0L
+    got(1).getBoolean(4) shouldBe false
+    got(1).getDouble(3) shouldBe 0.0
+    // doc 3: no shingles at all -> frac 0.0, not NaN/null
+    got(2).getLong(1) shouldBe 0L
+    got(2).getDouble(3) shouldBe 0.0
+    got(2).getBoolean(4) shouldBe false
+    // doc 4: its single shingle is in the benchmark -> overlap_frac 1.0
+    got(3).getLong(2) shouldBe 1L
+    got(3).getDouble(3) shouldBe 1.0
+  }
+
+  test("decontaminate broadcasts the benchmark side (no shuffle of the bench join)") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val bench = Seq((2L, "b c d e")).toDF("doc_id", "text")
+    val plan = Curation.decontaminate(docs, "doc_id", "text", bench, "text")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  // ------------------------------------------------------- repetitionStats
+
+  /** Plain-Scala reference for the kernel: tokenize on \s+, count. */
+  private def refStats(text: String): (Long, Double, Double, Double) = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length.toLong
+    val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val dupTok = if (n == 0) 0.0 else 1.0 - toks.distinct.length.toDouble / n
+    val topTok = if (n == 0) 0.0
+      else toks.groupBy(identity).values.map(_.length).max.toDouble / n
+    val dupBg = if (bgs.isEmpty) 0.0 else 1.0 - bgs.distinct.length.toDouble / bgs.length
+    (n, dupTok, topTok, dupBg)
+  }
+
+  test("repetitionStats matches a plain-Scala reference on varied inputs") {
+    val texts = Seq(
+      "a a a a",
+      "a b a b a b",
+      "the quick brown fox jumps over the lazy dog",
+      "x",
+      "",
+      "   ",
+      "a  b\t\tc\nd",
+      "w w w w w w w w w w")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"), Curation.repetitionStats(col("text")).as("st"))
+      .select(col("id"), col("st.n_tokens"), col("st.dup_token_frac"),
+        col("st.top_token_frac"), col("st.dup_bigram_frac"))
+      .orderBy("id").collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (n, dupTok, topTok, dupBg) = refStats(t)
+      withClue(s"text '$t': ") {
+        got(i).getLong(1) shouldBe n
+        got(i).getDouble(2) shouldBe dupTok +- 1e-12
+        got(i).getDouble(3) shouldBe topTok +- 1e-12
+        got(i).getDouble(4) shouldBe dupBg +- 1e-12
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- language id
+
+  test("bestLang kernel is value-identical to the composed expression fold") {
+    val profiles = graft.SparkEntry.langProfiles
+    val texts = Seq(
+      "the cat and the dog went to the well",
+      "der hund und die katze ist da",
+      "the und",              // 1-1 tie -> first sorted lang wins on both paths
+      "nothing matches here", // all-zero tie -> first sorted lang on both paths
+      "",
+      "  THE   AND  of\tto ") // case + whitespace normalization
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalytics.langId(col("text"), profiles).as("kernel"),
+        TextAnalytics.langIdComposed(col("text"), profiles).as("composed"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      withClue(s"id ${r.getLong(0)}: ") { r.getString(1) shouldBe r.getString(2) }
+    }
+  }
+
+  // --------------------------------------------------------------- PII scrub
+
+  test("scrubPii redacts emails, IPs and phone numbers; piiCounts counts them") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+spam@sub.example.org or call 415-555-0123"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 no phone"),
+      (3L, "clean text with no pii at all")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        Curation.scrubPii(col("text")).as("red"),
+        Curation.piiCounts(col("text")).as("c"))
+      .select(col("id"), col("red"), col("c.n_emails"), col("c.n_ips"), col("c.n_phones"))
+      .orderBy("id").collect()
+
+    got(0).getString(1) shouldBe "mail me at <EMAIL> or call <PHONE>"
+    got(0).getLong(2) shouldBe 1L
+    got(0).getLong(4) shouldBe 1L
+    got(1).getString(1) shouldBe "server at <IP> and <IP> no phone"
+    got(1).getLong(3) shouldBe 2L
+    got(2).getString(1) shouldBe "clean text with no pii at all"
+    got(2).getLong(2) shouldBe 0L
+    got(2).getLong(3) shouldBe 0L
+    got(2).getLong(4) shouldBe 0L
+  }
+}
