@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, ShingleHashesExpr, SimHashExpr, SignLshBandsExpr, SignLshExpr, TokenStatsExpr}
+import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, RepetitionStatsExpr, ShingleHashesExpr, SimHashExpr, SignLshBandsExpr, SignLshExpr, TokenStatsExpr}
 
 /** Registers the engine's native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works and the kernels are usable
@@ -98,6 +98,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(text) => TokenStatsExpr(text, Nil)
         case _ => throw new IllegalArgumentException("usage: token_stats(text string)")
+      }),
+    (new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "repetition_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => RepetitionStatsExpr(text)
+        case _ => throw new IllegalArgumentException("usage: repetition_stats(text string)")
       }))
 
   /** Register all functions on an already-running session. */

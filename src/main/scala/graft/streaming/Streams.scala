@@ -236,4 +236,52 @@ object Streams {
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** First-occurrence dedup with per-key state TTL: a key's "seen" marker
+    * expires `ttl` after it was last written, after which the key is
+    * admitted again. This is the third point on the stream-dedup
+    * state-retention spectrum: `dropDuplicates` retains keys forever,
+    * [[dedupWithinWatermark]] bounds state by event-time watermark, and
+    * this bounds it by processing-time TTL (the right knob when the
+    * dedup horizon is operational — "suppress retries for an hour" —
+    * rather than event-time semantics). State TTL is a processing-time
+    * feature, so the processor runs in TimeMode.ProcessingTime; RocksDB
+    * expires entries lazily without a scan, which is what keeps this
+    * viable with billions of live keys.
+    */
+  class DedupProcessor(ttl: java.time.Duration)
+    extends StatefulProcessor[Long, Event, Event] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, new TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[Event] =
+      if (seen.exists() || !rows.hasNext) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator.single(rows.next()) // first occurrence only, in-batch dups dropped
+      }
+  }
+
+  /** TTL-bounded stream dedup via `transformWithState` (see
+    * [[DedupProcessor]]): emits each event_id's first occurrence, then
+    * suppresses that id until `ttl` of processing time has passed.
+    * Same RocksDB state-store requirement as [[sessionizeTws]].
+    *
+    * Operational note: TTL state makes every trigger a state-cleanup
+    * batch even with no new data, so with the default (unthrottled)
+    * trigger the query busy-loops — set a processing-time trigger
+    * interval in production, and don't wait on `processAllAvailable()`
+    * (its no-new-data condition never latches; poll the sink).
+    */
+  def dedupTws(events: Dataset[Event], ttl: java.time.Duration): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_id)
+      .transformWithState(new DedupProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }

@@ -160,4 +160,47 @@ class StreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedupTws (transformWithState + TTL state): first occurrence kept across batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = dedupTws(stream.toDS(), java.time.Duration.ofHours(1))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      // TTL state makes every trigger a state-cleanup batch
+      // ("No new data but cleaning up state"), so processAllAvailable never
+      // latches its no-new-data condition — poll the sink instead.
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (spark.table(name).count() < n && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        q.exception.foreach(throw _)
+        spark.table(name).count() should be >= n
+      }
+      // batch 1: id 1 twice in-batch (values 1.0 then 9.0), id 2 once
+      stream.addData(
+        Event(1L, ts(1), 10L, "click", 1.0),
+        Event(1L, ts(2), 10L, "retry", 9.0),
+        Event(2L, ts(3), 20L, "click", 2.0))
+      awaitRows(2)
+      // batch 2: id 1 again (cross-batch dup), id 3 new
+      stream.addData(
+        Event(1L, ts(4), 10L, "retry", 8.0),
+        Event(3L, ts(5), 30L, "view", 3.0))
+      awaitRows(3)
+      q.stop()
+      val got = spark.table(name).as[Event].collect().sortBy(_.event_id)
+      got.map(_.event_id).toSeq shouldBe Seq(1L, 2L, 3L)
+      // the FIRST occurrence of id 1 is the one emitted
+      got.head.value shouldBe 1.0
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
