@@ -63,6 +63,23 @@ object DedupBench {
     val t6 = System.nanoTime()
     println(s"""{"metric":"ngram_dedup","docs":${n + n / 10},"planted_found":$ngPlanted,"planted_total":${n / 10},"sec":${(t6 - t5) / 1e9},"cpus":$cpus}""")
 
+    // Decontamination at scale: every 1000th base doc plays the held-out
+    // benchmark (n/1000 docs, shingle universe broadcast); ground truth =
+    // the planted near-duplicates of benchmark members (id % 1000 == 0,
+    // id < n/10 → dup doc_id id+n shares 76+ of its ~78 shingles).
+    // Random cross-doc shingle overlap is ~0 (3-token shingles over a
+    // 50k vocab), so precision is intrinsic; we report planted recall.
+    val t6b = System.nanoTime()
+    val isBench = col("doc_id") % 1000 === 0 && col("doc_id") < n
+    val decon = graft.operators.Curation.decontaminate(
+      docs.where(!isBench), "doc_id", "text",
+      docs.where(isBench), "text", k = 3).localCheckpoint(true)
+    val nContam = decon.where(col("contaminated")).count()
+    val dPlanted = decon.where(col("contaminated") &&
+      col("id") >= n && (col("id") - n) % 1000 === 0).count()
+    val t6c = System.nanoTime()
+    println(s"""{"metric":"decontaminate","docs":${n + n / 10},"bench_docs":${n / 1000},"contaminated":$nContam,"planted_found":$dPlanted,"planted_total":${n / 10000},"sec":${(t6c - t6b) / 1e9},"cpus":$cpus}""")
+
     // Embedding near-dup at scale: n pseudorandom 64-dim vectors plus
     // n/10 planted near-duplicates (component noise in [-0.05, 0.05]
     // over components in [-1, 1] ⇒ cosine ≈ 0.998). Banded sign-LSH with
