@@ -655,6 +655,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Flagship curation composition: quality + repetition + contamination
+    // + exact-dup keeper fused into one keep/drop decision per document
+    // (the per-doc signals are kernel projections; contamination is the
+    // broadcast-benchmark join; exact dedup groups by the 64-bit content
+    // hash so no exchange carries text).
+    "q_curation_pipeline" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Curation.pipeline(
+          all.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          all.where(col("doc_id") % 50 === 0), "text",
+          stopwords = Seq("the", "a", "of", "and"))
+        .select(col("id").as("doc_id"), col("quality"), col("dup_token_frac"),
+          col("contaminated"), col("is_exact_keeper"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- similarity search (LLM-pipeline extensions) --------------------------
     "q_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1225,6 +1241,54 @@ object SparkEntry {
         |             ELSE len(list_intersect(s, bs)) * 1.0 / len(s) END, 4) AS overlap_frac,
         |  len(list_intersect(s, bs)) > 0 AS contaminated
         |FROM sh CROSS JOIN bench WHERE doc_id % 50 != 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Composition of the q_quality_score / q_repetition / q_decontaminate
+    // fragments plus a min-per-text-partition exact keeper (Spark groups
+    // by xxhash64(text) — same equivalence classes as the text itself
+    // barring a 2^-64 collision, the q_dedup_hash argument).
+    "q_curation_pipeline" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t),
+        |bench AS (SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id % 50 = 0),
+        |docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    round((len_score + punct_score + sw_score) / 3.0, 4) AS quality,
+        |    round(CASE WHEN len(toks) = 0 THEN 0.0
+        |               ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END, 4)
+        |      AS dup_token_frac
+        |  FROM (SELECT doc_id, toks,
+        |          least(length(text) / 500.0, 1.0) AS len_score,
+        |          1.0 - least(
+        |            (CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |             END) * 5.0, 1.0) AS punct_score,
+        |          1.0 - abs(
+        |            (CASE WHEN len(toksl) = 0 THEN 0.0
+        |                  ELSE len(list_filter(toksl, t -> t IN ('the','a','of','and'))) * 1.0 / len(toksl)
+        |             END) - 0.4) AS sw_score
+        |        FROM (SELECT doc_id, text,
+        |                list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toksl
+        |              FROM docs) a) b),
+        |con AS (
+        |  SELECT doc_id, len(list_intersect(s, bs)) > 0 AS contaminated
+        |  FROM sh CROSS JOIN bench WHERE doc_id % 50 != 0),
+        |keepers AS (
+        |  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY text) AS is_exact_keeper
+        |  FROM docs)
+        |SELECT g.doc_id, g.quality, g.dup_token_frac, c.contaminated, k.is_exact_keeper,
+        |  (g.quality >= 0.5 AND g.dup_token_frac <= 0.6
+        |   AND NOT c.contaminated AND k.is_exact_keeper) AS keep
+        |FROM sig g JOIN con c USING (doc_id) JOIN keepers k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_cosine_topk" ->

@@ -103,4 +103,47 @@ object Curation {
       regexp_count(text, lit(emailRe)).cast("long").as("n_emails"),
       regexp_count(text, lit(ipRe)).cast("long").as("n_ips"),
       regexp_count(text, lit(phoneRe)).cast("long").as("n_phones"))
+
+  /** End-to-end curation decision — the composed keep/drop pipeline a
+    * training-data run executes per document:
+    *
+    *   keep = quality ≥ minQuality
+    *        ∧ dup_token_frac ≤ maxDupTokenFrac
+    *        ∧ NOT contaminated (shingle overlap with `bench`)
+    *        ∧ exact-duplicate keeper (min id per identical content)
+    *
+    * One pass computes the per-document signals (kernels, shuffle-free);
+    * contamination adds the broadcast-benchmark join of
+    * [[decontaminate]]; the exact-dup keeper adds one aggregation on
+    * xxhash64(text) — grouping by the 64-bit content hash, not the text,
+    * so the exchange carries 8-byte keys (the [[Dedup.exactByKey]]
+    * discipline). Returns every document with its signals and the final
+    * `keep` verdict, so downstream filters stay auditable.
+    */
+  def pipeline(docs: DataFrame, idCol: String, textCol: String,
+               bench: DataFrame, benchTextCol: String,
+               stopwords: Seq[String], minQuality: Double = 0.5,
+               maxDupTokenFrac: Double = 0.6, shingleK: Int = 3): DataFrame = {
+    val id = col(idCol)
+    val signals = docs.select(
+      id.as("id"),
+      round(TextAnalytics.qualityScore(col(textCol), stopwords), 4).as("quality"),
+      round(repetitionStats(col(textCol)).getField("dup_token_frac"), 4)
+        .as("dup_token_frac"),
+      xxhash64(col(textCol)).as("content_hash"))
+    val keepersByHash = signals.groupBy(col("content_hash"))
+      .agg(min(col("id")).as("exact_keeper_id"))
+    val contam = decontaminate(docs, idCol, textCol, bench, benchTextCol, shingleK)
+      .select(col("id"), col("contaminated"))
+    signals
+      .join(keepersByHash, Seq("content_hash"))
+      .join(contam, Seq("id"))
+      .select(col("id"), col("quality"), col("dup_token_frac"),
+        col("contaminated"),
+        (col("id") === col("exact_keeper_id")).as("is_exact_keeper"))
+      .withColumn("keep",
+        col("quality") >= minQuality &&
+          col("dup_token_frac") <= maxDupTokenFrac &&
+          !col("contaminated") && col("is_exact_keeper"))
+  }
 }

@@ -107,6 +107,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------------- pipeline
+
+  test("pipeline keeps only high-quality, novel, uncontaminated keepers") {
+    val good = "the quick brown fox jumps over a lazy dog and every word here is " +
+      "mostly unique because we want low repetition of tokens across this entire " +
+      "document with many different nouns verbs adjectives plus the usual glue words"
+    val docs = Seq(
+      (1L, good),                      // keeper of the 1/5 dup pair
+      (2L, "spam spam spam spam spam spam spam spam"), // repetitive -> drop
+      (3L, "benchmark overlap text shared with eval set " + good), // contaminated
+      (5L, good)                       // exact dup of 1 -> not keeper
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "benchmark overlap text shared with eval set")).toDF("doc_id", "text")
+    val got = Curation.pipeline(docs, "doc_id", "text", bench, "text",
+        stopwords = Seq("the", "a", "of", "and"))
+      .orderBy("id").collect()
+    got.map(r => (r.getLong(0), r.getBoolean(5))).toSeq shouldBe
+      Seq((1L, true), (2L, false), (3L, false), (5L, false))
+    // reasons are individually auditable
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    byId(2L).getDouble(2) should be > 0.6    // dup_token_frac
+    byId(3L).getBoolean(3) shouldBe true     // contaminated
+    byId(5L).getBoolean(4) shouldBe false    // not the exact keeper
+  }
+
   // --------------------------------------------------------------- PII scrub
 
   test("scrubPii redacts emails, IPs and phone numbers; piiCounts counts them") {
