@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Curation, Dedup, Ivf, PrefixMatch, Similarity, TemplateFilters}
+import graft.operators.{AsOfJoin, Curation, Dedup, Ivf, Pq, PrefixMatch, Similarity, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -710,6 +710,24 @@ object SparkEntry {
           md5(bin).as("content_md5"),
           substring(md5(bin), 1, 8).as("fp8"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Product-quantization ANN: driver-trained codebooks (bounded
+    // sample), map-only byte encode, one corpus scan answering all
+    // queries via ADC lookup tables (no oracle — quantized scores are
+    // approximate by design; recall measured in PqSpec/SimBench)
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).localCheckpoint(true)
+      val cb = Pq.train(emb, "embedding", m = 16, k = 64, sampleN = 2000)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+      // self-matches kept: PQ ranks by code similarity only, and the
+      // query's own row scoring ≈1.0 at rank 1 is itself a useful check
+      Pq.topK(Pq.encode(emb, "vec_id", "embedding", cb), cb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("adc_score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // IVF approximate ANN (no oracle — probe-dependent recall)

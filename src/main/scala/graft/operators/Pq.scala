@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PqExpr
+
+/** Product quantization ANN: compress each (L2-normalized) vector to
+  * `m` one-byte codebook indices, then answer top-k inner-product
+  * (= cosine, post-normalization) queries by asymmetric distance
+  * computation — per corpus row, m table lookups per query instead of a
+  * dim-wide float loop.
+  *
+  * Why this is the 100 TB embedding path: the corpus is stored and
+  * scanned as m bytes/vector (16× smaller than float32 at dim=64,
+  * m=16; 192× at dim=768, m=16), codebooks and LUTs are kilobytes
+  * broadcast inside the plan as literals, queries all share ONE corpus
+  * scan, and the only exchange is the top-k window's (query, id, score)
+  * rows — already pruned map-side by WindowGroupLimit. Training
+  * collects only a bounded sample (the [[Dedup.clusters]] bounded-
+  * driver-work discipline).
+  *
+  * Determinism: training inits from the first k distinct sample points
+  * and breaks assignment ties toward the lower index; no RNG anywhere.
+  */
+object Pq {
+
+  /** cents(s) = subspace s's k centroids, flattened k·subDim doubles. */
+  case class Codebooks(m: Int, k: Int, subDim: Int, cents: Array[Array[Double]])
+
+  /** Train per-subspace k-means codebooks on a driver-side sample.
+    * `sampleN` bounds driver memory (sampleN·dim doubles); pass a
+    * pre-shuffled frame if the corpus's leading partitions are not
+    * representative. Vectors are L2-normalized before training, so ADC
+    * scores approximate cosine.
+    */
+  def train(corpus: DataFrame, vecCol: String, m: Int, k: Int = 256,
+            sampleN: Int = 10000, iters: Int = 10): Codebooks = {
+    val rows: Array[Array[Double]] = corpus.select(col(vecCol)).limit(sampleN)
+      .collect().map { r: Row =>
+        val s = r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        val n = math.sqrt(s.map(x => x * x).sum)
+        if (n > 0) s.map(_ / n) else s
+      }
+    require(rows.nonEmpty, "pq train: empty sample")
+    val dim = rows.head.length
+    require(dim % m == 0, s"pq train: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val cents = Array.tabulate(m) { s =>
+      val pts = rows.map(_.slice(s * subDim, (s + 1) * subDim))
+      lloyd(pts, math.min(k, pts.distinct.length), subDim, iters)
+    }
+    Codebooks(m, k, subDim, cents)
+  }
+
+  /** Plain Lloyd with deterministic init (first k distinct points) and
+    * empty-cluster carry-over; returns k·subDim flattened centroids.
+    * The overall Codebooks.k is kept even if a subspace had fewer
+    * distinct points — unused slots duplicate the last centroid so LUT
+    * layout stays rectangular.
+    */
+  private def lloyd(pts: Array[Array[Double]], k: Int, subDim: Int,
+                    iters: Int): Array[Double] = {
+    val init = pts.distinct.take(k)
+    val cents = Array.tabulate(k)(c => init(math.min(c, init.length - 1)).clone())
+    val assign = new Array[Int](pts.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < pts.length) {
+        val p = pts(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < subDim) { val diff = p(j) - cents(c)(j); d += diff * diff; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](subDim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < pts.length) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < subDim) { sums(c)(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < subDim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } // empty cluster: keep previous centroid
+        c += 1
+      }
+      it += 1
+    }
+    val flat = new Array[Double](k * subDim)
+    var c = 0
+    while (c < k) {
+      System.arraycopy(cents(c), 0, flat, c * subDim, subDim)
+      c += 1
+    }
+    flat
+  }
+
+  /** (id, codes binary) — map-only distributed encode. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             cb: Codebooks): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      PqExpr.encode(col(vecCol), cb.subDim, cb.k, cb.cents).as("codes"))
+
+  /** Per-query LUT: lut(s·k + c) = q_sub(s) · cent(s, c) over the
+    * normalized query.
+    */
+  private def lut(cb: Codebooks, q: Array[Double]): Array[Double] = {
+    val n = math.sqrt(q.map(x => x * x).sum)
+    val qn = if (n > 0) q.map(_ / n) else q
+    val out = new Array[Double](cb.m * cb.k)
+    var s = 0
+    while (s < cb.m) {
+      val cs = cb.cents(s)
+      var c = 0
+      while (c < cb.k) {
+        var d = 0.0; var j = 0
+        while (j < cb.subDim) { d += qn(s * cb.subDim + j) * cs(c * cb.subDim + j); j += 1 }
+        out(s * cb.k + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** Approximate top-k per query over PQ codes: ONE scan of the encoded
+    * corpus computes all queries' ADC scores (array column), posexplode
+    * fans out (query_idx, score), and a per-query window keeps k —
+    * WindowGroupLimit prunes to k per task before the shuffle.
+    * `queries` is a bounded driver-side list (ids must not collide with
+    * corpus ids being excluded — self-matches are kept; PQ has no
+    * exact-id notion).
+    */
+  def topK(encoded: DataFrame, cb: Codebooks,
+           queries: Seq[(Long, Array[Double])], k: Int,
+           roundTo: Int = 6): DataFrame = {
+    val luts = queries.map(q => lut(cb, q._2)).toArray
+    val qidArr = array(queries.map(q => lit(q._1)): _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    encoded
+      .select(col("id").as("neighbor_id"),
+        posexplode(PqExpr.adcScores(col("codes"), cb.k, luts)))
+      .select(element_at(qidArr, col("pos") + 1).as("query_id"),
+        col("neighbor_id"), round(col("col"), roundTo).as("adc_score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

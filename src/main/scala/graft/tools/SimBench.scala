@@ -49,6 +49,24 @@ object SimBench {
     val ivfHits = ivf.where(col("neighbor_id") === col("query_id") - n).count()
     val t2 = System.nanoTime()
     println(s"""{"metric":"similarity_topk","vectors":$n,"queries":$nq,"bf_sec":${(t1 - t0) / 1e9},"bf_top1":$bfTop,"ivf_sec":${(t2 - t1) / 1e9},"ivf_top1":$ivfHits,"cpus":$cpus}""")
+
+    // PQ/ADC: m=16 byte codes per 64-d vector (16× compression); train
+    // on a 10k driver sample, encode map-only, answer all 50 queries in
+    // ONE scan of the code table.
+    val t3 = System.nanoTime()
+    val cb = graft.operators.Pq.train(corpus, "embedding", m = 16, k = 256,
+      sampleN = 10000, iters = 10)
+    val t4 = System.nanoTime()
+    val encoded = graft.operators.Pq.encode(corpus, "vec_id", "embedding", cb)
+      .localCheckpoint(true)
+    encoded.count()
+    val t5 = System.nanoTime()
+    val qSeq = queries.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val pq = graft.operators.Pq.topK(encoded, cb, qSeq, k = 1)
+    val pqHits = pq.where(col("neighbor_id") === col("query_id") - n).count()
+    val t6 = System.nanoTime()
+    println(s"""{"metric":"pq_topk","vectors":$n,"queries":$nq,"train_sec":${(t4 - t3) / 1e9},"encode_sec":${(t5 - t4) / 1e9},"query_sec":${(t6 - t5) / 1e9},"pq_top1":$pqHits,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random vector around one of `nClusters` hash-
+    * derived centers (PQ needs clusterable structure; uniform-random
+    * vectors have none).
+    */
+  private def vec(id: Long, dim: Int, nClusters: Int, noise: Double): Seq[Float] = {
+    val cl = (id % nClusters).toInt
+    Seq.tabulate(dim) { j =>
+      val center = ((cl * 31 + j) % 7 - 3).toDouble
+      val jitter = (((id * 131 + j * 17) % 101) - 50) / 50.0 * noise
+      (center + jitter).toFloat
+    }
+  }
+
+  private def corpus(n: Int, dim: Int = 32, nClusters: Int = 8,
+                     noise: Double = 0.3) =
+    (0 until n).map(i => (i.toLong, vec(i, dim, nClusters, noise)))
+      .toDF("vec_id", "embedding")
+
+  test("encode produces m-byte codes; identical vectors share codes") {
+    val df = corpus(64)
+    val cb = Pq.train(df, "embedding", m = 4, k = 8, sampleN = 64, iters = 5)
+    cb.subDim shouldBe 8
+    val codes = Pq.encode(df, "vec_id", "embedding", cb).collect()
+    codes.foreach(_.getAs[Array[Byte]]("codes").length shouldBe 4)
+    // ids 0 and 64-8=56 share cluster 0 but differ; ids with identical
+    // inputs (same id mod everything) — encode is a pure function:
+    val twice = Pq.encode(df, "vec_id", "embedding", cb).collect()
+    codes.map(_.getAs[Array[Byte]]("codes").toSeq).toSeq shouldBe
+      twice.map(_.getAs[Array[Byte]]("codes").toSeq).toSeq
+  }
+
+  test("ADC top-k recovers brute-force cosine neighbours on clustered data") {
+    // m=16 over dim 32 → 2-d subspaces with 64 centroids each: fine
+    // enough to code the within-cluster jitter, so ADC can rank inside a
+    // cluster, not just between clusters (with coarse codebooks all
+    // same-cluster vectors share codes and recall degrades to
+    // cluster-size/k — expected PQ behavior, not a bug).
+    val df = corpus(400).localCheckpoint(true)
+    val cb = Pq.train(df, "embedding", m = 16, k = 64, sampleN = 400, iters = 10)
+    val encoded = Pq.encode(df, "vec_id", "embedding", cb)
+    val queries = df.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+
+    val got = Pq.topK(encoded, cb, queries, k = 20)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val qdf = df.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        qdf, "query_id", "qv", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // ADC@20 should recover most of exact cosine top-10 per query
+    val recalls = exact.map { case (q, ex) =>
+      ex.intersect(got.getOrElse(q, Set.empty)).size.toDouble / ex.size
+    }
+    (recalls.sum / recalls.size) should be >= 0.7
+  }
+
+  test("topK plan: one corpus scan, no join, window pruned to k") {
+    val df = corpus(64)
+    val cb = Pq.train(df, "embedding", m = 4, k = 8, sampleN = 64, iters = 3)
+    val encoded = Pq.encode(df, "vec_id", "embedding", cb)
+    val qs = Seq((0L, Array.fill(32)(1.0)), (1L, Array.fill(32)(-1.0)))
+    val plan = Pq.topK(encoded, cb, qs, k = 3).queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should include("WindowGroupLimit")
+  }
+}
