@@ -600,6 +600,34 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The same exact n-gram Jaccard, expressed ENTIRELY in SQL against
+    // the registered kernel functions (GraftExtensions) — the SQL-surface
+    // parity check, hash-matched against the same DuckDB oracle. Reads
+    // the parquet path directly (no temp view: Verify dumps queries from
+    // concurrent threads sharing one session). The composed operator
+    // (q_ngram_jaccard) is the scale path — it materializes shingles
+    // once; this plan recomputes them per join branch.
+    "q_ngram_jaccard_sql" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      // raw interpolator: the s-interpolator processes \\ escapes even in
+      // triple quotes, which would hand Spark '\s+' (unescaped to regex
+      // "s+" — splitting on the letter s)
+      s.sql(
+        raw"""WITH ex AS (
+           |  SELECT doc_id, size(sh) AS n_sh, explode(sh) AS h FROM (
+           |    SELECT doc_id,
+           |      shingle_hashes(filter(split(text, '\\s+'), t -> length(t) > 0), 3) AS sh
+           |    FROM parquet.`$dir/documents.parquet`))
+           |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    cast(count(*) AS DOUBLE) /
+           |      (min(a.n_sh) + min(b.n_sh) - count(*)) AS jaccard
+           |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |WHERE jaccard >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin)
+    }),
+
     // Exact embedding near-dup: all-pairs kernel cosine (nested-loop
     // broadcast; correct but O(n²) — the oracle anchor at test scale, NOT
     // the scale path)
@@ -1131,6 +1159,26 @@ object SparkEntry {
     // DuckDB over string shingle sets — identical values barring a
     // ~2^-64-probability hash collision.
     "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical oracle shape to q_ngram_jaccard (the SQL-surface variant
+    // computes the same pairs)
+    "q_ngram_jaccard_sql" ->
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_filter(
