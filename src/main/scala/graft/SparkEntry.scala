@@ -54,6 +54,16 @@ object SparkEntry {
       path
     })
 
+  private val jsonFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nationJsonFixture(s: SparkSession, dir: String): String =
+    jsonFixtures.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-json").toFile
+      tmp.deleteOnExit()
+      val path = tmp.getAbsolutePath + "/nation"
+      Tables.nation(s, dir).write.mode("overwrite").json(path)
+      path
+    })
+
   /** All-pairs embedding near-dup edges (shared by q_embedding_neardup /
     * q_dedup_clusters / q_dedup_keepers). The pushed-down filter uses the
     * UNROUNDED cosine with the exact HALF_UP boundary (round(x,6) ≥ 0.4
@@ -123,6 +133,15 @@ object SparkEntry {
     // is only the schema'd csv scan, not the write.
     "q_scan_tsv" -> ((s, dir) =>
       s.read.option("sep", "\t").schema(Tables.nationSchema).csv(nationTsvFixture(s, dir))
+        .orderBy(col("n_nationkey"))),
+
+    // NDJSON line scan (SURVEY S6's envelope format read back as a
+    // SOURCE): parquet table → json lines → explicit-schema json scan
+    // (schema inference is never the scale path — one pass, no sampling
+    // job); same once-per-(process, sfDir) fixture discipline as
+    // q_scan_tsv.
+    "q_scan_json" -> ((s, dir) =>
+      s.read.schema(Tables.nationSchema).json(nationJsonFixture(s, dir))
         .orderBy(col("n_nationkey"))),
 
     // Nested-struct construction + field access (SURVEY P7); output is
@@ -826,6 +845,9 @@ object SparkEntry {
         |WHERE l_quantity > 45.0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_scan_tsv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_scan_json" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "q_project_struct" ->

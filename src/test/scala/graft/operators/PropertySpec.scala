@@ -64,4 +64,43 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Long)].head()
     math.abs(approx - exact).toDouble / exact should be < 0.06 // 3σ
   }
+
+  test("repetitionStats kernel == plain-Scala reference on random seeded docs") {
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e", "fff", "g")
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n")
+    val doc = Gen.listOfN(40, Gen.zip(word, ws)).map(_.map(p => p._1 + p._2).mkString)
+    val texts = (1 to 30).map(i => (i.toLong, sample(doc, i.toLong * 13)))
+    val got = texts.toDF("id", "text")
+      .select(col("id"), Curation.repetitionStats(col("text")).as("st"))
+      .select(col("id"), col("st.n_tokens"), col("st.dup_token_frac"),
+        col("st.top_token_frac"), col("st.dup_bigram_frac"))
+      .as[(Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val (gn, gdup, gtop, gbg) = (got(id)._2, got(id)._3, got(id)._4, got(id)._5)
+      withClue(s"id=$id text='$t'") {
+        gn shouldBe n.toLong
+        gdup shouldBe (if (n == 0) 0.0 else 1.0 - toks.distinct.length.toDouble / n) +- 1e-12
+        gtop shouldBe (if (n == 0) 0.0
+          else toks.groupBy(identity).values.map(_.length).max.toDouble / n) +- 1e-12
+        gbg shouldBe (if (bgs.isEmpty) 0.0
+          else 1.0 - bgs.distinct.length.toDouble / bgs.length) +- 1e-12
+      }
+    }
+  }
+
+  test("bestLang kernel == composed fold on random seeded docs (incl. markers)") {
+    val word = Gen.oneOf("the", "und", "cat", "der", "and", "ist", "xyz", "of", "die")
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    val texts = (1 to 40).map(i => (i.toLong, sample(doc, i.toLong * 31)))
+    val profiles = graft.SparkEntry.langProfiles
+    val rows = texts.toDF("id", "text")
+      .select(col("id"),
+        graft.functions.TextAnalytics.langId(col("text"), profiles).as("k"),
+        graft.functions.TextAnalytics.langIdComposed(col("text"), profiles).as("c"))
+      .as[(Long, String, String)].collect()
+    rows.foreach { r => withClue(s"id=${r._1}") { r._2 shouldBe r._3 } }
+  }
 }
