@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Curation, Dedup, Ivf, Pq, PrefixMatch, Similarity, TemplateFilters}
+import graft.operators.{AsOfJoin, Curation, Dedup, Ivf, Pq, PrefixMatch, Sampling, Similarity, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -543,6 +543,20 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           TextAnalytics.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic corpus sampling (training-pipeline downsampling).
+    // Both use the md5-hex decision variant for engine-exact oracle
+    // parity; Sampling.hashSample (xxhash64, map-only) is the production
+    // path and is property-tested instead.
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedExact(Tables.documents(s, dir), col("lang"), col("doc_id"), 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "q_hash_sample" -> ((s, dir) =>
+      Sampling.md5Sample(Tables.documents(s, dir), col("doc_id"), "2")
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
     // Gopher-style repetition signals via the one-pass kernel (distinct
@@ -1132,6 +1146,19 @@ object SparkEntry {
         |      FROM (SELECT doc_id, text,
         |              list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
         |            FROM documents) a) b
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(cast(doc_id AS VARCHAR)), 1, 1) < '2'
         |ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling — the downsampling stage of a training
+  * pipeline (per-source quotas, rate capping) without RNG state: every
+  * decision is a pure function of the row's key, so re-runs, retries and
+  * speculative tasks agree, and the sample is reproducible across
+  * clusters by construction.
+  *
+  * Scale notes: [[hashSample]] is a map-only filter (pushes down to the
+  * scan when the key is a stored column). [[stratifiedExact]] shuffles
+  * once on the stratum key; its per-stratum sort is WindowGroupLimit-
+  * pruned map-side to the quota, so the exchange carries ≤ quota rows
+  * per (task, stratum), not the stratum.
+  */
+object Sampling {
+
+  /** Keep ~fraction of rows: xxhash64(key) uniformly fills the 64-bit
+    * space, so thresholding keeps a deterministic pseudo-random subset.
+    * Production default (one 64-bit hash per row, codegen'd).
+    */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    // pmod to [0, 2^20) then threshold — avoids Long-boundary edge cases
+    val buckets = 1 << 20
+    df.where(pmod(xxhash64(keyCol), lit(buckets)) <
+      lit((fraction * buckets).toLong))
+  }
+
+  /** Same contract via md5-hex thresholding — slower (string hash) but
+    * bit-identical in any engine with a standard md5 (the oracle-parity
+    * variant; DuckDB/Trino/Spark agree on md5 hex of the same bytes).
+    */
+  def md5Sample(df: DataFrame, keyCol: Column, hexPrefixBelow: String): DataFrame =
+    df.where(substring(md5(keyCol.cast("string").cast("binary")), 1,
+      hexPrefixBelow.length) < hexPrefixBelow)
+
+  /** Exactly `quota` rows per stratum (fewer if the stratum is smaller),
+    * chosen by deterministic hash order with the id as tiebreak.
+    */
+  def stratifiedExact(df: DataFrame, stratumCol: Column, idCol: Column,
+                      quota: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(idCol.cast("string").cast("binary")).asc, idCol.asc)
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= quota)
+      .drop("_rk")
+  }
+}

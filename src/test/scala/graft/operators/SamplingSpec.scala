@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "grp")
+
+  test("hashSample keeps ~fraction deterministically") {
+    val a = Sampling.hashSample(df, col("id"), 0.25).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df, col("id"), 0.25).select("id").as[Long].collect().toSet
+    a shouldBe b // pure function of the key
+    a.size.toDouble / 4000 shouldBe 0.25 +- 0.03
+    // monotone: a smaller fraction is a subset of a larger one
+    val small = Sampling.hashSample(df, col("id"), 0.1).select("id").as[Long].collect().toSet
+    small.subsetOf(a) shouldBe true
+  }
+
+  test("stratifiedExact returns exactly the quota per stratum, deterministically") {
+    val got = Sampling.stratifiedExact(df, col("grp"), col("id"), 7)
+    got.groupBy("grp").count().as[(String, Long)].collect().toMap.values.toSet shouldBe Set(7L)
+    val again = Sampling.stratifiedExact(df, col("grp"), col("id"), 7)
+      .select("id").as[Long].collect().sorted
+    got.select("id").as[Long].collect().sorted shouldBe again
+    // a stratum smaller than the quota returns all its rows
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "grp")
+    Sampling.stratifiedExact(tiny, col("grp"), col("id"), 5).count() shouldBe 3L
+  }
+
+  test("stratifiedExact plan prunes to the quota before the shuffle") {
+    val plan = Sampling.stratifiedExact(df, col("grp"), col("id"), 7)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+}
