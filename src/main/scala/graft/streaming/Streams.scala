@@ -82,6 +82,39 @@ object Streams {
                            watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming document curation: the batch curation signals are all
+    * stateless per-row kernels, so they lift to a stream unchanged; the
+    * only stateful stage is content dedup, keyed by xxhash64(text)
+    * within the watermark horizon (state carries an 8-byte key, never
+    * the document — the [[graft.operators.Dedup.exactByKey]] shuffle
+    * discipline applied to stream state). Emits rows that pass the
+    * quality/repetition gates AND are the first occurrence of their
+    * content inside the horizon. The signal/filter stages are the
+    * identical plan in batch mode; the dedup stage is the mode's
+    * equivalent (dropDuplicatesWithinWatermark is streaming-only —
+    * batch uses plain content-hash dropDuplicates, i.e. an unbounded
+    * horizon), which StreamsSpec checks by running both.
+    */
+  def curateStream(docs: DataFrame, tsCol: String, textCol: String,
+                   stopwords: Seq[String], minQuality: Double = 0.5,
+                   maxDupTokenFrac: Double = 0.6,
+                   watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Curation
+    import graft.functions.TextAnalytics
+    val gated = docs
+      .withColumn("quality",
+        round(TextAnalytics.qualityScore(col(textCol), stopwords), 4))
+      .withColumn("dup_token_frac",
+        round(Curation.repetitionStats(col(textCol)).getField("dup_token_frac"), 4))
+      .where(col("quality") >= minQuality &&
+        col("dup_token_frac") <= maxDupTokenFrac)
+      .withColumn("content_hash", xxhash64(col(textCol)))
+    if (gated.isStreaming)
+      gated.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else gated.dropDuplicates("content_hash")
+  }
+
   /** Stream-stream inner join with an event-time interval bound: left
     * row joins right rows with `rightTs` in [leftTs − lookback, leftTs].
     * Both sides carry watermarks, so each side's join state is bounded —

@@ -161,6 +161,27 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("curateStream: quality gate + content dedup, stream equals batch") {
+    import StreamsSpec.Doc
+    val good = "the quick brown fox jumps over a lazy dog and every word here is " +
+      "mostly unique because we want low repetition of tokens across this entire " +
+      "document with many different nouns verbs adjectives plus the usual glue words"
+    val docs = Seq(
+      Doc(ts(1), 1L, good),
+      Doc(ts(2), 2L, "spam spam spam spam spam spam spam spam"), // repetitive
+      Doc(ts(3), 3L, good),                                      // dup of 1
+      Doc(ts(4), 4L, good + " now altered"))                     // novel
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      curateStream(df, "ts", "text", Seq("the", "a", "of", "and"))
+        .select(col("doc_id"))
+    val batch = run(docs.toDF()).as[Long].collect().sorted
+    batch shouldBe Seq(1L, 4L)
+    val stream = MemoryStream[Doc]
+    val got = runStream(stream, run, docs, complete = false)
+      .as[Long].collect().sorted
+    got shouldBe batch
+  }
+
   test("dedupTws (transformWithState + TTL state): first occurrence kept across batches") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -203,4 +224,8 @@ class StreamsSpec extends SparkSpec {
       }
     }
   }
+}
+
+object StreamsSpec {
+  case class Doc(ts: java.sql.Timestamp, doc_id: Long, text: String)
 }
