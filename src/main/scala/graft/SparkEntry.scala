@@ -791,6 +791,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ: coarse quantizer routes each query to nprobe clusters, PQ
+    // codes ADC-scored only inside them (no oracle — doubly approximate;
+    // PqSpec proves exhaustive-probe ≡ full-scan PQ, SimBench measures
+    // recall at 1M)
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).localCheckpoint(true)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+      Pq.ivfPqTopK(emb, "vec_id", "embedding", queries, k = 5,
+          numCentroids = 16, nprobe = 4, m = 16, kCodes = 64, sampleN = 2000)
+        .select(col("query_id"), col("neighbor_id"), col("adc_score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF approximate ANN (no oracle — probe-dependent recall)
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)

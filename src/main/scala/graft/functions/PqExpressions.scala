@@ -76,6 +76,21 @@ object PqKernels {
     codes
   }
 
+  /** ADC score of one code row against ONE of the Q query LUTs (chosen
+    * per row — the IVF-PQ probe join tags each row with its query).
+    */
+  def adcScoreAt(codes: Array[Byte], qidx: Int, k: Int,
+                 luts: Array[Array[Double]]): Double = {
+    val lut = luts(qidx)
+    var s = 0.0
+    var i = 0
+    while (i < codes.length) {
+      s += lut(i * k + (codes(i) & 0xFF))
+      i += 1
+    }
+    s
+  }
+
   /** ADC scores of one code row against Q query LUTs: out(q) =
     * Σ_s luts(q)(s·k + code(s)) — the inner-product approximation of
     * (normalized corpus vector) · (normalized query q).
@@ -153,9 +168,32 @@ case class PqAdcScoresExpr(child: Expression, k: Int, luts: Array[Array[Double]]
     copy(child = newChild)
 }
 
+/** score = pq_adc_score_at(codes, qidx): the row-selected query's ADC score. */
+case class PqAdcScoreAtExpr(left: Expression, right: Expression, k: Int,
+                            luts: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score_at"
+  override protected def nullSafeEval(codes: Any, qidx: Any): Any =
+    PqKernels.adcScoreAt(codes.asInstanceOf[Array[Byte]],
+      qidx.asInstanceOf[Int], k, luts)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutsRef = ctx.addReferenceObj("pqLuts", luts, "double[][]")
+    defineCodeGen(ctx, ev, (c, q) =>
+      s"graft.functions.PqKernels.adcScoreAt($c, $q, $k, $lutsRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object PqExpr {
   def encode(v: Column, subDim: Int, k: Int, cents: Array[Array[Double]]): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v), subDim, k, cents))
   def adcScores(codes: Column, k: Int, luts: Array[Array[Double]]): Column =
     ColumnBridge.column(PqAdcScoresExpr(ColumnBridge.expression(codes), k, luts))
+  def adcScoreAt(codes: Column, qidx: Column, k: Int, luts: Array[Array[Double]]): Column =
+    ColumnBridge.column(PqAdcScoreAtExpr(ColumnBridge.expression(codes),
+      ColumnBridge.expression(qidx), k, luts))
 }

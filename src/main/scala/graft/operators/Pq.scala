@@ -148,6 +148,61 @@ object Pq {
     * corpus ids being excluded — self-matches are kept; PQ has no
     * exact-id notion).
     */
+  /** IVF-PQ — the standard production ANN composition: an IVF coarse
+    * index routes each query to its `nprobe` nearest clusters, and PQ
+    * codes are ADC-scored ONLY inside those clusters. Per query the
+    * scanned fraction is ≈ nprobe/numCentroids of the corpus, each row
+    * costing m byte-indexed lookups; the probed-cluster↔query pair
+    * table is tiny and broadcast, so the corpus side is one
+    * broadcast-hash-join + WindowGroupLimit-pruned top-k — the corpus
+    * itself shuffles only once, at IVF build, keyed by cluster.
+    *
+    * `queries` is bounded and driver-side (LUTs are literals in the
+    * plan); centroids are the already-bounded IVF dimension. Codebooks
+    * are trained on the raw corpus (not residuals — simpler, and recall
+    * is measured, see SimBench).
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: Seq[(Long, Array[Double])], k: Int,
+                numCentroids: Int, nprobe: Int = 4,
+                m: Int = 16, kCodes: Int = 256, sampleN: Int = 10000,
+                roundTo: Int = 6): DataFrame = {
+    val (assignments, centroids) = Ivf.build(corpus, idCol, vecCol, numCentroids)
+    val cb = train(corpus, vecCol, m, kCodes, sampleN)
+    val encoded = assignments.select(col("cluster_id"), col(idCol).as("id"),
+      PqExpr.encode(col(vecCol), cb.subDim, cb.k, cb.cents).as("codes"))
+    // nprobe nearest centroids per query, computed on the (bounded)
+    // collected centroid table — the same driver-side dimension Ivf.build
+    // already collects each Lloyd iteration
+    val cents = centroids.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probePairs = queries.zipWithIndex.flatMap { case ((_, qv), qi) =>
+      cents.map { case (cid, cv) => (cos(qv, cv), cid) }
+        .sortBy { case (sim, cid) => (-sim, cid) }
+        .take(nprobe).map { case (_, cid) => (cid, qi) }
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probes = broadcast(probePairs.toDF("cluster_id", "qidx"))
+    val luts = queries.map(q => lut(cb, q._2)).toArray
+    val qidArr = array(queries.map(q => lit(q._1)): _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    encoded.join(probes, Seq("cluster_id"))
+      .select(element_at(qidArr, col("qidx") + 1).as("query_id"),
+        col("id").as("neighbor_id"),
+        round(PqExpr.adcScoreAt(col("codes"), col("qidx"), cb.k, luts), roundTo)
+          .as("adc_score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   def topK(encoded: DataFrame, cb: Codebooks,
            queries: Seq[(Long, Array[Double])], k: Int,
            roundTo: Int = 6): DataFrame = {

@@ -69,6 +69,34 @@ class PqSpec extends SparkSpec {
     (recalls.sum / recalls.size) should be >= 0.7
   }
 
+  test("ivfPqTopK: probed-cluster ADC matches full-scan ADC for in-cluster neighbours") {
+    val df = corpus(400).localCheckpoint(true)
+    val queries = df.where(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val got = Pq.ivfPqTopK(df, "vec_id", "embedding", queries, k = 5,
+        numCentroids = 8, nprobe = 8, m = 16, kCodes = 64, sampleN = 400)
+      .select("query_id", "neighbor_id", "adc_score")
+      .as[(Long, Long, Double)].collect()
+    // with nprobe = numCentroids the probe is exhaustive, so results must
+    // EQUAL the full-scan PQ top-k (same codebooks, same scores)
+    val cb = Pq.train(df, "embedding", m = 16, k = 64, sampleN = 400)
+    val full = Pq.topK(Pq.encode(df, "vec_id", "embedding", cb), cb, queries, k = 5)
+      .select("query_id", "neighbor_id", "adc_score")
+      .as[(Long, Long, Double)].collect()
+    got.sortBy(r => (r._1, -r._3, r._2)) shouldBe full.sortBy(r => (r._1, -r._3, r._2))
+  }
+
+  test("ivfPqTopK plan: probe pair table broadcast, no shuffle of the code table beyond the build") {
+    val df = corpus(64)
+    val queries = Seq((0L, Array.fill(32)(1.0)))
+    val plan = Pq.ivfPqTopK(df, "vec_id", "embedding", queries, k = 3,
+        numCentroids = 4, nprobe = 2, m = 4, kCodes = 8, sampleN = 64)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("WindowGroupLimit")
+  }
+
   test("topK plan: one corpus scan, no join, window pruned to k") {
     val df = corpus(64)
     val cb = Pq.train(df, "embedding", m = 4, k = 8, sampleN = 64, iters = 3)
