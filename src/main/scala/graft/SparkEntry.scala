@@ -716,6 +716,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Group-level corpus similarity via MinHash-union sketches: one pass
+    // sketches each source (sig(A ∪ B) = min(sig(A), sig(B)) — the
+    // custom Aggregator A7), then all source-pair similarities come from
+    // the fixed-size sketches alone; the documents are never re-read.
+    // The pair join is over the bounded group dimension (20 sources),
+    // not the corpus. Hash-based estimate → rows-only.
+    "q_source_similarity" -> ((s, dir) => {
+      val sigs = Tables.documents(s, dir).select(col("source"),
+        graft.functions.DedupExpr.minhashSig(
+          TextAnalytics.tokens(col("text")), 3, 64).as("sig"))
+      val sk = sigs.groupBy(col("source")).agg(Dedup.minhashUnion(col("sig")).as("sk"))
+      val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(Dedup.estJaccard(col("sk_a"), col("sk_b")), 4).as("est_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Flagship curation composition: quality + repetition + contamination
     // + exact-dup keeper fused into one keep/drop decision per document
     // (the per-doc signals are kernel projections; contamination is the

@@ -75,4 +75,41 @@ class KernelNullSpec extends SparkSpec {
     got(1).isNullAt(1) shouldBe true
     got(2).getStruct(1).getLong(0) shouldBe 0L
   }
+
+  test("repetition_stats and best_lang kernels are null- and empty-safe") {
+    val df = Seq((1L, Option("a a b")), (2L, None), (3L, Option("")))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        CurationExpr.repetitionStats(col("t")).as("rs"),
+        CurationExpr.bestLang(col("t"), graft.SparkEntry.langProfiles).as("lg"))
+      .orderBy("id").collect()
+    got(0).getStruct(1).getLong(0) shouldBe 3L // n_tokens
+    got(0).getString(2) should not be null
+    got(1).isNullAt(1) shouldBe true
+    got(1).isNullAt(2) shouldBe true
+    got(2).getStruct(1).getLong(0) shouldBe 0L // empty doc: zero everywhere
+    got(2).getString(2) shouldBe "de"          // all-zero tie -> first sorted lang
+  }
+
+  test("pq kernels: null vectors stay null; wrong dimension throws; zero vector encodes") {
+    val cb = graft.operators.Pq.train(
+      Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)), (2L, Seq(4.0f, 3.0f, 2.0f, 1.0f)))
+        .toDF("id", "v"), "v", m = 2, k = 2, sampleN = 2, iters = 2)
+    val df = Seq(
+      (1L, Option(Seq(1.0f, 2.0f, 3.0f, 4.0f))),
+      (2L, None),
+      (3L, Option(Seq(0.0f, 0.0f, 0.0f, 0.0f))))
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+        PqExpr.encode(col("v"), cb.subDim, cb.k, cb.cents).as("codes"))
+      .orderBy("id").collect()
+    got(0).getAs[Array[Byte]](1).length shouldBe 2
+    got(1).isNullAt(1) shouldBe true
+    got(2).getAs[Array[Byte]](1).length shouldBe 2 // zero vector: valid codes
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      bad.select(PqExpr.encode(col("v"), cb.subDim, cb.k, cb.cents)).collect()
+    }
+    ex.getMessage should include("length")
+  }
 }
