@@ -23,12 +23,14 @@ class GraftExtensionsSpec extends SparkSpec {
         |       dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d,
         |       sign_lsh(array(cast(1.0 AS FLOAT), cast(0.5 AS FLOAT)), 8) AS s,
         |       sign_lsh_bands(array(1.0D, 0.5D), 4, 6) AS sb,
-        |       token_stats('the quick fox').n_tokens AS n""".stripMargin)
+        |       token_stats('the quick fox').n_tokens AS n,
+        |       repetition_stats('a a b').n_distinct AS nd""".stripMargin)
       .collect().head
     row.getAs[Double]("c") shouldBe 1.0 +- 1e-12
     row.getAs[Double]("d") shouldBe 23.0 +- 1e-12
     row.getSeq[Long](3).length shouldBe 6
     row.getAs[Long]("n") shouldBe 3L
+    row.getAs[Long]("nd") shouldBe 2L
   }
 
   test("SQL simhash matches the Column-API kernel") {
