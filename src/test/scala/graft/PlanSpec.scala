@@ -83,4 +83,17 @@ class PlanSpec extends SparkSpec {
     (p should not).include("BroadcastNestedLoopJoin")
     (p should not).include("CartesianProduct")
   }
+
+  test("q_curation_pipeline: hash joins only, no nested-loop join") {
+    val p = planOf("q_curation_pipeline")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_ivfpq_topk: broadcast probe join, no nested-loop join, pruned top-k") {
+    val p = planOf("q_ivfpq_topk")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    p should include("WindowGroupLimit")
+  }
 }
