@@ -40,15 +40,35 @@ object Bench {
           None
         }
       }
-      name -> (if (times.isEmpty) (0.0, 0.0) else (times.min, times.head))
+      name -> times
     }
-    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
-      .mkString("{", ",", "}")
-    val cold = results.map { case (k, (_, c)) => s"\"" + k + "\":" + c }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
+    // A query that failed every rep is OMITTED from the map and the
+    // total (never a 0.0 that would shrink the total); it is only in
+    // "failed", so a regression can't masquerade as a speedup.
+    val ok = results.collect { case (k, ts) if ts.nonEmpty => (k, ts.min, ts.head) }
+    val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","queries":$qs,"first_rep":$cold,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Methodology + first-rep (cold) detail go to stderr: the stdout JSON
+    // line must stay under ~1900 chars so the driver's 2000-char stdout
+    // tail capture contains it COMPLETELY (r01/r02 both had parsed:null
+    // because the line, with the first_rep map inlined, outgrew the tail).
+    val cold = ok.map { case (k, _, c) => f""""$k":$c%.2f""" }.mkString("{", ",", "}")
+    val fullMin = ok.map { case (k, mn, _) => f""""$k":$mn%.3f""" }.mkString("{", ",", "}")
+    System.err.println(
+      s"""[bench-detail] {"reps":$reps,"agg":"min","queries_min":$fullMin,"first_rep":$cold}""")
+    val sfName = new java.io.File(sfDir).getName
+    def emit(fmt: String, keep: Int): String = {
+      // when truncating, keep the slowest queries (the ones a reader
+      // compares across rounds) and say how many were dropped
+      val kept = if (keep >= ok.length) ok else ok.sortBy(-_._2).take(keep)
+      val qs = kept.sortBy(_._1).map { case (k, mn, _) => s""""$k":${fmt.format(mn)}""" }
+        .mkString("{", ",", "}")
+      val trunc = if (keep >= ok.length) "" else s""","qtrunc":${ok.length - keep}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$failedJson$trunc,"sf":"$sfName"}"""
+    }
+    val line = Seq(emit("%.2f", Int.MaxValue), emit("%.1f", Int.MaxValue),
+        emit("%.1f", 40)).find(_.length <= 1900).getOrElse(emit("%.1f", 20))
+    println(line)
     spark.stop()
   }
 }

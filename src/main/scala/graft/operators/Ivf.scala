@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Decode a collected vector cell to doubles regardless of whether the
+    * column was array<float> or array<double> — the kernel expressions
+    * accept both, so the driver-side collect sites must too.
+    */
+  private[graft] def vecToDouble(s: Seq[Any]): Array[Double] =
+    s.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case x => throw new IllegalArgumentException(
+        s"vector element ${x.getClass.getName}; expected float or double")
+    }.toArray
+
   /** Typed Aggregator computing the elementwise mean of float vectors —
     * the custom-UDAF surface (SURVEY.md §2.4 A7), registered per-use via
     * `udaf()`. Buffer is (sums, count); merge is elementwise — classic
@@ -70,7 +82,7 @@ object Ivf {
   private def collectCentroids(centroids: DataFrame): (Array[Long], Array[Array[Double]]) = {
     val rows = centroids.select(col("cluster_id"), col("cvec")).collect()
       .map { r =>
-        val cv = r.getSeq[Float](1).map(_.toDouble).toArray
+        val cv = vecToDouble(r.getSeq[Any](1))
         val norm = math.sqrt(cv.map(x => x * x).sum)
         (r.getLong(0), if (norm > 0) cv.map(_ / norm) else cv)
       }
@@ -100,9 +112,12 @@ object Ivf {
       val (ids, cents) = collectCentroids(centroids)
       assignments = assign(corpus, idCol, vecCol, ids, cents)
       if (it < lloydIters)
+        // explicit narrow to array<float>: CentroidAgg's input encoder is
+        // Seq[Float], and an array<double> vecCol must not depend on
+        // implicit UDAF input coercion
         centroids = assignments
           .groupBy(col("cluster_id"))
-          .agg(centroid(col(vecCol)).as("cvec"))
+          .agg(centroid(col(vecCol).cast("array<float>")).as("cvec"))
       it += 1
     }
     (assignments, centroids)

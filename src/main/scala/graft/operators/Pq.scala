@@ -52,21 +52,27 @@ object Pq {
     val subDim = dim / m
     val cents = Array.tabulate(m) { s =>
       val pts = rows.map(_.slice(s * subDim, (s + 1) * subDim))
-      lloyd(pts, math.min(k, pts.distinct.length), subDim, iters)
+      lloyd(pts, k, subDim, iters)
     }
     Codebooks(m, k, subDim, cents)
   }
 
-  /** Plain Lloyd with deterministic init (first k distinct points) and
-    * empty-cluster carry-over; returns k·subDim flattened centroids.
-    * The overall Codebooks.k is kept even if a subspace had fewer
-    * distinct points — unused slots duplicate the last centroid so LUT
-    * layout stays rectangular.
+  /** Plain Lloyd with deterministic init (first k value-distinct points)
+    * and empty-cluster carry-over; ALWAYS returns k·subDim flattened
+    * centroids. When the sample has fewer than k distinct sub-vectors,
+    * only the first `kEff` slots are trained and the rest duplicate the
+    * last trained centroid — the LUT layout stays rectangular and
+    * encode/lut loops over the full k stay in bounds (duplicate slots
+    * are never argmin-preferred over the identical earlier slot because
+    * ties break toward the lower index).
     */
   private def lloyd(pts: Array[Array[Double]], k: Int, subDim: Int,
                     iters: Int): Array[Double] = {
-    val init = pts.distinct.take(k)
-    val cents = Array.tabulate(k)(c => init(math.min(c, init.length - 1)).clone())
+    // value-based distinct: Array equality is reference equality, so
+    // dedup via toSeq before taking the first-k init points
+    val init = pts.map(_.toSeq).distinct.take(k).map(_.toArray)
+    val kEff = init.length
+    val cents = Array.tabulate(kEff)(c => init(c).clone())
     val assign = new Array[Int](pts.length)
     var it = 0
     while (it < iters) {
@@ -75,7 +81,7 @@ object Pq {
         val p = pts(i)
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < k) {
+        while (c < kEff) {
           var d = 0.0; var j = 0
           while (j < subDim) { val diff = p(j) - cents(c)(j); d += diff * diff; j += 1 }
           if (d < bestD) { bestD = d; best = c }
@@ -84,8 +90,8 @@ object Pq {
         assign(i) = best
         i += 1
       }
-      val sums = Array.fill(k)(new Array[Double](subDim))
-      val counts = new Array[Int](k)
+      val sums = Array.fill(kEff)(new Array[Double](subDim))
+      val counts = new Array[Int](kEff)
       i = 0
       while (i < pts.length) {
         val c = assign(i); counts(c) += 1
@@ -94,7 +100,7 @@ object Pq {
         i += 1
       }
       var c = 0
-      while (c < k) {
+      while (c < kEff) {
         if (counts(c) > 0) {
           var j = 0
           while (j < subDim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
@@ -103,10 +109,12 @@ object Pq {
       }
       it += 1
     }
+    // pad to the requested k: slots beyond kEff repeat the last trained
+    // centroid so downstream encode/lut can loop c < k unconditionally
     val flat = new Array[Double](k * subDim)
     var c = 0
     while (c < k) {
-      System.arraycopy(cents(c), 0, flat, c * subDim, subDim)
+      System.arraycopy(cents(math.min(c, kEff - 1)), 0, flat, c * subDim, subDim)
       c += 1
     }
     flat
@@ -175,7 +183,7 @@ object Pq {
     // collected centroid table — the same driver-side dimension Ivf.build
     // already collects each Lloyd iteration
     val cents = centroids.collect().map { r =>
-      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+      (r.getLong(0), Ivf.vecToDouble(r.getSeq[Any](1)))
     }
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0

@@ -45,8 +45,12 @@ object Sampling {
                       quota: Int): DataFrame = {
     val w = Window.partitionBy(stratumCol)
       .orderBy(md5(idCol.cast("string").cast("binary")).asc, idCol.asc)
-    df.withColumn("_rk", row_number().over(w))
-      .where(col("_rk") <= quota)
-      .drop("_rk")
+    // collision-safe working column: never overwrite (or return) a user
+    // column that happens to share the scratch name
+    val rk = Iterator.from(0).map(i => s"__graft_rk_$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rk, row_number().over(w))
+      .where(col(rk) <= quota)
+      .drop(rk)
   }
 }

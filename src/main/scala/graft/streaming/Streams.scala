@@ -295,7 +295,11 @@ object Streams {
       if (seen.exists() || !rows.hasNext) Iterator.empty
       else {
         seen.update(true)
-        Iterator.single(rows.next()) // first occurrence only, in-batch dups dropped
+        // in-batch duplicates: iterator order after the groupByKey shuffle
+        // is not arrival order, so "first occurrence" within a batch is
+        // defined as minimum event time (id tiebreak) — deterministic
+        // across retries and partitionings
+        Iterator.single(rows.minBy(e => (e.ts.getTime, e.user_id)))
       }
   }
 

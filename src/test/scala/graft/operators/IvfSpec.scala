@@ -36,4 +36,16 @@ class IvfSpec extends SparkSpec {
       .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
     got.map(_._1).toSet shouldBe Set(1L, 2L) // same-cluster vectors only
   }
+
+  test("build/topK accept array<double> vector columns") {
+    // the kernel expressions advertise float|double; the driver-side
+    // centroid collect must not assume Seq[Float]
+    val dvecs = vecs.withColumn("embedding", col("embedding").cast("array<double>"))
+    val queries = dvecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = Ivf.topK(dvecs, "vec_id", "embedding", queries, "query_id", "qv",
+        k = 2, numCentroids = 2, nprobe = 1)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    got.map(_._1).toSet shouldBe Set(1L, 2L)
+  }
 }

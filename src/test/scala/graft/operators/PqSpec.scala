@@ -106,4 +106,43 @@ class PqSpec extends SparkSpec {
     plan should not include "Join"
     plan should include("WindowGroupLimit")
   }
+
+  test("ivfPqTopK accepts array<double> vector columns") {
+    val df = corpus(64).withColumn("embedding", col("embedding").cast("array<double>"))
+    val qs = Seq((0L, Array.tabulate(32)(j => math.cos(j.toDouble))))
+    val got = Pq.ivfPqTopK(df, "vec_id", "embedding", qs, k = 3,
+      numCentroids = 4, nprobe = 2, m = 4, kCodes = 16, sampleN = 64).collect()
+    got.length shouldBe 3
+  }
+
+  test("train pads codebooks to full k when the sample is smaller than k") {
+    // 10 rows, k=64: every subspace trains fewer than k centroids but the
+    // flattened array must still be k·subDim so encode/lut loops stay in
+    // bounds at query time
+    val df = corpus(10)
+    val cb = Pq.train(df, "embedding", m = 4, k = 64, sampleN = 10, iters = 3)
+    cb.k shouldBe 64
+    cb.cents.foreach(_.length shouldBe 64 * cb.subDim)
+    val qs = Seq((0L, Array.tabulate(32)(j => math.sin(j.toDouble))))
+    val got = Pq.topK(Pq.encode(df, "vec_id", "embedding", cb), cb, qs, k = 3).collect()
+    got.length shouldBe 3
+  }
+
+  test("train dedups init points by value, not reference") {
+    // every row is the SAME vector value in fresh arrays: value-distinct
+    // count is 1, so training must degrade to one real centroid (padded)
+    // rather than seed k duplicate centroids from reference-distinct arrays
+    val one = (0 until 16).map(i => (i.toLong, Seq.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Pq.train(one, "embedding", m = 2, k = 8, sampleN = 16, iters = 2)
+    cb.cents.foreach(_.length shouldBe 8 * cb.subDim)
+    // all padded slots equal the single trained centroid
+    cb.cents.foreach { flat =>
+      val first = flat.slice(0, cb.subDim).toSeq
+      (1 until cb.k).foreach { c =>
+        flat.slice(c * cb.subDim, (c + 1) * cb.subDim).toSeq shouldBe first
+      }
+    }
+    Pq.encode(one, "vec_id", "embedding", cb).collect().length shouldBe 16
+  }
 }

@@ -29,6 +29,14 @@ class SamplingSpec extends SparkSpec {
     Sampling.stratifiedExact(tiny, col("grp"), col("id"), 5).count() shouldBe 3L
   }
 
+  test("stratifiedExact never clobbers a user column sharing the scratch name") {
+    val poison = df.withColumn("__graft_rk_0", lit(7L))
+    val got = Sampling.stratifiedExact(poison, col("grp"), col("id"), 3)
+    got.columns should contain("__graft_rk_0")
+    got.select("__graft_rk_0").distinct().as[Long].collect().toSeq shouldBe Seq(7L)
+    got.groupBy("grp").count().as[(String, Long)].collect().toMap.values.toSet shouldBe Set(3L)
+  }
+
   test("stratifiedExact plan prunes to the quota before the shuffle") {
     val plan = Sampling.stratifiedExact(df, col("grp"), col("id"), 7)
       .queryExecution.executedPlan.toString

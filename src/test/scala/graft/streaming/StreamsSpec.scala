@@ -201,10 +201,12 @@ class StreamsSpec extends SparkSpec {
         q.exception.foreach(throw _)
         spark.table(name).count() should be >= n
       }
-      // batch 1: id 1 twice in-batch (values 1.0 then 9.0), id 2 once
+      // batch 1: id 1 twice in-batch, LATER event time added FIRST — the
+      // kept occurrence must be the min-ts row (deterministic choice),
+      // not whichever the post-shuffle iterator happens to yield first
       stream.addData(
-        Event(1L, ts(1), 10L, "click", 1.0),
         Event(1L, ts(2), 10L, "retry", 9.0),
+        Event(1L, ts(1), 10L, "click", 1.0),
         Event(2L, ts(3), 20L, "click", 2.0))
       awaitRows(2)
       // batch 2: id 1 again (cross-batch dup), id 3 new
