@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Curation, Dedup, Ivf, Pq, PrefixMatch, Sampling, Similarity, TemplateFilters}
+import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, Ivf, Pq, PrefixMatch, Sampling, Similarity, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -62,6 +62,29 @@ object SparkEntry {
       val path = tmp.getAbsolutePath + "/nation"
       Tables.nation(s, dir).write.mode("overwrite").json(path)
       path
+    })
+
+  /** Process-lifetime bucketed-table fixture for q_bucket_join: orders
+    * and customer saved bucketed by the join key with matching bucket
+    * counts, so the join (and the downstream key-clustered aggregate)
+    * plans with ZERO exchanges — the co-located layout a 100 TB corpus
+    * would maintain for its hottest join key. Returns (orders, customer)
+    * catalog table names.
+    */
+  private val bucketFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedTablesFixture(s: SparkSession, dir: String): (String, String) =
+    bucketFixtures.computeIfAbsent(dir, _ => {
+      val suffix = (dir.hashCode.toLong & 0xffffffffL).toString
+      val ot = s"graft_orders_b$suffix"
+      val ct = s"graft_customer_b$suffix"
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      (ot, ct)
     })
 
   /** All-pairs embedding near-dup edges (shared by q_embedding_neardup /
@@ -617,6 +640,80 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("keeper_id"))),
 
+    // Exact sub-document dedup at passage granularity: every distinct
+    // 20-word passage keeps only its corpus-wide first occurrence and
+    // documents are reassembled from the survivors (text-level exact
+    // suffix-dedup analog; see Dedup.passageDedup scale notes)
+    "q_passage_dedup" -> ((s, dir) =>
+      Dedup.passageDedup(Tables.documents(s, dir), "doc_id", "text", 20)
+        .select(col("id").as("doc_id"), col("dedup_text"), col("n_kept"))
+        .orderBy(col("doc_id"))),
+
+    // CDC apply / MERGE: highest-sequence change per key wins, deletes
+    // drop the key, unchanged base rows pass through, unseen keys insert.
+    // The change stream is derived deterministically from orders so both
+    // engines construct the identical input (see Cdc scale notes: one
+    // key shuffle, no join, changes never broadcast)
+    "q_cdc_upsert" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val base = orders.select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val changes = orders.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 2, 2).as("price"),
+            lit(1L).as("_seq"),
+            when(col("o_orderkey") % 3 === 0, "D").otherwise("U").as("_op"))
+        .unionByName(orders.where(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 3, 2).as("price"),
+            lit(2L).as("_seq"), lit("U").as("_op")))
+        .unionByName(orders.where(col("o_orderkey") % 11 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            lit(1L).as("_seq"), lit("U").as("_op")))
+      Cdc.applyChanges(base, changes, "o_orderkey", "_seq", "_op")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Co-located bucketed join: both sides pre-bucketed on the join key
+    // (process-lifetime fixture), merge-hinted so the plan exercises the
+    // bucket layout — join AND key-clustered aggregate run with zero
+    // exchanges (plan-locked in PlanSpec)
+    "q_bucket_join" -> ((s, dir) => {
+      val (ot, ct) = bucketedTablesFixture(s, dir)
+      val o = s.table(ot)
+      val c = s.table(ct)
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // K-means corpus clustering (Lloyd over the map-only nearest-centroid
+    // kernel; deterministic lowest-id seeds) — cluster occupancy as the
+    // declared surface (no oracle: k-means isn't SQL-expressible; rows
+    // pinned in EntrySpec, clustering quality implied by IVF recall
+    // benches which share this build)
+    "q_kmeans_sizes" -> ((s, dir) => {
+      val (assignments, _) = Ivf.build(Tables.embeddings(s, dir),
+        "vec_id", "embedding", numCentroids = 8, lloydIters = 2)
+      assignments.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // Mergeable-sketch quantiles (GK summaries): the percentile surface
+    // for cardinalities where exact sort-based percentile is the wrong
+    // plan (no oracle: sketch merge order is engine-specific; the exact
+    // variant q_percentile IS hash-verified against DuckDB)
+    "q_approx_quantile" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+          .as("price_quartiles"))
+        .orderBy(col("l_returnflag"))),
+
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
           numHashes = 32, bands = 8, threshold = 0.5)
@@ -709,6 +806,21 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) => {
       val all = Tables.documents(s, dir)
       Curation.decontaminate(
+          all.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          all.where(col("doc_id") % 50 === 0), "text", k = 3)
+        .select(col("id").as("doc_id"), col("n_sh"), col("n_shared"),
+          round(col("overlap_frac"), 4).as("overlap_frac"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-prefiltered decontamination — identical results to
+    // q_decontaminate (same oracle): the benchmark shingle set rides as
+    // a compact Bloom filter probed map-side, candidates exact-verified
+    // with a shuffle-hash join (never a benchmark-side broadcast) — the
+    // variant for benchmark sets too large to broadcast raw
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Curation.decontaminateBloom(
           all.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
           all.where(col("doc_id") % 50 === 0), "text", k = 3)
         .select(col("id").as("doc_id"), col("n_sh"), col("n_shared"),
@@ -1239,6 +1351,55 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
 
+    "q_passage_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (
+        |  SELECT doc_id, i AS pidx,
+        |         array_to_string(ws[(i-1)*20+1 : i*20], ' ') AS passage
+        |  FROM w, UNNEST(generate_series(1,
+        |    greatest(CAST(ceil(len(ws)/20.0) AS BIGINT), 1))) AS t(i)),
+        |k AS (
+        |  SELECT doc_id, pidx, passage,
+        |         row_number() OVER (PARTITION BY passage
+        |                            ORDER BY doc_id, pidx) AS rn
+        |  FROM p)
+        |SELECT doc_id,
+        |       array_to_string(list(passage ORDER BY pidx), ' ') AS dedup_text,
+        |       count(*) AS n_kept
+        |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_cdc_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        |         CAST(-9223372036854775807 AS BIGINT) - 1 AS _seq, 'U' AS _op
+        |  FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice*2, 2) AS price,
+        |         CAST(1 AS BIGINT) AS _seq,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS _op
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice*3, 2),
+        |         CAST(2 AS BIGINT), 'U'
+        |  FROM orders WHERE o_orderkey % 14 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, round(o_totalprice, 2),
+        |         CAST(1 AS BIGINT), 'U'
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                                   ORDER BY _seq DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_custkey, price
+        |FROM r WHERE rn = 1 AND _op != 'D' ORDER BY o_orderkey""".stripMargin,
+
+    // the bucketed layout is a physical property; logically it's a plain
+    // equi-join + aggregate
+    "q_bucket_join" ->
+      """SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
+
     // Exact n-gram Jaccard: Spark computes over 64-bit shingle hashes,
     // DuckDB over string shingle sets — identical values barring a
     // ~2^-64-probability hash collision.
@@ -1375,6 +1536,28 @@ object SparkEntry {
     // the benchmark's distinct shingle universe is a flattened list and
     // overlap counts come from list_intersect.
     "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t),
+        |bench AS (SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id % 50 = 0)
+        |SELECT doc_id, cast(len(s) AS BIGINT) AS n_sh,
+        |  cast(len(list_intersect(s, bs)) AS BIGINT) AS n_shared,
+        |  round(CASE WHEN len(s) = 0 THEN 0.0
+        |             ELSE len(list_intersect(s, bs)) * 1.0 / len(s) END, 4) AS overlap_frac,
+        |  len(list_intersect(s, bs)) > 0 AS contaminated
+        |FROM sh CROSS JOIN bench WHERE doc_id % 50 != 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Bloom prefilter has no false negatives and survivors are
+    // exact-verified, so the bloom variant matches the exact oracle
+    // verbatim
+    "q_decontaminate_bloom" ->
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_filter(

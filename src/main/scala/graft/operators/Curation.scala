@@ -53,6 +53,47 @@ object Curation {
       .withColumn("contaminated", col("n_shared") > 0L)
   }
 
+  /** Decontamination for benchmark sets too large to broadcast raw: a
+    * Bloom filter over the benchmark's distinct shingle hashes (compact,
+    * ~10 bits/key at 1% fpp — 50× smaller than the 64-bit hash set)
+    * prefilters the exploded document shingles MAP-SIDE, and only the
+    * surviving candidates are exact-verified with a shuffle hash join
+    * against the benchmark hashes. No false negatives (Bloom guarantees
+    * containment), so the result is IDENTICAL to [[decontaminate]] —
+    * same oracle — while the full corpus never joins anything: at 100 TB
+    * the per-row cost is one Bloom probe and the exchange carries only
+    * the candidate fraction (≈ true overlap + fpp).
+    *
+    * The exact-verify join is pinned to shuffle-hash rather than left to
+    * the planner: at test scale Catalyst would broadcast the benchmark
+    * side, which is exactly the plan this variant exists to avoid.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         k: Int = 3, fpp: Double = 0.01): DataFrame = {
+    val benchSh = bench.select(
+        explode(DedupExpr.shingleHashes(
+          TextAnalytics.tokens(col(benchTextCol)), k)).as("h")).distinct()
+      .localCheckpoint(true) // reused: bloom build AND exact-verify join
+    val bloom = benchSh.stat.bloomFilter("h",
+      math.max(benchSh.count(), 1L), fpp)
+    val shingled = docs.select(col(idCol).as("id"),
+        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
+      .localCheckpoint(true)
+    val candidates = shingled.select(col("id"), explode(col("sh")).as("h"))
+      .where(CurationExpr.bloomMightContain(col("h"), bloom))
+    val shared = candidates.join(benchSh.hint("shuffle_hash"), Seq("h"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    shingled.select(col("id"), size(col("sh")).cast("long").as("n_sh"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"), col("n_sh"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_frac",
+        when(col("n_sh") === 0L, lit(0.0))
+          .otherwise(col("n_shared").cast("double") / col("n_sh")))
+      .withColumn("contaminated", col("n_shared") > 0L)
+  }
+
   /** Gopher-style per-document repetition signals from the one-pass
     * [[graft.functions.CurationKernels.repetitionStats]] kernel:
     *   - dup_token_frac:  1 − distinct/total tokens

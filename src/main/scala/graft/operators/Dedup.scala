@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{DedupExpr, TextAnalytics}
 
@@ -402,5 +403,47 @@ object Dedup {
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------ passage dedup
+
+  /** Exact sub-document dedup at passage granularity (the document-level
+    * analog of suffix-array substring dedup): split each document into
+    * fixed `passageWords`-word passages, keep each distinct passage's
+    * globally FIRST occurrence (lowest (doc_id, position)), and
+    * reassemble surviving passages in document order. Documents whose
+    * every passage occurred earlier elsewhere vanish entirely.
+    *
+    * Scale shape: passages explode map-side from a single scan; the only
+    * shuffles are the first-occurrence window (keyed by passage text)
+    * and the per-document reassembly aggregate — both WindowGroupLimit/
+    * partial-agg friendly. At 100 TB, key the window by xxhash64 of the
+    * passage instead of the text to shrink the exchange to 8 bytes/row
+    * (kept as text here so the DuckDB oracle can reproduce it exactly).
+    *
+    * Returns (id, dedup_text, n_kept).
+    */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+                   passageWords: Int = 20): DataFrame = {
+    val pw = passageWords
+    val words = split(col(textCol), " ")
+    // ceil(n/pw) passages; sequence is clamped to ≥1 so an empty text
+    // contributes its single empty passage rather than a [1,0] range
+    val nP = greatest(ceil(size(words) / lit(pw.toDouble)).cast("int"), lit(1))
+    val passages = transform(sequence(lit(1), nP),
+      i => array_join(slice(words, (i - lit(1)) * pw + lit(1), lit(pw)), " "))
+    val rk = "__graft_passage_rk"
+    val w = Window.partitionBy(col("passage"))
+      .orderBy(col("id").asc, col("pidx").asc)
+    docs.select(col(idCol).as("id"), posexplode(passages).as(Seq("pos", "passage")))
+      .select(col("id"), (col("pos") + 1).as("pidx"), col("passage"))
+      .withColumn(rk, row_number().over(w))
+      .where(col(rk) === 1)
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pidx"), col("passage")))),
+            s => s.getField("passage")), " ").as("dedup_text"),
+        count(lit(1)).as("n_kept"))
   }
 }

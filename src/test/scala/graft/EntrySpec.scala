@@ -16,6 +16,7 @@ class EntrySpec extends SparkSpec {
     // the full rows-only list — additions here must be justified in SURVEY §8
     rowsOnly shouldBe Set("q_minhash_pairs", "q_simhash_pairs", "q_lsh_topk",
       "q_ivf_topk", "q_pq_topk", "q_ivfpq_topk", "q_fingerprint", "q_approx_distinct",
-      "q_embedding_neardup_lsh", "q_source_similarity")
+      "q_embedding_neardup_lsh", "q_source_similarity", "q_kmeans_sizes",
+      "q_approx_quantile")
   }
 }

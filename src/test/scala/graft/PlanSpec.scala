@@ -96,4 +96,33 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
     p should include("WindowGroupLimit")
   }
+
+  test("q_bucket_join: co-located bucketed join+agg plans with zero exchanges") {
+    val p = planOf("q_bucket_join")
+    p should include("SortMergeJoin")
+    p should include("Bucketed: true")
+    // the entire join+aggregate pipeline rides the bucket layout — the
+    // only allowed exchange is the final ORDER BY's range repartition
+    p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("rangepartitioning")).toSeq shouldBe empty
+  }
+
+  test("q_cdc_upsert: no join — union + map-side-pruned rank window") {
+    val p = planOf("q_cdc_upsert")
+    (p should not).include("Join")
+    p should include("WindowGroupLimit")
+    p should include("Union")
+  }
+
+  test("q_decontaminate_bloom: bloom probe map-side, shuffle-hash verify, no bench broadcast join") {
+    val p = planOf("q_decontaminate_bloom")
+    p should include("bloom_might_contain")
+    p should include("ShuffledHashJoin")
+  }
+
+  test("q_passage_dedup: passage window prunes to first occurrence map-side") {
+    val p = planOf("q_passage_dedup")
+    p should include("WindowGroupLimit")
+    (p should not).include("Join")
+  }
 }

@@ -60,6 +60,32 @@ class CurationSpec extends SparkSpec {
     (n, dupTok, topTok, dupBg)
   }
 
+  test("decontaminateBloom is result-identical to exact decontaminate") {
+    // Bloom has no false negatives and survivors are exact-verified, so
+    // the outputs must match row-for-row — including zero-overlap and
+    // empty docs — at any fpp
+    val docs = (0L until 200L).map { i =>
+      (i, if (i % 3 == 0) s"alpha beta gamma doc$i words here"
+          else s"unique${i} tokens${i} only${i} never${i} shared${i}")
+    }.toDF("doc_id", "text")
+    val bench = Seq((900L, "alpha beta gamma doc0")).toDF("doc_id", "text")
+    val exact = Curation.decontaminate(docs, "doc_id", "text", bench, "text")
+      .orderBy("id").collect().map(_.toSeq)
+    val bloomed = Curation.decontaminateBloom(docs, "doc_id", "text", bench, "text",
+        fpp = 0.1) // deliberately loose: false positives must be verified away
+      .orderBy("id").collect().map(_.toSeq)
+    bloomed.toSeq shouldBe exact.toSeq
+  }
+
+  test("decontaminateBloom plan: map-side bloom probe, shuffle-hash verify, no bench broadcast before verify") {
+    val docs = (0L until 50L).map(i => (i, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val bench = Seq((900L, "w0 x0 y0 z0")).toDF("doc_id", "text")
+    val plan = Curation.decontaminateBloom(docs, "doc_id", "text", bench, "text")
+      .queryExecution.executedPlan.toString
+    plan should include("bloom_might_contain")
+    plan should include("ShuffledHashJoin")
+  }
+
   test("repetitionStats matches a plain-Scala reference on varied inputs") {
     val texts = Seq(
       "a a a a",

@@ -170,4 +170,25 @@ class DedupSpec extends SparkSpec {
     m((1L, 3L)) shouldBe 0.6 +- 1e-9
     m.keySet should not contain ((1L, 4L))
   }
+
+  test("passageDedup keeps first occurrence per passage, reassembles in order, drops fully-dup docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), // passages: "a b", "c d"
+      (2L, "a b x y"), // "a b" seen in doc 1 → keeps only "x y"
+      (3L, "a b"),     // fully duplicate → document vanishes
+      (4L, "c d e")    // "c d" dup; trailing short passage "e" survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs, "doc_id", "text", passageWords = 2)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    got shouldBe Seq((1L, "a b c d", 2L), (2L, "x y", 1L), (4L, "e", 1L))
+  }
+
+  test("passageDedup: empty text forms one empty passage; first empty doc keeps it") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, ""), (3L, "w")).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs, "doc_id", "text", passageWords = 2)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    got shouldBe Seq((1L, "", 1L), (3L, "w", 1L))
+  }
 }
