@@ -321,4 +321,65 @@ object Streams {
       .transformWithState(new DedupProcessor(ttl),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
+
+  // --------------------------------------------------------- streaming CDC
+
+  /** One change to key `k`: upsert ('U') or delete ('D') at sequence
+    * `seq`. The streaming twin of [[graft.operators.Cdc.applyChanges]]'s
+    * change rows.
+    */
+  case class Change(k: Long, v: Double, seq: Long, op: String)
+
+  /** Changelog emission: the key's current applied value after this
+    * batch (deleted = a 'D' currently wins).
+    */
+  case class Applied(k: Long, v: Double, seq: Long, deleted: Boolean)
+
+  /** Continuous MERGE: per key, keep the highest-sequence change ever
+    * seen and emit the key's new current row whenever a batch changes it
+    * — a materialized-upsert-view changelog. Late or replayed changes
+    * with a lower sequence than the applied one are ignored, which is
+    * what makes the stream idempotent under at-least-once delivery.
+    * Batch/stream parity: folding the emitted changelog (last emission
+    * per key, dropping deleted) equals [[graft.operators.Cdc
+    * .applyChanges]] over the same changes — asserted in StreamsSpec.
+    *
+    * Same RocksDB state-store requirement as [[sessionizeTws]]; state is
+    * one (seq, v, deleted) triple per live key, so executor state stays
+    * bounded by key cardinality, not stream length.
+    */
+  class CdcProcessor extends StatefulProcessor[Long, Change, Applied] {
+    @transient private var cur: ValueState[(Long, Double, Boolean)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[(Long, Double, Boolean)]("cur",
+        Encoders.product[(Long, Double, Boolean)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Change],
+                                 timerValues: TimerValues): Iterator[Applied] = {
+      val prev = if (cur.exists()) Some(cur.get()) else None
+      // highest seq wins; ties break to 'D' (a delete at the same seq as
+      // an upsert is taken as the later intent) then value order, so the
+      // winner never depends on iterator order
+      val winner = rows.maxByOption(c => (c.seq, c.op == "D", c.v))
+      winner match {
+        case Some(w) if prev.forall(_._1 < w.seq) =>
+          cur.update((w.seq, w.v, w.op == "D"))
+          Iterator.single(Applied(key, w.v, w.seq, w.op == "D"))
+        case _ => Iterator.empty // stale/lower-seq batch: no state change
+      }
+    }
+  }
+
+  /** Apply a CDC change stream as a continuously-maintained upsert view
+    * (see [[CdcProcessor]]). Emits the changelog; the sink (or a
+    * `foreachBatch` MERGE into storage) materializes it.
+    */
+  def cdcStream(changes: Dataset[Change]): Dataset[Applied] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.k)
+      .transformWithState(new CdcProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }

@@ -80,6 +80,27 @@ object DedupBench {
     val t6c = System.nanoTime()
     println(s"""{"metric":"decontaminate","docs":${n + n / 10},"bench_docs":${n / 1000},"contaminated":$nContam,"planted_found":$dPlanted,"planted_total":${n / 10000},"sec":${(t6c - t6b) / 1e9},"cpus":$cpus}""")
 
+    // Bloom-prefiltered variant: must find exactly the same contaminated
+    // set (no false negatives; survivors exact-verified) — reported as a
+    // match flag plus its own wall time
+    val t6d = System.nanoTime()
+    val deconB = graft.operators.Curation.decontaminateBloom(
+      docs.where(!isBench), "doc_id", "text",
+      docs.where(isBench), "text", k = 3).localCheckpoint(true)
+    val nContamB = deconB.where(col("contaminated")).count()
+    val t6e = System.nanoTime()
+    println(s"""{"metric":"decontaminate_bloom","docs":${n + n / 10},"contaminated":$nContamB,"matches_exact":${nContamB == nContam},"sec":${(t6e - t6d) / 1e9},"cpus":$cpus}""")
+
+    // Passage-level exact dedup: each planted near-dup differs from its
+    // base doc in ONE token, so 3 of its 4 20-word passages are exact
+    // repeats and must be dropped (the mutated passage survives).
+    val t6f = System.nanoTime()
+    val pd = Dedup.passageDedup(docs, "doc_id", "text", 20).localCheckpoint(true)
+    val pdDocs = pd.count()
+    val pdKept = pd.agg(sum(col("n_kept"))).head().getLong(0)
+    val t6g = System.nanoTime()
+    println(s"""{"metric":"passage_dedup","docs":${n + n / 10},"surviving_docs":$pdDocs,"kept_passages":$pdKept,"total_passages":${(n + n / 10) * 4},"sec":${(t6g - t6f) / 1e9},"cpus":$cpus}""")
+
     // Embedding near-dup at scale: n pseudorandom 64-dim vectors plus
     // n/10 planted near-duplicates (component noise in [-0.05, 0.05]
     // over components in [-1, 1] ⇒ cosine ≈ 0.998). Banded sign-LSH with

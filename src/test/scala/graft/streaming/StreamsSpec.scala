@@ -182,6 +182,56 @@ class StreamsSpec extends SparkSpec {
     got shouldBe batch
   }
 
+  test("cdcStream: continuous MERGE changelog; fold equals batch Cdc.applyChanges") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Change]
+      val name = s"mem_${System.nanoTime()}"
+      val q = cdcStream(stream.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      // transformWithState in ProcessingTime mode re-triggers housekeeping
+      // batches, so processAllAvailable's no-new-data condition may never
+      // latch (same operational note as dedupTws) — poll the sink instead
+      def awaitRows(nRows: Long): Unit = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (spark.table(name).count() < nRows && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        q.exception.foreach(throw _)
+        spark.table(name).count() should be >= nRows
+      }
+      val b1 = Seq(Change(1L, 1.0, 1L, "U"), Change(2L, 2.0, 1L, "U"),
+        Change(1L, 1.5, 2L, "U")) // in-batch: highest seq wins immediately
+      val b2 = Seq(Change(1L, 9.0, 1L, "U"), // stale replay: ignored
+        Change(2L, 0.0, 3L, "D"), Change(3L, 3.0, 1L, "U"))
+      stream.addData(b1: _*); awaitRows(2)
+      stream.addData(b2: _*); awaitRows(4)
+      q.stop()
+      val log = spark.table(name).as[Applied].collect()
+      // batch 1 emitted each key's winner; the stale batch-2 change for
+      // key 1 emitted NOTHING
+      log.count(_.k == 1L) shouldBe 1
+      log.find(_.k == 1L).get.v shouldBe 1.5
+      // fold the changelog: last emission per key, deleted keys dropped
+      val folded = log.groupBy(_.k).view.mapValues(_.maxBy(_.seq)).toMap
+        .collect { case (k, a) if !a.deleted => (k, a.v) }.toMap
+      // batch parity over the same changes from an empty base
+      import spark.implicits._
+      val base = Seq.empty[(Long, Double)].toDF("k", "v")
+      val changes = (b1 ++ b2).toDF("k", "v", "seq", "op")
+      val batch = graft.operators.Cdc.applyChanges(base, changes, "k", "seq", "op")
+        .as[(Long, Double)].collect().toMap
+      folded shouldBe batch
+      folded shouldBe Map(1L -> 1.5, 3L -> 3.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedupTws (transformWithState + TTL state): first occurrence kept across batches") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
