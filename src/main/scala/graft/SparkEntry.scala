@@ -78,11 +78,18 @@ object SparkEntry {
       val suffix = (dir.hashCode.toLong & 0xffffffffL).toString
       val ot = s"graft_orders_b$suffix"
       val ct = s"graft_customer_b$suffix"
+      // external tables under a fresh per-process temp dir: a managed
+      // table's warehouse location outlives the in-memory catalog, so a
+      // second JVM would hit LOCATION_ALREADY_EXISTS on saveAsTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toFile
+      tmp.deleteOnExit()
       Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite").format("parquet")
+        .option("path", s"${tmp.getAbsolutePath}/orders")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
       Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment")
         .write.mode("overwrite").format("parquet")
+        .option("path", s"${tmp.getAbsolutePath}/customer")
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
       (ot, ct)
     })
