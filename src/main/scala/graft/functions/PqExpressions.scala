@@ -76,6 +76,53 @@ object PqKernels {
     codes
   }
 
+  /** Residual encode: normalize the vector, subtract its IVF cluster's
+    * (normalized) centroid, and PQ-encode the residual. Residuals are
+    * much smaller in magnitude than raw vectors on clustered data, so
+    * the same m·k codebook budget quantizes them with far less error —
+    * the standard FAISS IVF-PQ composition. `ids` must be sorted
+    * (binary-searched per row); centroids are pre-normalized like the
+    * `nearest_centroid` kernel's.
+    */
+  def encodeResidual(v: ArrayData, isF: Boolean, cid: Long, ids: Array[Long],
+                     cnorm: Array[Array[Double]], subDim: Int, k: Int,
+                     cents: Array[Array[Double]]): Array[Byte] = {
+    val m = cents.length
+    val x = normalized(v, isF)
+    if (x.length != m * subDim) throw new IllegalArgumentException(
+      s"pq_encode_residual requires vectors of length ${m * subDim}, got ${x.length}")
+    val ci = java.util.Arrays.binarySearch(ids, cid)
+    if (ci < 0) throw new IllegalArgumentException(
+      s"pq_encode_residual: unknown cluster_id $cid")
+    val c = cnorm(ci)
+    var i = 0
+    while (i < x.length) { x(i) -= c(i); i += 1 }
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cs = cents(s)
+      val base = s * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var cc = 0
+      while (cc < k) {
+        var d = 0.0
+        var j = 0
+        val cb = cc * subDim
+        while (j < subDim) {
+          val diff = x(base + j) - cs(cb + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = cc }
+        cc += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    codes
+  }
+
   /** ADC score of one code row against ONE of the Q query LUTs (chosen
     * per row — the IVF-PQ probe join tags each row with its query).
     */
@@ -145,6 +192,40 @@ case class PqEncodeExpr(child: Expression, subDim: Int, k: Int,
     copy(child = newChild)
 }
 
+/** codes = pq_encode_residual(vec, cluster_id): BinaryType of m bytes —
+  * the vector's PQ codes relative to its IVF cluster centroid.
+  */
+case class PqEncodeResidualExpr(left: Expression, right: Expression,
+                                ids: Array[Long], cnorm: Array[Array[Double]],
+                                subDim: Int, k: Int, cents: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode_residual"
+  private def isF: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode_residual requires (array<float|double>, bigint), got (${l.simpleString}, ${r.simpleString})")
+    }
+  override protected def nullSafeEval(vec: Any, cid: Any): Any =
+    PqKernels.encodeResidual(vec.asInstanceOf[ArrayData], isF,
+      cid.asInstanceOf[Long], ids, cnorm, subDim, k, cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ivfIds", ids, "long[]")
+    val cnormRef = ctx.addReferenceObj("ivfCnorm", cnorm, "double[][]")
+    val centsRef = ctx.addReferenceObj("pqCents", cents, "double[][]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.PqKernels.encodeResidual($v, $isF, $c, $idsRef, $cnormRef, $subDim, $k, $centsRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** scores = pq_adc_scores(codes): array<double>, one ADC score per query LUT. */
 case class PqAdcScoresExpr(child: Expression, k: Int, luts: Array[Array[Double]])
   extends UnaryExpression {
@@ -191,6 +272,11 @@ case class PqAdcScoreAtExpr(left: Expression, right: Expression, k: Int,
 object PqExpr {
   def encode(v: Column, subDim: Int, k: Int, cents: Array[Array[Double]]): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v), subDim, k, cents))
+  def encodeResidual(v: Column, clusterId: Column, ids: Array[Long],
+                     cnorm: Array[Array[Double]], subDim: Int, k: Int,
+                     cents: Array[Array[Double]]): Column =
+    ColumnBridge.column(PqEncodeResidualExpr(ColumnBridge.expression(v),
+      ColumnBridge.expression(clusterId), ids, cnorm, subDim, k, cents))
   def adcScores(codes: Column, k: Int, luts: Array[Array[Double]]): Column =
     ColumnBridge.column(PqAdcScoresExpr(ColumnBridge.expression(codes), k, luts))
   def adcScoreAt(codes: Column, qidx: Column, k: Int, luts: Array[Array[Double]]): Column =

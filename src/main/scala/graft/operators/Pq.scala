@@ -35,17 +35,41 @@ object Pq {
     * representative. Vectors are L2-normalized before training, so ADC
     * scores approximate cosine.
     */
+  private def normalizeD(s: Array[Double]): Array[Double] = {
+    val n = math.sqrt(s.map(x => x * x).sum)
+    if (n > 0) s.map(_ / n) else s
+  }
+
   def train(corpus: DataFrame, vecCol: String, m: Int, k: Int = 256,
             sampleN: Int = 10000, iters: Int = 10): Codebooks = {
     val rows: Array[Array[Double]] = corpus.select(col(vecCol)).limit(sampleN)
+      .collect().map { r: Row => normalizeD(Ivf.vecToDouble(r.getSeq[Any](0))) }
+    trainOn(rows, m, k, iters)
+  }
+
+  /** Train codebooks on IVF residuals (normalized vector − its cluster's
+    * normalized centroid): residual magnitudes on clustered data are a
+    * fraction of raw magnitudes, so the same m·k codebook budget spends
+    * its resolution where the corpus actually varies — the standard
+    * FAISS IVF-PQ composition. `ids` must be sorted; `cnorm` normalized.
+    */
+  def trainResidual(assignments: DataFrame, vecCol: String, clusterCol: String,
+                    ids: Array[Long], cnorm: Array[Array[Double]], m: Int,
+                    k: Int = 256, sampleN: Int = 10000, iters: Int = 10): Codebooks = {
+    val rows: Array[Array[Double]] = assignments
+      .select(col(vecCol), col(clusterCol)).limit(sampleN)
       .collect().map { r: Row =>
-        val s = r.getSeq[Any](0).map {
-          case f: Float => f.toDouble
-          case d: Double => d
-        }.toArray
-        val n = math.sqrt(s.map(x => x * x).sum)
-        if (n > 0) s.map(_ / n) else s
+        val x = normalizeD(Ivf.vecToDouble(r.getSeq[Any](0)))
+        val ci = java.util.Arrays.binarySearch(ids, r.getLong(1))
+        require(ci >= 0, s"pq trainResidual: unknown cluster ${r.getLong(1)}")
+        val c = cnorm(ci)
+        Array.tabulate(x.length)(i => x(i) - c(i))
       }
+    trainOn(rows, m, k, iters)
+  }
+
+  private def trainOn(rows: Array[Array[Double]], m: Int, k: Int,
+                      iters: Int): Codebooks = {
     require(rows.nonEmpty, "pq train: empty sample")
     val dim = rows.head.length
     require(dim % m == 0, s"pq train: dim $dim not divisible by m=$m")
@@ -166,47 +190,66 @@ object Pq {
     * itself shuffles only once, at IVF build, keyed by cluster.
     *
     * `queries` is bounded and driver-side (LUTs are literals in the
-    * plan); centroids are the already-bounded IVF dimension. Codebooks
-    * are trained on the raw corpus (not residuals — simpler, and recall
-    * is measured, see SimBench).
+    * plan); centroids are the already-bounded IVF dimension.
+    *
+    * `residual = true` (default) trains the codebooks on IVF residuals
+    * and scores as q·c (exact, a probe-table constant) + q·PQ(residual)
+    * (LUT lookups) — the same plan shape, markedly lower quantization
+    * error on clustered data (see PqSpec / SimBench). `residual = false`
+    * keeps the raw-vector codebooks (the variant whose exhaustive-probe
+    * scores are provably identical to full-scan [[topK]]).
     */
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
                 queries: Seq[(Long, Array[Double])], k: Int,
                 numCentroids: Int, nprobe: Int = 4,
                 m: Int = 16, kCodes: Int = 256, sampleN: Int = 10000,
-                roundTo: Int = 6): DataFrame = {
+                roundTo: Int = 6, residual: Boolean = true): DataFrame = {
     val (assignments, centroids) = Ivf.build(corpus, idCol, vecCol, numCentroids)
-    val cb = train(corpus, vecCol, m, kCodes, sampleN)
-    val encoded = assignments.select(col("cluster_id"), col(idCol).as("id"),
-      PqExpr.encode(col(vecCol), cb.subDim, cb.k, cb.cents).as("codes"))
-    // nprobe nearest centroids per query, computed on the (bounded)
-    // collected centroid table — the same driver-side dimension Ivf.build
-    // already collects each Lloyd iteration
+    // the (bounded) collected centroid table — the same driver-side
+    // dimension Ivf.build already collects each Lloyd iteration
     val cents = centroids.collect().map { r =>
       (r.getLong(0), Ivf.vecToDouble(r.getSeq[Any](1)))
+    }.sortBy(_._1)
+    val ids = cents.map(_._1)
+    val cnorm = cents.map { case (_, v) => normalizeD(v) }
+    val cb =
+      if (residual) trainResidual(assignments, vecCol, "cluster_id", ids, cnorm,
+        m, kCodes, sampleN)
+      else train(corpus, vecCol, m, kCodes, sampleN)
+    val encodeCol =
+      if (residual) PqExpr.encodeResidual(col(vecCol), col("cluster_id"),
+        ids, cnorm, cb.subDim, cb.k, cb.cents)
+      else PqExpr.encode(col(vecCol), cb.subDim, cb.k, cb.cents)
+    val encoded = assignments.select(col("cluster_id"), col(idCol).as("id"),
+      encodeCol.as("codes"))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
     }
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
-    }
+    // nprobe nearest centroids per query; each probe pair also carries
+    // q̂·ĉ — the exact centroid term of the residual decomposition
+    // q̂·x̂ ≈ q̂·ĉ + q̂·PQ(x̂−ĉ) — so scoring adds a broadcast-joined
+    // constant, never a per-row vector op
     val probePairs = queries.zipWithIndex.flatMap { case ((_, qv), qi) =>
-      cents.map { case (cid, cv) => (cos(qv, cv), cid) }
-        .sortBy { case (sim, cid) => (-sim, cid) }
-        .take(nprobe).map { case (_, cid) => (cid, qi) }
+      val qn = normalizeD(qv)
+      ids.indices.map { ci => (dot(qn, cnorm(ci)), ids(ci), ci) }
+        .sortBy { case (sim, cid, _) => (-sim, cid) }
+        .take(nprobe).map { case (sim, cid, _) => (cid, qi, sim) }
     }
     val spark = corpus.sparkSession
     import spark.implicits._
-    val probes = broadcast(probePairs.toDF("cluster_id", "qidx"))
+    val probes = broadcast(probePairs.toDF("cluster_id", "qidx", "qdotc"))
     val luts = queries.map(q => lut(cb, q._2)).toArray
     val qidArr = array(queries.map(q => lit(q._1)): _*)
+    val adc = PqExpr.adcScoreAt(col("codes"), col("qidx"), cb.k, luts)
+    val score = if (residual) col("qdotc") + adc else adc
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("neighbor_id").asc)
     encoded.join(probes, Seq("cluster_id"))
       .select(element_at(qidArr, col("qidx") + 1).as("query_id"),
         col("id").as("neighbor_id"),
-        round(PqExpr.adcScoreAt(col("codes"), col("qidx"), cb.k, luts), roundTo)
-          .as("adc_score"))
+        round(score, roundTo).as("adc_score"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

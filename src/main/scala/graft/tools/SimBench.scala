@@ -69,13 +69,16 @@ object SimBench {
     println(s"""{"metric":"pq_topk","vectors":$n,"queries":$nq,"train_sec":${(t4 - t3) / 1e9},"encode_sec":${(t5 - t4) / 1e9},"query_sec":${(t6 - t5) / 1e9},"pq_top1":$pqHits,"cpus":$cpus}""")
 
     // IVF-PQ: coarse-probe nprobe/numCentroids of the corpus, ADC inside
-    val t7 = System.nanoTime()
-    val ivfpq = graft.operators.Pq.ivfPqTopK(corpus, "vec_id", "embedding",
-      qSeq, k = 1, numCentroids = 64, nprobe = 8, m = 16, kCodes = 256,
-      sampleN = 10000)
-    val ivfpqHits = ivfpq.where(col("neighbor_id") === col("query_id") - n).count()
-    val t8 = System.nanoTime()
-    println(s"""{"metric":"ivfpq_topk","vectors":$n,"queries":$nq,"sec":${(t8 - t7) / 1e9},"ivfpq_top1":$ivfpqHits,"cpus":$cpus}""")
+    // — both codebook modes, same budget: raw vs IVF-residual encoding
+    for (residual <- Seq(false, true)) {
+      val t7 = System.nanoTime()
+      val ivfpq = graft.operators.Pq.ivfPqTopK(corpus, "vec_id", "embedding",
+        qSeq, k = 1, numCentroids = 64, nprobe = 8, m = 16, kCodes = 256,
+        sampleN = 10000, residual = residual)
+      val ivfpqHits = ivfpq.where(col("neighbor_id") === col("query_id") - n).count()
+      val t8 = System.nanoTime()
+      println(s"""{"metric":"ivfpq_topk","residual":$residual,"vectors":$n,"queries":$nq,"sec":${(t8 - t7) / 1e9},"ivfpq_top1":$ivfpqHits,"cpus":$cpus}""")
+    }
     spark.stop()
   }
 }

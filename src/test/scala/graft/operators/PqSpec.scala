@@ -75,16 +75,48 @@ class PqSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
     val got = Pq.ivfPqTopK(df, "vec_id", "embedding", queries, k = 5,
-        numCentroids = 8, nprobe = 8, m = 16, kCodes = 64, sampleN = 400)
+        numCentroids = 8, nprobe = 8, m = 16, kCodes = 64, sampleN = 400,
+        residual = false)
       .select("query_id", "neighbor_id", "adc_score")
       .as[(Long, Long, Double)].collect()
     // with nprobe = numCentroids the probe is exhaustive, so results must
-    // EQUAL the full-scan PQ top-k (same codebooks, same scores)
+    // EQUAL the full-scan PQ top-k (same raw codebooks, same scores)
     val cb = Pq.train(df, "embedding", m = 16, k = 64, sampleN = 400)
     val full = Pq.topK(Pq.encode(df, "vec_id", "embedding", cb), cb, queries, k = 5)
       .select("query_id", "neighbor_id", "adc_score")
       .as[(Long, Long, Double)].collect()
     got.sortBy(r => (r._1, -r._3, r._2)) shouldBe full.sortBy(r => (r._1, -r._3, r._2))
+  }
+
+  test("residual IVF-PQ: tighter cosine approximation than raw codebooks at equal budget") {
+    val df = corpus(400).localCheckpoint(true)
+    val queries = df.where(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    // exact cosine scores as ground truth (self-match ≈ 1.0 at rank 1)
+    def run(res: Boolean) = Pq.ivfPqTopK(df, "vec_id", "embedding", queries,
+        k = 5, numCentroids = 8, nprobe = 8, m = 16, kCodes = 16, sampleN = 400,
+        residual = res)
+      .select("query_id", "neighbor_id", "adc_score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val res = run(true)
+    val raw = run(false)
+    // ADC is an approximation of the true cosine; residual encoding must
+    // approximate it more tightly than raw codebooks of the same (small,
+    // k=16) budget across every returned pair — the point of residuals
+    val vecs = df.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val qmap = queries.toMap
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def meanErr(rows: Array[(Long, Long, Double, Int)]) =
+      rows.map { case (q, n, s, _) => math.abs(s - cosine(qmap(q), vecs(n))) }
+        .sum / rows.length
+    meanErr(res) should be < meanErr(raw)
+    meanErr(res) should be < 0.05
   }
 
   test("ivfPqTopK plan: probe pair table broadcast, no shuffle of the code table beyond the build") {
