@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, Ivf, Pq, PrefixMatch, Sampling, Similarity, TemplateFilters}
+import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, Ivf, Packing, Pq, PrefixMatch, Sampling, Similarity, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -710,6 +710,30 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // Sequence packing (GPT-style concat-and-chunk): global token start
+    // offsets from a two-level prefix sum (per-block totals broadcast +
+    // within-block windows — never a single-partition window over the
+    // corpus), sequences = floor(start/budget); per-sequence occupancy
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("toks"))
+      Packing.packSequences(docs, "doc_id", "toks", budget = 512L, blockSize = 64L)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy(col("seq_id"))
+    }),
+
+    // Deterministic weighted data mixture: per-source md5-threshold keep
+    // rates (upsample curated, downsample crawl, drop the rest) — pure
+    // function of (id, source), map-only, engine-exact
+    "q_source_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.where(Packing.sourceMixture(docs, col("doc_id"), col("source"),
+          Map("src0" -> "ff", "src1" -> "c0", "src2" -> "80", "src3" -> "40")))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Mergeable-sketch quantiles (GK summaries): the percentile surface
     // for cardinalities where exact sort-based percentile is the wrong
     // plan (no oracle: sketch merge order is engine-specific; the exact
@@ -1398,6 +1422,33 @@ object SparkEntry {
         |                                   ORDER BY _seq DESC) AS rn FROM u)
         |SELECT o_orderkey, o_custkey, price
         |FROM r WHERE rn = 1 AND _op != 'D' ORDER BY o_orderkey""".stripMargin,
+
+    // flat-window oracle for the two-level prefix sum: same offsets
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |         x -> length(x) > 0)) AS BIGINT) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    coalesce(sum(toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |  FROM t)
+        |SELECT CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs, sum(toks) AS n_tokens
+        |FROM s GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    "q_source_mixture" ->
+      """SELECT source, count(*) AS n_kept
+        |FROM documents
+        |WHERE CASE source
+        |  WHEN 'src0' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'ff'
+        |  WHEN 'src1' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+        |  WHEN 'src2' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        |  WHEN 'src3' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |  ELSE false END
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // the bucketed layout is a physical property; logically it's a plain
     // equi-join + aggregate

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the batch-assembly stage of a pretraining
+  * pipeline: documents are laid out in a deterministic order,
+  * concatenated, and cut into fixed token-budget sequences (documents
+  * may straddle a cut — the usual GPT-style concat-and-chunk layout).
+  * Each document's global token start offset decides its sequence:
+  * seq_id = floor(start / budget).
+  *
+  * Scale shape: a global prefix sum is computed as a TWO-LEVEL scan,
+  * never a single-partition window. Documents group into deterministic
+  * id-range blocks; per-block token totals (a bounded, block-count-sized
+  * table) get running offsets on the driver-scale side, broadcast back,
+  * and each document's offset is its block offset + a within-block
+  * window cumsum (partitioned by block — parallel, WindowExec never sees
+  * the whole corpus in one partition). The same construction DuckDB
+  * reproduces with a flat window, so the result is oracle-exact.
+  */
+object Packing {
+
+  /** (id, toks, seq_id) for every document. `idCol` must be numeric
+    * (block = floor(id / blockSize)); `tokensCol` is the document's
+    * token count.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, blockSize: Long = 4096L): DataFrame = {
+    require(budget > 0 && blockSize > 0, s"budget $budget / blockSize $blockSize")
+    val withBlock = docs.select(col(idCol).as("id"),
+      col(tokensCol).cast("long").as("toks"),
+      floor(col(idCol) / blockSize).cast("long").as("_blk"))
+    // level 1: block totals → running block offsets. The window is
+    // global but over the BLOCK table (corpus_size / blockSize rows —
+    // the bounded dimension), not the corpus.
+    val wBlk = Window.orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = withBlock.groupBy(col("_blk"))
+      .agg(sum(col("toks")).as("_bt"))
+      .select(col("_blk"), coalesce(sum(col("_bt")).over(wBlk), lit(0L)).as("_boff"))
+    // level 2: within-block cumsum, partitioned by block
+    val wIn = Window.partitionBy(col("_blk")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withBlock.join(broadcast(blockOffsets), Seq("_blk"))
+      .select(col("id"), col("toks"),
+        (col("_boff") + coalesce(sum(col("toks")).over(wIn), lit(0L))).as("_start"))
+      .select(col("id"), col("toks"),
+        floor(col("_start") / budget.toDouble).cast("long").as("seq_id"))
+  }
+
+  /** Deterministic weighted source mixture: keep a row iff the md5-hex
+    * of its id is below the source's threshold — the data-mixture knob
+    * (upsample curated sources, downsample crawl) with md5 parity across
+    * engines ([[Sampling.md5Sample]]'s contract), no RNG state, and
+    * map-only execution (the filter rides the scan).
+    */
+  def sourceMixture(docs: DataFrame, idCol: Column, sourceCol: Column,
+                    hexThresholds: Map[String, String]): Column = {
+    require(hexThresholds.nonEmpty &&
+      hexThresholds.values.map(_.length).toSet.size == 1,
+      "hexThresholds must be non-empty hex prefixes of one common length")
+    val h = substring(md5(idCol.cast("string").cast("binary")), 1,
+      hexThresholds.values.head.length)
+    hexThresholds.foldLeft(lit(false)) { case (acc, (src, thr)) =>
+      acc || (sourceCol === src && h < thr)
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: offsets equal a flat prefix sum regardless of block size") {
+    val docs = (0L until 100L).map(i => (i, 1L + (i % 7))).toDF("doc_id", "toks")
+    // ground truth: flat cumulative start offsets
+    val flat = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).scanLeft((-1L, 0L, 0L)) { case ((_, _, acc), (id, t)) =>
+        (id, t, acc + t)
+      }.drop(1).map { case (id, t, cum) => id -> (cum - t) / 30 }.toMap
+    for (blockSize <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = Packing.packSequences(docs, "doc_id", "toks", budget = 30L,
+          blockSize = blockSize)
+        .select("id", "seq_id").as[(Long, Long)].collect().toMap
+      got shouldBe flat
+    }
+  }
+
+  test("packSequences: every sequence except the last starts within budget boundaries") {
+    val docs = (0L until 500L).map(i => (i, 5L + (i % 11))).toDF("doc_id", "toks")
+    val seqs = Packing.packSequences(docs, "doc_id", "toks", budget = 100L, blockSize = 50L)
+      .groupBy("seq_id").agg(sum("toks").as("n")).orderBy("seq_id")
+      .as[(Long, Long)].collect()
+    // seq ids are dense from 0 (documents straddle cuts, so every budget
+    // window contains at least one document start here)
+    seqs.map(_._1).toSeq shouldBe (0L until seqs.length.toLong)
+    // total token conservation
+    seqs.map(_._2).sum shouldBe docs.agg(sum("toks")).head().getLong(0)
+  }
+
+  test("packSequences plan: corpus window is partitioned by block, not global") {
+    val docs = (0L until 100L).map(i => (i, 1L)).toDF("doc_id", "toks")
+    val plan = Packing.packSequences(docs, "doc_id", "toks", budget = 30L, blockSize = 10L)
+      .queryExecution.executedPlan.toString
+    // the corpus-side window must carry the block partition key (spec =
+    // partition keys then ordering); the only unpartitioned window is
+    // over the bounded block-totals table
+    (plan should include).regex("windowspecdefinition\\(_blk#\\d+L, id#")
+  }
+
+  test("sourceMixture keeps deterministic per-source fractions and drops unlisted sources") {
+    val docs = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val keep = Packing.sourceMixture(docs, col("doc_id"), col("source"),
+      Map("src0" -> "ff", "src1" -> "80", "src2" -> "1a"))
+    val counts = docs.where(keep).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    counts.keySet shouldBe Set("src0", "src1", "src2") // src3 dropped
+    counts("src0").toDouble / 1000 shouldBe 1.0 +- 0.01   // ff ≈ every prefix
+    counts("src1").toDouble / 1000 shouldBe 0.5 +- 0.06   // 80/100 of 256
+    counts("src2").toDouble / 1000 shouldBe 0.10 +- 0.04  // 1a = 26/256
+    // deterministic: same rows again
+    docs.where(keep).agg(sum("doc_id")).head().getLong(0) shouldBe
+      docs.where(keep).agg(sum("doc_id")).head().getLong(0)
+  }
+
+  test("sourceMixture rejects mixed-length thresholds") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "source")
+    an[IllegalArgumentException] should be thrownBy
+      Packing.sourceMixture(docs, col("doc_id"), col("source"),
+        Map("a" -> "ff", "b" -> "8"))
+  }
+}
