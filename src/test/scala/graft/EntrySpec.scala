@@ -19,4 +19,27 @@ class EntrySpec extends SparkSpec {
       "q_embedding_neardup_lsh", "q_source_similarity", "q_kmeans_sizes",
       "q_approx_quantile")
   }
+
+  test("rows-only queries return their pinned sf0.001 row counts") {
+    // the driver's check for un-oracled queries is rows > 0 only; this
+    // pins the exact counts (all are deterministic — hash-derived or
+    // fixed-k — so a drifting count means changed semantics, not noise)
+    val expected = Map(
+      "q_minhash_pairs" -> 28L,
+      "q_simhash_pairs" -> 27L,
+      "q_lsh_topk" -> 11L,
+      "q_ivf_topk" -> 25L,
+      "q_pq_topk" -> 25L,
+      "q_ivfpq_topk" -> 25L,
+      "q_fingerprint" -> 500L,
+      "q_approx_distinct" -> 3L,
+      "q_embedding_neardup_lsh" -> 66L,
+      "q_source_similarity" -> 190L,
+      "q_kmeans_sizes" -> 8L,
+      "q_approx_quantile" -> 3L)
+    val dir = "/root/testdata/sf0.001"
+    val got = expected.keys.toSeq.sorted
+      .map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
+    got shouldBe expected
+  }
 }
