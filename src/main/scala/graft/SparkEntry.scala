@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, Ivf, Packing, Pq, PrefixMatch, Sampling, Similarity, TemplateFilters}
+import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Sampling, Similarity, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -734,6 +734,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Heavy hitters via a mergeable Misra-Gries summary (bounded k-entry
+    // state per partial aggregate — the frequent-tokens tool when exact
+    // groupBy would shuffle billions of distinct keys). k=64 exceeds this
+    // corpus's vocabulary, so the summary is provably exact and the
+    // DuckDB exact GROUP BY oracle hash-matches; the lossy regime's
+    // error bounds are property-tested in HeavyHittersSpec
+    "q_heavy_hitters" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalytics.tokens(col("text"))).as("tok"))
+        .agg(HeavyHitters.misraGries(col("tok"), 64).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e._1").as("token"), col("e._2").as("est_count"))
+        .orderBy(col("est_count").desc, col("token"))),
+
     // Mergeable-sketch quantiles (GK summaries): the percentile surface
     // for cardinalities where exact sort-based percentile is the wrong
     // plan (no oracle: sketch merge order is engine-specific; the exact
@@ -1422,6 +1436,16 @@ object SparkEntry {
         |                                   ORDER BY _seq DESC) AS rn FROM u)
         |SELECT o_orderkey, o_custkey, price
         |FROM r WHERE rn = 1 AND _op != 'D' ORDER BY o_orderkey""".stripMargin,
+
+    // exact oracle is valid because k=64 ≥ the 31-token vocabulary (MG
+    // is exact when nothing is ever evicted)
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS est_count
+        |FROM t GROUP BY token ORDER BY est_count DESC, token""".stripMargin,
 
     // flat-window oracle for the two-level prefix sum: same offsets
     "q_pack_sequences" ->
