@@ -39,9 +39,9 @@ object Cdc {
     val rk = Iterator.from(0).map(i => s"__graft_cdc_rk_$i")
       .find(n => !payload.contains(n)).get
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
-    b.unionByName(changes.select(b.columns.map(col): _*))
+    b.unionByName(changes.select(b.columns.toIndexedSeq.map(col): _*))
       .withColumn(rk, row_number().over(w))
       .where(col(rk) === 1 && col(opCol) =!= "D")
-      .select(payload.map(col): _*)
+      .select(payload.toIndexedSeq.map(col): _*)
   }
 }

@@ -250,7 +250,7 @@ object Streams {
       if (session.exists()) {
         val s = session.get()
         // guard against a stale timer that predates a session extension
-        if (expired.getExpiryTimeInMs >= s.lastMs + gapMs) {
+        if (expired.getExpiryTimeInMs() >= s.lastMs + gapMs) {
           session.clear()
           Iterator(SessionOut(userId, s.nEvents, s.total, s.startMs, s.lastMs))
         } else Iterator.empty
