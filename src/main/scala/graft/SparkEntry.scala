@@ -64,6 +64,26 @@ object SparkEntry {
       path
     })
 
+  /** Process-lifetime Z-ordered parquet fixture for q_zorder_scan:
+    * lineitem's (l_partkey, l_suppkey) plane laid out along the Morton
+    * curve so 2-d box predicates prune at row-group granularity (the
+    * pruning factor is metric-asserted in LayoutSpec; the declared query
+    * is logically a plain filtered aggregate, so the raw-parquet oracle
+    * hash-matches).
+    */
+  private val zorderFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderFixture(s: SparkSession, dir: String): String =
+    zorderFixtures.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
+      tmp.deleteOnExit()
+      val path = tmp.getAbsolutePath + "/lineitem_z"
+      graft.sources.Layout.writeZordered(
+        Tables.lineitem(s, dir).select("l_partkey", "l_suppkey",
+          "l_returnflag", "l_quantity"),
+        "l_partkey", "l_suppkey", path, numFiles = 16)
+      path
+    })
+
   /** Process-lifetime bucketed-table fixture for q_bucket_join: orders
     * and customer saved bucketed by the join key with matching bucket
     * counts, so the join (and the downstream key-clustered aggregate)
@@ -733,6 +753,17 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))
     }),
+
+    // 2-d box query over the Z-ordered layout: logically a plain filtered
+    // aggregate (oracle = same SQL on raw parquet); physically the Morton
+    // layout lets row-group stats prune both range predicates at once
+    "q_zorder_scan" -> ((s, dir) =>
+      s.read.parquet(zorderFixture(s, dir))
+        .where(col("l_partkey").between(50, 99) &&
+          col("l_suppkey").between(2, 5))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))),
 
     // Heavy hitters via a mergeable Misra-Gries summary (bounded k-entry
     // state per partial aggregate — the frequent-tokens tool when exact
@@ -1436,6 +1467,13 @@ object SparkEntry {
         |                                   ORDER BY _seq DESC) AS rn FROM u)
         |SELECT o_orderkey, o_custkey, price
         |FROM r WHERE rn = 1 AND _op != 'D' ORDER BY o_orderkey""".stripMargin,
+
+    // the Z-order layout is physical only; results equal the raw scan
+    "q_zorder_scan" ->
+      """SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 99 AND l_suppkey BETWEEN 2 AND 5
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // exact oracle is valid because k=64 ≥ the 31-token vocabulary (MG
     // is exact when nothing is ever evicted)

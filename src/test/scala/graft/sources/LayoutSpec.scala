@@ -36,4 +36,47 @@ class LayoutSpec extends SparkSpec {
     joined.count() shouldBe 4
     spark.sql("DROP TABLE t_bucketed")
   }
+
+  test("zorder kernel: interleaved bits, monotone in each dimension at fixed other") {
+    import graft.functions.ZorderKernels._
+    interleave(0L, 0L) shouldBe 0L
+    interleave(1L, 0L) shouldBe 1L         // x at even bit positions
+    interleave(0L, 1L) shouldBe 2L         // y at odd
+    interleave(3L, 3L) shouldBe 15L
+    interleave(0xffffffffL, 0xffffffffL) shouldBe -1L // all 64 bits set
+    // fixing y, growing x grows the key (and vice versa)
+    val k1 = interleave(100L, 7L); val k2 = interleave(200L, 7L)
+    (k2 > k1) shouldBe true
+  }
+
+  /** Rows surviving parquet row-group/page pruning = the scan node's
+    * output-rows metric (the row-level residual filter sits above it).
+    */
+  private def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .filter(_.nodeName.toLowerCase.contains("scan"))
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("writeZordered: 2-d box predicate prunes row groups that a random layout cannot") {
+    // 40k points on a 200×200 grid, deterministic pseudo-random order
+    val pts = spark.range(40000L).select(
+      pmod(xxhash64(col("id")), lit(200)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(200)).as("y"),
+      col("id").as("v"))
+    val base = Files.createTempDirectory("zorder").toFile.getAbsolutePath
+    pts.repartition(16).write.parquet(s"$base/random")
+    Layout.writeZordered(pts, "x", "y", s"$base/zordered", numFiles = 16)
+    val box = (d: org.apache.spark.sql.DataFrame) =>
+      d.where(col("x").between(20, 39) && col("y").between(140, 159))
+    val exact = box(spark.read.parquet(s"$base/random")).count()
+    box(spark.read.parquet(s"$base/zordered")).count() shouldBe exact
+    val randScanned = scannedRows(box(spark.read.parquet(s"$base/random")))
+    val zScanned = scannedRows(box(spark.read.parquet(s"$base/zordered")))
+    // random layout: every row group's min/max spans the whole grid → no
+    // pruning. Z-order: the 1% box overlaps only a few curve segments.
+    randScanned shouldBe 40000L
+    zScanned.toDouble should be < randScanned.toDouble / 3
+  }
 }
