@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Render the driver-facing stdout JSON line. Extracted so the two
+    * contract properties are unit-testable (BenchLineSpec):
+    *   - a query that failed every rep appears ONLY in "failed" — never
+    *     in the per-query map or the total (a 0.0 would make a broken
+    *     query look like a speedup);
+    *   - the line stays ≤ 1900 chars (the driver captures a 2000-char
+    *     stdout tail; r01/r02 both had parsed:null because the old line
+    *     outgrew it) via a precision/truncation ladder, keeping the
+    *     slowest queries when truncation is forced.
+    */
+  private[graft] def renderLine(ok: Seq[(String, Double)], failed: Seq[String],
+                                sfName: String): String = {
+    val total = ok.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def emit(fmt: String, keep: Int): String = {
+      val kept = if (keep >= ok.length) ok else ok.sortBy(-_._2).take(keep)
+      val qs = kept.sortBy(_._1).map { case (k, mn) => s""""$k":${fmt.format(mn)}""" }
+        .mkString("{", ",", "}")
+      val trunc = if (keep >= ok.length) "" else s""","qtrunc":${ok.length - keep}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$failedJson$trunc,"sf":"$sfName"}"""
+    }
+    Seq(emit("%.2f", Int.MaxValue), emit("%.1f", Int.MaxValue), emit("%.1f", 40))
+      .find(_.length <= 1900).getOrElse(emit("%.1f", 20))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,8 +47,7 @@ object Bench {
     // min of `reps` runs per query: single-shot timings at this scale are
     // dominated by JIT/GC happenstance of whatever ran before (observed
     // 0.35 s ↔ 1.7 s swings on unchanged queries across JVMs); the min is
-    // the stable estimator for cross-round comparison. Methodology is
-    // declared in the emitted JSON ("reps"/"agg").
+    // the stable estimator for cross-round comparison.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
@@ -33,8 +59,6 @@ object Bench {
           fn(spark, sfDir).queryExecution.toRdd.count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
-          // a failing query must be loud and must never shrink the total:
-          // record it in the emitted JSON and log the cause to stderr
           if (!failed.contains(name)) failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           None
@@ -42,33 +66,15 @@ object Bench {
       }
       name -> times
     }
-    // A query that failed every rep is OMITTED from the map and the
-    // total (never a 0.0 that would shrink the total); it is only in
-    // "failed", so a regression can't masquerade as a speedup.
     val ok = results.collect { case (k, ts) if ts.nonEmpty => (k, ts.min, ts.head) }
-    val total = ok.map(_._2).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Methodology + first-rep (cold) detail go to stderr: the stdout JSON
-    // line must stay under ~1900 chars so the driver's 2000-char stdout
-    // tail capture contains it COMPLETELY (r01/r02 both had parsed:null
-    // because the line, with the first_rep map inlined, outgrew the tail).
+    // Methodology + first-rep (cold) detail go to stderr — kept off the
+    // size-limited stdout line.
     val cold = ok.map { case (k, _, c) => f""""$k":$c%.2f""" }.mkString("{", ",", "}")
     val fullMin = ok.map { case (k, mn, _) => f""""$k":$mn%.3f""" }.mkString("{", ",", "}")
     System.err.println(
       s"""[bench-detail] {"reps":$reps,"agg":"min","queries_min":$fullMin,"first_rep":$cold}""")
-    val sfName = new java.io.File(sfDir).getName
-    def emit(fmt: String, keep: Int): String = {
-      // when truncating, keep the slowest queries (the ones a reader
-      // compares across rounds) and say how many were dropped
-      val kept = if (keep >= ok.length) ok else ok.sortBy(-_._2).take(keep)
-      val qs = kept.sortBy(_._1).map { case (k, mn, _) => s""""$k":${fmt.format(mn)}""" }
-        .mkString("{", ",", "}")
-      val trunc = if (keep >= ok.length) "" else s""","qtrunc":${ok.length - keep}"""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$failedJson$trunc,"sf":"$sfName"}"""
-    }
-    val line = Seq(emit("%.2f", Int.MaxValue), emit("%.1f", Int.MaxValue),
-        emit("%.1f", 40)).find(_.length <= 1900).getOrElse(emit("%.1f", 20))
-    println(line)
+    println(renderLine(ok.map { case (k, mn, _) => (k, mn) },
+      failed.toSeq, new java.io.File(sfDir).getName))
     spark.stop()
   }
 }

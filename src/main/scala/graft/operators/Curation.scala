@@ -75,8 +75,12 @@ object Curation {
         explode(DedupExpr.shingleHashes(
           TextAnalytics.tokens(col(benchTextCol)), k)).as("h")).distinct()
       .localCheckpoint(true) // reused: bloom build AND exact-verify join
-    val bloom = benchSh.stat.bloomFilter("h",
-      math.max(benchSh.count(), 1L), fpp)
+    val nBench = benchSh.count()
+    // stat.bloomFilter NPEs on an empty relation (null aggregate buffer);
+    // an empty benchmark means a never-matching filter
+    val bloom =
+      if (nBench > 0) benchSh.stat.bloomFilter("h", nBench, fpp)
+      else org.apache.spark.util.sketch.BloomFilter.create(1)
     val shingled = docs.select(col(idCol).as("id"),
         DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
       .localCheckpoint(true)

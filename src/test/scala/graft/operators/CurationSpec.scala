@@ -77,6 +77,18 @@ class CurationSpec extends SparkSpec {
     bloomed.toSeq shouldBe exact.toSeq
   }
 
+  test("decontaminateBloom with an empty benchmark flags nothing") {
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Curation.decontaminateBloom(docs, "doc_id", "text", bench, "text")
+      .orderBy("id").collect()
+    got.length shouldBe 2
+    got.foreach { r =>
+      r.getLong(2) shouldBe 0L        // n_shared
+      r.getBoolean(4) shouldBe false  // contaminated
+    }
+  }
+
   test("decontaminateBloom plan: map-side bloom probe, shuffle-hash verify, no bench broadcast before verify") {
     val docs = (0L until 50L).map(i => (i, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
     val bench = Seq((900L, "w0 x0 y0 z0")).toDF("doc_id", "text")
