@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes a 2000-char stdout TAIL and json-parses the bench
+// line. sbt's default LoggedOutput prefixes forked stdout with "[info] "
+// (and merges the child's stderr in as log lines), which made BENCH_r01–r03
+// all come back parsed:null. StdoutOutput passes the child's stdout/stderr
+// through raw; showSuccess drops the trailing "[success] Total time" line
+// so the JSON line is the last thing on stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

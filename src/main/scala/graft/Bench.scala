@@ -8,10 +8,11 @@ object Bench {
     *   - a query that failed every rep appears ONLY in "failed" — never
     *     in the per-query map or the total (a 0.0 would make a broken
     *     query look like a speedup);
-    *   - the line stays ≤ 1900 chars (the driver captures a 2000-char
-    *     stdout tail; r01/r02 both had parsed:null because the old line
-    *     outgrew it) via a precision/truncation ladder, keeping the
-    *     slowest queries when truncation is forced.
+    *   - the line stays ≤ 1950 chars (the driver captures a 2000-char
+    *     stdout tail; r01/r02 had parsed:null because the old line outgrew
+    *     it, r03 because sbt's logger prefixed it with "[info] " — fixed
+    *     via run/outputStrategy in build.sbt) via a precision/truncation
+    *     ladder, keeping the slowest queries when truncation is forced.
     */
   private[graft] def renderLine(ok: Seq[(String, Double)], failed: Seq[String],
                                 sfName: String): String = {
@@ -25,7 +26,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$failedJson$trunc,"sf":"$sfName"}"""
     }
     Seq(emit("%.2f", Int.MaxValue), emit("%.1f", Int.MaxValue), emit("%.1f", 40))
-      .find(_.length <= 1900).getOrElse(emit("%.1f", 20))
+      .find(_.length <= 1950).getOrElse(emit("%.1f", 20))
   }
 
   def main(args: Array[String]): Unit = {
@@ -67,12 +68,19 @@ object Bench {
       name -> times
     }
     val ok = results.collect { case (k, ts) if ts.nonEmpty => (k, ts.min, ts.head) }
-    // Methodology + first-rep (cold) detail go to stderr — kept off the
-    // size-limited stdout line.
+    // Methodology + first-rep (cold) detail go to a FILE, not stderr: if
+    // the driver captures merged stdout+stderr, a long detail line would
+    // eat the 2000-char tail budget the compact line must fit in (this is
+    // exactly what polluted the r03 tail).
     val cold = ok.map { case (k, _, c) => f""""$k":$c%.2f""" }.mkString("{", ",", "}")
     val fullMin = ok.map { case (k, mn, _) => f""""$k":$mn%.3f""" }.mkString("{", ",", "}")
-    System.err.println(
-      s"""[bench-detail] {"reps":$reps,"agg":"min","queries_min":$fullMin,"first_rep":$cold}""")
+    val detail =
+      s"""{"reps":$reps,"agg":"min","queries_min":$fullMin,"first_rep":$cold}"""
+    try {
+      val f = java.nio.file.Paths.get("target", "bench-detail.json")
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.write(f, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => System.err.println(s"[bench-detail] $detail") }
     println(renderLine(ok.map { case (k, mn, _) => (k, mn) },
       failed.toSeq, new java.io.File(sfDir).getName))
     spark.stop()

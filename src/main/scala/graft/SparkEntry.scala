@@ -782,12 +782,16 @@ object SparkEntry {
     // Mergeable-sketch quantiles (GK summaries): the percentile surface
     // for cardinalities where exact sort-based percentile is the wrong
     // plan (no oracle: sketch merge order is engine-specific; the exact
-    // variant q_percentile IS hash-verified against DuckDB)
+    // variant q_percentile IS hash-verified against DuckDB). Flattened to
+    // scalar columns — the driver's rows-only path sorts the dump with
+    // pandas, which cannot hash an array<double> cell (r03 err).
     "q_approx_quantile" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"),
             array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-          .as("price_quartiles"))
+          .as("q"))
+        .select(col("l_returnflag"), col("q")(0).as("p25"),
+          col("q")(1).as("p50"), col("q")(2).as("p75"))
         .orderBy(col("l_returnflag"))),
 
     "q_minhash_pairs" -> ((s, dir) =>
@@ -1498,7 +1502,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
         |  FROM t)
         |SELECT CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
-        |       count(*) AS n_docs, sum(toks) AS n_tokens
+        |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM s GROUP BY 1 ORDER BY seq_id""".stripMargin,
 
     "q_source_mixture" ->
