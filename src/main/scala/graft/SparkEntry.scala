@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Sampling, Similarity, TemplateFilters}
+import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, Funnel, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Retrieval, Sampling, Similarity, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -1063,7 +1063,87 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // Ordered conversion funnel (first-touch, time-bounded steps): one
+    // min-aggregate per step, user-keyed joins only — no per-user
+    // sequence reassembly, no windows
+    "q_funnel" -> ((s, dir) =>
+      Funnel.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq(Funnel.Step("view"),
+            Funnel.Step("click", Some(2L * 3600)),
+            Funnel.Step("purchase", Some(24L * 3600))))
+        .orderBy(col("step"))),
+
+    // Deterministic epoch shuffle WITH a global rank: order by a salted
+    // md5 key, rank via the two-level globalOrderIndex (block = first
+    // hex digit — a monotone prefix of the key; never a one-partition
+    // window). The rank column makes the shuffle order itself
+    // hash-verified — the driver compare sorts rows, so order-only
+    // output would not pin the permutation.
+    "q_shuffle_rank" -> ((s, dir) => {
+      val keyed = Tables.documents(s, dir).select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":ep1")).cast("binary")).as("skey"))
+      Packing.globalOrderIndex(keyed, substring(col("skey"), 1, 1),
+          Seq(col("skey"), col("doc_id")))
+        .select(col("doc_id"), col("skey"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
+    // Curriculum binning: exact distributed NTILE(4) over the (hash-
+    // verified) quality score — global rank from the two-level scan,
+    // bucket from integer arithmetic, so the oracle is DuckDB's own
+    // ntile window under the identical total order
+    "q_quality_bins" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalytics.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+      val ranked = Packing.globalOrderIndex(scored,
+        floor(col("quality") * 10).cast("int"), Seq(col("quality"), col("doc_id")))
+      val n = ranked.agg(count(lit(1)).as("_n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("source"),
+          Packing.ntileFromRank(col("rank"), col("_n"), 4).as("bin"))
+        .groupBy(col("bin"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bin"), col("source"))
+    }),
+
+    // BPE merge candidates: corpus-wide adjacent token-pair counts (the
+    // first tokenizer-training step) — zip_with'd shifted slices explode
+    // to pairs, one count aggregate
+    "q_bpe_pairs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalytics.tokenPairs(col("text"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+        .orderBy(col("n").desc, col("a"), col("b"))),
+
+    // Okapi BM25 against a fixed term set: term-matched explode (the
+    // filter rides the scan), broadcast df/avgdl, one doc-keyed shuffle
+    "q_bm25" -> ((s, dir) =>
+      Retrieval.bm25(Tables.documents(s, dir), "doc_id", "text",
+          Seq("vector", "hash", "stream"))
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"))),
+
+    // Exact k-NN graph (all-pairs oracle anchor at test scale — the
+    // 100 TB build is q_knn_graph_lsh below)
+    "q_knn_graph" -> ((s, dir) =>
+      Retrieval.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding", k = 3)
+        .select(col("src"), col("dst"), col("sim"), col("rk").cast("long").as("rk"))
+        .orderBy(col("src"), col("rk"))),
+
+    // The scale path: k-NN graph over banded sign-LSH candidate pairs —
+    // the corpus is never self-joined; recall vs the exact graph is
+    // measured in RetrievalSpec (hash-derived planes → rows-only)
+    "q_knn_graph_lsh" -> ((s, dir) =>
+      Retrieval.knnGraphFromPairs(
+          Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+            threshold = 0.2, planesPerBand = 2, bands = 16), k = 3)
+        .select(col("src"), col("dst"), round(col("cos_sim"), 6).as("sim"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("src"), col("rk")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1797,6 +1877,90 @@ object SparkEntry {
         |          OR (epoch_ns(ts)//1000000000) - (lag(epoch_ns(ts)//1000000000) OVER w) > 1800
         |        THEN 1 ELSE 0 END AS new_s
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) t
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) AS t1 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND ts > t0
+        |        AND ts <= t0 + INTERVAL 7200 SECOND GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND ts > t1
+        |        AND ts <= t1 + INTERVAL 86400 SECOND GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS name, count(*) AS n_users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM c
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p
+        |ORDER BY step""".stripMargin,
+
+    "q_shuffle_rank" ->
+      """SELECT doc_id, skey, rank FROM (
+        |  SELECT doc_id, md5(cast(doc_id AS VARCHAR) || ':ep1') AS skey,
+        |    row_number() OVER (
+        |      ORDER BY md5(cast(doc_id AS VARCHAR) || ':ep1'), doc_id) AS rank
+        |  FROM documents) t
+        |ORDER BY rank""".stripMargin,
+
+    // ntile over the identical (quality, doc_id) total order — the
+    // quality expression is q_quality_score's hash-verified formula
+    "q_quality_bins" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  round((least(length(text) / 500.0, 1.0)
+        |   + 1.0 - least(
+        |       (CASE WHEN length(text) = 0 THEN 0.0
+        |             ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |        END) * 5.0, 1.0)
+        |   + 1.0 - abs(
+        |       (CASE WHEN len(toks) = 0 THEN 0.0
+        |             ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |        END) - 0.4)) / 3.0, 4) AS quality
+        |FROM (SELECT doc_id, source,
+        |        list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks,
+        |        text
+        |      FROM documents) a),
+        |b AS (SELECT source,
+        |        ntile(4) OVER (ORDER BY quality, doc_id) AS bin FROM q)
+        |SELECT bin, source, count(*) AS n_docs FROM b
+        |GROUP BY bin, source ORDER BY bin, source""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'),
+        |                  x -> length(x) > 0) AS l FROM documents),
+        |p AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |      FROM t WHERE len(l) >= 2)
+        |SELECT z[1] AS a, z[2] AS b, count(*) AS n FROM p
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY n DESC, a, b""".stripMargin,
+
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> length(x) > 0) AS l FROM documents),
+        |dl AS (SELECT doc_id, cast(len(l) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM (
+        |         SELECT doc_id, unnest(l) AS term FROM toks) u
+        |       WHERE term IN ('vector','hash','stream') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |    * tf * (1.2 + 1.0)
+        |    / (tf + ((dl / avgdl) * 0.75 + (1.0 - 0.75)) * 1.2)), 4) AS score
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_knn_graph" ->
+      """SELECT src, dst, sim, rk FROM (
+        |  SELECT a.vid AS src, b.vid AS dst,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS sim,
+        |    row_number() OVER (PARTITION BY a.vid
+        |      ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |               b.vid) AS rk
+        |  FROM (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings) a
+        |  JOIN (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings) b
+        |    ON a.vid <> b.vid) t
+        |WHERE rk <= 3 ORDER BY src, rk""".stripMargin
   )
 }

@@ -116,6 +116,21 @@ object TextAnalytics {
     best.getField("lang")
   }
 
+  /** Adjacent token pairs — the BPE merge-candidate unit: the first
+    * tokenizer-training step counts these corpus-wide and merges the
+    * most frequent pair. zip_with over two shifted slices; docs with
+    * < 2 tokens yield an empty array. Shuffle-free per document; the
+    * corpus-wide count is a plain groupBy over the exploded pairs.
+    */
+  def tokenPairs(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    when(n < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(zip_with(
+        slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+        (a, b) => struct(a.as("a"), b.as("b"))))
+  }
+
   /** Rolling fingerprint over tokens (order-sensitive 64-bit document
     * hash): acc = xxhash64(acc, token), i.e. a chained hash. Deterministic
     * and collision-resistant enough for dedup bucketing. A polynomial

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered event-funnel analysis: how many users completed step 1, then
+  * step 2 *after* step 1 (optionally within a time bound), and so on —
+  * the standard product-analytics conversion query, and the shape used
+  * to mine ordered interaction traces from event logs.
+  *
+  * Semantics (first-touch): a user's step-i time is the EARLIEST event
+  * of step i's type that is strictly after their step-(i-1) time and
+  * within `maxGap` of it. First-touch (min) rather than any-touch keeps
+  * the result a pure aggregate — no per-user sequence reassembly.
+  *
+  * Scale shape: one aggregation per step over events pre-filtered to
+  * that step's type (filter pushed to the scan), each joined to the
+  * previous step's (user, ts) table on the user key. Every shuffle is
+  * keyed by user id — co-partitioned end to end under AQE — and carries
+  * (user, timestamp) pairs only, never event payloads. No windows, no
+  * per-user sequence materialization.
+  */
+object Funnel {
+
+  /** One funnel stage: match events of `eventType`; `maxGapSeconds`
+    * bounds the gap from the previous stage (None = unbounded).
+    */
+  final case class Step(eventType: String, maxGapSeconds: Option[Long] = None)
+
+  /** Per-step (user, step time) tables, step-1 first. */
+  def stepTimes(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, steps: Seq[Step]): Seq[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.where(col(typeCol) === steps.head.eventType)
+      .groupBy(col(userCol).as("user")).agg(min(col(tsCol)).as("t"))
+    steps.tail.foldLeft(Vector(first)) { (acc, step) =>
+      val prev = acc.last.select(col("user"), col("t").as("_tprev"))
+      val gapOk = step.maxGapSeconds match {
+        case Some(g) => col(tsCol) <= col("_tprev") + expr(s"INTERVAL '$g' SECOND")
+        case None    => lit(true)
+      }
+      acc :+ events.where(col(typeCol) === step.eventType)
+        .join(prev, col(userCol) === col("user"))
+        .where(col(tsCol) > col("_tprev") && gapOk)
+        .groupBy(col("user")).agg(min(col(tsCol)).as("t"))
+    }
+  }
+
+  /** The funnel summary: (step, name, n_users) per stage. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[Step]): DataFrame =
+    stepTimes(events, userCol, tsCol, typeCol, steps).zipWithIndex
+      .map { case (df, i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"),
+            lit(steps(i).eventType).as("name"), col("n_users"))
+      }
+      .reduce(_.unionAll(_))
+}

@@ -50,6 +50,51 @@ object Packing {
         floor(col("_start") / budget.toDouble).cast("long").as("seq_id"))
   }
 
+  /** Global 1-based rank of every row under a total order, computed as a
+    * TWO-LEVEL scan (the [[packSequences]] construction generalized): no
+    * single-partition window ever sees the corpus. `blockCol` must be
+    * monotone non-decreasing along the total order (a coarse prefix of
+    * the sort key — e.g. the first hex digit when ordering by an md5
+    * key); `orderCols` break ties WITHIN a block to a total order.
+    * Level 1 ranks the bounded block table (counts → running offsets),
+    * level 2 is a per-block row_number — parallel across blocks.
+    *
+    * This is the scale-shaped `zipWithIndex`-by-key: epoch shuffles
+    * (rank by a salted hash), exact distributed ntile ([[ntileFromRank]]),
+    * and stable sample indexing all sit on it.
+    */
+  def globalOrderIndex(df: DataFrame, blockCol: Column,
+                       orderCols: Seq[Column]): DataFrame = {
+    val withBlk = df.withColumn("_blk", blockCol)
+    val wBlk = Window.orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBlk.groupBy(col("_blk"))
+      .agg(count(lit(1)).as("_bn"))
+      .select(col("_blk"), coalesce(sum(col("_bn")).over(wBlk), lit(0L)).as("_boff"))
+    val wIn = Window.partitionBy(col("_blk")).orderBy(orderCols: _*)
+    withBlk.join(broadcast(offsets), Seq("_blk"))
+      .withColumn("rank", col("_boff") + row_number().over(wIn))
+      .drop("_blk", "_boff")
+  }
+
+  /** SQL-standard NTILE(k) from a global rank and total row count: the
+    * first `n % k` buckets hold `n/k + 1` rows, the rest `n/k` — pure
+    * integer arithmetic, so it is engine-exact (matches DuckDB/Spark
+    * ntile bit-for-bit given the same total order) with no window: bin
+    * assignment is a map-only expression over [[globalOrderIndex]].
+    */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    // Column./ is double division — floor+cast keeps this exact integer
+    // arithmetic (ranks/counts are well inside 2^53)
+    def idiv(a: Column, b: Column) = floor(a / b).cast("long")
+    val bucket = idiv(n, lit(k))  // base bucket size
+    val rem = n % k               // first `rem` buckets get one extra row
+    val threshold = rem * (bucket + 1)
+    when(rank <= threshold, idiv(rank - 1, bucket + 1) + 1)
+      .otherwise(rem + idiv(rank - threshold - 1, bucket) + 1)
+      .cast("int")
+  }
+
   /** Deterministic weighted source mixture: keep a row iff the md5-hex
     * of its id is below the source's threshold — the data-mixture knob
     * (upsample curated sources, downsample crawl) with md5 parity across

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalytics
+
+/** Retrieval-shaped operators: lexical BM25 scoring and k-nearest-
+  * neighbor graph construction over an embedding column — the two
+  * standard tools for query-targeted corpus selection and for
+  * similarity-graph curation (cluster-and-prune, diversity sampling).
+  */
+object Retrieval {
+
+  /** Okapi BM25 score of every document against a fixed term set.
+    *
+    * Scale shape: documents explode to (id, term) only for tokens that
+    * match a query term — the match rides the scan as a codegen'd filter
+    * against a literal array, so the exchange carries the tiny matched
+    * fraction, never the corpus tokens. Document lengths are a per-doc
+    * kernel projection; `N`/`avgdl` and the per-term document
+    * frequencies are one-row/`|terms|`-row aggregates joined back by
+    * broadcast. One shuffle keyed by doc id.
+    *
+    * Returns (id, score) for every document matching ≥ 1 term,
+    * score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val termLits = typedLit(terms.map(_.toLowerCase))
+    val toks = docs.select(col(idCol).as("id"),
+        TextAnalytics.tokens(lower(col(textCol))).as("_toks"))
+      .localCheckpoint(true) // consumed by dl, stats, and the tf branch
+    val dl = toks.select(col("id"), size(col("_toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("id"), explode(col("_toks")).as("term"))
+      .where(array_contains(termLits, col("term")))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df_), Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))
+      .groupBy(col("id")).agg(sum(col("contrib")).as("score"))
+  }
+
+  /** Exact k-NN graph over an embedding column: the top-`k` cosine
+    * neighbors of EVERY vector. All-pairs by construction — this is the
+    * oracle anchor at test scale, not the 100 TB path (that is
+    * [[knnGraphFromPairs]] over LSH candidate pairs). Ranking key is
+    * (rounded cosine desc, neighbor id asc) so ties are deterministic.
+    */
+  def knnGraph(vecs: DataFrame, idCol: String, vecCol: String,
+               k: Int, roundTo: Int = 6): DataFrame = {
+    val a = vecs.select(col(idCol).as("src"), col(vecCol).as("_va"))
+    val b = vecs.select(col(idCol).as("dst"), col(vecCol).as("_vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(Similarity.cosine(col("_va"), col("_vb")), roundTo).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
+  /** k-NN graph restricted to a candidate pair set (e.g. the banded
+    * sign-LSH pairs of [[Dedup.embeddingNearDupPairs]]): symmetrize the
+    * pairs, rank per source, keep top-`k`. The candidate generator
+    * bounds the work — the corpus is never self-joined — so the graph
+    * build inherits the LSH path's 100 TB scale shape. Neighbors missed
+    * by the candidate generator are missed here too (recall measured in
+    * RetrievalSpec against [[knnGraph]]).
+    */
+  def knnGraphFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    sym.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+}

@@ -75,6 +75,17 @@ class TextAnalyticsSpec extends SparkSpec {
     got(0) should not be got(1)
   }
 
+  test("tokenPairs yields adjacent pairs; short docs yield none") {
+    val got = Seq("a b c d", "a", "", "x y")
+      .toDF("t").select(TextAnalytics.tokenPairs(col("t")).as("p"))
+      .selectExpr("transform(p, e -> concat(e.a, '+', e.b)) AS s")
+      .as[Seq[String]].collect()
+    got(0) shouldBe Seq("a+b", "b+c", "c+d")
+    got(1) shouldBe Seq.empty
+    got(2) shouldBe Seq.empty
+    got(3) shouldBe Seq("x+y")
+  }
+
   test("qualityScore in [0,1], rewards natural text over junk") {
     val got = Seq(
       "the quick brown fox jumps over the lazy dog and runs through the field " * 5,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "ts_s", "event_type")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("event_type"))
+
+  private val steps = Seq(
+    Funnel.Step("view"),
+    Funnel.Step("click", Some(3600L)),
+    Funnel.Step("purchase", Some(3600L)))
+
+  test("funnel counts first-touch conversions per step") {
+    val events = ev(
+      // u1 converts fully: view 10:00, click 10:30, purchase 11:00
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:30:00", "click"),
+      (1L, "2024-01-01 11:00:00", "purchase"),
+      // u2 views and clicks, never purchases
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-01 09:10:00", "click"),
+      // u3 clicks WITHOUT a prior view — must not count past step 1
+      (3L, "2024-01-01 08:00:00", "click"),
+      (3L, "2024-01-01 08:30:00", "purchase"))
+    val got = Funnel.funnel(events, "user_id", "ts", "event_type", steps)
+      .orderBy("step").as[(Int, String, Long)].collect()
+    got shouldBe Array((1, "view", 2L), (2, "click", 2L), (3, "purchase", 1L))
+  }
+
+  test("funnel enforces strict order and the max-gap bound") {
+    val events = ev(
+      // u1: click BEFORE view — not a conversion
+      (1L, "2024-01-01 10:00:00", "click"),
+      (1L, "2024-01-01 11:00:00", "view"),
+      // u2: click 2h after view — outside the 1h gap
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 12:00:00", "click"),
+      // u3: click exactly at the 1h bound (inclusive)
+      (3L, "2024-01-01 10:00:00", "view"),
+      (3L, "2024-01-01 11:00:00", "click"))
+    val got = Funnel.funnel(events, "user_id", "ts", "event_type", steps)
+      .orderBy("step").as[(Int, String, Long)].collect()
+    got shouldBe Array((1, "view", 3L), (2, "click", 1L), (3, "purchase", 0L))
+  }
+
+  test("funnel measures gaps from the FIRST qualifying touch, not any touch") {
+    // u1's first view is 10:00; the 11:30 click is within 1h of the
+    // SECOND view (11:00) but outside 1h of the first → first-touch
+    // semantics must not count it
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "view"),
+      (1L, "2024-01-01 11:30:00", "click"))
+    val got = Funnel.funnel(events, "user_id", "ts", "event_type", steps)
+      .orderBy("step").as[(Int, String, Long)].collect()
+    got shouldBe Array((1, "view", 1L), (2, "click", 0L), (3, "purchase", 0L))
+  }
+}

@@ -64,4 +64,38 @@ class PackingSpec extends SparkSpec {
       Packing.sourceMixture(docs, col("doc_id"), col("source"),
         Map("a" -> "ff", "b" -> "8"))
   }
+
+  test("globalOrderIndex equals a flat row_number under the same order") {
+    // order by (v, id); block = v / 10 is a monotone prefix of the key
+    val rows = (0L until 500L).map(i => (i, (i * 37) % 100))
+    val df = rows.toDF("id", "v")
+    val flat = rows.sortBy { case (id, v) => (v, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val got = Packing.globalOrderIndex(df,
+        floor(col("v") / 10).cast("int"), Seq(col("v"), col("id")))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    got shouldBe flat
+  }
+
+  test("globalOrderIndex plan: corpus window is partitioned by block") {
+    val df = (0L until 100L).map(i => (i, i % 10)).toDF("id", "v")
+    val plan = Packing.globalOrderIndex(df,
+        col("v").cast("int"), Seq(col("v"), col("id")))
+      .queryExecution.executedPlan.toString
+    (plan should include).regex("windowspecdefinition\\(_blk#\\d+,")
+  }
+
+  test("ntileFromRank matches the NTILE window for every (n, k) regime") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 3, 4, 7, 12, 13); k <- Seq(1, 2, 4, 5)) {
+      val df = (1 to n).map(_.toLong).toDF("rank")
+      val got = df.select(col("rank"),
+          Packing.ntileFromRank(col("rank"), lit(n.toLong), k).as("bin"))
+        .as[(Long, Int)].collect().toMap
+      val want = df.select(col("rank"),
+          ntile(k).over(Window.orderBy(col("rank"))).as("bin"))
+        .as[(Long, Int)].collect().toMap
+      withClue(s"n=$n k=$k: ") { got shouldBe want }
+    }
+  }
 }

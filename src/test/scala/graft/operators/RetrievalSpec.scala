@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 matches a hand-computed tiny corpus") {
+    // corpus: d1 = "x x y", d2 = "x z", d3 = "y y"; query = {x}
+    // N=3, df(x)=2, avgdl = (3+2+2)/3; idf = ln(1 + (3-2+0.5)/(2+0.5))
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y")).toDF("id", "text")
+    val got = Retrieval.bm25(docs, "id", "text", Seq("x"))
+      .as[(Long, Double)].collect().toMap
+    val idf = math.log(1.0 + 1.5 / 2.5)
+    val avgdl = 7.0 / 3.0
+    def s(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + (dl / avgdl * 0.75 + 0.25) * 1.2)
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L) shouldBe s(2.0, 3.0) +- 1e-12
+    got(2L) shouldBe s(1.0, 2.0) +- 1e-12
+  }
+
+  test("bm25 rewards term frequency and penalizes document length") {
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x x y z"), (3L, "x y z w q r s t u v")
+    ).toDF("id", "text")
+    val got = Retrieval.bm25(docs, "id", "text", Seq("x"))
+      .as[(Long, Double)].collect().toMap
+    got(2L) should be > got(1L) // higher tf at equal length
+    got(1L) should be > got(3L) // equal tf, shorter doc
+  }
+
+  test("knnGraph returns exactly k deterministic neighbors per vector") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Retrieval.knnGraph(vecs, "vec_id", "embedding", k = 2)
+      .select("src", "dst", "rk").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (s, rows) =>
+        s -> rows.sortBy(_._3).map(_._2).toSeq
+      }
+    got(1L) shouldBe Seq(2L, 3L) // cos(1,2) ≈ .994 > cos(1,3) = 0 > cos(1,4) = −1
+    got(4L) shouldBe Seq(3L, 2L) // cos(4,3) = 0 > cos(4,2) ≈ −.994 > cos(4,1) = −1
+    got.values.foreach(_.size shouldBe 2)
+  }
+
+  test("knnGraphFromPairs over LSH candidates recalls the exact graph") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Retrieval.knnGraph(emb, "vec_id", "embedding", k = 3)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val lsh = Retrieval.knnGraphFromPairs(
+        Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.2, planesPerBand = 2, bands = 16), k = 3)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    // candidate edges are a subset of all pairs; measure top-3 recall
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    recall should be >= 0.80
+  }
+
+  test("knnGraphFromPairs plan contains no nested-loop join") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Retrieval.knnGraphFromPairs(
+        Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.2, planesPerBand = 2, bands = 16), k = 3)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+}
