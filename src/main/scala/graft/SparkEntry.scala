@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, Funnel, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Retrieval, Sampling, Similarity, TemplateFilters}
+import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Retrieval, Sampling, Similarity, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -1143,7 +1143,39 @@ object SparkEntry {
             threshold = 0.2, planesPerBand = 2, bands = 16), k = 3)
         .select(col("src"), col("dst"), round(col("cos_sim"), 6).as("sim"),
           col("rk").cast("long").as("rk"))
-        .orderBy(col("src"), col("rk")))
+        .orderBy(col("src"), col("rk"))),
+
+    // Sorted-neighborhood blocking (the ER-classic complement to LSH
+    // banding): two-level global rank on a normalized key, equi-join on
+    // successor ranks (O(n·w) candidates), n-gram-Jaccard exact verify
+    "q_sorted_neighbors" -> ((s, dir) =>
+      Dedup.sortedNeighborPairs(Tables.documents(s, dir), "doc_id", "text",
+          window = 5, k = 3, threshold = 0.1)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Corpus-likelihood quality (perplexity-filter proxy): mean unigram
+    // log-prob under the corpus's own empirical distribution — the
+    // frequency table is the bounded dimension, broadcast back
+    "q_unigram_logprob" -> ((s, dir) =>
+      Curation.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))),
+
+    // PageRank centrality over the (deterministic, hash-verified) exact
+    // k-NN graph: 5 power iterations, each one vertex-keyed shuffle with
+    // lineage truncated per round — the oracle unrolls the same five
+    // iterations as chained CTEs with a float-structurally-identical
+    // update rule
+    "q_pagerank" -> ((s, dir) => {
+      val edges = Retrieval.knnGraph(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 3)
+        .select(col("src"), col("dst"))
+      Graphs.pageRank(edges, "src", "dst", iters = 5)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("id"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -1950,6 +1982,84 @@ object SparkEntry {
         |    / (tf + ((dl / avgdl) * 0.75 + (1.0 - 0.75)) * 1.2)), 4) AS score
         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_sorted_neighbors" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk
+        |  FROM documents),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rnk FROM keyed),
+        |cand AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |         greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |  FROM cand JOIN sh a ON a.doc_id = cand.id_a
+        |            JOIN sh b ON b.doc_id = cand.id_b) t
+        |WHERE j >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS t FROM documents),
+        |freq AS (SELECT t, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(sum(ln(cnt / tot)) / count(*), 4) AS avg_logp
+        |FROM toks JOIN freq USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // five unrolled power iterations; every arithmetic step mirrors the
+    // Spark update rule's evaluation order so doubles agree bit-for-bit
+    // before the final 6dp round
+    "q_pagerank" ->
+      """WITH emb AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vid AS src, b.vid AS dst,
+        |      row_number() OVER (PARTITION BY a.vid
+        |        ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                 b.vid) AS rk
+        |    FROM emb a JOIN emb b ON a.vid <> b.vid) t
+        |  WHERE rk <= 3),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |cnt AS (SELECT count(*) AS n FROM nodes),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        |p0 AS (SELECT id, 1.0 / n AS pr FROM nodes CROSS JOIN cnt),
+        |c1 AS (SELECT e.dst AS id, sum(p.pr / deg.d) AS cin FROM edges e
+        |       JOIN deg ON deg.src = e.src JOIN p0 p ON p.id = e.src GROUP BY e.dst),
+        |p1 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
+        |       FROM nodes CROSS JOIN cnt LEFT JOIN c1 ON c1.id = nodes.id),
+        |c2 AS (SELECT e.dst AS id, sum(p.pr / deg.d) AS cin FROM edges e
+        |       JOIN deg ON deg.src = e.src JOIN p1 p ON p.id = e.src GROUP BY e.dst),
+        |p2 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
+        |       FROM nodes CROSS JOIN cnt LEFT JOIN c2 ON c2.id = nodes.id),
+        |c3 AS (SELECT e.dst AS id, sum(p.pr / deg.d) AS cin FROM edges e
+        |       JOIN deg ON deg.src = e.src JOIN p2 p ON p.id = e.src GROUP BY e.dst),
+        |p3 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
+        |       FROM nodes CROSS JOIN cnt LEFT JOIN c3 ON c3.id = nodes.id),
+        |c4 AS (SELECT e.dst AS id, sum(p.pr / deg.d) AS cin FROM edges e
+        |       JOIN deg ON deg.src = e.src JOIN p3 p ON p.id = e.src GROUP BY e.dst),
+        |p4 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
+        |       FROM nodes CROSS JOIN cnt LEFT JOIN c4 ON c4.id = nodes.id),
+        |c5 AS (SELECT e.dst AS id, sum(p.pr / deg.d) AS cin FROM edges e
+        |       JOIN deg ON deg.src = e.src JOIN p4 p ON p.id = e.src GROUP BY e.dst),
+        |p5 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
+        |       FROM nodes CROSS JOIN cnt LEFT JOIN c5 ON c5.id = nodes.id)
+        |SELECT id, round(pr, 6) AS pr FROM p5 ORDER BY id""".stripMargin,
 
     "q_knn_graph" ->
       """SELECT src, dst, sim, rk FROM (

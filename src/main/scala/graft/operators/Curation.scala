@@ -149,6 +149,36 @@ object Curation {
       regexp_count(text, lit(ipRe)).cast("long").as("n_ips"),
       regexp_count(text, lit(phoneRe)).cast("long").as("n_phones"))
 
+  /** Corpus-likelihood quality signal — the perplexity-filter proxy that
+    * needs no external model: score every document by the mean unigram
+    * log-probability of its tokens under the corpus's own empirical
+    * distribution. Low scores flag documents full of corpus-rare tokens
+    * (boilerplate, encoding junk, foreign-language intrusions); the
+    * standard cheap stand-in for LM-perplexity filtering.
+    *
+    * Scale shape: one token-keyed aggregate builds the frequency table
+    * (vocabulary-sized — the bounded dimension), which joins back to the
+    * exploded tokens by broadcast; the only corpus-keyed shuffle is the
+    * final per-document mean. At open-vocabulary scale cap the frequency
+    * table with [[HeavyHitters.misraGries]] and floor the tail.
+    *
+    * Returns (id, n_tokens, avg_logp); empty documents are absent (no
+    * tokens ⇒ no likelihood evidence).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextAnalytics.tokens(col(textCol))).as("t"))
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("_cnt"))
+    val total = freq.agg(sum(col("_cnt")).as("_tot"))
+    toks.join(broadcast(freq), Seq("t"))
+      .crossJoin(broadcast(total))
+      .select(col("id"), log(col("_cnt") / col("_tot")).as("_lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_lp")).as("_slp"))
+      .select(col("id"), col("n_tokens"),
+        (col("_slp") / col("n_tokens")).as("avg_logp"))
+  }
+
   /** End-to-end curation decision — the composed keep/drop pipeline a
     * training-data run executes per document:
     *

@@ -405,6 +405,49 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Sorted-neighborhood blocking (the classic entity-resolution
+    * alternative to LSH banding): sort the corpus by a normalized key,
+    * take every pair within `window` positions, and exact-verify those
+    * candidates with n-gram Jaccard. Complements [[minhashPairs]] —
+    * sorted-neighborhood finds near-dups whose similarity concentrates
+    * in the key prefix (titles, URLs, names) at O(n·w) candidates.
+    *
+    * Scale shape: the global sort position comes from
+    * [[Packing.globalOrderIndex]] (two-level rank — no one-partition
+    * window), candidates are an EQUI-join on the rank (each row
+    * explodes to its `window` successor ranks), and the shingle arrays
+    * rejoin candidates BY ID — exchanges carry (rank, id) pairs and
+    * 64-bit shingle hashes, never text.
+    */
+  def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
+                          window: Int = 5, k: Int = 3,
+                          threshold: Double = 0.1): DataFrame = {
+    require(window >= 1, s"window $window")
+    val keyed = docs.select(col(idCol).as("id"),
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]", "").as("_sk"))
+    val ranked = Packing.globalOrderIndex(keyed,
+        substring(col("_sk"), 1, 1), Seq(col("_sk"), col("id")))
+      .select(col("id"), col("rank")).localCheckpoint(true)
+    val probes = ranked.select(col("id").as("id_a"),
+      explode(sequence(col("rank") + 1, col("rank") + window)).as("rank"))
+    val cand = probes
+      .join(ranked.select(col("id").as("id_b"), col("rank")), Seq("rank"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val sh = docs.select(col(idCol).as("id"),
+        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
+      .localCheckpoint(true)
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("_sa")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("_sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_sa"), col("_sb"))).cast("double").as("_i"),
+        size(col("_sa")).as("_na"), size(col("_sb")).as("_nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("_i") / (col("_na") + col("_nb") - col("_i"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------ passage dedup
 
   /** Exact sub-document dedup at passage granularity (the document-level

@@ -322,6 +322,71 @@ object Streams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  // ----------------------------------------------------- streaming funnel
+
+  /** A user advanced to funnel step `step` (1-based) at `ts_ms`. */
+  case class StepAdvance(user_id: Long, step: Int, ts_ms: Long)
+
+  private[streaming] case class FunnelState(times: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.Funnel]]: per-user state is the
+    * first-touch completion time of each step reached so far (O(steps)
+    * longs per user — never the events). A user advances when an event
+    * of the next step's type arrives strictly after the previous step's
+    * time and within its max gap; each advance emits one [[StepAdvance]]
+    * row, so step counts are a plain aggregate over the emitted stream.
+    *
+    * Semantics note: the batch funnel is a min over the full history;
+    * the one-pass state machine reproduces it exactly when events arrive
+    * in event-time order (in-batch disorder is handled by sorting each
+    * batch; cross-batch regressions are not revised — the standard
+    * streaming-funnel contract). StreamsSpec asserts stream ≡ batch on
+    * ordered batches. Same RocksDB state-store requirement as
+    * [[sessionizeTws]].
+    */
+  class FunnelProcessor(steps: Seq[(String, Option[Long])])
+    extends StatefulProcessor[Long, Event, StepAdvance] {
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[StepAdvance] = {
+      var times = if (st.exists()) st.get().times.toVector else Vector.empty[Long]
+      val out = Seq.newBuilder[StepAdvance]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val next = times.length
+        if (next < steps.length && e.event_type == steps(next)._1) {
+          val t = e.ts.getTime
+          val ok =
+            if (next == 0) true
+            else t > times(next - 1) &&
+              steps(next)._2.forall(g => t <= times(next - 1) + g * 1000L)
+          if (ok) {
+            times = times :+ t
+            out += StepAdvance(userId, next + 1, t)
+          }
+        }
+      }
+      if (times.nonEmpty) st.update(FunnelState(times))
+      out.result().iterator
+    }
+  }
+
+  /** Continuous conversion funnel via `transformWithState` (see
+    * [[FunnelProcessor]]); `steps` are (event_type, maxGapSeconds).
+    */
+  def funnelStream(events: Dataset[Event],
+                   steps: Seq[(String, Option[Long])]): Dataset[StepAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(steps),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   // --------------------------------------------------------- streaming CDC
 
   /** One change to key `k`: upsert ('U') or delete ('D') at sequence

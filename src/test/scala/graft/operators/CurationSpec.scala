@@ -194,4 +194,18 @@ class CurationSpec extends SparkSpec {
     got(2).getLong(3) shouldBe 0L
     got(2).getLong(4) shouldBe 0L
   }
+
+  test("unigramLogProb: hand-computed corpus likelihood; empty docs absent") {
+    import spark.implicits._
+    // corpus tokens: a×3, b×1 → p(a)=0.75, p(b)=0.25
+    val docs = Seq((1L, "a a a"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
+    val got = Curation.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L)._1 shouldBe 3L
+    got(1L)._2 shouldBe math.log(0.75) +- 1e-12
+    got(2L)._2 shouldBe math.log(0.25) +- 1e-12
+    // common-token documents are more corpus-likely
+    got(1L)._2 should be > got(2L)._2
+  }
 }

@@ -191,4 +191,34 @@ class DedupSpec extends SparkSpec {
       .orderBy("id").as[(Long, String, Long)].collect().toSeq
     got shouldBe Seq((1L, "", 1L), (3L, "w", 1L))
   }
+
+  test("sortedNeighborPairs finds prefix-similar near-dups within the window") {
+    import spark.implicits._
+    // 1 and 2 share the key prefix and most shingles → adjacent in key
+    // order and verified; 3 shares the prefix but no shingles (low
+    // jaccard, dropped); 4 sorts far away
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "alpha omega psi chi phi"),
+      (4L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborPairs(docs, "doc_id", "text",
+        window = 1, k = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 2L))
+    // widening the window past the corpus still yields only verified pairs
+    val wide = Dedup.sortedNeighborPairs(docs, "doc_id", "text",
+        window = 10, k = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    wide shouldBe Set((1L, 2L))
+  }
+
+  test("sortedNeighborPairs plan: candidates come from an equi-join, no nested loop") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val plan = Dedup.sortedNeighborPairs(docs, "doc_id", "text", window = 3)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank on a cycle stays uniform") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graphs.pageRank(edges, "src", "dst", iters = 8)
+      .as[(Long, Double)].collect().toMap
+    got.values.foreach(_ shouldBe (1.0 / 3) +- 1e-12)
+  }
+
+  test("pageRank matches a hand-iterated star graph") {
+    // 2,3,4 each point at 1; 1 points at 2. Hand-run two iterations.
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)).toDF("src", "dst")
+    val n = 4.0
+    var pr = Map(1L -> 1 / n, 2L -> 1 / n, 3L -> 1 / n, 4L -> 1 / n)
+    for (_ <- 1 to 2) {
+      pr = Map(
+        1L -> (0.15 / n + 0.85 * (pr(2L) + pr(3L) + pr(4L))),
+        2L -> (0.15 / n + 0.85 * pr(1L)),
+        3L -> (0.15 / n), // no in-edges
+        4L -> (0.15 / n))
+    }
+    val got = Graphs.pageRank(edges, "src", "dst", iters = 2)
+      .as[(Long, Double)].collect().toMap
+    got.keySet shouldBe pr.keySet
+    pr.foreach { case (k, v) => got(k) shouldBe v +- 1e-9 }
+  }
+
+  test("pageRank mass stays bounded and ranks hubs above leaves") {
+    val edges = (2L to 20L).map(i => (i, 1L)) :+ ((1L, 2L))
+    val got = Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    got(1L) should be > got(2L)
+    got(2L) should be > got(3L)
+    // simplified model: total mass ≤ 1 (dangling mass decays, never grows)
+    got.values.sum should be <= 1.0 + 1e-9
+  }
+
+  test("pageRank reliable mode produces identical values") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val a = Graphs.pageRank(edges, "src", "dst", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    val b = Graphs.pageRank(edges, "src", "dst", iters = 4, reliable = true)
+      .as[(Long, Double)].collect().toMap
+    a.keySet shouldBe b.keySet
+    a.foreach { case (k, v) => b(k) shouldBe v } // bit-identical
+  }
+}

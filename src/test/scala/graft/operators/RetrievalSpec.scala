@@ -60,6 +60,24 @@ class RetrievalSpec extends SparkSpec {
     recall should be >= 0.80
   }
 
+  test("bm25 edge cases: empty/no-match docs absent, case-insensitive terms") {
+    val docs = Seq((1L, ""), (2L, "nothing relevant here"), (3L, "X X")).toDF("id", "text")
+    val got = Retrieval.bm25(docs, "id", "text", Seq("x"))
+      .as[(Long, Double)].collect().toMap
+    got.keySet shouldBe Set(3L) // matched via lower-casing; 1,2 dropped
+    got(3L) should be > 0.0
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.bm25(docs, "id", "text", Seq.empty)
+  }
+
+  test("knnGraph with fewer than k+1 vectors returns all available neighbors") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.knnGraph(vecs, "vec_id", "embedding", k = 5)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 2L), (2L, 1L))
+  }
+
   test("knnGraphFromPairs plan contains no nested-loop join") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Retrieval.knnGraphFromPairs(

@@ -276,6 +276,57 @@ class StreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("funnelStream: step advances across batches; counts equal the batch funnel") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val steps = Seq("view" -> None, "click" -> Some(3600L), "purchase" -> Some(3600L))
+      // event-time-ordered batches (the streaming-funnel contract)
+      val b1 = Seq(
+        Event(1L, ts(1), 10L, "view", 0.0),
+        Event(2L, ts(2), 20L, "click", 0.0),  // click with no view: ignored
+        Event(3L, ts(3), 10L, "click", 0.0),
+        Event(4L, ts(4), 30L, "view", 0.0))
+      val b2 = Seq(
+        Event(5L, ts(10), 10L, "purchase", 0.0), // completes across batches
+        Event(6L, ts(70), 30L, "click", 0.0),    // 66 min after view: gap exceeded
+        Event(7L, ts(80), 20L, "view", 0.0))
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = funnelStream(stream.toDS(), steps)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      def awaitRows(nRows: Long): Unit = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (spark.table(name).count() < nRows && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        q.exception.foreach(throw _)
+        spark.table(name).count() should be >= nRows
+      }
+      stream.addData(b1: _*); awaitRows(3)
+      stream.addData(b2: _*); awaitRows(5)
+      q.stop()
+      val advances = spark.table(name).as[StepAdvance].collect()
+      // u10 reached steps 1..3, u30 step 1 (click out of gap), u20 step 1
+      advances.map(a => (a.user_id, a.step)).toSet shouldBe
+        Set((10L, 1), (10L, 2), (10L, 3), (30L, 1), (20L, 1))
+      // stream step counts ≡ batch funnel over the full event set
+      val streamCounts = advances.groupBy(_.step).view.mapValues(_.size.toLong).toMap
+      val batchCounts = graft.operators.Funnel.funnel(
+          (b1 ++ b2).toDF(), "user_id", "ts", "event_type",
+          Seq(graft.operators.Funnel.Step("view"),
+            graft.operators.Funnel.Step("click", Some(3600L)),
+            graft.operators.Funnel.Step("purchase", Some(3600L))))
+        .select("step", "n_users").as[(Int, Long)].collect().toMap
+      streamCounts shouldBe batchCounts.filter(_._2 > 0L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
 
 object StreamsSpec {
