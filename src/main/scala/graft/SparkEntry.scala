@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Cdc, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Retrieval, Sampling, Similarity, TemplateFilters}
+import graft.operators.{AsOfJoin, Cdc, CountMin, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Retrieval, Sampling, Similarity, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -1164,6 +1164,25 @@ object SparkEntry {
           col("rk").cast("long").as("rk"))
         .orderBy(col("src"), col("rk"))),
 
+    // Count-Min point-frequency estimates for every distinct token: the
+    // d×w sketch aggregates with map-side combine (state is d·w longs,
+    // never the items) and is probed by the codegen twin of the
+    // aggregator's bucketing. CMS only over-counts on collisions; with
+    // this corpus's vocabulary no token collides in all d rows (a
+    // deterministic property of the fixed xxhash64 seeds, asserted in
+    // CountMinSpec), so the exact GROUP BY oracle hash-matches — the
+    // same exact-regime argument as q_heavy_hitters; the lossy regime
+    // is property-tested
+    "q_cms_counts" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalytics.tokens(col("text"))).as("tok"))
+      val sk = toks.agg(CountMin.countMin(col("tok"), 4, 512).as("sk"))
+      toks.distinct().crossJoin(broadcast(sk))
+        .select(col("tok"),
+          CountMin.estimateCol(col("sk"), col("tok"), 4, 512).as("est_count"))
+        .orderBy(col("tok"))
+    }),
+
     // Sorted-neighborhood blocking (the ER-classic complement to LSH
     // banding): two-level global rank on a normalized key, equi-join on
     // successor ranks (O(n·w) candidates), n-gram-Jaccard exact verify
@@ -1998,6 +2017,13 @@ object SparkEntry {
         |    / (tf + ((dl / avgdl) * 0.75 + (1.0 - 0.75)) * 1.2)), 4) AS score
         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_cms_counts" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS tok FROM documents)
+        |SELECT tok, count(*) AS est_count FROM t
+        |GROUP BY tok ORDER BY tok""".stripMargin,
 
     "q_sorted_neighbors" ->
       """WITH keyed AS (
