@@ -63,9 +63,15 @@ object Retrieval {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
-    a.join(b, col("src") =!= col("dst"))
+    // cosine is symmetric: evaluate each UNORDERED pair once (src<dst),
+    // materialize, and mirror — halves the kernel work; without the
+    // checkpoint the union's two branches would each re-run the join
+    val half = a.join(b, col("src") < col("dst"))
       .select(col("src"), col("dst"),
         round(Similarity.cosine(col("_va"), col("_vb")), roundTo).as("sim"))
+      .localCheckpoint(true)
+    half.unionAll(
+        half.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
   }
