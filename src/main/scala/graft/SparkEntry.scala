@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Cdc, CountMin, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Retrieval, Sampling, Similarity, TemplateFilters}
+import graft.operators.{AsOfJoin, Cdc, CountMin, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Retrieval, Sampling, Similarity, Skew, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -1164,6 +1164,40 @@ object SparkEntry {
           col("rk").cast("long").as("rk"))
         .orderBy(col("src"), col("rk"))),
 
+    // Token-blocked fuzzy join (edit-distance ER matching): build the
+    // distinct name dictionary, block on the last token (candidates
+    // bounded per block — never an all-pairs string comparison), verify
+    // with levenshtein ≤ 3. Exactly the blocking+verify discipline of
+    // the dedup family applied to short-string matching; integer
+    // distances → engine-exact oracle.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
+        .withColumn("_blk", element_at(split(col("name"), " "), -1))
+      val a = names.select(col("name").as("name_a"), col("_blk"))
+      val b = names.select(col("name").as("name_b"), col("_blk"))
+      a.join(b, Seq("_blk")).where(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .where(col("dist") <= 3)
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
+    // Skew-mitigated join: the salted plan (row-salted big side ×
+    // salt-replicated dimension) must produce EXACTLY the rows of the
+    // plain join — the oracle is the unsalted join, so the skew
+    // technique itself is hash-verified
+    "q_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+            col("l_quantity")),
+          Tables.supplier(s, dir)
+            .select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+          key = "l_suppkey", salts = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("s_name"))),
+
     // Count-Min point-frequency estimates for every distinct token: the
     // d×w sketch aggregates with map-side combine (state is d·w longs,
     // never the items) and is probed by the codegen twin of the
@@ -2017,6 +2051,23 @@ object SparkEntry {
         |    / (tf + ((dl / avgdl) * 0.75 + (1.0 - 0.75)) * 1.2)), 4) AS score
         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name AS name FROM part),
+        |blocked AS (
+        |  SELECT name, list_extract(string_split(name, ' '), -1) AS blk
+        |  FROM names)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "q_cms_counts" ->
       """WITH t AS (
