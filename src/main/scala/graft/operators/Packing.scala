@@ -72,9 +72,13 @@ object Packing {
       .agg(count(lit(1)).as("_bn"))
       .select(col("_blk"), coalesce(sum(col("_bn")).over(wBlk), lit(0L)).as("_boff"))
     val wIn = Window.partitionBy(col("_blk")).orderBy(orderCols: _*)
-    withBlk.join(broadcast(offsets), Seq("_blk"))
+    // null-SAFE block join: a plain equi-join would silently drop rows
+    // whose block key is null (null never equi-matches); null blocks
+    // sort first (Spark's NULLS FIRST) and rank like any other block
+    withBlk.join(broadcast(offsets.withColumnRenamed("_blk", "_blk2")),
+        col("_blk") <=> col("_blk2"))
       .withColumn("rank", col("_boff") + row_number().over(wIn))
-      .drop("_blk", "_boff")
+      .drop("_blk", "_blk2", "_boff")
   }
 
   /** SQL-standard NTILE(k) from a global rank and total row count: the

@@ -208,4 +208,16 @@ class CurationSpec extends SparkSpec {
     // common-token documents are more corpus-likely
     got(1L)._2 should be > got(2L)._2
   }
+
+  test("unigramLogProb: null text rows are absent, others unaffected") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("a a")), (2L, None), (3L, Some("a")))
+      .toDF("doc_id", "text")
+    val got = Curation.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    got.keySet shouldBe Set(1L, 3L)
+    // all three tokens are 'a' → p=1.0 → avg_logp exactly 0.0
+    got(1L) shouldBe 0.0
+    got(3L) shouldBe 0.0
+  }
 }

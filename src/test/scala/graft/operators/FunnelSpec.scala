@@ -48,6 +48,19 @@ class FunnelSpec extends SparkSpec {
     got shouldBe Array((1, "view", 3L), (2, "click", 1L), (3, "purchase", 0L))
   }
 
+  test("funnel ignores null timestamps and unknown event types") {
+    val events = Seq(
+      (1L, Some("2024-01-01 10:00:00"), "view"),
+      (1L, None, "click"),                        // null ts: not a conversion
+      (1L, Some("2024-01-01 10:30:00"), "hover"), // unknown type: ignored
+      (1L, Some("2024-01-01 10:40:00"), "click"))
+      .toDF("user_id", "ts_s", "event_type")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("event_type"))
+    val got = Funnel.funnel(events, "user_id", "ts", "event_type", steps)
+      .orderBy("step").as[(Int, String, Long)].collect()
+    got shouldBe Array((1, "view", 1L), (2, "click", 1L), (3, "purchase", 0L))
+  }
+
   test("funnel measures gaps from the FIRST qualifying touch, not any touch") {
     // u1's first view is 10:00; the 11:30 click is within 1h of the
     // SECOND view (11:00) but outside 1h of the first → first-touch

@@ -85,6 +85,20 @@ class PackingSpec extends SparkSpec {
     (plan should include).regex("windowspecdefinition\\(_blk#\\d+,")
   }
 
+  test("globalOrderIndex keeps null-keyed rows (they rank first, ids break ties)") {
+    val df = Seq((1L, Some("b")), (2L, None), (3L, Some("a")), (4L, None))
+      .toDF("id", "k")
+    val got = Packing.globalOrderIndex(df,
+        substring(col("k"), 1, 1), Seq(col("k"), col("id")))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    got.keySet shouldBe Set(1L, 2L, 3L, 4L) // nothing silently dropped
+    got.values.toSeq.sorted shouldBe Seq(1L, 2L, 3L, 4L) // a total rank
+    got(2L) shouldBe 1L // nulls first, id tiebreak
+    got(4L) shouldBe 2L
+    got(3L) shouldBe 3L // "a" before "b"
+    got(1L) shouldBe 4L
+  }
+
   test("ntileFromRank matches the NTILE window for every (n, k) regime") {
     import org.apache.spark.sql.expressions.Window
     for (n <- Seq(1, 3, 4, 7, 12, 13); k <- Seq(1, 2, 4, 5)) {
