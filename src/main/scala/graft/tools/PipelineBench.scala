@@ -118,6 +118,29 @@ object PipelineBench {
         .agg(sum(col("score"))).head()
     }
     println(s"""{"metric":"bm25","docs":$nDocs,"sec":$tBm,"cpus":$cpus}""")
+
+    // ---- Count-Min over the exploded token stream (d=4, w=16384):
+    // state is 4×16384 longs per partial aggregate regardless of stream
+    // length; the shuffle carries only merged count matrices
+    val nToks = nEvents // reuse the big-row knob as the token count
+    val (cms, tCms) = timed {
+      spark.range(nToks).select(
+          concat(lit("w"), pmod(xxhash64(col("id")), lit(5000)).cast("string")).as("tok"))
+        .agg(graft.operators.CountMin.countMin(col("tok"), 4, 16384))
+        .head().getSeq[Long](0).toArray
+    }
+    val probed = (0 until 50).map(i => s"w$i")
+    val truth = spark.range(nToks).select(
+        concat(lit("w"), pmod(xxhash64(col("id")), lit(5000)).cast("string")).as("tok"))
+      .where(col("tok").isin(probed: _*))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val excess = probed.map { t =>
+      val e = graft.operators.CountMin.estimate(cms, 16384, t) - truth(t)
+      require(e >= 0, s"CMS undercounted $t") // structurally impossible
+      e.toDouble / truth(t)
+    }
+    println(s"""{"metric":"cms","tokens":$nToks,"d":4,"w":16384,"sec":$tCms,"mean_excess_frac":${excess.sum / excess.size},"cpus":$cpus}""")
     spark.stop()
   }
 }
