@@ -41,14 +41,32 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     qFlagship(spark, "/root/testdata/sf0.001")
 
+  /** Fixture temp-dir registry: `File.deleteOnExit` cannot remove a
+    * non-empty directory, so fixture roots register here and one
+    * shutdown hook removes them recursively (best-effort — the JVM is
+    * exiting either way).
+    */
+  private val fixtureRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+    }
+    fixtureRoots.forEach(rm(_))
+  }))
+  private def fixtureDir(prefix: String): java.io.File = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toFile
+    fixtureRoots.add(tmp)
+    tmp
+  }
+
   /** Process-lifetime TSV fixture for q_scan_tsv: nation written as
     * unquoted TSV once per sfDir; the query itself is scan-only.
     */
   private val tsvFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def nationTsvFixture(s: SparkSession, dir: String): String =
     tsvFixtures.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tsv").toFile
-      tmp.deleteOnExit()
+      val tmp = fixtureDir("graft-tsv")
       val path = tmp.getAbsolutePath + "/nation"
       Tables.nation(s, dir).write.mode("overwrite").option("sep", "\t").csv(path)
       path
@@ -57,8 +75,7 @@ object SparkEntry {
   private val jsonFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def nationJsonFixture(s: SparkSession, dir: String): String =
     jsonFixtures.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-json").toFile
-      tmp.deleteOnExit()
+      val tmp = fixtureDir("graft-json")
       val path = tmp.getAbsolutePath + "/nation"
       Tables.nation(s, dir).write.mode("overwrite").json(path)
       path
@@ -74,8 +91,7 @@ object SparkEntry {
   private val zorderFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def zorderFixture(s: SparkSession, dir: String): String =
     zorderFixtures.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
-      tmp.deleteOnExit()
+      val tmp = fixtureDir("graft-zorder")
       val path = tmp.getAbsolutePath + "/lineitem_z"
       graft.sources.Layout.writeZordered(
         Tables.lineitem(s, dir).select("l_partkey", "l_suppkey",
@@ -94,8 +110,7 @@ object SparkEntry {
   private val knnEdgeFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def knnEdgesFixture(s: SparkSession, dir: String): String =
     knnEdgeFixtures.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-knn").toFile
-      tmp.deleteOnExit()
+      val tmp = fixtureDir("graft-knn")
       val path = tmp.getAbsolutePath + "/knn_edges"
       graft.operators.Retrieval.knnGraph(Tables.embeddings(s, dir),
           "vec_id", "embedding", k = 3)
@@ -110,6 +125,37 @@ object SparkEntry {
     * would maintain for its hottest join key. Returns (orders, customer)
     * catalog table names.
     */
+  private val pngFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Process-lifetime REAL-PNG asset fixture for q_image_decode: one
+    * actual PNG per document, encoded with the JRE's ImageIO — width =
+    * doc_id%64+1, height = doc_id%48+1, constant gray fill doc_id%256 —
+    * so the decoded dimensions and pixel statistics are arithmetically
+    * known and the oracle recomputes them without a codec. Generation is
+    * driver-side but bounded (one tiny image per document; the fixture
+    * discipline of the TSV/zorder/knn fixtures).
+    */
+  private def pngAssetsFixture(s: SparkSession, dir: String): String =
+    pngFixtures.computeIfAbsent(dir, _ => {
+      val tmp = fixtureDir("graft-png")
+      val path = tmp.getAbsolutePath + "/assets"
+      val rows = Tables.documents(s, dir).select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSeq.map { id =>
+          val (w, h, g) = ((id % 64 + 1).toInt, (id % 48 + 1).toInt, (id % 256).toInt)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image", bos.toByteArray, "image/png", 0L)
+        }
+      import s.implicits._
+      rows.toDF("asset_id", "media_type", "content", "format", "duration_ms")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   private val bucketFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def bucketedTablesFixture(s: SparkSession, dir: String): (String, String) =
@@ -120,8 +166,7 @@ object SparkEntry {
       // external tables under a fresh per-process temp dir: a managed
       // table's warehouse location outlives the in-memory catalog, so a
       // second JVM would hit LOCATION_ALREADY_EXISTS on saveAsTable
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toFile
-      tmp.deleteOnExit()
+      val tmp = fixtureDir("graft-bucketed")
       Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite").format("parquet")
         .option("path", s"${tmp.getAbsolutePath}/orders")
@@ -879,6 +924,14 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(embeddingPairs(s, dir)).orderBy(col("id"))),
 
+    // The DISTRIBUTED clustering path, forced (driverEdgeLimit = 0):
+    // alternating large-star/small-star rounds — O(log n) rounds on any
+    // graph shape — hash-verified against the same recursive-CTE
+    // component oracle as q_dedup_clusters
+    "q_dedup_clusters_star" -> ((s, dir) =>
+      Dedup.clusters(embeddingPairs(s, dir), driverEdgeLimit = 0L)
+        .orderBy(col("id"))),
+
     // End-to-end dedup decision: pairs → components → keeper per doc
     "q_dedup_keepers" -> ((s, dir) =>
       Dedup.keepers(Tables.embeddings(s, dir), "vec_id", embeddingPairs(s, dir))
@@ -1049,6 +1102,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // -- multimodal: REAL image decode — ImageIO recovers width/height
+    // and band luminance from actual PNG payloads; the oracle recomputes
+    // them from the arithmetic the fixture used to construct each image
+    // (an end-to-end codec correctness check, hash-verified)
+    "q_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val assets = s.read.schema(graft.multimodal.Multimodal.assetSchema)
+        .parquet(pngAssetsFixture(s, dir))
+        .as[graft.multimodal.Multimodal.Asset]
+      graft.multimodal.Multimodal.imageFeatures(assets, dim = 4)
+        .select(col("asset_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("luma"))
+        .orderBy(col("asset_id"))
+    }),
+
     // -- multimodal: declarative frame fan-out over synthetic video assets --
     "q_frame_sample" -> ((s, dir) =>
       graft.multimodal.Multimodal.sampleFrames(
@@ -1164,23 +1233,17 @@ object SparkEntry {
           col("rk").cast("long").as("rk"))
         .orderBy(col("src"), col("rk"))),
 
-    // Token-blocked fuzzy join (edit-distance ER matching): build the
-    // distinct name dictionary, block on the last token (candidates
-    // bounded per block — never an all-pairs string comparison), verify
-    // with levenshtein ≤ 3. Exactly the blocking+verify discipline of
-    // the dedup family applied to short-string matching; integer
-    // distances → engine-exact oracle.
-    "q_fuzzy_join" -> ((s, dir) => {
-      val names = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
-        .withColumn("_blk", element_at(split(col("name"), " "), -1))
-      val a = names.select(col("name").as("name_a"), col("_blk"))
-      val b = names.select(col("name").as("name_b"), col("_blk"))
-      a.join(b, Seq("_blk")).where(col("name_a") < col("name_b"))
-        .select(col("name_a"), col("name_b"),
-          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
-        .where(col("dist") <= 3)
-        .orderBy(col("name_a"), col("name_b"))
-    }),
+    // Fuzzy join (edit-distance ER matching) with DICTIONARY-SCALING
+    // blocking: two sorted-neighborhood passes (name + reversed name)
+    // give O(n·window) candidates that grow with the dictionary — an
+    // equality block on a bounded-cardinality key (e.g. the last token:
+    // TPC-H names end in ~92 color words) goes O(n²/92) at scale.
+    // Candidates verified with levenshtein ≤ 3; integer distances →
+    // engine-exact oracle mirroring the same two rank passes.
+    "q_fuzzy_join" -> ((s, dir) =>
+      Dedup.fuzzyPairs(Tables.part(s, dir).select(col("p_name")), "p_name",
+          window = 10, maxDist = 3)
+        .orderBy(col("name_a"), col("name_b"))),
 
     // Skew-mitigated join: the salted plan (row-salted big side ×
     // salt-replicated dimension) must produce EXACTLY the rows of the
@@ -1761,6 +1824,21 @@ object SparkEntry {
         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
+    "q_dedup_clusters_star" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
     "q_dedup_keepers" ->
       """WITH RECURSIVE
         |pairs AS (
@@ -1952,6 +2030,17 @@ object SparkEntry {
         |  md5(text) AS content_md5, substring(md5(text),1,8) AS fp8
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the luma math is double-exact on both sides: Spark folds the
+    // integer pixel sum to sum/(rows·w·765) — identical reals to
+    // (g*3)/765.0, so both correctly-rounded doubles agree — then the
+    // float32 feature round-trips through DuckDB's REAL cast
+    "q_image_decode" ->
+      """SELECT doc_id AS asset_id,
+        |       CAST(doc_id % 64 + 1 AS BIGINT) AS width,
+        |       CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+        |       round(CAST(CAST((doc_id % 256) * 3 / 765.0 AS REAL) AS DOUBLE), 6) AS luma
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
     "q_frame_sample" ->
       """SELECT doc_id AS asset_id, frame_idx,
         |       cast(floor(frame_idx * duration_ms / 3.0) AS BIGINT) AS ts_ms FROM
@@ -2055,13 +2144,19 @@ object SparkEntry {
     "q_fuzzy_join" ->
       """WITH names AS (
         |  SELECT DISTINCT p_name AS name FROM part),
-        |blocked AS (
-        |  SELECT name, list_extract(string_split(name, ' '), -1) AS blk
-        |  FROM names)
-        |SELECT a.name AS name_a, b.name AS name_b,
-        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-        |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
-        |WHERE levenshtein(a.name, b.name) <= 3
+        |rf AS (SELECT name, row_number() OVER (ORDER BY name) AS rnk FROM names),
+        |rr AS (SELECT name,
+        |       row_number() OVER (ORDER BY reverse(name), name) AS rnk FROM names),
+        |cand AS (
+        |  SELECT least(a.name, b.name) AS name_a,
+        |         greatest(a.name, b.name) AS name_b
+        |  FROM rf a JOIN rf b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 10
+        |  UNION
+        |  SELECT least(a.name, b.name), greatest(a.name, b.name)
+        |  FROM rr a JOIN rr b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 10)
+        |SELECT name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
 
     "q_salted_join" ->

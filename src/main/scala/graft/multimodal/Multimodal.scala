@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns + typed metadata, with decode / feature
   * extraction / resize / frame sampling as per-partition batch stages.
   *
-  * The decode kernels are STUBS (no image/audio codecs in this
-  * environment): each is a deterministic fake clearly marked below, kept
-  * behind the same signatures a real codec would use. Everything around
-  * them — schemas, the iterator-batched `mapPartitions` shape, the
-  * explode-based frame fan-out, partition sizing — is the real Spark
-  * plumbing and is tested.
+  * The IMAGE decode kernel is REAL (JRE-native `javax.imageio.ImageIO`:
+  * PNG/JPEG/GIF/BMP → actual pixels, hash-verified end-to-end in
+  * q_image_decode). Formats with no JRE codec (video/audio) keep a
+  * deterministic stub clearly marked below, behind the same signatures a
+  * real codec would use; their schemas, the iterator-batched
+  * `mapPartitions` shape, the explode-based frame fan-out, and partition
+  * sizing are the real Spark plumbing and are tested.
   *
   * Scale design:
   *   - Binary payloads are the heaviest columns in the table; every
@@ -59,10 +60,53 @@ object Multimodal {
 
   // ------------------------------------------------------------- kernels
 
-  /** STUB decode kernel: a real implementation would wrap an image codec
-    * (JNI/FFI) initialized once per partition. The fake derives
-    * deterministic "pixels" stats from the payload bytes so tests can
-    * assert exact values.
+  /** REAL image decode via the JRE-native `javax.imageio.ImageIO` (PNG /
+    * JPEG / GIF / BMP — every codec the JRE ships). Returns None for
+    * non-image formats or payloads no registered codec accepts, which
+    * then fall back to the documented stub. No external dependency: the
+    * decode-to-features path is a genuinely tested kernel, not plumbing
+    * around a fake.
+    */
+  private def decodeImage(a: Asset): Option[java.awt.image.BufferedImage] =
+    if (a.media_type == "image" || a.format.startsWith("image/"))
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.content)))
+      catch { case _: java.io.IOException => None }
+    else None
+
+  /** Feature vector from REAL decoded pixels: `dim` horizontal bands,
+    * each the mean luminance (r+g+b)/765 of its rows — deterministic,
+    * engine-exact (pure integer sums folded to one double divide), and
+    * the shape a real patch-embedding kernel has.
+    */
+  private def bandLuminance(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val v = new Array[Float](dim)
+    var b = 0
+    while (b < dim) {
+      val y0 = math.min(b * h / dim, h - 1)
+      val y1 = math.max(y0 + 1, (b + 1) * h / dim)
+      var sum = 0L
+      var y = y0
+      while (y < y1) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      v(b) = (sum.toDouble / ((y1 - y0).toLong * w * 765L)).toFloat
+      b += 1
+    }
+    v
+  }
+
+  /** STUB decode kernel for formats with no JRE codec (video/audio): a
+    * real implementation would wrap that codec via JNI/FFI. The fake
+    * derives deterministic "pixels" stats from the payload bytes so
+    * tests can assert exact values.
     */
   private def stubDecode(content: Array[Byte]): (Int, Int) = {
     val n = content.length
@@ -87,14 +131,26 @@ object Multimodal {
 
   /** Decode + embed: one pass per partition, streamed. Output drops the
     * binary payload — after this stage shuffles carry only features.
+    *
+    * Image formats decode REAL pixels via `ImageIO` (width/height and
+    * band-luminance features from the actual bitmap — hash-verified
+    * end-to-end in q_image_decode against images of arithmetically-known
+    * dimensions); formats without a JRE codec fall back to the
+    * documented deterministic stub.
     */
   def imageFeatures(assets: Dataset[Asset], dim: Int = 16): Dataset[ImageFeature] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // real codec: init decoder context HERE, once per partition
+      // non-JRE codecs: init decoder context HERE, once per partition
       it.map { a =>
-        val (w, h) = stubDecode(a.content)
-        ImageFeature(a.asset_id, w, h, stubEmbed(a.content, dim))
+        decodeImage(a) match {
+          case Some(img) =>
+            ImageFeature(a.asset_id, img.getWidth, img.getHeight,
+              bandLuminance(img, dim))
+          case None =>
+            val (w, h) = stubDecode(a.content)
+            ImageFeature(a.asset_id, w, h, stubEmbed(a.content, dim))
+        }
       }
     }
   }

@@ -216,19 +216,18 @@ object Dedup {
 
   // ------------------------------------------------- pair → cluster → keep
 
-  /** Connected components over near-duplicate pairs via hash-min label
-    * propagation: label(v) ← min(v, labels of neighbours), iterated to
-    * fixpoint. This turns any pair-producing dedup variant into keep/drop
-    * decisions (keeper = min id per component).
+  /** Connected components over near-duplicate pairs: keeper = min id per
+    * component. This turns any pair-producing dedup variant into
+    * keep/drop decisions.
     *
-    * Scale notes: this is the standard Spark CC — O(graph diameter)
-    * iterations, each one shuffle keyed by vertex id; near-dup graphs are
-    * dense blobs with tiny diameter, so it converges in a handful of
-    * rounds. Each iteration's labels are `localCheckpoint`ed, which
-    * TRUNCATES LINEAGE — with plain cache() the analyzed plan doubles
-    * every iteration and driver-side optimization time explodes
-    * (measured: 219 s → ~8 s at sf0.1). `maxIters` bounds the loop
-    * defensively.
+    * Scale notes: the distributed path is alternating large-star /
+    * small-star rounds ([[clustersStarWithRounds]]) — O(log n) rounds on
+    * any graph shape, including the chain-shaped components where plain
+    * min-label propagation needs O(diameter) rounds. Every round's edge
+    * set is `localCheckpoint`ed, which TRUNCATES LINEAGE — with plain
+    * cache() the analyzed plan doubles every iteration and driver-side
+    * optimization time explodes (measured: 219 s → ~8 s at sf0.1).
+    * `maxIters` bounds the loop defensively.
     *
     * `reliable = true` swaps `localCheckpoint` for reliable
     * `checkpoint()` (survives executor loss — localCheckpoint's cached
@@ -258,35 +257,92 @@ object Dedup {
     })
     // Adaptive: a near-dup edge list is usually a bounded dimension (far
     // smaller than the corpus). Below the limit, union-find on the
-    // driver beats O(diameter) distributed rounds — each round costs
-    // fixed job overhead regardless of data size. Above it, fall through
-    // to distributed hash-min propagation.
+    // driver beats distributed rounds — each round costs fixed job
+    // overhead regardless of data size. Above it, fall through to
+    // distributed large-star/small-star rounds.
     val edgeCount = p.count()
     if (integralIds && edgeCount <= driverEdgeLimit) return clustersDriver(p)
-    val edges = mat(p
-      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+    clustersStarWithRounds(p, maxIters, reliable)._1
+  }
+
+  /** Distributed connected components by alternating large-star /
+    * small-star rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", 2014) — O(log n) rounds on ANY graph shape,
+    * where min-label propagation needs O(diameter) rounds (a chain of n
+    * near-dup docs would take n rounds; star takes ~log n — asserted in
+    * DedupSpec's chain test).
+    *
+    * Each round is two star operations; each star operation is one
+    * aggregation + one equi-join, both keyed by a single vertex id —
+    * exchanges carry id pairs only, and every edge stays oriented
+    * (lo < hi) so the working set never doubles by symmetrization
+    * between rounds. Convergence = the canonical edge multiset's
+    * (count, hash-sum) signature repeating; at the fixpoint every edge
+    * is (componentMin, v). Lineage is truncated every round via the same
+    * `reliable`-selectable checkpoint discipline as [[clusters]].
+    *
+    * Returns (labels, roundsRun): labels covers every endpoint of the
+    * input (self-loop-only nodes label themselves).
+    */
+  private[graft] def clustersStarWithRounds(p: DataFrame, maxIters: Int,
+                                            reliable: Boolean): (DataFrame, Int) = {
+    def mat(df: DataFrame): DataFrame =
+      if (reliable) { ensureCheckpointDir(df.sparkSession); df.checkpoint(true) }
+      else df.localCheckpoint(true)
+    val nodes = mat(p.select(col("src").as("id"))
+      .unionAll(p.select(col("dst").as("id"))).distinct())
+    // canonical working set: distinct (lo, hi), lo < hi
+    var edges = mat(p.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
       .distinct())
-    var labels = mat(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
-    var handle = labels // checkpointed DF owning the cached partitions
-    var iters = 0
-    var changed = 1L
-    while (changed > 0 && iters < maxIters) {
-      val prop = edges.join(labels.withColumnRenamed("id", "dst_id"),
-          col("dst") === col("dst_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val next = mat(labels.join(prop, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label")).as("_chg")))
-      changed = next.where(col("_chg")).count()
-      handle.unpersist()
-      handle = next
-      labels = next.select(col("id"), col("label"))
-      iters += 1
+
+    // large-star: per node u over its FULL neighborhood, connect every
+    // strictly-larger neighbor to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      sym.join(mins, Seq("u")).where(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
     }
-    edges.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    // small-star: per node u over its SMALLER neighbors L(u), connect
+    // them (and u) to m = min(L(u))
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val rewired = e.join(mins, Seq("hi")).where(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+      rewired.unionAll(mins.select(col("m").as("lo"), col("hi")))
+        .distinct()
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      // order-independent multiset hash; summands bounded < 2^40 so the
+      // ANSI-mode sum cannot overflow below ~8M billion edges
+      val r = e.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("lo"), col("hi")), lit(1L << 40)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxIters) {
+      val next = mat(smallStar(largeStar(edges)))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges.unpersist()
+      edges = next
+      sig = nextSig
+      rounds += 1
+    }
+    val labels = nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("label")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** Reliable checkpoints need a directory; default to a process-local
@@ -422,18 +478,9 @@ object Dedup {
   def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
                           window: Int = 5, k: Int = 3,
                           threshold: Double = 0.1): DataFrame = {
-    require(window >= 1, s"window $window")
     val keyed = docs.select(col(idCol).as("id"),
       regexp_replace(lower(col(textCol)), "[^a-z0-9]", "").as("_sk"))
-    val ranked = Packing.globalOrderIndex(keyed,
-        substring(col("_sk"), 1, 1), Seq(col("_sk"), col("id")))
-      .select(col("id"), col("rank")).localCheckpoint(true)
-    val probes = ranked.select(col("id").as("id_a"),
-      explode(sequence(col("rank") + 1, col("rank") + window)).as("rank"))
-    val cand = probes
-      .join(ranked.select(col("id").as("id_b"), col("rank")), Seq("rank"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val cand = sortedNeighborCandidates(keyed, "id", col("_sk"), window)
     val sh = docs.select(col(idCol).as("id"),
         DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
       .localCheckpoint(true)
@@ -446,6 +493,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("_i") / (col("_na") + col("_nb") - col("_i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** The blocking half of sorted-neighborhood: (id_a, id_b) with
+    * id_a < id_b for every pair within `window` positions of each other
+    * under the total order (sortKey, id). O(n·window) candidates whose
+    * count scales with the corpus, never with any value's frequency —
+    * the dictionary-scaling alternative to equality blocking (an
+    * equality block on a bounded-cardinality key, e.g. a categorical
+    * token, grows O(n²/|dict|) within blocks).
+    *
+    * Scale shape: global rank from [[Packing.globalOrderIndex]]
+    * (two-level — no corpus-wide window), candidates from an EQUI-join
+    * of each row against its `window` successor ranks; exchanges carry
+    * (rank, id) only.
+    */
+  def sortedNeighborCandidates(df: DataFrame, idCol: String,
+                               sortKey: Column, window: Int): DataFrame = {
+    require(window >= 1, s"window $window")
+    val keyed = df.select(col(idCol).as("id"), sortKey.as("_sk"))
+    val ranked = Packing.globalOrderIndex(keyed,
+        substring(col("_sk"), 1, 1), Seq(col("_sk"), col("id")))
+      .select(col("id"), col("rank")).localCheckpoint(true)
+    val probes = ranked.select(col("id").as("id_a"),
+      explode(sequence(col("rank") + 1, col("rank") + window)).as("rank"))
+    probes
+      .join(ranked.select(col("id").as("id_b"), col("rank")), Seq("rank"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+  }
+
+  /** Edit-distance fuzzy self-match over a value dictionary (entity
+    * resolution on short strings: names, titles, addresses). Blocking is
+    * TWO sorted-neighborhood passes — the value itself and its reverse —
+    * so candidates cover both shared-prefix and shared-suffix
+    * similarity; each surviving candidate is verified with
+    * `levenshtein ≤ maxDist`.
+    *
+    * Scale shape: candidate count is O(n · 2·window) — it grows with the
+    * dictionary, not quadratically within fixed-cardinality blocks (the
+    * failure mode of blocking on a categorical token of the value).
+    * Verification runs BEFORE the pair-dedup so the distinct shuffles
+    * only matched pairs; candidate generation itself shuffles (rank, id)
+    * pairs only. Nothing broadcasts the dictionary and nothing
+    * nested-loop joins (plan-locked in PlanSpec).
+    *
+    * Returns (name_a, name_b, dist), name_a < name_b, one row per
+    * distinct matched pair.
+    */
+  def fuzzyPairs(df: DataFrame, keyCol: String, window: Int = 10,
+                 maxDist: Int = 3): DataFrame = {
+    val names = df.select(col(keyCol).as("name")).distinct()
+      .localCheckpoint(true)
+    val fwd = sortedNeighborCandidates(names, "name", col("name"), window)
+    val rev = sortedNeighborCandidates(names, "name", reverse(col("name")), window)
+    fwd.unionAll(rev)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+        levenshtein(col("id_a"), col("id_b")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
   }
 
   // ------------------------------------------------------ passage dedup

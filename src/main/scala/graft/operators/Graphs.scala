@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge DataFrames — the power-iteration
@@ -60,16 +61,26 @@ object Graphs {
       // every iteration bit-reproducible across partitionings, retries
       // and engines (plain float sum() is summation-order-dependent in
       // the last bit, which compounds over iterations and can flip a
-      // rounded digit). The collected list is in-degree-bounded — fine
-      // for the degree-bounded similarity graphs this engine builds;
-      // for hub-heavy graphs switch to the plain sum.
+      // rounded digit). Computed as sum() over a whole-partition window
+      // ordered by the value: Spark evaluates an unbounded frame as a
+      // 0.0-seeded sequential left fold in partition sort order, which
+      // is bit-identical to folding array_sort(collect_list(c)) — but
+      // WindowExec buffers its partition rows in a SPILLABLE array
+      // (ExternalAppendOnlyUnsafeRowArray → UnsafeExternalSorter), so a
+      // hub vertex with 10^7 in-edges streams through disk instead of
+      // materializing an O(in-degree) array inside one aggregation
+      // buffer. Hub-safety is measured in PipelineBench's star-graph
+      // run; ties in c are interchangeable (equal doubles sum equally).
       val contribs =
-        if (orderedSum)
-          raw.groupBy(col("id"))
-            .agg(array_sort(collect_list(col("c"))).as("_cs"))
-            .select(col("id"),
-              aggregate(col("_cs"), lit(0.0), (a, x) => a + x).as("_in"))
-        else raw.groupBy(col("id")).agg(sum(col("c")).as("_in"))
+        if (orderedSum) {
+          val w = Window.partitionBy(col("id")).orderBy(col("c"))
+          val wAll = w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+          raw.select(col("id"), sum(col("c")).over(wAll).as("_in"),
+              row_number().over(w).as("_rn"))
+            .where(col("_rn") === 1)
+            .select(col("id"), col("_in"))
+        } else raw.groupBy(col("id")).agg(sum(col("c")).as("_in"))
       pr = contribs.select(col("id"),
         (lit(base) + col("_in") * damping).as("pr"))
       if ((i + 1) % checkpointInterval == 0 && i + 1 < iters) pr = mat(pr)

@@ -84,6 +84,12 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_fuzzy_join: sorted-neighborhood blocking is equi-join only — no nested loop, no cartesian") {
+    val p = planOf("q_fuzzy_join")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("q_curation_pipeline: hash joins only, no nested-loop join") {
     val p = planOf("q_curation_pipeline")
     (p should not).include("BroadcastNestedLoopJoin")

@@ -50,6 +50,58 @@ class MultimodalSpec extends SparkSpec {
     fr.filter(_._1 == 3L).map(_._3) shouldBe Array(0L, 2500L, 5000L, 7500L)
   }
 
+  test("imageFeatures decodes REAL PNG pixels via ImageIO: exact dimensions and band luminance") {
+    // build actual PNGs in-memory: 8×6 at gray 100, 3×2 at gray 0
+    def png(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val imgs = Seq(
+      Asset(1L, "image", png(8, 6, 100), "image/png", 0L),
+      Asset(2L, "image", png(3, 2, 0), "image/png", 0L)).toDS()
+    val f = imageFeatures(imgs, dim = 4).orderBy("asset_id").collect()
+    // REAL decoded dimensions — the stub would report len%640+1/len%480+1
+    f(0).width shouldBe 8
+    f(0).height shouldBe 6
+    f(1).width shouldBe 3
+    f(1).height shouldBe 2
+    // constant fill → every band's mean luminance is exactly 3·g/765
+    f(0).embedding.toSeq shouldBe Seq.fill(4)((300.0 / 765.0).toFloat)
+    f(1).embedding.toSeq shouldBe Seq.fill(4)(0.0f)
+  }
+
+  test("imageFeatures: gradient PNG band luminance follows the pixel rows") {
+    // 4 rows, each row its own gray: bands (dim=4) pick up row means
+    val img = new java.awt.image.BufferedImage(2, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 2) {
+      val g = y * 60
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = Seq(Asset(9L, "image", bos.toByteArray, "image/png", 0L)).toDS()
+    val f = imageFeatures(ds, dim = 4).head()
+    f.embedding.toSeq shouldBe (0 until 4).map(y => (y * 60 * 3 / 765.0).toFloat)
+  }
+
+  test("non-image formats fall back to the documented stub kernel") {
+    val f = imageFeatures(assets.as[Asset], dim = 4).orderBy("asset_id").head()
+    f.width shouldBe 12 // "hello world" bytes: 11 % 640 + 1 — stub arithmetic
+  }
+
+  test("undecodable bytes under an image format fall back to the stub, not a crash") {
+    val junk = Seq(Asset(5L, "image", Array[Byte](1, 2, 3), "image/png", 0L)).toDS()
+    val f = imageFeatures(junk, dim = 4).head()
+    f.width shouldBe 4 // stub: 3 % 640 + 1
+    f.height shouldBe 4
+  }
+
   test("contentMeta: dedup keys without decoding") {
     val m = contentMeta(assets).orderBy("asset_id")
       .select("n_bytes", "content_md5").as[(Long, String)].collect()

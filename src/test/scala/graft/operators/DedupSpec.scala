@@ -221,4 +221,72 @@ class DedupSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("star clustering: chain graph converges in O(log n) rounds, labels = union-find") {
+    import spark.implicits._
+    // a 512-node chain is the adversarial shape for min-label
+    // propagation (O(n) rounds to drag 0 to the far end); large-star/
+    // small-star must finish it in ~log2(n) rounds
+    val n = 512
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("src", "dst")
+    val (labels, rounds) = Dedup.clustersStarWithRounds(chain,
+      maxIters = 20, reliable = false)
+    rounds should be <= 10 // ~log2(512) + slack; hash-min would need ~512
+    val got = labels.as[(Long, Long)].collect().toMap
+    got shouldBe (0 until n).map(_.toLong -> 0L).toMap
+  }
+
+  test("star clustering equals driver union-find on a random multi-component graph") {
+    import spark.implicits._
+    // deterministic pseudo-random edges over 300 nodes: multiple
+    // components, cycles, duplicate and reversed edges
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(220)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val viaDriver = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val viaStar = Dedup.clusters(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    viaStar shouldBe viaDriver
+  }
+
+  test("star clustering: self-loop-only nodes label themselves") {
+    import spark.implicits._
+    val pairs = Seq((1L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 2L, 3L -> 2L)
+  }
+
+  test("fuzzyPairs: blocks by sorted neighborhood (both orientations), verifies edit distance") {
+    import spark.implicits._
+    val names = Seq(
+      "almond antique blue", // a: within 2 edits of b
+      "almond antique blu",  // b
+      "zzz antique blue",    // c: shares SUFFIX with a (reverse pass)
+      "completely unrelated string").toDF("name")
+    val got = Dedup.fuzzyPairs(names, "name", window = 2, maxDist = 4)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    got should contain(("almond antique blu", "almond antique blue"))
+    got.map(p => Set(p._1, p._2)) should not contain
+      Set("almond antique blue", "completely unrelated string")
+    // the pair dedup holds: no (a,b) appears twice even though both
+    // passes generate it
+    val all = Dedup.fuzzyPairs(names, "name", window = 2, maxDist = 4)
+      .select("name_a", "name_b").as[(String, String)].collect()
+    all.length shouldBe all.toSet.size
+  }
+
+  test("fuzzyPairs reverse pass catches suffix-similar names the forward pass misses") {
+    import spark.implicits._
+    // names share a long suffix but differ in the first character, so
+    // they sort far apart forward ("a..." vs "z...") with blockers
+    // between; only reverse order makes them adjacent
+    val names = (Seq("a same long suffix", "z same long suffix") ++
+      (1 to 20).map(i => f"b$i%02d$i%02d$i%02d filler value")).toDF("name")
+    val got = Dedup.fuzzyPairs(names, "name", window = 1, maxDist = 1)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    got shouldBe Set(("a same long suffix", "z same long suffix"))
+  }
 }
