@@ -156,6 +156,44 @@ object SparkEntry {
       path
     })
 
+  /** Process-lifetime REAL-WAV asset fixture for q_audio_decode: one
+    * actual 16-bit PCM mono WAV per document, encoded with the JRE's
+    * `javax.sound.sampled` — 8 kHz, doc_id%800+1 frames, every sample
+    * the constant doc_id%20000-10000 — so decoded frame counts and RMS
+    * amplitudes are arithmetically known (RMS of a constant signal v is
+    * exactly |v|/32768: v² is integer-exact and IEEE sqrt of a perfect
+    * square is exact) and the oracle recomputes them without a codec.
+    */
+  private val wavFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wavAssetsFixture(s: SparkSession, dir: String): String =
+    wavFixtures.computeIfAbsent(dir, _ => {
+      val tmp = fixtureDir("graft-wav")
+      val path = tmp.getAbsolutePath + "/assets"
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val rows = Tables.documents(s, dir).select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSeq.map { id =>
+          val nFrames = (id % 800 + 1).toInt
+          val v = (id % 20000 - 10000).toInt
+          val pcm = new Array[Byte](nFrames * 2)
+          var i = 0
+          while (i < nFrames) { // little-endian 16-bit signed
+            pcm(2 * i) = (v & 0xFF).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, "audio", bos.toByteArray, "audio/wav", 0L)
+        }
+      import s.implicits._
+      rows.toDF("asset_id", "media_type", "content", "format", "duration_ms")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   private val bucketFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def bucketedTablesFixture(s: SparkSession, dir: String): (String, String) =
@@ -1118,6 +1156,23 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    // -- multimodal: REAL audio decode — javax.sound.sampled recovers
+    // sample rate / frame count / RMS amplitude from actual 16-bit PCM
+    // WAV payloads; the oracle recomputes them from the arithmetic the
+    // fixture used to construct each file (hash-verified)
+    "q_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val assets = s.read.schema(graft.multimodal.Multimodal.assetSchema)
+        .parquet(wavAssetsFixture(s, dir))
+        .as[graft.multimodal.Multimodal.Asset]
+      graft.multimodal.Multimodal.audioFeatures(assets, dim = 4)
+        .select(col("asset_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("n_frames"),
+          col("duration_ms"),
+          round(element_at(col("rms"), 1).cast("double"), 6).as("rms1"))
+        .orderBy(col("asset_id"))
+    }),
+
     // -- multimodal: declarative frame fan-out over synthetic video assets --
     "q_frame_sample" -> ((s, dir) =>
       graft.multimodal.Multimodal.sampleFrames(
@@ -2041,6 +2096,18 @@ object SparkEntry {
         |       round(CAST(CAST((doc_id % 256) * 3 / 765.0 AS REAL) AS DOUBLE), 6) AS luma
         |FROM documents ORDER BY asset_id""".stripMargin,
 
+    // RMS of a constant-sample signal is exactly |v|/32768 (see the
+    // fixture scaladoc); the float32 feature round-trips through
+    // DuckDB's REAL cast like q_image_decode's luma
+    "q_audio_decode" ->
+      """SELECT doc_id AS asset_id,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(1 AS BIGINT) AS channels,
+        |       CAST(doc_id % 800 + 1 AS BIGINT) AS n_frames,
+        |       CAST((doc_id % 800 + 1) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |       round(CAST(CAST(abs(doc_id % 20000 - 10000) / 32768.0 AS REAL) AS DOUBLE), 6) AS rms1
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
     "q_frame_sample" ->
       """SELECT doc_id AS asset_id, frame_idx,
         |       cast(floor(frame_idx * duration_ms / 3.0) AS BIGINT) AS ts_ms FROM
@@ -2069,17 +2136,24 @@ object SparkEntry {
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // compares step gaps at MICROSECOND precision (epoch_ns//1000) — the
+    // Spark side reads ts through Tables.events' nanos/1000 truncation,
+    // so a native-ns oracle would classify two events in the same
+    // microsecond but different nanoseconds differently (q_sessionize
+    // discipline)
     "q_funnel" ->
-      """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
-        |           WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(ts) AS t1 FROM events e
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tu
+        |           FROM events),
+        |v AS (SELECT user_id, min(tu) AS t0 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(tu) AS t1 FROM e
         |      JOIN v ON e.user_id = v.user_id
-        |      WHERE event_type = 'click' AND ts > t0
-        |        AND ts <= t0 + INTERVAL 7200 SECOND GROUP BY 1),
-        |p AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+        |      WHERE event_type = 'click' AND tu > t0
+        |        AND tu <= t0 + 7200000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(tu) AS t2 FROM e
         |      JOIN c ON e.user_id = c.user_id
-        |      WHERE event_type = 'purchase' AND ts > t1
-        |        AND ts <= t1 + INTERVAL 86400 SECOND GROUP BY 1)
+        |      WHERE event_type = 'purchase' AND tu > t1
+        |        AND tu <= t1 + 86400000000 GROUP BY 1)
         |SELECT 1 AS step, 'view' AS name, count(*) AS n_users FROM v
         |UNION ALL SELECT 2, 'click', count(*) FROM c
         |UNION ALL SELECT 3, 'purchase', count(*) FROM p

@@ -27,22 +27,31 @@ object Funnel {
     */
   final case class Step(eventType: String, maxGapSeconds: Option[Long] = None)
 
-  /** Per-step (user, step time) tables, step-1 first. */
+  /** Per-step (user, step time) tables, step-1 first.
+    *
+    * The events side is projected to `_`-prefixed internal names up
+    * front, so the operator stays safe for inputs that already carry a
+    * `user`/`t`/`_tprev` column (or where `userCol` itself is "user") —
+    * the bare-name join would otherwise be ambiguous or silently
+    * self-referential.
+    */
   def stepTimes(events: DataFrame, userCol: String, tsCol: String,
                 typeCol: String, steps: Seq[Step]): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val first = events.where(col(typeCol) === steps.head.eventType)
-      .groupBy(col(userCol).as("user")).agg(min(col(tsCol)).as("t"))
+    val ev = events.select(col(userCol).as("_f_user"), col(tsCol).as("_f_ts"),
+      col(typeCol).as("_f_type"))
+    val first = ev.where(col("_f_type") === steps.head.eventType)
+      .groupBy(col("_f_user").as("user")).agg(min(col("_f_ts")).as("t"))
     steps.tail.foldLeft(Vector(first)) { (acc, step) =>
       val prev = acc.last.select(col("user"), col("t").as("_tprev"))
       val gapOk = step.maxGapSeconds match {
-        case Some(g) => col(tsCol) <= col("_tprev") + expr(s"INTERVAL '$g' SECOND")
+        case Some(g) => col("_f_ts") <= col("_tprev") + expr(s"INTERVAL '$g' SECOND")
         case None    => lit(true)
       }
-      acc :+ events.where(col(typeCol) === step.eventType)
-        .join(prev, col(userCol) === col("user"))
-        .where(col(tsCol) > col("_tprev") && gapOk)
-        .groupBy(col("user")).agg(min(col(tsCol)).as("t"))
+      acc :+ ev.where(col("_f_type") === step.eventType)
+        .join(prev, col("_f_user") === col("user"))
+        .where(col("_f_ts") > col("_tprev") && gapOk)
+        .groupBy(col("user")).agg(min(col("_f_ts")).as("t"))
     }
   }
 

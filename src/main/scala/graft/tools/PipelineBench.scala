@@ -56,7 +56,8 @@ object PipelineBench {
     }
     // exact top-3 for 50 sampled sources (brute force 50 × corpus — the
     // affordable exact slice; full exact is O(n²) by definition)
-    val sample = corpus.where(col("vec_id") % (nVec / 50) === 0)
+    val sampleStride = (nVec / 50).max(1L) // guard small smoke runs (nVec < 50)
+    val sample = corpus.where(col("vec_id") % sampleStride === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val exact = graft.operators.Similarity.bruteForceTopK(corpus, "vec_id",
         "embedding", sample, "query_id", "qv", k = 4)

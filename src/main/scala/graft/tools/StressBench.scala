@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graphs}
+
+/** Adversarial-shape scale evidence for the three paths the round-4
+  * review flagged as needing proof past the sf dirs:
+  *
+  *  1. `Dedup.fuzzyPairs` at a ≥10M-name dictionary — candidates must
+  *     grow O(n·window) with the dictionary (the old last-token
+  *     equality blocking grew O(n²/|dict|) inside ~92 fixed blocks).
+  *  2. `Dedup.clustersStarWithRounds` at ≥10M edges INCLUDING a
+  *     2M-node chain component — diameter 2M, where min-label
+  *     propagation needs O(diameter) rounds and large-star/small-star
+  *     must converge in O(log n).
+  *  3. `Graphs.pageRank(orderedSum = true)` on a deliberately
+  *     power-law graph (one vertex with ~10M in-edges) — the shape the
+  *     old per-vertex `array_sort(collect_list)` fold could not buffer
+  *     (an 80 MB+ array in ONE aggregation buffer); the windowed fold
+  *     must stream/spill it.
+  *
+  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.tools.StressBench [nNames] [nEdges] [hubDeg]"
+  */
+object StressBench {
+  def main(args: Array[String]): Unit = {
+    val nNames = if (args.length > 0) args(0).toLong else 10000000L
+    val nEdges = if (args.length > 1) args(1).toLong else 10000000L
+    val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- 1. fuzzy join over a hash-syllable name dictionary. 6
+    // syllables from a 32-entry alphabet = 2^30 combos, so ~10M draws
+    // stay ~99% distinct; every 10th name also plants a 1-char suffix
+    // mutation of another name (a guaranteed dist-1 pair for recall
+    // sanity). Candidate count is structurally ≤ 2·window·n.
+    val syl = (0 until 32).map(i => f"${('a' + i % 26).toChar}${"aeiou" (i % 5)}")
+    def nameOf(idCol: org.apache.spark.sql.Column) =
+      concat_ws("", (0 until 6).map(j =>
+        element_at(typedLit(syl), (pmod(xxhash64(idCol, lit(j)), lit(32)) + 1).cast("int"))): _*)
+    val names = spark.range(nNames)
+      .select(when(col("id") % 10 === 0, concat(nameOf(col("id") + 1), lit("x")))
+        .otherwise(nameOf(col("id"))).as("name"))
+      .localCheckpoint(true)
+    val nDistinct = names.select(col("name")).distinct().count()
+    val ((nFuzzyPairs, nDist1), tFuzzy) = timed {
+      val p = Dedup.fuzzyPairs(names, "name", window = 10, maxDist = 3)
+        .localCheckpoint(true)
+      (p.count(), p.where(col("dist") === 1).count())
+    }
+    println(s"""{"metric":"fuzzy_join","names":$nNames,"distinct":$nDistinct,"window":10,"pairs":$nFuzzyPairs,"dist1_pairs":$nDist1,"sec":$tFuzzy,"cpus":$cpus}""")
+
+    // ---- 2. star CC on chain + clusters. Component shapes: one chain
+    // over ids 0..2M (diameter 2M) and ~1.6M five-node stars for the
+    // remaining edges. Convergence must be logarithmic in the chain
+    // length, and the whole chain must land in ONE component.
+    val chainN = (nEdges / 5).min(2000000L).max(10L)
+    val chain = spark.range(chainN)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val nClusterEdges = (nEdges - chainN).max(0L)
+    val clusterBase = chainN + 1
+    val clusterEdges = spark.range(nClusterEdges).select(
+      (lit(clusterBase) + pmod(xxhash64(col("id")), lit(1600000)) * 5).as("src"),
+      (lit(clusterBase) + pmod(xxhash64(col("id")), lit(1600000)) * 5
+        + 1 + pmod(xxhash64(col("id"), lit(1)), lit(4))).as("dst"))
+    val p = chain.unionAll(clusterEdges)
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    val ((labels, rounds), tCc) = timed {
+      val (l, r) = Dedup.clustersStarWithRounds(p, maxIters = 30, reliable = false)
+      val lc = l.localCheckpoint(true); lc.count(); (lc, r)
+    }
+    val chainComponents = labels.where(col("id") <= chainN)
+      .select(col("cluster_id")).distinct().count()
+    val nComponents = labels.select(col("cluster_id")).distinct().count()
+    require(chainComponents == 1L, s"chain split into $chainComponents components")
+    println(s"""{"metric":"star_cc","edges":$nEdges,"chain_nodes":${chainN + 1},"rounds":$rounds,"components":$nComponents,"chain_components":$chainComponents,"sec":$tCc,"cpus":$cpus}""")
+
+    // ---- 3. hub-heavy PageRank: spokes 1..hubDeg each point at vertex
+    // 0 (one in-degree-hubDeg aggregation partition), hub points back at
+    // vertex 1, plus a spoke ring so every vertex has an out-edge.
+    val spokes = spark.range(1, hubDeg + 1)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    val ring = spark.range(1, hubDeg + 1)
+      .select(col("id").as("src"), (col("id") % hubDeg + 1).as("dst"))
+    val hubEdges = spokes.unionAll(ring)
+      .unionAll(spark.range(1).select(lit(0L).as("src"), lit(1L).as("dst")))
+      .localCheckpoint(true)
+    val (prSum, tPr) = timed {
+      Graphs.pageRank(hubEdges, "src", "dst", iters = 5, orderedSum = true)
+        .agg(sum(col("pr"))).head().getDouble(0)
+    }
+    println(s"""{"metric":"pagerank_hub","edges":${2 * hubDeg + 1},"hub_in_degree":$hubDeg,"iters":5,"ordered_sum":true,"pr_sum":$prSum,"sec":$tPr,"cpus":$cpus}""")
+    spark.stop()
+  }
+}

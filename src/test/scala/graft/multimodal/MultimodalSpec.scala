@@ -102,6 +102,54 @@ class MultimodalSpec extends SparkSpec {
     f.height shouldBe 4
   }
 
+  // build an actual 16-bit PCM mono WAV in-memory from explicit samples
+  private def wav(sampleRate: Float, samples: Array[Int]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioFeatures decodes REAL WAV samples: exact rate, frames, duration, band RMS") {
+    // 8 kHz, 400 frames: first half constant 8192, second half constant -16384
+    val samples = Array.fill(200)(8192) ++ Array.fill(200)(-16384)
+    val ds = Seq(Asset(1L, "audio", wav(8000f, samples), "audio/wav", 0L)).toDS()
+    val f = audioFeatures(ds, dim = 2).head()
+    f.sample_rate shouldBe 8000
+    f.channels shouldBe 1
+    f.n_frames shouldBe 400L
+    f.duration_ms shouldBe 50L // 400 frames / 8 kHz
+    // RMS of a constant signal v is exactly |v|/32768
+    f.rms.toSeq shouldBe Seq(0.25f, 0.5f)
+  }
+
+  test("audioFeatures is deterministic and drops the payload column") {
+    val ds = Seq(
+      Asset(1L, "audio", wav(16000f, Array.fill(160)(1000)), "audio/wav", 0L),
+      Asset(2L, "audio", wav(8000f, Array.fill(80)(-2000)), "audio/wav", 0L)).toDS()
+    val f1 = audioFeatures(ds, dim = 4).orderBy("asset_id").collect()
+    val f2 = audioFeatures(ds, dim = 4).orderBy("asset_id").collect()
+    f1.map(_.rms.toSeq) shouldBe f2.map(_.rms.toSeq)
+    f1(0).duration_ms shouldBe 10L // 160 / 16 kHz
+    f1(1).duration_ms shouldBe 10L // 80 / 8 kHz
+    audioFeatures(ds, dim = 4).schema.fieldNames should not contain "content"
+  }
+
+  test("non-WAV audio payloads fall back to the documented stub, not a crash") {
+    val junk = Seq(Asset(7L, "audio", Array[Byte](1, 2, 3), "audio/mp3", 123L)).toDS()
+    val f = audioFeatures(junk, dim = 4).head()
+    f.sample_rate shouldBe 0 // stub marker: real rates only from real decodes
+    f.duration_ms shouldBe 123L // metadata passthrough
+  }
+
   test("contentMeta: dedup keys without decoding") {
     val m = contentMeta(assets).orderBy("asset_id")
       .select("n_bytes", "content_md5").as[(Long, String)].collect()
