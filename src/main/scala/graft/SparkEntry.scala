@@ -1128,6 +1128,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ + exact re-rank: the production two-stage retrieval shape —
+    // ADC shortlist of 4·k candidates per query, exact kernel cosine
+    // only on the survivors (no oracle — shortlist is approximate;
+    // PqSpec proves full-coverage re-rank ≡ brute force exactly)
+    "q_ivfpq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).localCheckpoint(true)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+      val shortlist = Pq.ivfPqTopK(emb, "vec_id", "embedding", queries, k = 20,
+        numCentroids = 16, nprobe = 4, m = 16, kCodes = 64, sampleN = 2000)
+      Similarity.rerankExact(shortlist, emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          "query_id", "qv", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF approximate ANN (no oracle — probe-dependent recall)
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)

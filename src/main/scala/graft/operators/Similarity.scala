@@ -81,6 +81,33 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Exact re-rank of an ANN shortlist — the production two-stage shape
+    * (FAISS-style): a cheap approximate stage (ADC / LSH / IVF) keeps
+    * c·k candidates per query, then the exact cosine runs ONLY on the
+    * survivors. `shortlist` is (query_id, neighbor_id) from any
+    * candidate source; corpus vectors rejoin BY ID (one hash join whose
+    * probe side is the shortlist — orders of magnitude smaller than the
+    * corpus), the query set broadcasts. With a full-coverage shortlist
+    * this equals [[bruteForceTopK]] EXACTLY (same rounded-cosine
+    * tie-break ranking key) — asserted in PqSpec; at production nprobe
+    * the re-rank repairs ADC quantization error at shortlist cost.
+    */
+  def rerankExact(shortlist: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, queries: DataFrame, qidCol: String,
+                  qvecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(qidCol).as("query_id"),
+        col(qvecCol).as("_qv"))), Seq("query_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_cv"), col("_qv")), roundTo).as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Approximate top-k: candidates = same-signature bucket, ranked by
     * exact cosine within the bucket. Shuffles only (signature, id, vec) —
     * and the join key is a long, so AQE can handle bucket skew.

@@ -15,7 +15,8 @@ class EntrySpec extends SparkSpec {
     val rowsOnly = qs.diff(oracled)
     // the full rows-only list — additions here must be justified in SURVEY §8
     rowsOnly shouldBe Set("q_minhash_pairs", "q_simhash_pairs", "q_lsh_topk",
-      "q_ivf_topk", "q_pq_topk", "q_ivfpq_topk", "q_fingerprint", "q_approx_distinct",
+      "q_ivf_topk", "q_pq_topk", "q_ivfpq_topk", "q_ivfpq_rerank",
+      "q_fingerprint", "q_approx_distinct",
       "q_embedding_neardup_lsh", "q_source_similarity", "q_kmeans_sizes",
       "q_approx_quantile", "q_knn_graph_lsh")
   }
@@ -31,6 +32,7 @@ class EntrySpec extends SparkSpec {
       "q_ivf_topk" -> 25L,
       "q_pq_topk" -> 25L,
       "q_ivfpq_topk" -> 25L,
+      "q_ivfpq_rerank" -> 25L,
       "q_fingerprint" -> 500L,
       "q_approx_distinct" -> 3L,
       "q_embedding_neardup_lsh" -> 66L,

@@ -88,6 +88,52 @@ class PqSpec extends SparkSpec {
     got.sortBy(r => (r._1, -r._3, r._2)) shouldBe full.sortBy(r => (r._1, -r._3, r._2))
   }
 
+  test("rerankExact with a full-coverage shortlist EQUALS bruteForceTopK") {
+    val df = corpus(200).localCheckpoint(true)
+    val qdf = df.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // shortlist = the complete query×corpus cross product: re-rank must
+    // then reproduce brute force EXACTLY (same rounded-cosine ranking
+    // key, same tie-break) — the plumbing-exactness anchor
+    val all = df.select(col("vec_id").as("neighbor_id"))
+      .crossJoin(qdf.select(col("query_id")))
+    val got = Similarity.rerankExact(all, df, "vec_id", "embedding",
+        qdf, "query_id", "qv", k = 7)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        qdf, "query_id", "qv", k = 7)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    got shouldBe exact
+  }
+
+  test("rerankExact repairs ADC ranking error on an IVF-PQ shortlist") {
+    val df = corpus(400).localCheckpoint(true)
+    val queries = df.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val qdf = df.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // exhaustive probe + wide shortlist (4·k), then exact re-rank to k
+    val shortlist = Pq.ivfPqTopK(df, "vec_id", "embedding", queries, k = 40,
+      numCentroids = 8, nprobe = 8, m = 16, kCodes = 64, sampleN = 400)
+    val reranked = Similarity.rerankExact(shortlist, df, "vec_id", "embedding",
+        qdf, "query_id", "qv", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        qdf, "query_id", "qv", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the re-ranked stage must do at least as well as raw ADC@10 and
+    // recover nearly all of the exact top-10 from the ADC@40 shortlist
+    val recalls = exact.map { case (q, ex) =>
+      ex.intersect(reranked.getOrElse(q, Set.empty)).size.toDouble / ex.size
+    }
+    (recalls.sum / recalls.size) should be >= 0.9
+  }
+
   test("residual IVF-PQ: tighter cosine approximation than raw codebooks at equal budget") {
     val df = corpus(400).localCheckpoint(true)
     val queries = df.where(col("vec_id") < 3)
