@@ -1290,6 +1290,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("doc_id"))),
 
+    // TF-IDF keyword extraction: each document's 3 heaviest terms under
+    // smoothed idf — (doc,term) counts, term-keyed df broadcast back,
+    // WindowGroupLimit-pruned per-doc rank (oracle = the identical
+    // formula in DuckDB under the identical (weight, term) tie-break)
+    "q_tfidf" -> ((s, dir) =>
+      Retrieval.tfidf(Tables.documents(s, dir), "doc_id", "text", topK = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tfidf"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("doc_id"), col("rk"))),
+
     // Exact k-NN graph (all-pairs oracle anchor at test scale — the
     // 100 TB build is q_knn_graph_lsh below)
     "q_knn_graph" -> ((s, dir) =>
@@ -2217,6 +2227,23 @@ object SparkEntry {
         |SELECT z[1] AS a, z[2] AS b, count(*) AS n FROM p
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY n DESC, a, b""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> length(x) > 0) AS l FROM documents),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM (
+        |         SELECT doc_id, unnest(l) AS term FROM toks) u GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |wt AS (SELECT doc_id, tf.term AS term,
+        |         round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+        |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rk FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term) AS rk FROM wt) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "q_bm25" ->
       """WITH toks AS (

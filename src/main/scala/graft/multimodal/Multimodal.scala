@@ -240,16 +240,36 @@ object Multimodal {
     }
   }
 
-  /** Resize: payload-in, payload-out per-partition stage (STUB: truncates
-    * bytes proportionally; a real kernel re-encodes pixels). Keeps the
-    * map-only, no-shuffle shape of a real resize pass.
+  /** Resize: payload-in, payload-out per-partition stage. Image formats
+    * resize REAL pixels (ImageIO decode → bilinear re-render at
+    * w·scale/100 × h·scale/100, clamped to ≥1px → PNG re-encode);
+    * payloads with no JRE codec keep the documented byte-truncation
+    * stub. Both keep the map-only, no-shuffle shape of a real resize
+    * pass; the decoder/encoder context lives once per partition.
     */
   def resize(assets: Dataset[Asset], scalePercent: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
+    require(scalePercent >= 1, s"scalePercent $scalePercent")
     assets.mapPartitions { it =>
       it.map { a =>
-        val keep = math.max(1, a.content.length * scalePercent / 100)
-        a.copy(content = a.content.take(keep))
+        decodeImage(a) match {
+          case Some(img) =>
+            val w = math.max(1, img.getWidth * scalePercent / 100)
+            val h = math.max(1, img.getHeight * scalePercent / 100)
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            a.copy(content = bos.toByteArray, format = "image/png")
+          case None =>
+            val keep = math.max(1, a.content.length * scalePercent / 100)
+            a.copy(content = a.content.take(keep))
+        }
       }
     }
   }

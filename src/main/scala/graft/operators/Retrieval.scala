@@ -50,6 +50,42 @@ object Retrieval {
       .groupBy(col("id")).agg(sum(col("contrib")).as("score"))
   }
 
+  /** TF-IDF weights per (document, term), optionally pruned to each
+    * document's `topK` heaviest terms — the classic sparse document
+    * vector (keyword extraction, lexical retrieval, cheap doc
+    * signatures). idf = ln((1+N)/(1+df)) + 1 (smoothed — finite even
+    * for corpus-universal terms); tf is the raw in-document count.
+    *
+    * Scale shape mirrors [[bm25]]: one tokenize+explode scan feeding a
+    * (doc, term)-keyed count, term document-frequencies re-aggregated
+    * from those counts (64-bit-ish (term, count) rows — never the
+    * corpus) and broadcast back by term, N a broadcast scalar. The
+    * optional per-doc top-k is a rank window keyed by doc id —
+    * WindowGroupLimit prunes to k per partition before the final
+    * shuffle. Ranking key is (rounded weight desc, term asc) so ties
+    * are deterministic.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+            topK: Int = 0, roundTo: Int = 6): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalytics.tokens(lower(col(textCol))).as("_toks"))
+    val tf = toks.select(col("id"), explode(col("_toks")).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val weighted = tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"),
+        round(col("tf") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0),
+          roundTo).as("tfidf"))
+    if (topK <= 0) weighted
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("tfidf").desc, col("term").asc)
+      weighted.withColumn("rk", row_number().over(w)).where(col("rk") <= topK)
+    }
+  }
+
   /** Exact k-NN graph over an embedding column: the top-`k` cosine
     * neighbors of EVERY vector. All-pairs by construction — this is the
     * oracle anchor at test scale, not the 100 TB path (that is

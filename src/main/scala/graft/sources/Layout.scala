@@ -49,6 +49,40 @@ object Layout {
     }).saveAsTable(table)
   }
 
+  /** Compact a parquet directory to bounded-size output files — the
+    * maintenance pass every long-lived 100 TB table needs (streaming
+    * sinks and partitioned appends accrete small files until the
+    * driver's file listing and the per-file open cost dominate scans).
+    *
+    * File count = ceil(inputBytes / targetFileBytes), estimated from the
+    * source files' on-disk footprint (parquet→parquet round-trips keep
+    * roughly the same encoded size, so the on-disk total is the honest
+    * estimator — no sampling pass, no decode). Round-robin repartition
+    * spreads rows evenly regardless of input skew; `sortCols` optionally
+    * re-establishes a clustering (range-partition + in-file sort — the
+    * min-max-stats discipline of [[writeZordered]]) so compaction can
+    * simultaneously restore scan pruning that append order destroyed.
+    *
+    * Writes to `outPath` (caller swaps directories atomically; never
+    * compact in place — a failed overwrite of the live path loses data).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes $targetFileBytes")
+    val df = spark.read.parquet(inPath)
+    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((inputBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(BigInt(Int.MaxValue)).toInt.max(1)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    shaped.write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
+
   /** Write parquet laid out along a Z-order (Morton) curve over two
     * numeric columns: each column is quantized to a 16-bit rank over its
     * [min, max] range, the ranks bit-interleave into one key

@@ -36,10 +36,29 @@ class MultimodalSpec extends SparkSpec {
     f(0).embedding.sum shouldBe ("hello world".getBytes("UTF-8").map(_ & 0xFF).sum / 255.0f) +- 0.01f
   }
 
-  test("resize keeps schema, scales payload size") {
+  test("resize keeps schema, scales payload size (non-image stub path)") {
     val r = resize(assets.as[Asset], 50).orderBy("asset_id").collect()
     r(2).content.length shouldBe 500
     r(0).media_type shouldBe "video"
+  }
+
+  test("resize re-renders REAL image pixels: scaled dimensions, fill preserved") {
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, 0x646464) // gray 100
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = Seq(Asset(1L, "image", bos.toByteArray, "image/png", 0L)).toDS()
+    val out = resize(ds, 50).head()
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.content))
+    dec.getWidth shouldBe 4
+    dec.getHeight shouldBe 3
+    // constant fill survives bilinear resampling exactly
+    (dec.getRGB(2, 1) & 0xFFFFFF) shouldBe 0x646464
+    // 1×1 floor: shrinking below a pixel clamps, never crashes
+    val tiny = resize(ds, 1).head()
+    val td = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tiny.content))
+    (td.getWidth, td.getHeight) shouldBe ((1, 1))
   }
 
   test("sampleFrames: n evenly spaced frames per video, declarative fan-out") {

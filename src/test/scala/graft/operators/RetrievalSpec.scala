@@ -22,6 +22,26 @@ class RetrievalSpec extends SparkSpec {
     got(2L) shouldBe s(1.0, 2.0) +- 1e-12
   }
 
+  test("tfidf matches a hand-computed tiny corpus; topK prunes per doc") {
+    // d1 = "x x y", d2 = "x z", d3 = "y y"; N=3
+    // df(x)=2, df(y)=2, df(z)=1; idf(t) = ln(4/(1+df)) + 1
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y")).toDF("id", "text")
+    val got = Retrieval.tfidf(docs, "id", "text")
+      .as[(Long, String, Double)].collect()
+      .map { case (id, t, w) => (id, t) -> w }.toMap
+    def idf(df: Double) = math.log(4.0 / (1.0 + df)) + 1.0
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got((1L, "x")) shouldBe r6(2.0 * idf(2))
+    got((1L, "y")) shouldBe r6(1.0 * idf(2))
+    got((2L, "z")) shouldBe r6(1.0 * idf(1))
+    got((3L, "y")) shouldBe r6(2.0 * idf(2))
+    got.size shouldBe 5
+    // topK=1 keeps each doc's heaviest term (rarer z outweighs x in d2)
+    val top = Retrieval.tfidf(docs, "id", "text", topK = 1)
+      .select("id", "term").as[(Long, String)].collect().toMap
+    top shouldBe Map(1L -> "x", 2L -> "z", 3L -> "y")
+  }
+
   test("bm25 rewards term frequency and penalizes document length") {
     val docs = Seq(
       (1L, "x y z w"), (2L, "x x y z"), (3L, "x y z w q r s t u v")

@@ -37,6 +37,53 @@ class LayoutSpec extends SparkSpec {
     spark.sql("DROP TABLE t_bucketed")
   }
 
+  test("compact: small files collapse to ceil(bytes/target), data identical") {
+    val root = Files.createTempDirectory("layout").toFile.getAbsolutePath
+    val in = root + "/small"
+    val out = root + "/compacted"
+    // 64 tiny files of the same table — the streaming-sink accretion shape
+    val big = spark.range(20000L).select(col("id"),
+      md5(col("id").cast("string")).as("payload"))
+    big.repartition(64).write.parquet(in)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    parquetFiles(in).length shouldBe 64
+    val inBytes = parquetFiles(in).map(_.length()).sum
+    // target ≈ a third of the input: expect ceil ratio, so 3-4 files
+    val n = Layout.compact(spark, in, out, targetFileBytes = inBytes / 3)
+    parquetFiles(out).length shouldBe n
+    n should (be >= 2 and be <= 6) // ceil(estimate/target); estimate ≈ inBytes
+    // lossless: exact multiset round-trip
+    spark.read.parquet(out).exceptAll(big).count() shouldBe 0L
+    big.exceptAll(spark.read.parquet(out)).count() shouldBe 0L
+  }
+
+  test("compact with sortCols restores range clustering: file min-max ranges are disjoint") {
+    val root = Files.createTempDirectory("layout").toFile.getAbsolutePath
+    val in = root + "/shuffled"
+    val out = root + "/clustered"
+    // append-order-destroyed clustering: ids shuffled across 16 files
+    spark.range(8000L).select(col("id"), md5(col("id").cast("string")).as("p"))
+      .repartition(16).write.parquet(in)
+    val inBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    Layout.compact(spark, in, out, targetFileBytes = inBytes / 4,
+      sortCols = Seq("id"))
+    // every output file covers a contiguous, non-overlapping id range —
+    // the property parquet min-max pruning needs
+    val ranges = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("id")), max(col("id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    ranges.length should be >= 2
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => hi should be < lo2
+      case _ =>
+    }
+  }
+
   test("zorder kernel: interleaved bits, monotone in each dimension at fixed other") {
     import graft.functions.ZorderKernels._
     interleave(0L, 0L) shouldBe 0L
