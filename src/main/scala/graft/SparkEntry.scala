@@ -1290,6 +1290,13 @@ object SparkEntry {
         .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("doc_id"))),
 
+    // Per-vertex triangle counts in the k-NN similarity graph
+    // (degree-oriented wedge counting — O(m^1.5) fan-out bound, hub-safe;
+    // the oracle recounts by plain 3-way id-ordered join, same triangles)
+    "q_triangles" -> ((s, dir) =>
+      Graphs.triangleCounts(s.read.parquet(knnEdgesFixture(s, dir)), "src", "dst")
+        .orderBy(col("id"))),
+
     // TF-IDF keyword extraction: each document's 3 heaviest terms under
     // smoothed idf — (doc,term) counts, term-keyed df broadcast back,
     // WindowGroupLimit-pruned per-doc rank (oracle = the identical
@@ -2367,6 +2374,31 @@ object SparkEntry {
         |p3 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
         |       FROM nodes CROSS JOIN cnt LEFT JOIN c3 ON c3.id = nodes.id)
         |SELECT id, round(pr, 6) AS pr FROM p3 ORDER BY id""".stripMargin,
+
+    // same k-NN edge rebuild as q_pagerank; triangles by id-ordered
+    // 3-way join over the canonical undirected edge set
+    "q_triangles" ->
+      """WITH emb AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vid AS src, b.vid AS dst,
+        |      row_number() OVER (PARTITION BY a.vid
+        |        ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                 b.vid) AS rk
+        |    FROM emb a JOIN emb b ON a.vid <> b.vid) t
+        |  WHERE rk <= 3),
+        |ce AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        |  FROM edges WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM ce e1
+        |  JOIN ce e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        |  JOIN ce e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+        |SELECT id, count(*) AS n_tri
+        |FROM (SELECT unnest([a, b, c]) AS id FROM tri) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_knn_graph" ->
       """SELECT src, dst, sim, rk FROM (

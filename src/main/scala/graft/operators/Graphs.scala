@@ -28,6 +28,47 @@ object Graphs {
     * round — plan depth stays ≤ interval, still bounded). Node count
     * is collected once (a single long — the only driver action).
     */
+  /** Per-vertex triangle counts over the UNDIRECTED graph induced by
+    * `edges` (direction and duplicates ignored; self-loops dropped) —
+    * the standard local-clustering signal for near-dup neighborhoods
+    * (a dense triangle count says a doc's neighbors agree with each
+    * other, not just with it).
+    *
+    * Degree-oriented counting (the classic MR/GraphX shape): orient
+    * every edge from the (degree, id)-smaller endpoint to the larger;
+    * the orientation is acyclic and each triangle {x,y,z} materializes
+    * exactly once — as the wedge at its orientation-minimum vertex
+    * closed by the oriented third edge. Max out-degree under this
+    * orientation is O(√m) on ANY graph, so the wedge fan-out is
+    * Σ outdeg² ≤ O(m^1.5) — bounded by graph size, not by hub degree
+    * (a naive shared-neighbor join fans out Σ deg², quadratic in the
+    * hub). Exchanges carry (id, id) pairs only.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val ce = edges.select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .where(col("lo") =!= col("hi") && col("lo").isNotNull && col("hi").isNotNull)
+      .distinct().localCheckpoint(true)
+    val deg = ce.select(col("lo").as("id")).unionAll(ce.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("_d"))
+    val withDeg = ce
+      .join(deg.select(col("id").as("lo"), col("_d").as("_dl")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("_d").as("_dh")), Seq("hi"))
+    val oriented = withDeg.select(
+        when(struct(col("_dl"), col("lo")) < struct(col("_dh"), col("hi")),
+          struct(col("lo").as("u"), col("hi").as("v")))
+          .otherwise(struct(col("hi").as("u"), col("lo").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("u"), col("v").as("a"))
+      .join(oriented.select(col("u"), col("v").as("b")), Seq("u"))
+      .where(col("a") =!= col("b"))
+    val tri = wedges.join(oriented.select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"))
+    tri.select(explode(array(col("u"), col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damping: Double = 0.85,
                reliable: Boolean = false, checkpointInterval: Int = 2,

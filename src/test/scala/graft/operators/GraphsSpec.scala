@@ -41,6 +41,32 @@ class GraphsSpec extends SparkSpec {
     got.values.sum should be <= 1.0 + 1e-9
   }
 
+  test("triangleCounts: hand-counted graph; direction/duplicates/self-loops ignored") {
+    // K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a pendant
+    // vertex 5 (in none) — fed as DIRECTED, duplicated, self-looped
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b) // both directions of every K4 edge
+    val edges = (k4 ++ Seq((4L, 5L), (3L, 3L), (1L, 2L))).toDF("src", "dst")
+    val got = Graphs.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    // global count: Σ per-vertex / 3 = 4
+    got.values.sum / 3 shouldBe 4L
+  }
+
+  test("triangleCounts on a hub star: no triangles despite the hub's degree") {
+    // star graphs are the degree-orientation worst case for NAIVE wedge
+    // counting (hub wedges = deg²); oriented counting emits none
+    val star = (2L to 40L).map(i => (1L, i)).toDF("src", "dst")
+    Graphs.triangleCounts(star, "src", "dst").count() shouldBe 0L
+    // closing one rim edge creates exactly one triangle
+    val closed = ((2L to 40L).map(i => (1L, i)) :+ ((2L, 3L))).toDF("src", "dst")
+    val got = Graphs.triangleCounts(closed, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
+
   test("pageRank reliable mode produces identical values") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
     val a = Graphs.pageRank(edges, "src", "dst", iters = 4)
