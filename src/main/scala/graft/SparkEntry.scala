@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Cdc, CountMin, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Retrieval, Sampling, Similarity, Skew, TemplateFilters}
+import graft.operators.{AsOfJoin, Cdc, CountMin, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, TemplateFilters}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -844,6 +844,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
         .orderBy(col("seq_id"))
     }),
+
+    // RAG token-window chunking: overlapping size-40/stride-30 windows,
+    // map-only fan-out (chunk count + slices all ride the scan)
+    "q_chunk_tokens" -> ((s, dir) =>
+      Packing.chunkByTokens(Tables.documents(s, dir), "doc_id", "text",
+          chunkSize = 40, stride = 30)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Directed n-gram containment (quote/subset detection): pairs where
+    // either direction's |A∩B|/|A| clears the threshold — catches
+    // wholesale inclusion that symmetric Jaccard dilutes away
+    "q_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("cont_ab"), 6).as("cont_ab"),
+          round(col("cont_ba"), 6).as("cont_ba"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Column profiling sweep: per-column one-row aggregates (each pass
+    // scans ONE column — ReadSchema prunes — and shuffles only its
+    // exact-distinct values)
+    "q_profile" -> ((s, dir) =>
+      Profiling.profile(Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy(col("col_name"))),
 
     // Deterministic weighted data mixture: per-source md5-threshold keep
     // rates (upsample curated, downsample crawl, drop the rest) — pure
@@ -1840,6 +1867,64 @@ object SparkEntry {
         |SELECT CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM s GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    // list slicing is 1-based inclusive on both sides (DuckDB l[a:b] ≡
+    // Spark slice(l, a, b-a+1)); chunk-count rule mirrored exactly
+    "q_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |           x -> length(x) > 0) AS l FROM documents),
+        |c AS (SELECT doc_id, l,
+        |        greatest(1, CAST(ceil((len(l) - 40) / 30.0) AS INT) + 1) AS nc
+        |      FROM toks)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       array_to_string(l[chunk_idx*30 + 1 : chunk_idx*30 + 40], ' ') AS chunk_text,
+        |       CAST(len(l[chunk_idx*30 + 1 : chunk_idx*30 + 40]) AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id, l, unnest(range(nc)) AS chunk_idx FROM c) t
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // shingle construction identical to the q_ngram_jaccard oracle;
+    // containment = |A∩B|/|A| per direction
+    "q_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6) AS cont_ab,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 / len(b.s), 6) AS cont_ba
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.5
+        |   OR len(list_intersect(a.s, b.s)) * 1.0 / len(b.s) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*),
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_quantity),
+        |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*),
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_returnflag),
+        |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', count(*),
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_shipdate),
+        |  CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
+        |ORDER BY col_name""".stripMargin,
 
     "q_source_mixture" ->
       """SELECT source, count(*) AS n_kept

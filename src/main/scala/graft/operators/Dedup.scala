@@ -461,6 +461,36 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Directed n-gram containment for candidate pairs: containment(A→B) =
+    * |A∩B| / |A| — the asymmetric complement of [[ngramJaccardPairs]]
+    * that Jaccard misses: a short document quoted wholesale inside a
+    * long one has near-1 containment but low Jaccard (|A∩B|/|A∪B|
+    * shrinks with the big doc). The standard quote/subset detector for
+    * training-data curation.
+    *
+    * Same plan as the Jaccard variant: explode shingle hashes, one
+    * hash-keyed self-join counting intersections, sizes carried on the
+    * row — shuffles 64-bit hashes only. Emits one row per unordered
+    * pair (id_a < id_b) with BOTH directions' containments; `threshold`
+    * keeps pairs where either direction clears it.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
+      .localCheckpoint(true)
+    val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("n_a")).as("cont_ab"),
+        (col("inter").cast("double") / col("n_b")).as("cont_ba"))
+      .where(col("cont_ab") >= threshold || col("cont_ba") >= threshold)
+  }
+
   /** Sorted-neighborhood blocking (the classic entity-resolution
     * alternative to LSH banding): sort the corpus by a normalized key,
     * take every pair within `window` positions, and exact-verify those

@@ -63,6 +63,40 @@ object Packing {
     * (rank by a salted hash), exact distributed ntile ([[ntileFromRank]]),
     * and stable sample indexing all sit on it.
     */
+  /** Overlapping token-window chunking — the RAG/indexing splitter:
+    * chunk i of a document covers tokens [i·stride, i·stride + size).
+    * Chunk count = max(1, ⌈(n − size)/stride⌉ + 1), i.e. windows advance
+    * by `stride` until one covers the document's end — no trailing chunk
+    * that is a strict suffix of the previous window (the LangChain-style
+    * stop rule). A document with ≤ size tokens yields exactly one chunk.
+    *
+    * Scale shape: map-only — tokenization, the per-doc window count, and
+    * the posexplode fan-out all ride the scan; no shuffle at all. The
+    * token array materializes as a column once (HOF arguments re-evaluate
+    * their subtree per lambda call — the [[graft.operators.Dedup
+    * .shingles]] discipline).
+    *
+    * Returns (id, chunk_idx, chunk_text, n_tokens).
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize $chunkSize")
+    require(stride >= 1 && stride <= chunkSize, s"stride $stride vs size $chunkSize")
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.TextAnalytics.tokens(col(textCol)).as("_toks"))
+    val n = size(col("_toks"))
+    val nChunks = greatest(lit(1),
+      (ceil((n - lit(chunkSize)).cast("double") / lit(stride)) + 1).cast("int"))
+    base
+      .select(col("id"), col("_toks"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("_p", "chunk_idx")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        size(slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .cast("long").as("n_tokens"))
+  }
+
   def globalOrderIndex(df: DataFrame, blockCol: Column,
                        orderCols: Seq[Column]): DataFrame = {
     val withBlk = df.withColumn("_blk", blockCol)

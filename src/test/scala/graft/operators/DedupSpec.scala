@@ -171,6 +171,23 @@ class DedupSpec extends SparkSpec {
     m.keySet should not contain ((1L, 4L))
   }
 
+  test("ngramContainmentPairs: wholesale quote scores near-1 containment where jaccard dilutes") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val long = s"intro words here $quote and then much more trailing content follows"
+    val cd = Seq((1L, quote), (2L, long), (3L, "unrelated text entirely")).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(cd, "doc_id", "text", k = 3, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    got.length shouldBe 1
+    val (a, b, cab, cba) = got.head
+    (a, b) shouldBe ((1L, 2L))
+    cab shouldBe 1.0 // every 3-shingle of the quote appears in the long doc
+    cba should be < 0.5 // the long doc is NOT contained in the quote
+    // symmetric jaccard on the same pair stays below the 0.9 bar — the
+    // asymmetry is exactly what this operator adds
+    Dedup.ngramJaccardPairs(cd, "doc_id", "text", k = 3, threshold = 0.9)
+      .count() shouldBe 0L
+  }
+
   test("passageDedup keeps first occurrence per passage, reassembles in order, drops fully-dup docs") {
     import spark.implicits._
     val docs = Seq(

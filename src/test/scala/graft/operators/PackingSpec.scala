@@ -112,4 +112,24 @@ class PackingSpec extends SparkSpec {
       withClue(s"n=$n k=$k: ") { got shouldBe want }
     }
   }
+
+  test("chunkByTokens: stride windows cover the doc, stop rule, edge cases") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: chunks at 0, 4
+      (2L, "a b c"),                                  // ≤ size: one chunk
+      (3L, "")                                        // empty: one empty chunk
+    ).toDF("doc_id", "text")
+    val got = Packing.chunkByTokens(docs, "doc_id", "text", chunkSize = 8, stride = 4)
+      .orderBy("id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect()
+    got.filter(_._1 == 1L).map(c => (c._2, c._4)) shouldBe Seq((0L, 8L), (1L, 6L))
+    got.filter(_._1 == 1L).head._3 shouldBe (1 to 8).map(i => s"t$i").mkString(" ")
+    got.filter(_._1 == 1L).last._3 shouldBe (5 to 10).map(i => s"t$i").mkString(" ")
+    got.filter(_._1 == 2L) shouldBe Seq((2L, 0L, "a b c", 3L))
+    got.filter(_._1 == 3L) shouldBe Seq((3L, 0L, "", 0L))
+    // no chunk that is a strict suffix of the previous window: 12 tokens
+    // at size 8 / stride 4 stops after starts 0 and 4 (4+8 covers 12)
+    val twelve = Seq((9L, (1 to 12).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    Packing.chunkByTokens(twelve, "doc_id", "text", 8, 4).count() shouldBe 2L
+  }
 }
