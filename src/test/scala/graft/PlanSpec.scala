@@ -131,4 +131,37 @@ class PlanSpec extends SparkSpec {
     p should include("WindowGroupLimit")
     (p should not).include("Join")
   }
+
+  test("q_profile: every scan prunes to exactly its one profiled column") {
+    val p = planOf("q_profile")
+    p should include("ReadSchema: struct<l_orderkey:bigint>")
+    p should include("ReadSchema: struct<l_quantity:double>")
+    p should include("ReadSchema: struct<l_returnflag:string>")
+    (p should not).include("Join")
+  }
+
+  test("q_chunk_tokens: map-only fan-out — no join, no aggregate, only the output sort shuffles") {
+    val p = planOf("q_chunk_tokens")
+    (p should not).include("Join")
+    (p should not).include("HashAggregate")
+    p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("rangepartitioning")).toSeq shouldBe empty
+  }
+
+  test("q_tfidf: per-doc top-k pruned map-side, df broadcast back, no nested loop beyond the scalar count") {
+    val p = planOf("q_tfidf")
+    p should include("WindowGroupLimit")
+    p should include("BroadcastHashJoin")
+    // the only BNLJ is the single-row corpus count (Cross BuildRight on
+    // a one-row aggregate) — never a row×row product
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) should be <= 1
+  }
+
+  test("q_triangles and q_containment: equi-joins only, no nested loop, no cartesian") {
+    Seq("q_triangles", "q_containment").foreach { q =>
+      val p = planOf(q)
+      (p should not).include("BroadcastNestedLoopJoin")
+      (p should not).include("CartesianProduct")
+    }
+  }
 }
