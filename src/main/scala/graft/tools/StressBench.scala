@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graphs}
+import graft.operators.{Dedup, Graphs, Packing, Retrieval}
 
 /** Adversarial-shape scale evidence for the three paths the round-4
   * review flagged as needing proof past the sf dirs:
@@ -21,13 +21,20 @@ import graft.operators.{Dedup, Graphs}
   *     (an 80 MB+ array in ONE aggregation buffer); the windowed fold
   *     must stream/spill it.
   *
-  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.tools.StressBench [nNames] [nEdges] [hubDeg]"
+  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.tools.StressBench [nNames] [nEdges] [hubDeg] [sections]"
+  *
+  * `sections` (default "1,2,3,4,5,6") picks which runs execute, so a
+  * new section can be measured without re-paying the earlier ones.
   */
 object StressBench {
   def main(args: Array[String]): Unit = {
     val nNames = if (args.length > 0) args(0).toLong else 10000000L
     val nEdges = if (args.length > 1) args(1).toLong else 10000000L
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
+    val sections: Set[Int] =
+      if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
+      else (1 to 6).toSet
+    def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,58 +55,111 @@ object StressBench {
     def nameOf(idCol: org.apache.spark.sql.Column) =
       concat_ws("", (0 until 6).map(j =>
         element_at(typedLit(syl), (pmod(xxhash64(idCol, lit(j)), lit(32)) + 1).cast("int"))): _*)
-    val names = spark.range(nNames)
-      .select(when(col("id") % 10 === 0, concat(nameOf(col("id") + 1), lit("x")))
-        .otherwise(nameOf(col("id"))).as("name"))
-      .localCheckpoint(true)
-    val nDistinct = names.select(col("name")).distinct().count()
-    val ((nFuzzyPairs, nDist1), tFuzzy) = timed {
-      val p = Dedup.fuzzyPairs(names, "name", window = 10, maxDist = 3)
+    section(1) {
+      val names = spark.range(nNames)
+        .select(when(col("id") % 10 === 0, concat(nameOf(col("id") + 1), lit("x")))
+          .otherwise(nameOf(col("id"))).as("name"))
         .localCheckpoint(true)
-      (p.count(), p.where(col("dist") === 1).count())
+      val nDistinct = names.select(col("name")).distinct().count()
+      val ((nFuzzyPairs, nDist1), tFuzzy) = timed {
+        val p = Dedup.fuzzyPairs(names, "name", window = 10, maxDist = 3)
+          .localCheckpoint(true)
+        (p.count(), p.where(col("dist") === 1).count())
+      }
+      println(s"""{"metric":"fuzzy_join","names":$nNames,"distinct":$nDistinct,"window":10,"pairs":$nFuzzyPairs,"dist1_pairs":$nDist1,"sec":$tFuzzy,"cpus":$cpus}""")
     }
-    println(s"""{"metric":"fuzzy_join","names":$nNames,"distinct":$nDistinct,"window":10,"pairs":$nFuzzyPairs,"dist1_pairs":$nDist1,"sec":$tFuzzy,"cpus":$cpus}""")
 
     // ---- 2. star CC on chain + clusters. Component shapes: one chain
     // over ids 0..2M (diameter 2M) and ~1.6M five-node stars for the
     // remaining edges. Convergence must be logarithmic in the chain
     // length, and the whole chain must land in ONE component.
-    val chainN = (nEdges / 5).min(2000000L).max(10L)
-    val chain = spark.range(chainN)
-      .select(col("id").as("src"), (col("id") + 1).as("dst"))
-    val nClusterEdges = (nEdges - chainN).max(0L)
-    val clusterBase = chainN + 1
-    val clusterEdges = spark.range(nClusterEdges).select(
-      (lit(clusterBase) + pmod(xxhash64(col("id")), lit(1600000)) * 5).as("src"),
-      (lit(clusterBase) + pmod(xxhash64(col("id")), lit(1600000)) * 5
-        + 1 + pmod(xxhash64(col("id"), lit(1)), lit(4))).as("dst"))
-    val p = chain.unionAll(clusterEdges)
-      .select(col("src"), col("dst")).localCheckpoint(true)
-    val ((labels, rounds), tCc) = timed {
-      val (l, r) = Dedup.clustersStarWithRounds(p, maxIters = 30, reliable = false)
-      val lc = l.localCheckpoint(true); lc.count(); (lc, r)
+    section(2) {
+      val chainN = (nEdges / 5).min(2000000L).max(10L)
+      val chain = spark.range(chainN)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val nClusterEdges = (nEdges - chainN).max(0L)
+      val clusterBase = chainN + 1
+      val clusterEdges = spark.range(nClusterEdges).select(
+        (lit(clusterBase) + pmod(xxhash64(col("id")), lit(1600000)) * 5).as("src"),
+        (lit(clusterBase) + pmod(xxhash64(col("id")), lit(1600000)) * 5
+          + 1 + pmod(xxhash64(col("id"), lit(1)), lit(4))).as("dst"))
+      val p = chain.unionAll(clusterEdges)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      val ((labels, rounds), tCc) = timed {
+        val (l, r) = Dedup.clustersStarWithRounds(p, maxIters = 30, reliable = false)
+        val lc = l.localCheckpoint(true); lc.count(); (lc, r)
+      }
+      val chainComponents = labels.where(col("id") <= chainN)
+        .select(col("cluster_id")).distinct().count()
+      val nComponents = labels.select(col("cluster_id")).distinct().count()
+      require(chainComponents == 1L, s"chain split into $chainComponents components")
+      println(s"""{"metric":"star_cc","edges":$nEdges,"chain_nodes":${chainN + 1},"rounds":$rounds,"components":$nComponents,"chain_components":$chainComponents,"sec":$tCc,"cpus":$cpus}""")
     }
-    val chainComponents = labels.where(col("id") <= chainN)
-      .select(col("cluster_id")).distinct().count()
-    val nComponents = labels.select(col("cluster_id")).distinct().count()
-    require(chainComponents == 1L, s"chain split into $chainComponents components")
-    println(s"""{"metric":"star_cc","edges":$nEdges,"chain_nodes":${chainN + 1},"rounds":$rounds,"components":$nComponents,"chain_components":$chainComponents,"sec":$tCc,"cpus":$cpus}""")
 
     // ---- 3. hub-heavy PageRank: spokes 1..hubDeg each point at vertex
     // 0 (one in-degree-hubDeg aggregation partition), hub points back at
     // vertex 1, plus a spoke ring so every vertex has an out-edge.
     val spokes = spark.range(1, hubDeg + 1)
       .select(col("id").as("src"), lit(0L).as("dst"))
-    val ring = spark.range(1, hubDeg + 1)
-      .select(col("id").as("src"), (col("id") % hubDeg + 1).as("dst"))
-    val hubEdges = spokes.unionAll(ring)
-      .unionAll(spark.range(1).select(lit(0L).as("src"), lit(1L).as("dst")))
-      .localCheckpoint(true)
-    val (prSum, tPr) = timed {
-      Graphs.pageRank(hubEdges, "src", "dst", iters = 5, orderedSum = true)
-        .agg(sum(col("pr"))).head().getDouble(0)
+    section(3) {
+      val ring = spark.range(1, hubDeg + 1)
+        .select(col("id").as("src"), (col("id") % hubDeg + 1).as("dst"))
+      val hubEdges = spokes.unionAll(ring)
+        .unionAll(spark.range(1).select(lit(0L).as("src"), lit(1L).as("dst")))
+        .localCheckpoint(true)
+      val (prSum, tPr) = timed {
+        Graphs.pageRank(hubEdges, "src", "dst", iters = 5, orderedSum = true)
+          .agg(sum(col("pr"))).head().getDouble(0)
+      }
+      println(s"""{"metric":"pagerank_hub","edges":${2 * hubDeg + 1},"hub_in_degree":$hubDeg,"iters":5,"ordered_sum":true,"pr_sum":$prSum,"sec":$tPr,"cpus":$cpus}""")
     }
-    println(s"""{"metric":"pagerank_hub","edges":${2 * hubDeg + 1},"hub_in_degree":$hubDeg,"iters":5,"ordered_sum":true,"pr_sum":$prSum,"sec":$tPr,"cpus":$cpus}""")
+
+    // ---- 4. triangle counting with a 10M-degree hub IN the triangles:
+    // chain vertices link their two successors and every vertex links
+    // the hub, so the hub sits in ~2·hubDeg triangles — but the degree
+    // orientation points every hub edge TOWARD the hub (max degree ⇒
+    // zero oriented out-edges), so hub wedges are ZERO and the fan-out
+    // stays at the chain vertices' O(1) out-degrees. The naive
+    // shared-neighbor join would generate deg² = 10^14 hub wedges.
+    // Expected: {i,i+1,i+2} ×(h−2), {0,i,i+1} ×(h−1), {0,i,i+2} ×(h−2).
+    section(4) {
+      val chainTri = spark.range(1, hubDeg)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .unionAll(spark.range(1, hubDeg - 1)
+          .select(col("id").as("src"), (col("id") + 2).as("dst")))
+      val triEdges = chainTri.unionAll(spokes).localCheckpoint(true)
+      val ((nTriVerts, totTri), tTri) = timed {
+        val t = Graphs.triangleCounts(triEdges, "src", "dst").localCheckpoint(true)
+        (t.count(), t.agg(sum(col("n_tri"))).head().getLong(0))
+      }
+      require(totTri / 3 == 3 * hubDeg - 5, s"triangles ${totTri / 3} != ${3 * hubDeg - 5}")
+      println(s"""{"metric":"triangles_hub","edges":${3 * hubDeg - 3},"hub_in_degree":$hubDeg,"triangles":${totTri / 3},"vertices_in_triangles":$nTriVerts,"sec":$tTri,"cpus":$cpus}""")
+    }
+
+    // ---- 5. TF-IDF at 1M docs (80 tokens, 50k vocab), per-doc top-5
+    section(5) {
+      val nDocs = 1000000L
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          array_join(transform(sequence(lit(0), lit(79)),
+            i => concat(lit("t"), pmod(xxhash64(col("id"), i), lit(50000)))), " ").as("text"))
+        .localCheckpoint(true)
+      val (nTfidf, tTfidf) = timed {
+        Retrieval.tfidf(docs, "doc_id", "text", topK = 5).count()
+      }
+      println(s"""{"metric":"tfidf","docs":$nDocs,"topk":5,"rows":$nTfidf,"sec":$tTfidf,"cpus":$cpus}""")
+    }
+
+    // ---- 6. RAG chunking at 10M docs — map-only, so this measures
+    // pure scan+fan-out throughput (3 chunks/doc at 40/30 over 80 toks)
+    section(6) {
+      val chunkDocs = spark.range(10000000L).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(79)),
+          i => concat(lit("t"), pmod(xxhash64(col("id"), i), lit(50000)))), " ").as("text"))
+      val (nChunks, tChunk) = timed {
+        Packing.chunkByTokens(chunkDocs, "doc_id", "text", 40, 30).count()
+      }
+      println(s"""{"metric":"chunk_tokens","docs":10000000,"chunks":$nChunks,"sec":$tChunk,"cpus":$cpus}""")
+    }
     spark.stop()
   }
 }
