@@ -1417,6 +1417,14 @@ object SparkEntry {
           round(col("avg_logp"), 4).as("avg_logp"))
         .orderBy(col("doc_id"))),
 
+    // Interpolated-bigram corpus likelihood (λ=0.7 conditional +
+    // suffix-unigram backoff) — the order-sensitive perplexity proxy
+    "q_bigram_logprob" -> ((s, dir) =>
+      Curation.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))),
+
     // PageRank centrality over the (deterministic, hash-verified) exact
     // k-NN graph: 3 power iterations, each one vertex-keyed shuffle with
     // periodic lineage truncation — the oracle unrolls the same three
@@ -2419,6 +2427,25 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |       round(sum(ln(cnt / tot)) / count(*), 4) AS avg_logp
         |FROM toks JOIN freq USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // (1 - 0.7) is written as the expression, not the literal 0.3 — the
+    // doubles differ in the last ulp and both sides must compute the
+    // same interpolation weight
+    "q_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                    x -> length(x) > 0) AS l FROM documents),
+        |pr AS (SELECT doc_id, z[1] AS a, z[2] AS b FROM (
+        |         SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |         FROM t WHERE len(l) >= 2) u),
+        |big AS (SELECT a, b, count(*) AS cab FROM pr GROUP BY 1, 2),
+        |pre AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM big GROUP BY 1),
+        |suf AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM big GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cab) AS BIGINT) AS tot FROM big)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(sum(ln(0.7 * cab / ca + (1 - 0.7) * cb / tot)) / count(*), 4) AS avg_logp
+        |FROM pr JOIN big USING (a, b) JOIN pre USING (a) JOIN suf USING (b)
+        |CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // three unrolled power iterations; every arithmetic step mirrors the

@@ -179,6 +179,47 @@ object Curation {
         (col("_slp") / col("n_tokens")).as("avg_logp"))
   }
 
+  /** Interpolated-BIGRAM corpus likelihood — the next-order upgrade of
+    * [[unigramLogProb]]: score every bigram position by
+    * p(b|a) = λ·c(a,b)/c(a·) + (1−λ)·c(·b)/N, where c(a·)/c(·b) are the
+    * corpus counts of `a` as a bigram prefix / `b` as a suffix and N is
+    * the total bigram count — a properly-normalized conditional with
+    * suffix-unigram backoff, so unseen-in-context continuations are
+    * down-weighted instead of impossible. Catches token-order junk
+    * (shuffled text, interleaved columns) that any unigram score is
+    * blind to. Mean log-prob per document; documents with < 2 tokens
+    * are absent (no bigram evidence — the [[unigramLogProb]] contract).
+    *
+    * Scale shape: the bigram table is the only super-vocabulary
+    * aggregate — it joins back to the exploded pairs by its (a, b) key
+    * (AQE broadcasts when it fits; at open-vocabulary scale cap it with
+    * [[HeavyHitters.misraGries]] and floor the tail); the prefix/suffix
+    * tables are vocabulary-bounded broadcasts, and the only corpus-keyed
+    * shuffle is the final per-document mean.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda $lambda")
+    val pairs = docs.select(col(idCol).as("id"),
+        explode(TextAnalytics.tokenPairs(col(textCol))).as("p"))
+      .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
+    val big = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("_cab"))
+    val pre = big.groupBy(col("a")).agg(sum(col("_cab")).as("_ca"))
+    val suf = big.groupBy(col("b")).agg(sum(col("_cab")).as("_cb"))
+    val tot = big.agg(sum(col("_cab")).as("_tot"))
+    pairs.join(big, Seq("a", "b"))
+      .join(broadcast(pre), Seq("a"))
+      .join(broadcast(suf), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("id"),
+        log(lit(lambda) * col("_cab") / col("_ca")
+          + lit(1 - lambda) * col("_cb") / col("_tot")).as("_lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("_slp"))
+      .select(col("id"), col("n_bigrams"),
+        (col("_slp") / col("n_bigrams")).as("avg_logp"))
+  }
+
   /** End-to-end curation decision — the composed keep/drop pipeline a
     * training-data run executes per document:
     *

@@ -220,4 +220,36 @@ class CurationSpec extends SparkSpec {
     got(1L) shouldBe 0.0
     got(3L) shouldBe 0.0
   }
+
+  test("bigramLogProb: hand-computed interpolated conditionals; short docs absent") {
+    // d1 = "x y x y" → bigrams (x,y),(y,x),(x,y); d2 = "y z"; d3 = "q"
+    // big: (x,y)=2 (y,x)=1 (y,z)=1; pre: x·=2 y·=2; suf: ·y=2 ·x=1 ·z=1; N=4
+    val docs = Seq((1L, "x y x y"), (2L, "y z"), (3L, "q")).toDF("doc_id", "text")
+    val got = Curation.bigramLogProb(docs, "doc_id", "text", lambda = 0.7)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    got.keySet shouldBe Set(1L, 2L) // one-token d3 has no bigram evidence
+    val l = 0.7; val u = 1 - 0.7
+    val xy = math.log(l * 2 / 2.0 + u * 2 / 4.0)
+    val yx = math.log(l * 1 / 2.0 + u * 1 / 4.0)
+    val yz = math.log(l * 1 / 2.0 + u * 1 / 4.0)
+    got(1L)._1 shouldBe 3L
+    got(1L)._2 shouldBe (2 * xy + yx) / 3 +- 1e-12
+    got(2L)._1 shouldBe 1L
+    got(2L)._2 shouldBe yz +- 1e-12
+  }
+
+  test("bigramLogProb is order-sensitive where unigramLogProb is blind") {
+    // same token multiset, one natural and one shuffled doc: the corpus
+    // bigram table is dominated by the natural order, so the shuffled doc
+    // scores strictly lower on bigrams while unigram scores tie exactly
+    val natural = (1 to 20).map(_ => "a b c d").mkString(" ")
+    val shuffled = "b d a c " * 10 + "c a d b " * 10
+    val docs = Seq((1L, natural), (2L, shuffled.trim)).toDF("doc_id", "text")
+    val uni = Curation.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    uni(1L) shouldBe uni(2L) +- 1e-12
+    val bi = Curation.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    bi(1L) should be > bi(2L)
+  }
 }

@@ -328,6 +328,53 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("funnelStream crash recovery: step state survives restart; advances stay exactly-once") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-fun-ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-fun-out").toString
+      val schema = org.apache.spark.sql.Encoders.product[StepAdvance].schema
+      val steps = Seq("view" -> None, "click" -> Some(3600L), "purchase" -> Some(3600L))
+      val stream = MemoryStream[Event]
+      def start() = funnelStream(stream.toDS(), steps)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      def sink() = spark.read.schema(schema).parquet(out).as[StepAdvance]
+      def awaitRows(q: org.apache.spark.sql.streaming.StreamingQuery, n: Long): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (sink().count() < n && System.nanoTime() < deadline) {
+          q.exception.foreach(throw _)
+          Thread.sleep(200)
+        }
+        sink().count() should be >= n
+      }
+      val q1 = start()
+      stream.addData(
+        Event(1L, ts(1), 10L, "view", 0.0),
+        Event(2L, ts(3), 10L, "click", 0.0))
+      awaitRows(q1, 2) // u10 advanced to steps 1 and 2
+      q1.stop()
+      // the purchase arrives while the query is down; it can only advance
+      // u10 to step 3 if the recovered state still holds the click time
+      stream.addData(Event(3L, ts(10), 10L, "purchase", 0.0))
+      val q2 = start()
+      awaitRows(q2, 3)
+      q2.stop()
+      val advances = sink().collect()
+      advances.length shouldBe 3 // exactly-once: steps 1-2 not re-emitted
+      advances.map(a => (a.user_id, a.step)).toSet shouldBe
+        Set((10L, 1), (10L, 2), (10L, 3))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("cdcStream crash recovery: restart from RocksDB checkpoint is exactly-once with state intact") {
     // The property checkpointed RocksDB state is FOR: stop the query
     // mid-stream, let data arrive while it is down, restart from the same
