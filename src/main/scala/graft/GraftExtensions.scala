@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, RepetitionStatsExpr, ShingleHashesExpr, SimHashExpr, SignLshBandsExpr, SignLshExpr, TokenStatsExpr}
+import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, NormalizeTextExpr, RepetitionStatsExpr, ShingleHashesExpr, SimHashExpr, SignLshBandsExpr, SignLshExpr, TokenStatsExpr}
 
 /** Registers the engine's native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works and the kernels are usable
@@ -104,6 +104,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(text) => RepetitionStatsExpr(text)
         case _ => throw new IllegalArgumentException("usage: repetition_stats(text string)")
+      }),
+    (new FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName, "normalize_text"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => NormalizeTextExpr(text)
+        case _ => throw new IllegalArgumentException("usage: normalize_text(text string)")
       }))
 
   /** Register all functions on an already-running session. */

@@ -1417,6 +1417,17 @@ object SparkEntry {
           round(col("avg_logp"), 4).as("avg_logp"))
         .orderBy(col("doc_id"))),
 
+    // Canonical text normalization: one codegen kernel pass (NFD accent
+    // fold + lowercase + whitespace collapse + trim) over accented
+    // strings both engines construct from doc_id — the oracle is
+    // DuckDB's independent strip_accents/lower/regexp pipeline
+    "q_normalize_text" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          graft.functions.CurationExpr.normalizeText(
+            concat(lit("  CaFé  ÑANDÚ\tàëï  Ök "),
+              col("doc_id").cast("string"), lit("  "))).as("norm"))
+        .orderBy(col("doc_id"))),
+
     // Interpolated-bigram corpus likelihood (λ=0.7 conditional +
     // suffix-unigram backoff) — the order-sensitive perplexity proxy
     "q_bigram_logprob" -> ((s, dir) =>
@@ -2428,6 +2439,13 @@ object SparkEntry {
         |       round(sum(ln(cnt / tot)) / count(*), 4) AS avg_logp
         |FROM toks JOIN freq USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(strip_accents(
+        |    '  CaFé  ÑANDÚ' || chr(9) || 'àëï  Ök ' ||
+        |    CAST(doc_id AS VARCHAR) || '  ')), '\s+', ' ', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // (1 - 0.7) is written as the expression, not the literal 0.3 — the
     // doubles differ in the last ulp and both sides must compute the

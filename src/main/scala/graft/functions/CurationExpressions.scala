@@ -106,6 +106,55 @@ object CurationKernels {
   }
 }
 
+object NormalizeKernel {
+  /** Canonical curation text-normalization: Unicode NFD decomposition
+    * with combining marks dropped (é→e, Ñ→n), per-char lowercase,
+    * whitespace runs collapsed to one space, ends trimmed — one pass
+    * post-decomposition. Matches
+    * `trim(regexp_replace(lower(strip_accents(x)), '\s+', ' '))` for
+    * the Latin range (asserted against DuckDB in q_normalize_text).
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfd = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    var lastWs = true // true at start ⇒ leading whitespace drops
+    while (i < nfd.length) {
+      val ch = nfd.charAt(i)
+      val t = Character.getType(ch)
+      if (t == Character.NON_SPACING_MARK ||
+        t == Character.COMBINING_SPACING_MARK ||
+        t == Character.ENCLOSING_MARK) {
+        // combining mark from the decomposition: drop
+      } else if (Character.isWhitespace(ch)) {
+        if (!lastWs) { sb.append(' '); lastWs = true }
+      } else {
+        sb.append(Character.toLowerCase(ch)); lastWs = false
+      }
+      i += 1
+    }
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+      sb.setLength(sb.length - 1)
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class NormalizeTextExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeKernel.normalizeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeKernel.normalizeText($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class RepetitionStatsExpr(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
@@ -179,6 +228,9 @@ case class BloomMightContainExpr(child: Expression,
 object CurationExpr {
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(text)))
+
+  def normalizeText(text: Column): Column =
+    ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expression(text)))
 
   def bloomMightContain(hash: Column,
                         bloom: org.apache.spark.util.sketch.BloomFilter): Column =

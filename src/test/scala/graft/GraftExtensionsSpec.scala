@@ -45,6 +45,22 @@ class GraftExtensionsSpec extends SparkSpec {
     viaSql shouldBe viaCol
   }
 
+  test("normalize_text kernel: accent fold, case, whitespace collapse, null safety") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT normalize_text('  CaFé\tÑANDÚ  àëï Ök  ') AS n""").head().getString(0)
+    got shouldBe "cafe nandu aei ok"
+    // idempotent on already-normal text; empty and null behave
+    spark.sql("SELECT normalize_text('cafe nandu')").head().getString(0) shouldBe "cafe nandu"
+    spark.sql("SELECT normalize_text('   ')").head().getString(0) shouldBe ""
+    spark.sql("SELECT normalize_text(CAST(NULL AS STRING))").head().isNullAt(0) shouldBe true
+    // kernel ≡ Column API
+    import spark.implicits._
+    val df = Seq("École Über  straße").toDF("t")
+    df.select(graft.functions.CurationExpr.normalizeText($"t")).head().getString(0) shouldBe
+      "ecole uber straße" // ß has no decomposition: preserved, not mangled
+  }
+
   test("builder-time extensions path constructs (class is instantiable as fn)") {
     val ext = new GraftExtensions
     val se = new org.apache.spark.sql.SparkSessionExtensions
