@@ -1265,6 +1265,12 @@ object SparkEntry {
             Funnel.Step("purchase", Some(24L * 3600))))
         .orderBy(col("step"))),
 
+    // Weekly cohort retention matrix: first-activity cohorts re-counted
+    // in every later active week — user-keyed shuffles only
+    "q_retention" -> ((s, dir) =>
+      Funnel.retention(Tables.events(s, dir), "user_id", "ts")
+        .orderBy(col("cohort"), col("week_offset"))),
+
     // Deterministic epoch shuffle WITH a global rank: order by a salted
     // md5 key, rank via the two-level globalOrderIndex (block = first
     // hex digit — a monotone prefix of the key; never a one-partition
@@ -2299,6 +2305,15 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', count(*) FROM c
         |UNION ALL SELECT 3, 'purchase', count(*) FROM p
         |ORDER BY step""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |              (epoch_ns(ts)//1000000000) // 604800 AS bkt FROM events),
+        |co AS (SELECT user_id, min(bkt) AS cohort FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, bkt FROM ev)
+        |SELECT cohort, bkt - cohort AS week_offset, count(*) AS n_users
+        |FROM act JOIN co USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
 
     "q_shuffle_rank" ->
       """SELECT doc_id, skey, rank FROM (

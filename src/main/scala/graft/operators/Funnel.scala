@@ -55,6 +55,30 @@ object Funnel {
     }
   }
 
+  /** Cohort retention matrix — the other standard product-analytics
+    * aggregate: users cohorted by their first-activity time bucket
+    * (default: week), counted again in every later bucket they remain
+    * active. Returns (cohort, week_offset, n_users); offset 0 is the
+    * cohort's size.
+    *
+    * Scale shape: bucket assignment rides the scan; the per-user
+    * cohort min and the (user, bucket) dedup are both user-keyed
+    * shuffles (co-partitioned under AQE, carrying (user, long)
+    * pairs only); the final matrix aggregate is keyed by
+    * (cohort, offset) — a bounded output (#buckets²/2 cells).
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                bucketSeconds: Long = 604800L): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds $bucketSeconds")
+    val ev = events.select(col(userCol).as("_r_user"),
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds).cast("long").as("_r_bkt"))
+    val cohort = ev.groupBy(col("_r_user")).agg(min(col("_r_bkt")).as("cohort"))
+    ev.distinct()
+      .join(cohort, Seq("_r_user"))
+      .groupBy(col("cohort"), (col("_r_bkt") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, bkt) already distinct
+  }
+
   /** The funnel summary: (step, name, n_users) per stage. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[Step]): DataFrame =

@@ -387,6 +387,70 @@ object Streams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  // -------------------------------------------- streaming heavy hitters
+
+  /** One token routed to its state shard. */
+  case class TokenEvent(shard: Int, token: String)
+  /** A shard's current estimate for a token after a batch. */
+  case class TokenCount(token: String, est: Long)
+  private case class MgState(items: Map[String, Long])
+
+  /** Continuous Misra-Gries heavy hitters via `transformWithState` —
+    * trending-token tracking over an unbounded stream with HARD-bounded
+    * state: `shards` state keys × `capacity` counters, regardless of
+    * stream length or vocabulary.
+    *
+    * Tokens route to a shard by hash, so each token's counts live
+    * entirely in one shard and every shard maintains an independent MG
+    * summary of its token subset with the classic guarantee (estimates
+    * undercount by at most n_shard/(capacity+1)); the union of shards
+    * inherits it. Update rule is IDENTICAL to the batch
+    * [[graft.operators.HeavyHitters.MisraGriesAgg]] reduce step — in
+    * the exact regime (capacity ≥ per-shard distinct) the stream fold
+    * equals a plain groupBy count, asserted stream-vs-batch in
+    * StreamsSpec. Each batch re-emits a shard's touched summary; the
+    * latest emission per token is its current estimate (the changelog
+    * contract of [[cdcStream]]).
+    *
+    * Same RocksDB state-store requirement as [[sessionizeTws]].
+    */
+  class HeavyHittersProcessor(capacity: Int)
+    extends StatefulProcessor[Int, TokenEvent, TokenCount] {
+    require(capacity > 0, s"capacity $capacity")
+    @transient private var st: ValueState[MgState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MgState]("mg",
+        Encoders.product[MgState], TTLConfig.NONE)
+
+    override def handleInputRows(shard: Int, rows: Iterator[TokenEvent],
+                                 timerValues: TimerValues): Iterator[TokenCount] = {
+      var m = if (st.exists()) st.get().items else Map.empty[String, Long]
+      rows.foreach { e =>
+        m = m.get(e.token) match {
+          case Some(c) => m.updated(e.token, c + 1)
+          case None if m.size < capacity => m.updated(e.token, 1L)
+          case None => // classic MG step: decrement all, drop zeros
+            m.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+        }
+      }
+      st.update(MgState(m))
+      m.iterator.map { case (t, c) => TokenCount(t, c) }
+    }
+  }
+
+  /** Continuous heavy hitters (see [[HeavyHittersProcessor]]). */
+  def heavyHittersStream(tokens: Dataset[String], capacity: Int,
+                         shards: Int = 16): Dataset[TokenCount] = {
+    import tokens.sparkSession.implicits._
+    require(shards > 0, s"shards $shards")
+    tokens
+      .map(t => TokenEvent(math.floorMod(t.hashCode, shards), t))
+      .groupByKey(_.shard)
+      .transformWithState(new HeavyHittersProcessor(capacity),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   // --------------------------------------------------------- streaming CDC
 
   /** One change to key `k`: upsert ('U') or delete ('D') at sequence

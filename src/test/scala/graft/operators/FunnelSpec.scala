@@ -73,4 +73,24 @@ class FunnelSpec extends SparkSpec {
       .orderBy("step").as[(Int, String, Long)].collect()
     got shouldBe Array((1, "view", 1L), (2, "click", 0L), (3, "purchase", 0L))
   }
+
+  test("retention: weekly cohorts re-counted in later active weeks; repeats dedup") {
+    // weeks (bucket 604800 s from epoch): 2024-01-01..03 is one week,
+    // 2024-01-08 the next, 2024-01-15 the one after
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"), // u1 cohort W, active W, W+1, W+2
+      (1L, "2024-01-08 10:00:00", "view"),
+      (1L, "2024-01-15 10:00:00", "view"),
+      (2L, "2024-01-02 10:00:00", "view"), // u2 cohort W, returns W+2 only
+      (2L, "2024-01-02 11:00:00", "view"), // same-week repeat: dedup'd
+      (2L, "2024-01-16 10:00:00", "view"),
+      (3L, "2024-01-09 10:00:00", "view")) // u3 cohort W+1, never returns
+    val got = Funnel.retention(events, "user_id", "ts")
+      .orderBy("cohort", "week_offset")
+      .as[(Long, Long, Long)].collect()
+    val w = got.head._1
+    got shouldBe Array(
+      (w, 0L, 2L), (w, 1L, 1L), (w, 2L, 2L),
+      (w + 1, 0L, 1L))
+  }
 }

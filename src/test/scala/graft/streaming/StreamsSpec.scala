@@ -328,6 +328,42 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersStream: exact-regime stream fold equals plain counts across batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[String]
+      val name = s"mem_${System.nanoTime()}"
+      val q = heavyHittersStream(stream.toDS(), capacity = 16, shards = 4)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (spark.table(name).count() < n && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        q.exception.foreach(throw _)
+        spark.table(name).count() should be >= n
+      }
+      val b1 = Seq("a", "b", "a", "c", "a", "b")
+      val b2 = Seq("a", "d", "b", "a", "e", "a", "a")
+      stream.addData(b1: _*); awaitRows(3)
+      // b2 touches shards holding {a,e}, {d}, {b} → 4 more emissions
+      stream.addData(b2: _*); awaitRows(7)
+      q.stop()
+      // latest estimate per token = max emission (counts only grow in
+      // the exact regime); must equal the plain batch count
+      val folded = spark.table(name).as[TokenCount].collect()
+        .groupBy(_.token).view.mapValues(_.map(_.est).max).toMap
+      val expected = (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      folded shouldBe expected
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("funnelStream crash recovery: step state survives restart; advances stay exactly-once") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
