@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Cdc, CountMin, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, TemplateFilters}
+import graft.operators.{AsOfJoin, Cdc, CountMin, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, TemplateFilters, Timeseries}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -1271,6 +1271,29 @@ object SparkEntry {
       Funnel.retention(Tables.events(s, dir), "user_id", "ts")
         .orderBy(col("cohort"), col("week_offset"))),
 
+    // Time-series gap-fill + forward-fill: per-user daily resample on
+    // the integer microsecond axis. The spine is each key's own
+    // [min,max] bucket span (sequence+explode from a bounded per-key
+    // aggregate — never a calendar cross-join), gaps get n_events=0,
+    // and the fill carries integer cents so it is engine-exact
+    "q_resample" -> ((s, dir) =>
+      Timeseries.resample(Tables.events(s, dir), "user_id", "ts",
+          round(col("value") * 100).cast("long"), bucketMicros = 86400000000L)
+        .select(col("key").as("user_id"), col("bucket").as("day_num"),
+          col("n_events"), col("filled_sum").as("filled_cents"))
+        .orderBy(col("user_id"), col("day_num"))),
+
+    // Trailing 7-day rolling sum/count per user via a true RANGE frame
+    // on epoch microseconds (ties are peers → order-independent);
+    // integer cents keep the windowed sum exact on both engines
+    "q_rolling_range" -> ((s, dir) =>
+      Timeseries.rollingRange(Tables.events(s, dir), "user_id", "ts",
+          round(col("value") * 100).cast("long"),
+          windowMicros = 7L * 86400000000L, carryCols = Seq("event_id"))
+        .select(col("event_id"), col("key").as("user_id"), col("t_us"),
+          col("roll_sum").as("roll_cents"), col("roll_n"))
+        .orderBy(col("user_id"), col("t_us"), col("event_id"))),
+
     // Deterministic epoch shuffle WITH a global rank: order by a salted
     // md5 key, rank via the two-level globalOrderIndex (block = first
     // hex digit — a monotone prefix of the key; never a one-partition
@@ -2454,6 +2477,39 @@ object SparkEntry {
         |       round(sum(ln(cnt / tot)) / count(*), 4) AS avg_logp
         |FROM toks JOIN freq USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // integer-epoch discipline (see q_sessionize/q_funnel): day buckets
+    // and the forward fill both ride epoch-microsecond floor division,
+    // so no calendar/timezone rule can split the engines
+    "q_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, (epoch_ns(ts)//1000) // 86400000000 AS day_num,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day_num) AS b0, max(day_num) AS b1
+        |         FROM b GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(b0, b1)) AS day_num
+        |          FROM span)
+        |SELECT s.user_id, s.day_num,
+        |  coalesce(b.n_events, 0) AS n_events,
+        |  last_value(b.cents IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day_num
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM spine s LEFT JOIN b
+        |  ON b.user_id = s.user_id AND b.day_num = s.day_num
+        |ORDER BY s.user_id, s.day_num""".stripMargin,
+
+    "q_rolling_range" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS t_us,
+        |         CAST(round(value*100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id, t_us,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS roll_cents,
+        |  count(*) OVER w AS roll_n
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, t_us, event_id""".stripMargin,
 
     "q_normalize_text" ->
       """SELECT doc_id,

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization over event tables: bucket an irregular
+  * event stream onto a fixed time grid per key, fill the gaps the
+  * stream skipped, and carry the last observation forward — the
+  * resample/ffill primitive every metrics/feature pipeline needs before
+  * a model ever sees the data (the reference has no time axis at all —
+  * `modificationDate` is carried as an opaque string, geonames.js:43 —
+  * so this is declared-surface extension work, not a port).
+  *
+  * Time axis discipline: all arithmetic is on integer microseconds
+  * (`unix_micros`), never on date/timestamp values — the driver's
+  * `events.ts` is parquet TIMESTAMP(NANOS) and the established oracle
+  * parity contract (see q_sessionize / q_funnel) is epoch integers on
+  * both engines, which no timezone or calendar rule can bend.
+  *
+  * Scale shape: the grid ("spine") is generated per key from that key's
+  * own [min,max] bucket span — `sequence()` over two longs from a
+  * bounded per-key aggregate, then `explode`. There is NO global
+  * calendar dimension and no cross-join of keys × buckets; a key
+  * contributes exactly its own span. Shuffles: one keyed aggregation to
+  * buckets, one (key, bucket) join of spine onto observations, and the
+  * forward-fill window partitioned by key — all on the same key, so AQE
+  * co-partitions them. Skew bound: a key's window holds its span in
+  * buckets (days of history), not its event count.
+  */
+object Timeseries {
+
+  /** Gap-filled, forward-filled resample of `df` onto a fixed grid.
+    *
+    * Output, one row per (key, bucket) in the key's observed span:
+    * `key`, `bucket` (= floor(micros / bucketMicros), BIGINT),
+    * `n_events` (0 on gap buckets), `bucket_sum` (sum of `valueCol`
+    * over the bucket's events, null on gaps), `filled_sum` (last
+    * non-null `bucket_sum` at or before this bucket).
+    *
+    * `valueCol` should be exact-typed (integer/decimal) if the caller
+    * wants engine-exact fills — the operator does not reassociate
+    * anything itself beyond the one SUM per bucket.
+    */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: Column, bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val bucketed = df
+      .select(col(keyCol).as("key"),
+        floorDiv(unix_micros(col(tsCol)), lit(bucketMicros)).as("bucket"),
+        valueCol.as("_t_val"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("_t_val")).as("bucket_sum"))
+    // per-key span: a bounded aggregate (2 longs per key), exploded to
+    // the key's own grid — never a global calendar cross-join
+    val spine = bucketed
+      .groupBy(col("key"))
+      .agg(min(col("bucket")).as("_b0"), max(col("bucket")).as("_b1"))
+      .select(col("key"),
+        explode(sequence(col("_b0"), col("_b1"))).as("bucket"))
+    val filled = spine.join(bucketed, Seq("key", "bucket"), "left")
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.select(col("key"), col("bucket"),
+      coalesce(col("n_events"), lit(0L)).as("n_events"),
+      col("bucket_sum"),
+      last(col("bucket_sum"), ignoreNulls = true).over(w).as("filled_sum"))
+  }
+
+  /** Time-RANGE rolling aggregate: for every event, the sum/count of
+    * `valueCol` over the same key's events in the trailing
+    * `windowMicros` (inclusive both ends — RANGE frame, so microsecond
+    * ties are peers and the result is order-independent). The frame is
+    * a true range frame over the integer time axis: sparse and bursty
+    * keys both get exactly their trailing wall-clock window, which a
+    * ROWS frame cannot express.
+    *
+    * One shuffle (key-partitioned sort for the window); the running
+    * frame is computed by WindowExec's sliding accumulator — no
+    * per-event rescan of the trailing window.
+    */
+  def rollingRange(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: Column, windowMicros: Long,
+                   carryCols: Seq[String] = Nil): DataFrame = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    val base = df.select(
+      (Seq(col(keyCol).as("key"), unix_micros(col(tsCol)).as("t_us"),
+        valueCol.as("v")) ++ carryCols.map(col)): _*)
+    val w = Window.partitionBy(col("key")).orderBy(col("t_us"))
+      .rangeBetween(-windowMicros, 0)
+    base
+      .withColumn("roll_sum", sum(col("v")).over(w))
+      .withColumn("roll_n", count(lit(1)).over(w))
+  }
+
+  /** Integer floor division as a Column (Spark's `/` is double division
+    * and `div` on columns truncates toward zero for negatives; all our
+    * epochs are positive so `floor` semantics and `div` agree — kept as
+    * an explicit helper so the intent is visible).
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+}

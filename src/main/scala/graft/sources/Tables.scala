@@ -125,7 +125,11 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // exact integer floor division: `/` would be DOUBLE division,
+        // whose ulp at ~1.7e18 nanos is 256 — ~12% of rows would round
+        // UP to the next microsecond and diverge from the oracle's
+        // epoch_ns//1000 floor (positive epochs, so DIV == floor)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => raw
     }
   }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val DAY = 86400000000L // micros
+
+  private def ev(rows: (Long, String, Double)*) =
+    rows.toDF("key", "ts_s", "v")
+      .select(col("key"), col("ts_s").cast("timestamp").as("ts"), col("v"))
+
+  test("resample fills gap buckets with n_events=0 and carries the last sum forward") {
+    val events = ev(
+      // key 1: days 0, 1, 4 observed — days 2 and 3 are gaps
+      (1L, "1970-01-01 10:00:00", 1.0),
+      (1L, "1970-01-02 09:00:00", 2.0),
+      (1L, "1970-01-02 10:00:00", 3.0),
+      (1L, "1970-01-05 23:59:59", 7.0),
+      // key 2: a single day — spine is one bucket, no gaps
+      (2L, "1970-01-03 00:00:00", 9.0))
+    val got = Timeseries.resample(events, "key", "ts", col("v").cast("long"), DAY)
+      .orderBy("key", "bucket")
+      .select("key", "bucket", "n_events", "filled_sum")
+      .as[(Long, Long, Long, Long)].collect()
+    got shouldBe Array(
+      (1L, 0L, 1L, 1L),
+      (1L, 1L, 2L, 5L), // two events summed
+      (1L, 2L, 0L, 5L), // gap: carried forward
+      (1L, 3L, 0L, 5L), // gap: carried forward
+      (1L, 4L, 1L, 7L),
+      (2L, 2L, 1L, 9L))
+  }
+
+  test("resample spine is each key's own span, not a global calendar") {
+    val events = ev(
+      (1L, "1970-01-01 00:00:00", 1.0), // key 1 spans day 0 only
+      (2L, "1970-01-09 00:00:00", 1.0), // key 2 spans days 8..10
+      (2L, "1970-01-11 00:00:00", 1.0))
+    val got = Timeseries.resample(events, "key", "ts", col("v").cast("long"), DAY)
+    got.count() shouldBe 4L // 1 + 3, NOT 2 keys x 11 days
+    got.where(col("key") === 1L).count() shouldBe 1L
+  }
+
+  test("rollingRange sums exactly the trailing window, inclusive, with ties as peers") {
+    val base = 100L * DAY
+    val events = Seq(
+      (1L, base, 10L),
+      (1L, base + 3 * DAY, 20L),
+      (1L, base + 7 * DAY, 30L),  // 7 days after first: inclusive frame keeps it
+      (1L, base + 11 * DAY, 40L), // first event now outside the window
+      (2L, base, 5L),
+      (2L, base, 6L))             // same microsecond: peers see each other
+      .toDF("key", "t_us_in", "v")
+      .select(col("key"), timestamp_micros(col("t_us_in")).as("ts"), col("v"))
+    val got = Timeseries.rollingRange(events, "key", "ts", col("v"), 7 * DAY)
+      .orderBy("key", "t_us", "v")
+      .select("key", "roll_sum", "roll_n")
+      .as[(Long, Long, Long)].collect()
+    got shouldBe Array(
+      (1L, 10L, 1L),
+      (1L, 30L, 2L),
+      (1L, 60L, 3L), // 10+20+30: the 7-day-old event is inside the inclusive frame
+      (1L, 70L, 2L), // 30+40: the day-3 event is 8 days back, outside
+      (2L, 11L, 2L), // tie rows are peers: both see both
+      (2L, 11L, 2L))
+  }
+}
