@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Cdc, CountMin, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, TemplateFilters, Timeseries}
+import graft.operators.{AsOfJoin, Cdc, CountMin, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -1294,6 +1294,47 @@ object SparkEntry {
           col("roll_sum").as("roll_cents"), col("roll_n"))
         .orderBy(col("user_id"), col("t_us"), col("event_id"))),
 
+    // Equi-width histogram: 2-value min/max aggregate broadcast back,
+    // then a map-only bucket expression — the bin formula is the same
+    // IEEE arithmetic on both engines, so buckets match exactly
+    "q_histogram" -> ((s, dir) =>
+      Stats.histogram(Tables.lineitem(s, dir), col("l_extendedprice"), 20)
+        .orderBy(col("bucket"))),
+
+    // Bivariate statistics per group: Pearson correlation, sample
+    // covariance and OLS slope/intercept (regr_*) in one aggregate pass
+    "q_corr_regr" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // Tukey-fence outliers per event type over the heavy-tailed value
+    // column: exact per-group quartiles (bounded, broadcast back) fence
+    // a map-side filter — the robust-statistics curation primitive
+    "q_outlier_iqr" -> ((s, dir) =>
+      Stats.iqrOutliers(Tables.events(s, dir), "event_type", col("value"))
+        .select(col("group").as("event_type"), col("n_outliers"),
+          round(col("out_min"), 4).as("out_min"),
+          round(col("out_max"), 4).as("out_max"))
+        .orderBy(col("event_type"))),
+
+    // Per-source token Shannon entropy (vocabulary diversity signal):
+    // the corpus reduces to a (source, token) count dimension before
+    // any floating point happens
+    "q_entropy" -> ((s, dir) =>
+      Stats.entropy(
+          Tables.documents(s, dir).select(col("source"),
+            explode(TextAnalytics.tokens(col("text"))).as("tok")),
+          "source", col("tok"))
+        .select(col("group").as("source"), col("n_distinct"), col("n_total"),
+          round(col("entropy"), 6).as("entropy"))
+        .orderBy(col("source"))),
+
     // Deterministic epoch shuffle WITH a global rank: order by a salted
     // md5 key, rank via the two-level globalOrderIndex (block = first
     // hex digit — a monotone prefix of the key; never a one-partition
@@ -2510,6 +2551,46 @@ object SparkEntry {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, t_us, event_id""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |           FROM lineitem)
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |            ELSE least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19)
+        |       END AS BIGINT) AS bucket, count(*) AS n
+        |FROM lineitem CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_corr_regr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |  round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_outlier_iqr" ->
+      """WITH q AS (SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |                  quantile_cont(value, 0.75) AS q3
+        |           FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS flo,
+        |             q3 + (q3 - q1) * 1.5 AS fhi FROM q)
+        |SELECT e.event_type, count(*) AS n_outliers,
+        |       round(min(value), 4) AS out_min, round(max(value), 4) AS out_max
+        |FROM events e JOIN f USING (event_type)
+        |WHERE value < flo OR value > fhi
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_entropy" ->
+      """WITH t AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0)) AS tok FROM documents),
+        |c AS (SELECT source, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT source, count(*) AS n_distinct, max(tot) AS n_total,
+        |       round(-sum((cnt / tot) * ln(cnt / tot)), 6) AS entropy
+        |FROM c JOIN tot USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_normalize_text" ->
       """SELECT doc_id,

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram bins span [min,max] with a closed top edge") {
+    val df = Seq(0.0, 1.0, 2.5, 4.9, 5.0, 5.0, 10.0).toDF("v")
+    val got = Stats.histogram(df, col("v"), 4) // width 2.5 over [0,10]
+      .orderBy("bucket").as[(Long, Long)].collect()
+    got shouldBe Array(
+      (0L, 2L), // 0.0, 1.0
+      (1L, 2L), // 2.5 (edge goes UP), 4.9
+      (2L, 2L), // 5.0, 5.0
+      (3L, 1L)) // 10.0: max is pulled into the closed top bin
+  }
+
+  test("histogram puts every row in bin 0 when the column is constant") {
+    val df = Seq(7.0, 7.0, 7.0).toDF("v")
+    Stats.histogram(df, col("v"), 5)
+      .as[(Long, Long)].collect() shouldBe Array((0L, 3L))
+  }
+
+  test("iqrOutliers flags exactly the rows outside the Tukey fences") {
+    // group a: q1=2, q3=4 over (1,2,3,4,5) -> IQR=2, fences [-1, 7]:
+    // 100 is the only outlier. group b: symmetric, no outliers.
+    val df = (Seq((("a"), 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 5.0), ("a", 100.0)) ++ Seq("b").flatMap(g =>
+      Seq(1.0, 2.0, 3.0).map((g, _)))).toDF("g", "v")
+    val got = Stats.iqrOutliers(df, "g", col("v"))
+      .as[(String, Long, Double, Double)].collect()
+    got shouldBe Array(("a", 1L, 100.0, 100.0))
+  }
+
+  test("entropy is ln(k) for uniform and 0 for constant distributions") {
+    val df = (Seq.tabulate(8)(i => ("uni", s"t${i % 4}")) ++
+      Seq.fill(5)(("const", "x"))).toDF("g", "v")
+    val got = Stats.entropy(df, "g", col("v"))
+      .orderBy("group")
+      .as[(String, Long, Long, Double)].collect()
+    got.map(_._1) shouldBe Array("const", "uni")
+    got(0)._2 shouldBe 1L
+    got(0)._3 shouldBe 5L
+    got(0)._4 shouldBe 0.0 +- 1e-12
+    got(1)._2 shouldBe 4L
+    got(1)._3 shouldBe 8L
+    got(1)._4 shouldBe math.log(4.0) +- 1e-12
+  }
+}
