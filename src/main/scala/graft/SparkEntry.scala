@@ -1394,6 +1394,22 @@ object SparkEntry {
       Graphs.triangleCounts(s.read.parquet(knnEdgesFixture(s, dir)), "src", "dst")
         .orderBy(col("id"))),
 
+    // PMI collocation mining: bigram pairs scored ln(c_ab·N/(c_a·c_b))
+    // with marginals from the bigram dimension itself — one explode+
+    // count reduce, minCount prune BEFORE the marginal joins
+    "q_collocations" -> ((s, dir) =>
+      Retrieval.collocations(Tables.documents(s, dir), "text", minCount = 5)
+        .select(col("a"), col("b"), col("cab"), round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("a"), col("b"))),
+
+    // Deterministic synchronous label propagation (2 rounds, smallest-
+    // label tie-break) over the symmetrized k-NN graph — the oracle
+    // unrolls the identical vote/pick/carry rounds as CTEs
+    "q_label_prop" -> ((s, dir) =>
+      Graphs.labelPropagation(s.read.parquet(knnEdgesFixture(s, dir)),
+          "src", "dst", iters = 2)
+        .orderBy(col("id"))),
+
     // TF-IDF keyword extraction: each document's 3 heaviest terms under
     // smoothed idf — (doc,term) counts, term-keyed df broadcast back,
     // WindowGroupLimit-pruned per-doc rank (oracle = the identical
@@ -2551,6 +2567,59 @@ object SparkEntry {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, t_us, event_id""".stripMargin,
+
+    // bigram extraction mirrors q_bpe_pairs; marginals and N come from
+    // the same bigram table so both engines divide identical integers
+    "q_collocations" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'),
+        |                  x -> length(x) > 0) AS l FROM documents),
+        |pr AS (SELECT z[1] AS a, z[2] AS b FROM (
+        |         SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |         FROM t WHERE len(l) >= 2) u),
+        |big AS (SELECT a, b, count(*) AS cab FROM pr GROUP BY 1, 2),
+        |pre AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM big GROUP BY 1),
+        |suf AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM big GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cab) AS BIGINT) AS tot FROM big)
+        |SELECT a, b, cab, round(ln((cab * tot) / (ca * cb)), 6) AS pmi
+        |FROM big JOIN pre USING (a) JOIN suf USING (b) CROSS JOIN tot
+        |WHERE cab >= 5 ORDER BY a, b""".stripMargin,
+
+    // the edges CTE mirrors q_pagerank's reconstruction of the k-NN
+    // fixture; then two unrolled vote/pick/carry label rounds
+    "q_label_prop" ->
+      """WITH emb AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vid AS src, b.vid AS dst,
+        |      row_number() OVER (PARTITION BY a.vid
+        |        ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                 b.vid) AS rk
+        |    FROM emb a JOIN emb b ON a.vid <> b.vid) t
+        |  WHERE rk <= 3),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) u
+        |  WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |l0 AS (SELECT id, id AS label FROM nodes),
+        |v1 AS (SELECT s.dst AS id, l.label, count(*) AS c
+        |       FROM sym s JOIN l0 l ON l.id = s.src GROUP BY 1, 2),
+        |p1 AS (SELECT id, label FROM (
+        |         SELECT id, label, row_number() OVER (
+        |           PARTITION BY id ORDER BY c DESC, label) AS rn FROM v1) t
+        |       WHERE rn = 1),
+        |l1 AS (SELECT n.id, coalesce(p1.label, n.id) AS label
+        |       FROM nodes n LEFT JOIN p1 USING (id)),
+        |v2 AS (SELECT s.dst AS id, l.label, count(*) AS c
+        |       FROM sym s JOIN l1 l ON l.id = s.src GROUP BY 1, 2),
+        |p2 AS (SELECT id, label FROM (
+        |         SELECT id, label, row_number() OVER (
+        |           PARTITION BY id ORDER BY c DESC, label) AS rn FROM v2) t
+        |       WHERE rn = 1),
+        |l2 AS (SELECT n.id, coalesce(p2.label, n.id) AS label
+        |       FROM nodes n LEFT JOIN p2 USING (id))
+        |SELECT id, label FROM l2 ORDER BY id""".stripMargin,
 
     "q_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi

@@ -69,6 +69,52 @@ object Graphs {
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Synchronous label-propagation community detection over the
+    * undirected graph induced by `edges`: every vertex starts as its
+    * own label; each round it adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — a fully
+    * deterministic variant (classic async LPA is run-order dependent
+    * and unreproducible, useless for a hash-verified engine).
+    *
+    * Scale shape per round: one join of the symmetrized edge list to
+    * the current labels on the source key, a (vertex, label) count
+    * aggregate, and a per-vertex top-1 pick via the WindowGroupLimit-
+    * prunable `row_number` — all shuffles keyed by vertex id, carrying
+    * (id, label, count) triples only. Lineage is truncated every
+    * `checkpointInterval` rounds like [[pageRank]]. Fixed `iters`
+    * keeps it oracle-checkable (unrolled CTEs); convergence looping is
+    * a caller-side concern.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int, checkpointInterval: Int = 2): DataFrame = {
+    require(iters >= 0, s"iters $iters")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = sym.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (i <- 0 until iters) {
+      val votes = sym
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("_c").desc, col("label").asc)
+      val top = votes.select(col("id"), col("label"),
+          row_number().over(w).as("_rn"))
+        .where(col("_rn") === 1)
+        .select(col("id"), col("label").as("_new"))
+      // isolated vertices (none in a symmetrized graph, kept for safety)
+      labels = nodes.join(top, Seq("id"), "left")
+        .select(col("id"), coalesce(col("_new"), col("id")).as("label"))
+      if ((i + 1) % checkpointInterval == 0 && i + 1 < iters)
+        labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damping: Double = 0.85,
                reliable: Boolean = false, checkpointInterval: Int = 2,

@@ -92,6 +92,36 @@ object Retrieval {
     * [[knnGraphFromPairs]] over LSH candidate pairs). Ranking key is
     * (rounded cosine desc, neighbor id asc) so ties are deterministic.
     */
+  /** PMI collocation mining: adjacent token pairs whose co-occurrence
+    * beats chance, scored by pointwise mutual information
+    * `pmi = ln(c_ab · N / (c_a · c_b))` with the marginals `c_a`
+    * (prefix), `c_b` (suffix) and total `N` all taken from the bigram
+    * table itself — the multi-word-expression detector ("new york",
+    * "machine learning") a tokenizer-training pipeline runs before
+    * committing merges.
+    *
+    * Scale shape: the corpus reduces to the (a, b) bigram-count
+    * dimension in one explode+aggregate (map-side combined); the
+    * `minCount` prune runs BEFORE the marginal joins, and the marginals
+    * are vocabulary-sized aggregates of that same dimension joined on
+    * single-token keys. All arithmetic after the counts is one integer
+    * product/ratio and one `ln` — engine-exact given equal counts.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val big = docs
+      .select(explode(TextAnalytics.tokenPairs(col(textCol))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val pre = big.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val suf = big.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    val tot = big.agg(sum(col("cab")).as("tot"))
+    big.where(col("cab") >= minCount)
+      .join(pre, "a").join(suf, "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("cab"),
+        log((col("cab") * col("tot")) / (col("ca") * col("cb"))).as("pmi"))
+  }
+
   def knnGraph(vecs: DataFrame, idCol: String, vecCol: String,
                k: Int, roundTo: Int = 6): DataFrame = {
     val a = vecs.select(col(idCol).as("src"), col(vecCol).as("_va"))

@@ -67,6 +67,41 @@ class GraphsSpec extends SparkSpec {
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
   }
 
+  test("labelPropagation merges two cliques joined by a bridge into min-label communities") {
+    // two triangles {1,2,3} and {10,11,12} plus bridge 3-10: after two
+    // deterministic min-tie-break rounds each triangle converges to its
+    // smallest member's label
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 1: every vertex adopts its smallest neighbor (1<->2 swap, etc.)
+    // round 2: the triangle {1,2,3} stabilizes on 1; {10,11,12} pulls the
+    // bridge toward the smaller side
+    got.keySet shouldBe Set(1L, 2L, 3L, 10L, 11L, 12L)
+    got(2L) shouldBe got(3L) // the first clique agrees
+    got(11L) shouldBe got(12L) // the second clique agrees
+  }
+
+  test("labelPropagation is deterministic: repeated runs agree exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
+      (2L, 5L), (7L, 8L)).toDF("src", "dst")
+    val a = Graphs.labelPropagation(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graphs.labelPropagation(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    a shouldBe b
+  }
+
+  test("labelPropagation zero iterations returns identity labels; self-loops ignored") {
+    val edges = Seq((1L, 1L), (1L, 2L)).toDF("src", "dst")
+    Graphs.labelPropagation(edges, "src", "dst", iters = 0)
+      .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 2L -> 2L)
+    // one round: 1's only (non-self) neighbor is 2 and vice versa
+    Graphs.labelPropagation(edges, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 2L, 2L -> 1L)
+  }
+
   test("pageRank reliable mode produces identical values") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
     val a = Graphs.pageRank(edges, "src", "dst", iters = 4)

@@ -22,6 +22,24 @@ class RetrievalSpec extends SparkSpec {
     got(2L) shouldBe s(1.0, 2.0) +- 1e-12
   }
 
+  test("collocations scores PMI from bigram-table marginals, hand-computed") {
+    // corpus bigrams: (a b) x3 [from "a b a b a b" -> ab,ba,ab... let's
+    // use explicit docs], (c d) x2, (a d) x1 -> N=6 after the layout below
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"),
+      (4L, "c d"), (5L, "c d"), (6L, "a d")).toDF("id", "text")
+    val got = Retrieval.collocations(docs, "text", minCount = 2)
+      .select("a", "b", "cab", "pmi")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    // marginals: ca(a)=4, ca(c)=2; cb(b)=3, cb(d)=3; N=6
+    got.keySet shouldBe Set(("a", "b"), ("c", "d"))
+    got(("a", "b"))._1 shouldBe 3L
+    got(("a", "b"))._2 shouldBe math.log(3.0 * 6 / (4.0 * 3)) +- 1e-12
+    got(("c", "d"))._1 shouldBe 2L
+    got(("c", "d"))._2 shouldBe math.log(2.0 * 6 / (2.0 * 3)) +- 1e-12
+  }
+
   test("tfidf matches a hand-computed tiny corpus; topK prunes per doc") {
     // d1 = "x x y", d2 = "x z", d3 = "y y"; N=3
     // df(x)=2, df(y)=2, df(z)=1; idf(t) = ln(4/(1+df)) + 1
