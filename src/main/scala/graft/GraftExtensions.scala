@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, NormalizeTextExpr, RepetitionStatsExpr, ShingleHashesExpr, SimHashExpr, SignLshBandsExpr, SignLshExpr, TokenStatsExpr}
+import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, JaroWinklerExpr, MinHashSigExpr, NormalizeTextExpr, RepetitionStatsExpr, ShingleHashesExpr, SimHashExpr, SignLshBandsExpr, SignLshExpr, TokenStatsExpr}
 
 /** Registers the engine's native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works and the kernels are usable
@@ -110,6 +110,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(text) => NormalizeTextExpr(text)
         case _ => throw new IllegalArgumentException("usage: normalize_text(text string)")
+      }),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaroWinklerExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: jaro_winkler(a string, b string)")
       }))
 
   /** Register all functions on an already-running session. */

@@ -1335,6 +1335,71 @@ object SparkEntry {
           round(col("entropy"), 6).as("entropy"))
         .orderBy(col("source"))),
 
+    // Median absolute deviation per group: the robust scale estimate —
+    // two exact-percentile passes, the median table broadcast back
+    "q_mad" -> ((s, dir) =>
+      Stats.mad(Tables.events(s, dir), "event_type", col("value"))
+        .select(col("group").as("event_type"),
+          round(col("median"), 4).as("median"),
+          round(col("mad"), 4).as("mad"), col("n"))
+        .orderBy(col("event_type"))),
+
+    // Chi-square independence of event type × weekday (weekday from
+    // pure epoch-day arithmetic — 1970-01-01 + 4 ≡ Thursday; no
+    // calendar). The statistic is computed on the contingency dimension
+    // via Σ o²/e − n, so unobserved cells need never be generated
+    "q_chisq" -> ((s, dir) =>
+      Stats.chiSquare(
+          Tables.events(s, dir).select(col("event_type"),
+            expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("weekday")),
+          col("event_type"), col("weekday"))
+        .select(round(col("chi2"), 6).as("chi2"), col("dof"), col("n"))),
+
+    // Empirical Markov transition matrix over per-user event sequences:
+    // one user-keyed lead window under the (micros, event_id) total
+    // order, then a bounded (from, to) count
+    "q_transitions" -> ((s, dir) =>
+      Funnel.transitions(Tables.events(s, dir), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // Distribution-position windows: percent_rank + cume_dist under a
+    // tie-free total order (both are exact rationals of rank and n)
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Jaro-Winkler fuzzy matching over sorted-neighborhood candidates:
+    // the native codegen kernel (classic p=0.1/cap-4/0.7-boost — the
+    // same conventions as DuckDB's jaro_winkler_similarity, which IS
+    // the oracle) scores successor-rank pairs; both sides compare the
+    // ROUNDED score so a last-ulp difference cannot flip the threshold
+    "q_jaro" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      val ranked = Packing.globalOrderIndex(names,
+        substring(col("p_name"), 1, 1), Seq(col("p_name")))
+      val cand = ranked
+        .select(col("p_name").as("name_a"),
+          explode(sequence(col("rank") + 1, col("rank") + 5)).as("rank"))
+        .join(ranked.select(col("p_name").as("name_b"), col("rank")), Seq("rank"))
+      cand.select(col("name_a"), col("name_b"),
+          round(graft.functions.TextExpr.jaroWinkler(
+            col("name_a"), col("name_b")), 6).as("jw"))
+        .where(col("jw") >= 0.9)
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
+    // Key-skew profile: Gini coefficient of the per-supplier lineitem
+    // mass — integer rank arithmetic up to the two final divisions
+    "q_gini" -> ((s, dir) =>
+      Stats.giniOfCounts(Tables.lineitem(s, dir), col("l_suppkey"))
+        .select(round(col("gini"), 6).as("gini"), col("n_keys"), col("total"))),
+
     // Deterministic epoch shuffle WITH a global rank: order by a salted
     // md5 key, rank via the two-level globalOrderIndex (block = first
     // hex digit — a monotone prefix of the key; never a one-partition
@@ -2660,6 +2725,65 @@ object SparkEntry {
         |       round(-sum((cnt / tot) * ln(cnt / tot)), 6) AS entropy
         |FROM c JOIN tot USING (source)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type, round(max(med), 4) AS median,
+        |       round(quantile_cont(abs(value - med), 0.5), 4) AS mad,
+        |       count(*) AS n
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_chisq" ->
+      """WITH e AS (SELECT event_type AS a,
+        |    ((epoch_ns(ts)//1000) // 86400000000 + 4) % 7 AS b FROM events),
+        |c AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM c GROUP BY 1),
+        |cc AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |             count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM c)
+        |SELECT round(sum(o * o / (ra * cb / n)) - max(n), 6) AS chi2,
+        |       CAST((max(ka) - 1) * (max(kb) - 1) AS BIGINT) AS dof,
+        |       max(n) AS n
+        |FROM c JOIN r USING (a) JOIN cc USING (b) CROSS JOIN t""".stripMargin,
+
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS tu, event_id,
+        |                  event_type FROM events),
+        |s AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY tu, event_id) AS to_type FROM e)
+        |SELECT from_type, to_type, count(*) AS n FROM s
+        |WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_jaro" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |r AS (SELECT name, row_number() OVER (ORDER BY name) AS rnk FROM names),
+        |cand AS (SELECT a.name AS name_a, b.name AS name_b
+        |         FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5)
+        |SELECT name_a, name_b,
+        |       round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+        |FROM cand
+        |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.9
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_gini" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, l_suppkey) AS rnk FROM c)
+        |SELECT round((2.0 * sum(rnk * c)) / (count(*) * sum(c))
+        |         - (count(*) + 1) / count(*), 6) AS gini,
+        |       count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total
+        |FROM r""".stripMargin,
 
     "q_normalize_text" ->
       """SELECT doc_id,

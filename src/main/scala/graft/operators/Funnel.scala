@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered event-funnel analysis: how many users completed step 1, then
@@ -77,6 +78,32 @@ object Funnel {
       .join(cohort, Seq("_r_user"))
       .groupBy(col("cohort"), (col("_r_bkt") - col("cohort")).as("week_offset"))
       .agg(count(lit(1)).as("n_users")) // (user, bkt) already distinct
+  }
+
+  /** First-order transition counts between consecutive events of the
+    * same user — the empirical Markov matrix over event types, the
+    * complement of [[funnel]] (which tests ONE prescribed order; this
+    * measures every observed order). The successor is taken under the
+    * total order (timestamp, tieCol), so microsecond ties are
+    * deterministic.
+    *
+    * Scale shape: one user-keyed sort window (`lead`) whose rows carry
+    * (user, micros, tie, type) only, then a count aggregate on the
+    * bounded (type, next_type) dimension. No self-join of the event
+    * table.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, tieCol: String): DataFrame = {
+    val ev = events.select(col(userCol).as("_f_user"),
+      unix_micros(col(tsCol)).as("_f_us"), col(tieCol).as("_f_tie"),
+      col(typeCol).as("_f_type"))
+    val w = Window.partitionBy(col("_f_user"))
+      .orderBy(col("_f_us"), col("_f_tie"))
+    ev.select(col("_f_type").as("from_type"),
+        lead(col("_f_type"), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** The funnel summary: (step, name, n_users) per stage. */

@@ -66,6 +66,80 @@ object Stats {
         min(col("_s_v")).as("out_min"), max(col("_s_v")).as("out_max"))
   }
 
+  /** Median absolute deviation per group — the robust scale estimate
+    * (insensitive to the same tails [[iqrOutliers]] fences off):
+    * MAD = median(|x − median(x)|). Two exact-percentile passes; the
+    * per-group median table is bounded and broadcast back, so the
+    * deviation pass stays map-side into the second aggregate.
+    */
+  def mad(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val v = df.select(col(groupCol).as("_s_grp"), valueCol.as("_s_v"))
+    val med = v.groupBy(col("_s_grp"))
+      .agg(percentile(col("_s_v"), lit(0.5)).as("_med"))
+    v.join(broadcast(med), "_s_grp")
+      .select(col("_s_grp"), col("_med"), abs(col("_s_v") - col("_med")).as("_dev"))
+      .groupBy(col("_s_grp").as("group"))
+      .agg(max(col("_med")).as("median"),
+        percentile(col("_dev"), lit(0.5)).as("mad"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Pearson chi-square statistic of independence for two discrete
+    * columns: χ² = Σ_cells (observed − expected)²/expected with
+    * expected = rowTotal·colTotal/n — the classic contingency test a
+    * pipeline uses to detect dependence between categorical features
+    * (or between a feature and a label) before training.
+    *
+    * One (a, b) count aggregate reduces the data to the contingency
+    * dimension; marginals and the statistic are computed on that
+    * bounded table (|A|·|B| cells), so nothing after the first
+    * aggregate scales with the data. Returns one row:
+    * (chi2, dof, n).
+    */
+  def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+    val rows = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val cols = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val tot = cells.agg(sum(col("_o")).as("_n"),
+      countDistinct(col("_a")).as("_ka"), countDistinct(col("_b")).as("_kb"))
+    // sum over observed cells only, using the algebraic identity
+    // Σ_allcells (o−e)²/e = Σ_observed o²/e − n: unobserved (a,b)
+    // combinations contribute exactly their expected mass, so they never
+    // need to be generated (a cross-join of the marginals would)
+    val e = (col("_ra") * col("_cb")) / col("_n")
+    cells.join(broadcast(rows), "_a").join(broadcast(cols), "_b")
+      .crossJoin(broadcast(tot))
+      .agg((sum(col("_o") * col("_o") / e) - max(col("_n"))).as("chi2"),
+        ((max(col("_ka")) - 1) * (max(col("_kb")) - 1)).as("dof"),
+        max(col("_n")).as("n"))
+  }
+
+  /** Gini coefficient of the per-key mass distribution — the skew
+    * profile number (0 = perfectly even keys, →1 = one key holds all
+    * rows) that tells a pipeline whether a join/agg key needs salting
+    * BEFORE the job hits the straggler. Computed from the rank identity
+    * G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n over counts sorted ascending.
+    *
+    * The data reduces to the per-key count dimension first; the global
+    * ascending rank over that dimension uses the two-level
+    * [[Packing.globalOrderIndex]] (block = the count value itself), so
+    * no corpus-sized or dimension-sized single-partition window exists.
+    * Everything stays integer until the two final divisions.
+    */
+  def giniOfCounts(df: DataFrame, keyCol: Column): DataFrame = {
+    val counts = df.select(keyCol.as("_s_key"))
+      .groupBy(col("_s_key")).agg(count(lit(1)).as("_c"))
+    val ranked = Packing.globalOrderIndex(counts, col("_c"),
+      Seq(col("_c"), col("_s_key")))
+    ranked.agg(sum(col("rank") * col("_c")).as("_src"),
+        count(lit(1)).as("_n"), sum(col("_c")).as("_tot"))
+      .select(
+        ((lit(2.0) * col("_src")) / (col("_n") * col("_tot")) -
+          (col("_n") + 1) / col("_n")).as("gini"),
+        col("_n").as("n_keys"), col("_tot").as("total"))
+  }
+
   /** Per-group Shannon entropy (nats) of a discrete column: H = −Σ p·ln p
     * over the group's value distribution, plus the distinct-value and
     * total counts. The inner aggregate reduces the data to one row per

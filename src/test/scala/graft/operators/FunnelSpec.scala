@@ -32,6 +32,22 @@ class FunnelSpec extends SparkSpec {
     got shouldBe Array((1, "view", 2L), (2, "click", 2L), (3, "purchase", 1L))
   }
 
+  test("transitions counts per-user consecutive pairs under the (ts, tie) order") {
+    val events = Seq(
+      // u1: view -> click -> view  (ties broken by the id column)
+      (1L, "2024-01-01 10:00:00", "view", 1L),
+      (1L, "2024-01-01 10:05:00", "click", 2L),
+      (1L, "2024-01-01 10:05:00", "view", 3L), // same ts as id=2: id orders it after
+      // u2: a single event — no transition
+      (2L, "2024-01-01 09:00:00", "view", 4L))
+      .toDF("user_id", "ts_s", "event_type", "event_id")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("event_type"), col("event_id"))
+    val got = Funnel.transitions(events, "user_id", "ts", "event_type", "event_id")
+      .as[(String, String, Long)].collect().toSet
+    got shouldBe Set(("view", "click", 1L), ("click", "view", 1L))
+  }
+
   test("funnel enforces strict order and the max-gap bound") {
     val events = ev(
       // u1: click BEFORE view — not a conversion

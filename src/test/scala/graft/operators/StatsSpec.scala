@@ -34,6 +34,49 @@ class StatsSpec extends SparkSpec {
     got shouldBe Array(("a", 1L, 100.0, 100.0))
   }
 
+  test("mad is the median absolute deviation, per group") {
+    // group a: values 1..5, median 3, |dev| = 2,1,0,1,2 -> mad 1
+    // group b: constant -> mad 0
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("a", _)) ++
+      Seq.fill(4)(("b", 9.0))).toDF("g", "v")
+    val got = Stats.mad(df, "g", col("v")).orderBy("group")
+      .as[(String, Double, Double, Long)].collect()
+    got shouldBe Array(("a", 3.0, 1.0, 5L), ("b", 9.0, 0.0, 4L))
+  }
+
+  test("chiSquare is 0 for independent margins and matches a hand-computed 2x2") {
+    // perfectly independent 2x2: counts o(a,b) = ra*cb/n exactly
+    val ind = (Seq.fill(4)(("x", "p")) ++ Seq.fill(4)(("x", "q")) ++
+      Seq.fill(4)(("y", "p")) ++ Seq.fill(4)(("y", "q"))).toDF("a", "b")
+    val gi = Stats.chiSquare(ind, col("a"), col("b"))
+      .as[(Double, Long, Long)].collect()(0)
+    gi._1 shouldBe 0.0 +- 1e-9
+    gi._2 shouldBe 1L
+    gi._3 shouldBe 16L
+    // dependent 2x2 with an EMPTY cell: (x,p)=4, (y,q)=4, (x,q)=0 absent,
+    // (y,p)=0 absent -> chi2 = n = 8 (perfect association)
+    val dep = (Seq.fill(4)(("x", "p")) ++ Seq.fill(4)(("y", "q"))).toDF("a", "b")
+    val gd = Stats.chiSquare(dep, col("a"), col("b"))
+      .as[(Double, Long, Long)].collect()(0)
+    gd._1 shouldBe 8.0 +- 1e-9 // empty cells counted via the o²/e − n identity
+    gd._2 shouldBe 1L
+  }
+
+  test("giniOfCounts is 0 for even keys and hand-computed for skew") {
+    // 4 keys x 3 rows each: perfectly even -> 0
+    val even = (1 to 4).flatMap(k => Seq.fill(3)(s"k$k")).toDF("k")
+    val ge = Stats.giniOfCounts(even, col("k"))
+      .as[(Double, Long, Long)].collect()(0)
+    ge._1 shouldBe 0.0 +- 1e-12
+    ge._2 shouldBe 4L
+    ge._3 shouldBe 12L
+    // two keys, counts 1 and 99: G = 2(1·1 + 2·99)/(2·100) − 3/2 = 0.49
+    val skew = (Seq.fill(1)("a") ++ Seq.fill(99)("b")).toDF("k")
+    val gs = Stats.giniOfCounts(skew, col("k"))
+      .as[(Double, Long, Long)].collect()(0)
+    gs._1 shouldBe 0.49 +- 1e-12
+  }
+
   test("entropy is ln(k) for uniform and 0 for constant distributions") {
     val df = (Seq.tabulate(8)(i => ("uni", s"t${i % 4}")) ++
       Seq.fill(5)(("const", "x"))).toDF("g", "v")
