@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graphs, Packing, Retrieval}
+import graft.operators.{Dedup, Funnel, Graphs, Packing, Retrieval, Stats, Timeseries}
 
 /** Adversarial-shape scale evidence for the three paths the round-4
   * review flagged as needing proof past the sf dirs:
@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 6).toSet
+      else (1 to 9).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -159,6 +159,51 @@ object StressBench {
         Packing.chunkByTokens(chunkDocs, "doc_id", "text", 40, 30).count()
       }
       println(s"""{"metric":"chunk_tokens","docs":10000000,"chunks":$nChunks,"sec":$tChunk,"cpus":$cpus}""")
+    }
+    // ---- 7. gap-fill resample at 50M events / 100k keys / 365-day
+    // span — the spine explodes to ~36.5M (key, day) rows and the ffill
+    // window holds ≤365 rows per key
+    section(7) {
+      val nEv = 50000000L
+      val keys = 100000L
+      val ev = spark.range(nEv).select(
+        pmod(col("id"), lit(keys)).as("key"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(xxhash64(col("id")), lit(365L * 86400000000L))).as("ts"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("v"))
+      val (nRs, tRs) = timed {
+        Timeseries.resample(ev, "key", "ts", col("v"), 86400000000L).count()
+      }
+      println(s"""{"metric":"resample","events":$nEv,"keys":$keys,"grid_rows":$nRs,"sec":$tRs,"cpus":$cpus}""")
+    }
+
+    // ---- 8. Markov transitions at 50M events / 1M users — one
+    // user-keyed sort window, output is the bounded 20x20 matrix
+    section(8) {
+      val nEv = 50000000L
+      val ev = spark.range(nEv).select(
+        pmod(col("id"), lit(1000000L)).as("user"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(xxhash64(col("id")), lit(365L * 86400000000L))).as("ts"),
+        col("id").as("eid"),
+        concat(lit("e"), pmod(xxhash64(col("id"), lit(2)), lit(20))).as("et"))
+      val ((nCells, total), tTr) = timed {
+        val t = Funnel.transitions(ev, "user", "ts", "et", "eid").localCheckpoint(true)
+        (t.count(), t.agg(sum(col("n"))).head().getLong(0))
+      }
+      require(total == nEv - 1000000L, s"transitions $total != ${nEv - 1000000L}")
+      println(s"""{"metric":"transitions","events":$nEv,"users":1000000,"cells":$nCells,"sec":$tTr,"cpus":$cpus}""")
+    }
+
+    // ---- 9. Gini skew profile at 50M rows / ~1M-key dimension — the
+    // two-level rank runs over the key-count dimension, never the rows
+    section(9) {
+      val nRows = 50000000L
+      val df = spark.range(nRows).select(
+        (pmod(xxhash64(col("id")), lit(1000L)) *
+          pmod(xxhash64(col("id"), lit(3)), lit(1000L))).as("k"))
+      val (row, tG) = timed { Stats.giniOfCounts(df, col("k")).head() }
+      println(s"""{"metric":"gini","rows":$nRows,"n_keys":${row.getLong(1)},"gini":${row.getDouble(0)},"sec":$tG,"cpus":$cpus}""")
     }
     spark.stop()
   }

@@ -90,6 +90,33 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_jaro: successor-rank candidates are equi-joins — no nested loop, no cartesian") {
+    val p = planOf("q_jaro")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_resample: spine join stays an equi-join; forward fill is key-partitioned") {
+    val p = planOf("q_resample")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    // the ffill window must be partitioned by the key (a global window
+    // would single-partition the corpus): the windowspecdefinition's
+    // first argument is the partition column
+    p should include regex "windowspecdefinition\\(key#\\d+L, bucket"
+  }
+
+  test("q_outlier_iqr/q_mad: the fence/median dimension joins broadcast") {
+    planOf("q_outlier_iqr") should include("BroadcastHashJoin")
+    planOf("q_mad") should include("BroadcastHashJoin")
+  }
+
+  test("q_gini: rank is two-level — no unpartitioned corpus window over the key dimension") {
+    val p = planOf("q_gini")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
   test("q_curation_pipeline: hash joins only, no nested-loop join") {
     val p = planOf("q_curation_pipeline")
     (p should not).include("BroadcastNestedLoopJoin")
