@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Cdc, CountMin, Curation, Dedup, Funnel, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
+import graft.operators.{AsOfJoin, Baskets, Cdc, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -1400,6 +1400,55 @@ object SparkEntry {
       Stats.giniOfCounts(Tables.lineitem(s, dir), col("l_suppkey"))
         .select(round(col("gini"), 6).as("gini"), col("n_keys"), col("total"))),
 
+    // Market-basket co-occurrence with lift: DISTINCT (basket, item)
+    // reduce → basket-keyed self-join (fan-out bounded by basket size,
+    // never item popularity) → integer counts; lift is the only float
+    "q_cooccurrence" -> ((s, dir) =>
+      Baskets.cooccurrence(Tables.lineitem(s, dir),
+          col("l_orderkey"), col("l_partkey"), minCount = 2)
+        .select(col("item_a"), col("item_b"), col("n_ab"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // Day-over-day change on the gap-filled forward-filled series:
+    // lag over the resample grid; exact integer cents until the ratio
+    "q_pct_change" -> ((s, dir) => {
+      val rs = Timeseries.resample(Tables.events(s, dir), "user_id", "ts",
+        round(col("value") * 100).cast("long"), bucketMicros = 86400000000L)
+      val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      rs.select(col("key").as("user_id"), col("bucket").as("day_num"),
+          col("filled_sum"),
+          lag(col("filled_sum"), 1).over(w).as("_prev"))
+        .where(col("_prev").isNotNull && col("_prev") =!= 0)
+        .select(col("user_id"), col("day_num"),
+          round((col("filled_sum") - col("_prev")) / col("_prev"), 6)
+            .as("pct_change"))
+        .orderBy(col("user_id"), col("day_num"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // md5-uniform u, rank by u^(1/weight) per brand — both engines rank
+    // the ROUNDED score so a pow() ulp cannot move the cut
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.part(s, dir), col("p_brand"),
+          col("p_partkey"), col("p_retailprice"), k = 3)
+        .select(col("p_brand"), col("p_partkey"), col("score"))
+        .orderBy(col("p_brand"), col("p_partkey"))),
+
+    // Geo radius query over deterministic synthetic coordinates: the
+    // haversine predicate is pure builtin trig (codegen'd, no UDF);
+    // both engines filter on the ROUNDED distance
+    "q_geo_radius" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"),
+        (pmod(col("c_custkey") * 37, lit(17000)) / 100.0 - 85.0).as("lat"),
+        (pmod(col("c_custkey") * 73, lit(36000)) / 100.0 - 180.0).as("lon"))
+      c.select(col("c_custkey"),
+          round(Geo.haversineKm(col("lat"), col("lon"),
+            lit(40.7), lit(-74.0)), 4).as("dist_km"))
+        .where(col("dist_km") <= 6000.0)
+        .orderBy(col("c_custkey"))
+    }),
+
     // Deterministic epoch shuffle WITH a global rank: order by a salted
     // md5 key, rank via the two-level globalOrderIndex (block = first
     // hex digit — a monotone prefix of the key; never a one-partition
@@ -2784,6 +2833,70 @@ object SparkEntry {
         |         - (count(*) + 1) / count(*), 6) AS gini,
         |       count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total
         |FROM r""".stripMargin,
+
+    "q_cooccurrence" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+        |            FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM it),
+        |sup AS (SELECT item, count(*) AS s FROM it GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b
+        |      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item),
+        |pc AS (SELECT item_a, item_b, count(*) AS n_ab FROM p
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_ab,
+        |       round((n_ab * n) / (sa.s * sb.s), 6) AS lift
+        |FROM pc JOIN sup sa ON sa.item = pc.item_a
+        |        JOIN sup sb ON sb.item = pc.item_b CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q_pct_change" ->
+      """WITH b AS (
+        |  SELECT user_id, (epoch_ns(ts)//1000) // 86400000000 AS day_num,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day_num) AS b0, max(day_num) AS b1
+        |         FROM b GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(b0, b1)) AS day_num
+        |          FROM span),
+        |f AS (SELECT s.user_id, s.day_num,
+        |        last_value(b.cents IGNORE NULLS) OVER (
+        |          PARTITION BY s.user_id ORDER BY s.day_num
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |      FROM spine s LEFT JOIN b
+        |        ON b.user_id = s.user_id AND b.day_num = s.day_num),
+        |l AS (SELECT user_id, day_num, filled,
+        |        lag(filled, 1) OVER (PARTITION BY user_id
+        |          ORDER BY day_num) AS prev FROM f)
+        |SELECT user_id, day_num,
+        |       round((filled - prev) / prev, 6) AS pct_change
+        |FROM l WHERE prev IS NOT NULL AND prev <> 0
+        |ORDER BY user_id, day_num""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH s AS (SELECT p_brand, p_partkey,
+        |  round(pow((('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 12))::BIGINT + 1)
+        |              / 281474976710656.0,
+        |            1.0 / p_retailprice), 9) AS score FROM part)
+        |SELECT p_brand, p_partkey, score FROM (
+        |  SELECT p_brand, p_partkey, score, row_number() OVER (
+        |    PARTITION BY p_brand ORDER BY score DESC, p_partkey) AS rk
+        |  FROM s) t
+        |WHERE rk <= 3 ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "q_geo_radius" ->
+      """WITH c AS (SELECT c_custkey,
+        |    (c_custkey * 37) % 17000 / 100.0 - 85.0 AS lat,
+        |    (c_custkey * 73) % 36000 / 100.0 - 180.0 AS lon
+        |  FROM customer),
+        |d AS (SELECT c_custkey,
+        |    round(12742.0 * asin(sqrt(
+        |      sin(radians(40.7 - lat) / 2) * sin(radians(40.7 - lat) / 2)
+        |      + cos(radians(lat)) * cos(radians(40.7))
+        |        * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
+        |      4) AS dist_km
+        |  FROM c)
+        |SELECT c_custkey, dist_km FROM d
+        |WHERE dist_km <= 6000.0 ORDER BY c_custkey""".stripMargin,
 
     "q_normalize_text" ->
       """SELECT doc_id,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining: which items co-occur in the same
+  * basket more than their individual popularity predicts. The grouped
+  * complement of [[Retrieval.collocations]] (adjacency in a sequence);
+  * here the unit is an unordered basket (an order, a session, a doc's
+  * tag set).
+  */
+object Baskets {
+
+  /** Item-pair co-occurrence with lift.
+    *
+    * Output per surviving pair (item_a < item_b):
+    * `n_ab` baskets containing both, and
+    * `lift = n_ab·N / (n_a·n_b)` (>1 ⇒ the pair attracts).
+    *
+    * Scale shape: baskets reduce to DISTINCT (basket, item) first; the
+    * pair generation is a self-join on the basket key, whose fan-out is
+    * bounded by basket size squared (baskets are small by nature —
+    * orders, sessions), never by item popularity. `minCount` prunes
+    * before the support joins; supports are an item-keyed dimension and
+    * the basket total is one broadcast row. Everything is integer until
+    * the final lift division, so the lift is engine-exact.
+    */
+  def cooccurrence(df: DataFrame, basketCol: Column, itemCol: Column,
+                   minCount: Long): DataFrame = {
+    val items = df.select(basketCol.as("_b"), itemCol.as("_i")).distinct()
+    val nBaskets = items.agg(countDistinct(col("_b")).as("_n"))
+    val support = items.groupBy(col("_i")).agg(count(lit(1)).as("_s"))
+    val pairs = items.select(col("_b"), col("_i").as("item_a"))
+      .join(items.select(col("_b"), col("_i").as("item_b")), Seq("_b"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    pairs
+      .join(support.select(col("_i").as("item_a"), col("_s").as("_sa")), "item_a")
+      .join(support.select(col("_i").as("item_b"), col("_s").as("_sb")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        ((col("n_ab") * col("_n")) / (col("_sa") * col("_sb"))).as("lift"))
+  }
+}

@@ -38,6 +38,35 @@ object Sampling {
     df.where(substring(md5(keyCol.cast("string").cast("binary")), 1,
       hexPrefixBelow.length) < hexPrefixBelow)
 
+  /** Weighted sampling without replacement, k per stratum — the
+    * Efraimidis–Spirakis A-ES scheme: each row draws a deterministic
+    * uniform u ∈ (0, 1] from its id's md5 (first 12 hex chars / 2^48,
+    * the same engine-portable md5 contract as [[md5Sample]]) and is
+    * ranked by u^(1/weight); the top k per stratum are the sample.
+    * Selection probability is proportional to weight, re-runs and
+    * engines agree because there is no RNG state. The score is ROUNDED
+    * to 9 dp before ranking (with the id as tiebreak) so a last-ulp
+    * `pow` difference between engines cannot reorder the cut.
+    *
+    * Map-only until the per-stratum top-k window, which
+    * WindowGroupLimit prunes to ≤ k rows per task before the exchange.
+    */
+  def weightedSample(df: DataFrame, stratumCol: Column, idCol: Column,
+                     weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k $k")
+    val hx = conv(substring(md5(idCol.cast("string").cast("binary")), 1, 12),
+      16, 10).cast("long")
+    val u = (hx + 1).cast("double") / lit(281474976710656.0) // 2^48
+    val score = round(pow(u, lit(1.0) / weightCol), 9)
+    val w = Window.partitionBy(stratumCol).orderBy(score.desc, idCol.asc)
+    val rk = Iterator.from(0).map(i => s"__graft_rk_$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn("score", score)
+      .withColumn(rk, row_number().over(w))
+      .where(col(rk) <= k)
+      .drop(rk)
+  }
+
   /** Exactly `quota` rows per stratum (fewer if the stratum is smaller),
     * chosen by deterministic hash order with the id as tiebreak.
     */

@@ -18,6 +18,27 @@ class SamplingSpec extends SparkSpec {
     small.subsetOf(a) shouldBe true
   }
 
+  test("weightedSample takes k per stratum, biased toward weight, deterministically") {
+    // two strata; in "h" one row carries 10^6x the weight of the rest —
+    // u^(1/w) -> ~1 for huge w, so it must always be selected
+    val wdf = ((0L until 100L).map(i => (i, "u", 1.0)) ++
+      (100L until 200L).map(i => (i, "h", if (i == 150L) 1e6 else 1e-3)))
+      .toDF("id", "grp", "w")
+    val got = Sampling.weightedSample(wdf, col("grp"), col("id"), col("w"), k = 5)
+    got.count() shouldBe 10L
+    got.where(col("grp") === "h").select("id").as[Long].collect() should contain(150L)
+    // deterministic across runs
+    val again = Sampling.weightedSample(wdf, col("grp"), col("id"), col("w"), k = 5)
+    got.select("id").as[Long].collect().toSet shouldBe
+      again.select("id").as[Long].collect().toSet
+  }
+
+  test("weightedSample with k larger than the stratum returns the whole stratum") {
+    val wdf = (0L until 3L).map(i => (i, "s", 2.0)).toDF("id", "grp", "w")
+    Sampling.weightedSample(wdf, col("grp"), col("id"), col("w"), k = 10)
+      .count() shouldBe 3L
+  }
+
   test("stratifiedExact returns exactly the quota per stratum, deterministically") {
     val got = Sampling.stratifiedExact(df, col("grp"), col("id"), 7)
     got.groupBy("grp").count().as[(String, Long)].collect().toMap.values.toSet shouldBe Set(7L)
