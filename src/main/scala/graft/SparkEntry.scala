@@ -1449,6 +1449,48 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // argmin/argmax as ONE aggregate pass via lexicographic struct
+    // min/max (no window, no second shuffle) — ties broken by the key
+    // inside the struct, so the pick is deterministic on both engines
+    "q_minmax_by" -> ((s, dir) =>
+      Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("_mx"),
+          min(struct(col("o_totalprice"), col("o_orderkey"))).as("_mn"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey"),
+          col("_mx.o_orderkey").as("best_order"),
+          round(col("_mx.o_totalprice"), 2).as("best_price"),
+          col("_mn.o_orderkey").as("worst_order"),
+          round(col("_mn.o_totalprice"), 2).as("worst_price"),
+          col("n_orders"))
+        .orderBy(col("o_custkey"))),
+
+    // Nearest-city enrichment (the GeoNames "which admin center is
+    // closest" query): 8-row city dim broadcast, haversine scored,
+    // argmin via the same struct-min aggregate — one map-side join +
+    // one customer-keyed aggregate, no window
+    "q_geo_nearest" -> ((s, dir) => {
+      import s.implicits._
+      val cities = Seq(
+        ("newyork", 40.7, -74.0), ("london", 51.5, -0.13),
+        ("tokyo", 35.7, 139.7), ("sydney", -33.9, 151.2),
+        ("saopaulo", -23.55, -46.63), ("cairo", 30.04, 31.24),
+        ("mumbai", 19.08, 72.88), ("anchorage", 61.2, -149.9))
+        .toDF("city", "clat", "clon")
+      Tables.customer(s, dir).select(col("c_custkey"),
+          (pmod(col("c_custkey") * 37, lit(17000)) / 100.0 - 85.0).as("lat"),
+          (pmod(col("c_custkey") * 73, lit(36000)) / 100.0 - 180.0).as("lon"))
+        .crossJoin(broadcast(cities))
+        .select(col("c_custkey"), col("city"),
+          round(Geo.haversineKm(col("lat"), col("lon"),
+            col("clat"), col("clon")), 4).as("d"))
+        .groupBy(col("c_custkey"))
+        .agg(min(struct(col("d"), col("city"))).as("_m"))
+        .select(col("c_custkey"), col("_m.city").as("nearest"),
+          col("_m.d").as("dist_km"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Deterministic epoch shuffle WITH a global rank: order by a salted
     // md5 key, rank via the two-level globalOrderIndex (block = first
     // hex digit — a monotone prefix of the key; never a one-partition
@@ -2897,6 +2939,46 @@ object SparkEntry {
         |  FROM c)
         |SELECT c_custkey, dist_km FROM d
         |WHERE dist_km <= 6000.0 ORDER BY c_custkey""".stripMargin,
+
+    // the struct-min/max argpicks are mirrored as deterministic
+    // row_number window picks under the identical (value, key) order
+    "q_minmax_by" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin,
+        |  count(*) OVER (PARTITION BY o_custkey) AS n
+        | FROM orders)
+        |SELECT o_custkey,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_order,
+        |  round(max(CASE WHEN rmax = 1 THEN o_totalprice END), 2) AS best_price,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_order,
+        |  round(max(CASE WHEN rmin = 1 THEN o_totalprice END), 2) AS worst_price,
+        |  max(n) AS n_orders
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_geo_nearest" ->
+      """WITH cities(city, clat, clon) AS (VALUES
+        |  ('newyork', 40.7, -74.0), ('london', 51.5, -0.13),
+        |  ('tokyo', 35.7, 139.7), ('sydney', -33.9, 151.2),
+        |  ('saopaulo', -23.55, -46.63), ('cairo', 30.04, 31.24),
+        |  ('mumbai', 19.08, 72.88), ('anchorage', 61.2, -149.9)),
+        |c AS (SELECT c_custkey,
+        |    (c_custkey * 37) % 17000 / 100.0 - 85.0 AS lat,
+        |    (c_custkey * 73) % 36000 / 100.0 - 180.0 AS lon
+        |  FROM customer),
+        |d AS (SELECT c_custkey, city,
+        |    round(12742.0 * asin(sqrt(
+        |      sin(radians(clat - lat) / 2) * sin(radians(clat - lat) / 2)
+        |      + cos(radians(lat)) * cos(radians(clat))
+        |        * sin(radians(clon - lon) / 2) * sin(radians(clon - lon) / 2))),
+        |      4) AS d
+        |  FROM c CROSS JOIN cities)
+        |SELECT c_custkey, city AS nearest, d AS dist_km FROM (
+        |  SELECT c_custkey, city, d, row_number() OVER (
+        |    PARTITION BY c_custkey ORDER BY d, city) AS rk FROM d) t
+        |WHERE rk = 1 ORDER BY c_custkey""".stripMargin,
 
     "q_normalize_text" ->
       """SELECT doc_id,

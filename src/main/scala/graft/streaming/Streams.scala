@@ -387,6 +387,56 @@ object Streams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  // ------------------------------------------- streaming transitions
+
+  /** One observed (from → to) step of a user's event sequence. */
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+  private case class LastEvent(t_us: Long, event_id: Long, event_type: String)
+
+  /** Continuous Markov-transition extraction via `transformWithState` —
+    * the streaming twin of [[graft.operators.Funnel.transitions]]: per
+    * user, a bounded ValueState holds ONLY the last event under the
+    * (micros, event_id) total order; each batch chains its (sorted)
+    * rows onto that state and emits one [[Transition]] per consecutive
+    * pair. Downstream, a trivial `groupBy(from, to).count()` maintains
+    * the live matrix.
+    *
+    * Equivalence contract (same as [[cdcStream]]/[[funnelStream]]):
+    * per-user event-time order across batches — what a key-partitioned
+    * log gives. Under it the stream fold equals the batch operator,
+    * asserted in StreamsSpec. State is one 3-field row per user —
+    * hard-bounded, no sequence buffering.
+    */
+  class TransitionsProcessor
+    extends StatefulProcessor[Long, Event, Transition] {
+    @transient private var st: ValueState[LastEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LastEvent]("last",
+        Encoders.product[LastEvent], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[Transition] = {
+      var last = if (st.exists()) Option(st.get()) else None
+      val out = Seq.newBuilder[Transition]
+      rows.toSeq.sortBy(e => (e.ts.getTime * 1000L, e.event_id)).foreach { e =>
+        last.foreach(l => out += Transition(userId, l.event_type, e.event_type))
+        last = Some(LastEvent(e.ts.getTime * 1000L, e.event_id, e.event_type))
+      }
+      last.foreach(st.update)
+      out.result().iterator
+    }
+  }
+
+  /** Continuous per-user transition stream (see [[TransitionsProcessor]]). */
+  def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionsProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   // -------------------------------------------- streaming heavy hitters
 
   /** One token routed to its state shard. */

@@ -364,6 +364,49 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("transitionsStream: per-user pairs chain across batches; fold equals batch transitions") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // event-time-ordered per user across batches (the contract)
+      val b1 = Seq(
+        Event(1L, ts(1), 10L, "view", 0.0),
+        Event(2L, ts(2), 10L, "click", 0.0),
+        Event(3L, ts(1), 20L, "view", 0.0))
+      val b2 = Seq(
+        Event(4L, ts(5), 10L, "purchase", 0.0), // chains onto b1's click via state
+        Event(5L, ts(6), 20L, "view", 0.0),
+        Event(6L, ts(7), 30L, "view", 0.0))     // single event: no transition
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = transitionsStream(stream.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      def awaitRows(nRows: Long): Unit = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (spark.table(name).count() < nRows && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        q.exception.foreach(throw _)
+        spark.table(name).count() should be >= nRows
+      }
+      stream.addData(b1: _*); awaitRows(1)
+      stream.addData(b2: _*); awaitRows(3)
+      q.stop()
+      val streamPairs = spark.table(name).as[Transition].collect()
+        .groupBy(t => (t.from_type, t.to_type)).view.mapValues(_.size.toLong).toMap
+      val batchPairs = graft.operators.Funnel.transitions(
+          (b1 ++ b2).toDF(), "user_id", "ts", "event_type", "event_id")
+        .as[(String, String, Long)].collect()
+        .map(r => ((r._1, r._2), r._3)).toMap
+      streamPairs shouldBe batchPairs
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("funnelStream crash recovery: step state survives restart; advances stay exactly-once") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
