@@ -1491,6 +1491,25 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // Exact set-similarity join via PREFIX FILTERING (AllPairs/PPJoin):
+    // candidates share a rarest-prefix shingle + pass the length filter;
+    // the oracle is the SAME brute-force exact join as q_ngram_jaccard,
+    // so the hash-match proves the filter's completeness empirically
+    "q_ppjoin" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Mutual information of event type × weekday — chi-square's
+    // feature-relevance sibling on the same contingency dimension
+    "q_mutual_info" -> ((s, dir) =>
+      Stats.mutualInfo(
+          Tables.events(s, dir).select(col("event_type"),
+            expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("weekday")),
+          col("event_type"), col("weekday"))
+        .select(round(col("mi"), 6).as("mi"), col("n"))),
+
     // Deterministic epoch shuffle WITH a global rank: order by a salted
     // md5 key, rank via the two-level globalOrderIndex (block = first
     // hex digit — a monotone prefix of the key; never a one-partition
@@ -2979,6 +2998,37 @@ object SparkEntry {
         |  SELECT c_custkey, city, d, row_number() OVER (
         |    PARTITION BY c_custkey ORDER BY d, city) AS rk FROM d) t
         |WHERE rk = 1 ORDER BY c_custkey""".stripMargin,
+
+    // identical to q_ngram_jaccard's oracle: the prefix-filtered join
+    // must reproduce the brute-force exact join bit-for-bit
+    "q_ppjoin" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH e AS (SELECT event_type AS a,
+        |    ((epoch_ns(ts)//1000) // 86400000000 + 4) % 7 AS b FROM events),
+        |c AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM c GROUP BY 1),
+        |cc AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c)
+        |SELECT round(sum((o / n) * ln((o * n) / (ra * cb))), 6) AS mi,
+        |       max(n) AS n
+        |FROM c JOIN r USING (a) JOIN cc USING (b) CROSS JOIN t""".stripMargin,
 
     "q_normalize_text" ->
       """SELECT doc_id,

@@ -461,6 +461,61 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact set-similarity self-join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07): same output
+    * contract as [[ngramJaccardPairs]], but candidate generation joins
+    * only each document's RAREST prefix shingles instead of every
+    * shingle. Prefix principle: under any agreed global element order,
+    * two sets with Jaccard ≥ t MUST share at least one element among
+    * each one's first L = n − ⌈t·n⌉ + 1 elements — so joining prefixes
+    * loses nothing (completeness is exact, asserted by hash-matching
+    * the brute-force oracle), while ordering by ascending document
+    * frequency makes the joined elements the rarest ones: stopword-like
+    * shingles shared by half the corpus never generate candidates.
+    * The length filter (⌈t·max(n_a,n_b)⌉ ≤ min(n_a,n_b)) prunes
+    * size-mismatched pairs before verification.
+    *
+    * Scale shape: the shingle df is a dimension-keyed aggregate; the
+    * per-doc prefix rank window is bounded by document size; the
+    * candidate join exchanges only prefix (hash, id, n) triples — at
+    * t = 0.8 that is ~20% of the shingle volume [[ngramJaccardPairs]]
+    * shuffles, with the high-df hot keys (the skew!) excluded by
+    * construction. Verification re-joins full shingle sets for
+    * candidate pairs only.
+    */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold")
+    val sh = df.select(col(idCol).as("id"),
+        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
+      .localCheckpoint(true)
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("_df"), col("h"))
+    val prefixLen = col("n_sh") - ceil(col("n_sh") * threshold).cast("long") + 1
+    val prefix = sh.join(dfreq, "h")
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") <= prefixLen)
+      .select(col("h"), col("id"), col("n_sh"))
+    val cand = prefix.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
+      .join(prefix.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b")),
+        Seq("h"))
+      .where(col("id_a") < col("id_b") &&
+        ceil(greatest(col("n_a"), col("n_b")) * threshold) <=
+          least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b")).distinct()
+    val aFull = sh.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("h"))
+    val bFull = sh.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("h"))
+    cand.join(aFull, Seq("id_a"))
+      .join(bFull, Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Directed n-gram containment for candidate pairs: containment(A→B) =
     * |A∩B| / |A| — the asymmetric complement of [[ngramJaccardPairs]]
     * that Jaccard misses: a short document quoted wholesale inside a

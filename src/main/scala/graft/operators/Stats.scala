@@ -115,6 +115,27 @@ object Stats {
         max(col("_n")).as("n"))
   }
 
+  /** Mutual information (nats) between two discrete columns:
+    * I = Σ_cells p_ab·ln(p_ab/(p_a·p_b)) — [[chiSquare]]'s
+    * information-theoretic sibling (feature-relevance ranking rather
+    * than a significance test). Unobserved cells contribute exactly 0
+    * (p_ab = 0), so summing observed cells IS the full sum — no
+    * identity needed. Same scale shape: one contingency reduce, then
+    * bounded-dimension arithmetic.
+    */
+  def mutualInfo(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+    val rows = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val cols = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val tot = cells.agg(sum(col("_o")).as("_n"))
+    cells.join(broadcast(rows), "_a").join(broadcast(cols), "_b")
+      .crossJoin(broadcast(tot))
+      .agg(sum((col("_o") / col("_n")) *
+          log((col("_o") * col("_n")) / (col("_ra") * col("_cb")))).as("mi"),
+        max(col("_n")).as("n"))
+  }
+
   /** Gini coefficient of the per-key mass distribution — the skew
     * profile number (0 = perfectly even keys, →1 = one key holds all
     * rows) that tells a pipeline whether a join/agg key needs salting

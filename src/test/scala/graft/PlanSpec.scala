@@ -117,6 +117,12 @@ class PlanSpec extends SparkSpec {
     (p should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("q_ppjoin: prefix-filtered candidates are equi-joins only") {
+    val p = planOf("q_ppjoin")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("q_curation_pipeline: hash joins only, no nested-loop join") {
     val p = planOf("q_curation_pipeline")
     (p should not).include("BroadcastNestedLoopJoin")

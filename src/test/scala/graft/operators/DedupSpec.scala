@@ -171,6 +171,38 @@ class DedupSpec extends SparkSpec {
     m.keySet should not contain ((1L, 4L))
   }
 
+  test("prefixFilterPairs reproduces the brute-force exact join (completeness)") {
+    // mixed corpus: exact dup, one-word edit, unrelated docs — the
+    // prefix-filtered join must equal ngramJaccardPairs exactly at the
+    // same (k, threshold), for several thresholds
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox leaps over the lazy dog tonight"),
+      (4L, "completely different content with no overlap whatsoever here"),
+      (5L, "the quick brown fox jumps over the lazy cat tonight"),
+      (6L, "short doc"),
+      (7L, "short doc")).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val brute = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", k = 3, threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val fast = Dedup.prefixFilterPairs(corpus, "doc_id", "text", k = 3, threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      fast shouldBe brute
+      brute.map(p => (p._1, p._2)) should contain((1L, 2L)) // sanity: dup pair found
+    }
+  }
+
+  test("prefixFilterPairs candidate volume is pruned vs the all-shingle join") {
+    // docs share a very common shingle ("the quick brown") but are not
+    // near-dups — the frequency-ascending prefix must skip the hot key
+    val corpus = (1L to 20L).map(i =>
+      (i, s"the quick brown unique$i tail$i words$i more$i body$i end$i")).toDF("doc_id", "text")
+    // no pair clears 0.8 — and the join must agree with brute force (empty)
+    Dedup.prefixFilterPairs(corpus, "doc_id", "text", k = 3, threshold = 0.8)
+      .count() shouldBe 0L
+  }
+
   test("ngramContainmentPairs: wholesale quote scores near-1 containment where jaccard dilutes") {
     val quote = "alpha beta gamma delta epsilon zeta"
     val long = s"intro words here $quote and then much more trailing content follows"

@@ -62,6 +62,20 @@ class StatsSpec extends SparkSpec {
     gd._2 shouldBe 1L
   }
 
+  test("mutualInfo is 0 for independence and ln(2) for a perfect 2x2 pairing") {
+    val ind = (Seq.fill(4)(("x", "p")) ++ Seq.fill(4)(("x", "q")) ++
+      Seq.fill(4)(("y", "p")) ++ Seq.fill(4)(("y", "q"))).toDF("a", "b")
+    val gi = Stats.mutualInfo(ind, col("a"), col("b"))
+      .as[(Double, Long)].collect()(0)
+    gi._1 shouldBe 0.0 +- 1e-12
+    // deterministic pairing x<->p, y<->q: I = H(A) = ln 2
+    val dep = (Seq.fill(4)(("x", "p")) ++ Seq.fill(4)(("y", "q"))).toDF("a", "b")
+    val gd = Stats.mutualInfo(dep, col("a"), col("b"))
+      .as[(Double, Long)].collect()(0)
+    gd._1 shouldBe math.log(2.0) +- 1e-12
+    gd._2 shouldBe 8L
+  }
+
   test("giniOfCounts is 0 for even keys and hand-computed for skew") {
     // 4 keys x 3 rows each: perfectly even -> 0
     val even = (1 to 4).flatMap(k => Seq.fill(3)(s"k$k")).toDF("k")
