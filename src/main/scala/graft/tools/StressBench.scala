@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 9).toSet
+      else (1 to 10).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -204,6 +204,42 @@ object StressBench {
           pmod(xxhash64(col("id"), lit(3)), lit(1000L))).as("k"))
       val (row, tG) = timed { Stats.giniOfCounts(df, col("k")).head() }
       println(s"""{"metric":"gini","rows":$nRows,"n_keys":${row.getLong(1)},"gini":${row.getDouble(0)},"sec":$tG,"cpus":$cpus}""")
+    }
+    // ---- 10. prefix filtering vs the all-shingle join at 500k docs.
+    // Corpus shape is the adversarial one for the all-shingle join:
+    // every doc opens with one of 1000 boilerplate phrases, so each
+    // phrase shingle is shared by ~500 docs and the full join must
+    // aggregate ~1000 · 500²/2 ≈ 1.25e8 candidate rows; 1000 planted
+    // exact-dup pairs are the true positives. The frequency-ascending
+    // prefix skips the hot phrase shingles entirely.
+    section(10) {
+      val nDocs = 500000L
+      // boilerplate pool size: smaller pool ⇒ hotter phrase shingles ⇒
+      // more candidate rows for the all-shingle join (df ≈ nDocs/pool).
+      // Reuses the first CLI arg when set (the fuzzy-name count is
+      // unused in a section-10-only run).
+      val pool = if (nNames > 0 && nNames <= 100000L) nNames else 1000L
+      val body = (i: org.apache.spark.sql.Column) => array_join(
+        transform(sequence(lit(0), lit(15)),
+          j => concat(lit("u"), xxhash64(i, j))), " ")
+      val seed = when(col("id") < 2000L, floor(col("id") / 2) * 2L)
+        .otherwise(col("id")) // ids 2i/2i+1 below 2000 share a body
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ",
+            concat(lit("p"), pmod(xxhash64(seed, lit(9)), lit(pool)), lit("a")),
+            concat(lit("p"), pmod(xxhash64(seed, lit(9)), lit(pool)), lit("b")),
+            concat(lit("p"), pmod(xxhash64(seed, lit(9)), lit(pool)), lit("c")),
+            body(seed)).as("text"))
+        .localCheckpoint(true)
+      val (nFast, tFast) = timed {
+        Dedup.prefixFilterPairs(docs, "doc_id", "text", k = 3, threshold = 0.8).count()
+      }
+      val (nBrute, tBrute) = timed {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8).count()
+      }
+      require(nFast == nBrute, s"ppjoin $nFast != all-shingle $nBrute")
+      require(nFast >= 1000L, s"planted dups missing: $nFast")
+      println(s"""{"metric":"ppjoin_vs_allshingle","docs":$nDocs,"pool":$pool,"pairs":$nFast,"sec_prefix":$tFast,"sec_allshingle":$tBrute,"cpus":$cpus}""")
     }
     spark.stop()
   }
