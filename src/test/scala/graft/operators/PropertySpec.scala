@@ -103,4 +103,57 @@ class PropertySpec extends SparkSpec {
       .as[(Long, String, String)].collect()
     rows.foreach { r => withClue(s"id=${r._1}") { r._2 shouldBe r._3 } }
   }
+
+  test("prefixFilterPairs == ngramJaccardPairs on random seeded corpora (completeness)") {
+    // small vocab forces shared shingles; duplicated docs force matches
+    val docGen = Gen.listOfN(12, Gen.chooseNum(0, 5)).map(_.map(i => s"w$i").mkString(" "))
+    for (seed <- Seq(11L, 22L, 33L); t <- Seq(0.5, 0.8)) {
+      val base = (0 until 14).map(i => sample(docGen, seed * 100 + i))
+      // plant dup and near-dup pairs
+      val docs = (base ++ Seq(base.head, base(1) + " extra"))
+        .zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+        .toDF("doc_id", "text")
+      val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 2, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val fast = Dedup.prefixFilterPairs(docs, "doc_id", "text", k = 2, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      withClue(s"seed=$seed t=$t") { fast shouldBe brute }
+    }
+  }
+
+  test("jaroWinkler bounds and identities on random seeded string pairs") {
+    val strGen = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+    val pairs = (1 to 60).map(i =>
+      (sample(strGen, i.toLong), sample(strGen, i * 7L + 3)))
+    val rows = pairs.toDF("a", "b").select(
+        graft.functions.TextExpr.jaroWinkler(col("a"), col("b")).as("ab"),
+        graft.functions.TextExpr.jaroWinkler(col("b"), col("a")).as("ba"),
+        graft.functions.TextExpr.jaroWinkler(col("a"), col("a")).as("aa"))
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (ab, ba, aa) =>
+      ab should (be >= 0.0 and be <= 1.0)
+      ab shouldBe ba +- 1e-15 // symmetric
+      aa shouldBe 1.0         // reflexive
+    }
+  }
+
+  test("stats invariants on random seeded groups: gini/entropy/mad bounds") {
+    val keyGen = Gen.listOfN(400, Gen.chooseNum(0, 30))
+    for (seed <- Seq(5L, 6L)) {
+      val ks = sample(keyGen, seed).map(k => s"k$k")
+      val df = ks.toDF("k")
+      val (g, nk, tot) = Stats.giniOfCounts(df, col("k"))
+        .as[(Double, Long, Long)].collect()(0)
+      g should (be >= 0.0 and be < 1.0)
+      tot shouldBe 400L
+      val ent = Stats.entropy(df.withColumn("g", lit("all")), "g", col("k"))
+        .select("n_distinct", "entropy").as[(Long, Double)].collect()(0)
+      ent._2 should (be >= 0.0 and be <= math.log(ent._1.toDouble) + 1e-9)
+      ent._1 shouldBe nk
+      val vals = sample(keyGen, seed + 50).map(_.toDouble)
+      val mad = Stats.mad(vals.map(("g", _)).toDF("g", "v"), "g", col("v"))
+        .select("mad").as[Double].collect()(0)
+      mad should be >= 0.0
+    }
+  }
 }
