@@ -1510,6 +1510,25 @@ object SparkEntry {
           col("event_type"), col("weekday"))
         .select(round(col("mi"), 6).as("mi"), col("n"))),
 
+    // Sweep-line peak concurrency per event type: intervals [t, t+value
+    // seconds) explode to ±1 boundary points; the running sum is
+    // TWO-LEVEL (day blocks + per-key block offsets) so a hot key never
+    // serializes its whole history through one window task
+    "q_max_concurrency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("t0"),
+        (unix_micros(col("ts")) +
+          round(col("value")).cast("long") * 1000000L).as("t1"))
+      Timeseries.maxConcurrency(ev, "event_type", col("t0"), col("t1"))
+        .select(col("key").as("event_type"), col("max_concurrent"))
+        .orderBy(col("event_type"))
+    }),
+
+    // 2-hop neighborhood size over the symmetrized k-NN graph
+    "q_khop" -> ((s, dir) =>
+      Graphs.twoHopCounts(s.read.parquet(knnEdgesFixture(s, dir)), "src", "dst")
+        .orderBy(col("id"))),
+
     // Deterministic epoch shuffle WITH a global rank: order by a salted
     // md5 key, rank via the two-level globalOrderIndex (block = first
     // hex digit — a monotone prefix of the key; never a one-partition
@@ -3029,6 +3048,43 @@ object SparkEntry {
         |SELECT round(sum((o / n) * ln((o * n) / (ra * cb))), 6) AS mi,
         |       max(n) AS n
         |FROM c JOIN r USING (a) JOIN cc USING (b) CROSS JOIN t""".stripMargin,
+
+    // the max of a prefix sum is invariant to order among equal (t, d)
+    // ties, so one flat window mirrors the engine's two-level sweep
+    "q_max_concurrency" ->
+      """WITH pts AS (
+        |  SELECT event_type, epoch_ns(ts)//1000 AS t, 1 AS d FROM events
+        |  UNION ALL
+        |  SELECT event_type,
+        |         epoch_ns(ts)//1000 + CAST(round(value) AS BIGINT) * 1000000,
+        |         -1 FROM events),
+        |r AS (SELECT event_type,
+        |        sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |      FROM pts)
+        |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_khop" ->
+      """WITH emb AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vid AS src, b.vid AS dst,
+        |      row_number() OVER (PARTITION BY a.vid
+        |        ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                 b.vid) AS rk
+        |    FROM emb a JOIN emb b ON a.vid <> b.vid) t
+        |  WHERE rk <= 3),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) u
+        |  WHERE src <> dst),
+        |two AS (SELECT a.src, b.dst FROM sym a JOIN sym b ON a.dst = b.src
+        |        WHERE a.src <> b.dst),
+        |reach AS (SELECT src, dst FROM sym UNION SELECT src, dst FROM two)
+        |SELECT src AS id, count(*) AS n_within_2 FROM reach
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_normalize_text" ->
       """SELECT doc_id,

@@ -115,6 +115,28 @@ object Graphs {
     labels
   }
 
+  /** Distinct vertices reachable within 2 hops (excluding self) on the
+    * undirected graph — neighborhood size, the friend-of-friend reach
+    * metric. One mid-keyed self-join of the symmetrized edge list
+    * (fan-out Σ deg(mid)² — bounded like the wedge step of
+    * [[triangleCounts]] for the degree-bounded similarity graphs this
+    * engine builds), then a distinct + count keyed by source.
+    */
+  def twoHopCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val two = sym.select(col("src"), col("dst").as("mid"))
+      .join(sym.select(col("src").as("mid"), col("dst").as("d2")), Seq("mid"))
+      .select(col("src"), col("d2").as("dst"))
+      .where(col("src") =!= col("dst"))
+    sym.unionAll(two).distinct()
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("n_within_2"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damping: Double = 0.85,
                reliable: Boolean = false, checkpointInterval: Int = 2,

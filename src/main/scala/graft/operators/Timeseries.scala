@@ -93,6 +93,50 @@ object Timeseries {
       .withColumn("roll_n", count(lit(1)).over(w))
   }
 
+  /** Sweep-line maximum concurrency per key: how many of the key's
+    * intervals [start, end) overlap at the busiest instant — peak
+    * sessions, peak load, maximum parallel downloads. Classic sweep:
+    * every interval contributes a (+1 at start, −1 at end) boundary
+    * point; concurrency is the running sum over the key's points under
+    * the (t, delta) order (−1 < +1, so half-open intervals touching at
+    * an instant do NOT overlap); the answer is the running sum's max.
+    *
+    * Scale shape — the running sum is TWO-LEVEL, not one window per
+    * key: points block by `blockMicros` (default: day); per-(key,
+    * block) delta sums roll up to block offsets through a window over
+    * the key's bounded block list (days of history, not points), and
+    * the within-block running sum is partitioned by (key, block). A
+    * single per-key window would serialize a hot key's entire history
+    * through one task; here a key's largest partition is one block.
+    * Max over a prefix sum is insensitive to the arbitrary order among
+    * equal (t, delta) ties (equal-sign runs are monotone), so the
+    * result is deterministic.
+    */
+  def maxConcurrency(df: DataFrame, keyCol: String, startMicros: Column,
+                     endMicros: Column,
+                     blockMicros: Long = 86400000000L): DataFrame = {
+    require(blockMicros > 0, "blockMicros must be positive")
+    val starts = df.select(col(keyCol).as("key"), startMicros.as("t"),
+      lit(1L).as("d"))
+    val ends = df.select(col(keyCol).as("key"), endMicros.as("t"),
+      lit(-1L).as("d"))
+    val pts = starts.unionAll(ends)
+      .withColumn("blk", floorDiv(col("t"), lit(blockMicros)))
+    val wBlocks = Window.partitionBy(col("key")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pts.groupBy(col("key"), col("blk"))
+      .agg(sum(col("d")).as("_bsum"))
+      .select(col("key"), col("blk"),
+        coalesce(sum(col("_bsum")).over(wBlocks), lit(0L)).as("_boff"))
+    val wIn = Window.partitionBy(col("key"), col("blk"))
+      .orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.join(offsets, Seq("key", "blk"))
+      .select(col("key"), (col("_boff") + sum(col("d")).over(wIn)).as("_conc"))
+      .groupBy(col("key"))
+      .agg(max(col("_conc")).as("max_concurrent"))
+  }
+
   /** Integer floor division as a Column (Spark's `/` is double division
     * and `div` on columns truncates toward zero for negatives; all our
     * epochs are positive so `floor` semantics and `div` agree — kept as

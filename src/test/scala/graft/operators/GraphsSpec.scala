@@ -102,6 +102,15 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 2L, 2L -> 1L)
   }
 
+  test("twoHopCounts on a path graph: interior vertices reach further") {
+    // path 1-2-3-4-5: within 2 hops, 1 reaches {2,3}, 2 reaches {1,3,4},
+    // 3 reaches {1,2,4,5}, symmetric for 4 and 5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graphs.twoHopCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 3L, 5L -> 2L)
+  }
+
   test("pageRank reliable mode produces identical values") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
     val a = Graphs.pageRank(edges, "src", "dst", iters = 4)

@@ -44,6 +44,30 @@ class TimeseriesSpec extends SparkSpec {
     got.where(col("key") === 1L).count() shouldBe 1L
   }
 
+  test("maxConcurrency: sweep counts overlaps; touching half-open intervals do not overlap") {
+    val iv = Seq(
+      // key a: [0,10) [5,15) [12,20) -> peak 2 (at t=5..10 and 12..15)
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 12L, 20L),
+      // key b: [0,5) [5,9) touch at 5: end sorts before start -> peak 1
+      ("b", 0L, 5L), ("b", 5L, 9L),
+      // key c: three nested -> peak 3
+      ("c", 0L, 100L), ("c", 10L, 90L), ("c", 20L, 80L))
+      .toDF("k", "t0", "t1")
+    val got = Timeseries.maxConcurrency(iv, "k", col("t0"), col("t1"), blockMicros = 1000L)
+      .as[(String, Long)].collect().toMap
+    got shouldBe Map("a" -> 2L, "b" -> 1L, "c" -> 3L)
+  }
+
+  test("maxConcurrency: intervals crossing block boundaries carry the offset") {
+    // block size 10: [0,35) spans blocks 0..3; [12,14) and [13,22) in
+    // later blocks stack on top of the long-running interval
+    val iv = Seq(("k", 0L, 35L), ("k", 12L, 14L), ("k", 13L, 22L))
+      .toDF("k", "t0", "t1")
+    val got = Timeseries.maxConcurrency(iv, "k", col("t0"), col("t1"), blockMicros = 10L)
+      .as[(String, Long)].collect().toMap
+    got shouldBe Map("k" -> 3L) // all three overlap at t=13
+  }
+
   test("rollingRange sums exactly the trailing window, inclusive, with ties as peers") {
     val base = 100L * DAY
     val events = Seq(
