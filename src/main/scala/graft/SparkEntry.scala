@@ -1529,6 +1529,49 @@ object SparkEntry {
       Graphs.twoHopCounts(s.read.parquet(knnEdgesFixture(s, dir)), "src", "dst")
         .orderBy(col("id"))),
 
+    // Cross-source contamination matrix: distinct shared shingles per
+    // source pair — Spark intersects 64-bit kernel hashes, the oracle
+    // intersects the shingle STRINGS (the q_ngram_jaccard precedent:
+    // counts agree because 64-bit collisions are vanishing)
+    "q_cross_source" -> ((s, dir) =>
+      Curation.crossSourceOverlap(Tables.documents(s, dir), "source", "text", k = 3)
+        .orderBy(col("source_a"), col("source_b"))),
+
+    // Deterministic 3-way train/val/test split: the first 16 md5 bits
+    // as an integer against 0.8/0.9 thresholds — map-only, and the
+    // same row lands in the same split on any engine or rerun
+    "q_split" -> ((s, dir) => {
+      val u16 = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 4), 16, 10).cast("long")
+      Tables.documents(s, dir)
+        .select(col("source"),
+          when(u16 < 52429L, "train").when(u16 < 58982L, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // Winsorization: clip each group's values at its exact p05/p95
+    // fences (broadcast back, map-side least/greatest) and report the
+    // mean before/after plus how many rows were clipped
+    "q_winsorize" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val fences = li.groupBy(col("l_returnflag"))
+        .agg(percentile(col("v"), lit(0.05)).as("_lo"),
+          percentile(col("v"), lit(0.95)).as("_hi"))
+      li.join(broadcast(fences), "l_returnflag")
+        .select(col("l_returnflag"), col("v"),
+          least(greatest(col("v"), col("_lo")), col("_hi")).as("_w"),
+          (col("v") < col("_lo") || col("v") > col("_hi")).cast("long").as("_c"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(avg(col("v")), 4).as("mean_raw"),
+          round(avg(col("_w")), 4).as("mean_winsorized"),
+          sum(col("_c")).as("n_clipped"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Deterministic epoch shuffle WITH a global rank: order by a salted
     // md5 key, rank via the two-level globalOrderIndex (block = first
     // hex digit — a monotone prefix of the key; never a one-partition
@@ -3084,6 +3127,46 @@ object SparkEntry {
         |        WHERE a.src <> b.dst),
         |reach AS (SELECT src, dst FROM sym UNION SELECT src, dst FROM two)
         |SELECT src AS id, count(*) AS n_within_2 FROM reach
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cross_source" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source, shingle FROM (
+        |    SELECT source, unnest(list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0))) AS shingle
+        |    FROM (SELECT source,
+        |            list_filter(string_split_regex(text, '\s+'),
+        |              t -> length(t) > 0) AS toks
+        |          FROM documents) t) u)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       count(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_split" ->
+      """SELECT source,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < 52429
+        |         THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < 58982
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH f AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(avg(l_extendedprice), 4) AS mean_raw,
+        |  round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS mean_winsorized,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  count(*) AS n
+        |FROM lineitem l JOIN f USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_normalize_text" ->

@@ -236,6 +236,31 @@ object Curation {
     * discipline). Returns every document with its signals and the final
     * `keep` verdict, so downstream filters stay auditable.
     */
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many DISTINCT k-token shingles they share — the diagnostic that
+    * finds boilerplate, mirrored subsets and template reuse across data
+    * sources before they poison a dedup-by-source sampling plan (exact
+    * cross-source duplicates are the endgame this catches early;
+    * [[decontaminate]] is the targeted benchmark variant).
+    *
+    * Scale shape: the corpus reduces to DISTINCT (source, shingle-hash)
+    * — 64-bit hashes from the codegen kernel, never shingle strings —
+    * and the pair join is keyed by the hash with fan-out bounded by
+    * #sources² per shingle (sources are a small dimension by nature).
+    */
+  def crossSourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                         k: Int = 3): DataFrame = {
+    val sh = docs.select(col(sourceCol).as("_src"),
+        explode(DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k)).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    sh.select(col("h"), col("_src").as("source_a"))
+      .join(sh.select(col("h"), col("_src").as("source_b")), Seq("h"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def pipeline(docs: DataFrame, idCol: String, textCol: String,
                bench: DataFrame, benchTextCol: String,
                stopwords: Seq[String], minQuality: Double = 0.5,

@@ -252,4 +252,18 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     bi(1L) should be > bi(2L)
   }
+
+  test("crossSourceOverlap counts distinct shared shingles per source pair") {
+    val docs = Seq(
+      ("s1", "alpha beta gamma delta"),        // shingles: abg, bgd
+      ("s1", "alpha beta gamma delta"),        // duplicate doc: no double count
+      ("s2", "alpha beta gamma epsilon"),      // shares abg with s1
+      ("s2", "x y z w"),
+      ("s3", "completely different text here") // shares nothing
+    ).toDF("source", "text")
+    val got = Curation.crossSourceOverlap(docs, "source", "text", k = 3)
+      .as[(String, String, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    got shouldBe Map(("s1", "s2") -> 1L) // only "alpha beta gamma"
+  }
 }
