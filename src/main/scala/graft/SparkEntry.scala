@@ -1572,6 +1572,31 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The third join strategy: hint-forced shuffled hash join (no sort,
+    // build-side hash per partition) — plan-locked in PlanSpec next to
+    // the broadcast (J1) and sort-merge (J6) locks
+    "q_shj" -> ((s, dir) =>
+      Tables.lineitem(s, dir).hint("shuffle_hash")
+        .join(Tables.orders(s, dir).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): the null
+    // groups on both sides MUST pair up — a plain equi-join drops them
+    "q_nullsafe_join" -> ((s, dir) => {
+      val a = Tables.lineitem(s, dir)
+        .groupBy(expr("nullif(l_returnflag, 'R')").as("k"))
+        .agg(count(lit(1)).as("na"))
+      val b = Tables.lineitem(s, dir)
+        .groupBy(expr("nullif(l_returnflag, 'A')").as("k"))
+        .agg(count(lit(1)).as("nb"))
+      a.join(b, a("k") <=> b("k"))
+        .select(a("k").as("k"), col("na"), col("nb"))
+        .orderBy(col("k"))
+    }),
+
     // Deterministic epoch shuffle WITH a global rank: order by a salted
     // md5 key, rank via the two-level globalOrderIndex (block = first
     // hex digit — a monotone prefix of the key; never a one-partition
@@ -3168,6 +3193,21 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem l JOIN f USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_shj" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH a AS (SELECT nullif(l_returnflag, 'R') AS k, count(*) AS na
+        |           FROM lineitem GROUP BY 1),
+        |b AS (SELECT nullif(l_returnflag, 'A') AS k, count(*) AS nb
+        |      FROM lineitem GROUP BY 1)
+        |SELECT a.k AS k, na, nb FROM a JOIN b
+        |  ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k""".stripMargin,
 
     "q_normalize_text" ->
       """SELECT doc_id,

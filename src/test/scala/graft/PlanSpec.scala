@@ -123,6 +123,12 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_shj: hint forces a shuffled hash join (neither broadcast nor sort-merge)") {
+    val p = planOf("q_shj")
+    p should include("ShuffledHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
   test("q_curation_pipeline: hash joins only, no nested-loop join") {
     val p = planOf("q_curation_pipeline")
     (p should not).include("BroadcastNestedLoopJoin")
