@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 10).toSet
+      else (1 to 11).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -240,6 +240,27 @@ object StressBench {
       require(nFast == nBrute, s"ppjoin $nFast != all-shingle $nBrute")
       require(nFast >= 1000L, s"planted dups missing: $nFast")
       println(s"""{"metric":"ppjoin_vs_allshingle","docs":$nDocs,"pool":$pool,"pairs":$nFast,"sec_prefix":$tFast,"sec_allshingle":$tBrute,"cpus":$cpus}""")
+    }
+    // ---- 11. sweep-line peak concurrency at 50M intervals / 100 keys —
+    // the HOT-KEY shape for the sweep: ~500k boundary points per key,
+    // where a naive per-key window would pull a key's whole history into
+    // one task; the two-level (day-block) form bounds a partition at one
+    // key-day (~1.4k points here)
+    section(11) {
+      val nIv = 50000000L
+      val start = lit(1700000000000000L) +
+        pmod(xxhash64(col("id")), lit(365L * 86400000000L))
+      val iv = spark.range(nIv).select(
+        pmod(col("id"), lit(100L)).as("key"),
+        start.as("t0"),
+        (start + pmod(xxhash64(col("id"), lit(1)), lit(3600000000L)) + 1).as("t1"))
+      val ((nKeys, peak), tSw) = timed {
+        val r = Timeseries.maxConcurrency(iv, "key", col("t0"), col("t1"))
+          .localCheckpoint(true)
+        (r.count(), r.agg(max(col("max_concurrent"))).head().getLong(0))
+      }
+      require(nKeys == 100L, s"keys $nKeys != 100")
+      println(s"""{"metric":"max_concurrency","intervals":$nIv,"keys":100,"peak":$peak,"sec":$tSw,"cpus":$cpus}""")
     }
     spark.stop()
   }
