@@ -804,6 +804,53 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SCD Type-2 history over the same changelog shape as q_cdc_upsert:
+    // each change becomes a version with valid_to = next seq per key
+    // (one bounded lead window, no join); tombstones stay visible
+    "q_scd2" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val changes = orders.select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          lit(0L).as("_seq"), lit("U").as("_op"))
+        .unionByName(orders.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), round(col("o_totalprice") * 2, 2).as("price"),
+            lit(1L).as("_seq"),
+            when(col("o_orderkey") % 3 === 0, "D").otherwise("U").as("_op")))
+        .unionByName(orders.where(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey"), round(col("o_totalprice") * 3, 2).as("price"),
+            lit(2L).as("_seq"), lit("U").as("_op")))
+      Cdc.scdHistory(changes, "o_orderkey", "_seq", "_op")
+        .select(col("o_orderkey"), col("price"), col("_seq").as("seq_from"),
+          col("valid_to"), col("_op").as("op"), col("is_current"))
+        .orderBy(col("o_orderkey"), col("seq_from"))
+    }),
+
+    // Snapshot diff: classify every key across base vs CDC-applied
+    // snapshot (full-outer on the key, struct payload compare) — the
+    // end-to-end audit of the merge: counts per change class
+    "q_snapshot_diff" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val base = orders.select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val changes = orders.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 2, 2).as("price"),
+            lit(1L).as("_seq"),
+            when(col("o_orderkey") % 3 === 0, "D").otherwise("U").as("_op"))
+        .unionByName(orders.where(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 3, 2).as("price"),
+            lit(2L).as("_seq"), lit("U").as("_op")))
+        .unionByName(orders.where(col("o_orderkey") % 11 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            lit(1L).as("_seq"), lit("U").as("_op")))
+      val applied = Cdc.applyChanges(base, changes, "o_orderkey", "_seq", "_op")
+      Cdc.snapshotDiff(base, applied, "o_orderkey", Seq("o_custkey", "price"))
+        .groupBy(col("change")).agg(count(lit(1)).as("n"))
+        .orderBy(col("change"))
+    }),
+
     // Co-located bucketed join: both sides pre-bucketed on the join key
     // (process-lifetime fixture), merge-hinted so the plan exercises the
     // bucket layout — join AND key-clustered aggregate run with zero
@@ -2201,6 +2248,64 @@ object SparkEntry {
         |                                   ORDER BY _seq DESC) AS rn FROM u)
         |SELECT o_orderkey, o_custkey, price
         |FROM r WHERE rn = 1 AND _op != 'D' ORDER BY o_orderkey""".stripMargin,
+
+    "q_scd2" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |         CAST(0 AS BIGINT) AS _seq, 'U' AS _op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice*2, 2),
+        |         CAST(1 AS BIGINT),
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice*3, 2),
+        |         CAST(2 AS BIGINT), 'U'
+        |  FROM orders WHERE o_orderkey % 14 = 0)
+        |SELECT o_orderkey, price, _seq AS seq_from,
+        |  lead(_seq, 1) OVER (PARTITION BY o_orderkey ORDER BY _seq) AS valid_to,
+        |  _op AS op,
+        |  CAST(CASE WHEN lead(_seq, 1) OVER (PARTITION BY o_orderkey
+        |                                     ORDER BY _seq) IS NULL
+        |            AND _op = 'U' THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM chg ORDER BY o_orderkey, seq_from""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |  FROM orders),
+        |baseseq AS (
+        |  SELECT o_orderkey, o_custkey, price,
+        |         CAST(-9223372036854775807 AS BIGINT) - 1 AS _seq, 'U' AS _op
+        |  FROM base),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice*2, 2) AS price,
+        |         CAST(1 AS BIGINT) AS _seq,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS _op
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice*3, 2),
+        |         CAST(2 AS BIGINT), 'U'
+        |  FROM orders WHERE o_orderkey % 14 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, round(o_totalprice, 2),
+        |         CAST(1 AS BIGINT), 'U'
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |u AS (SELECT * FROM baseseq UNION ALL SELECT * FROM chg),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                                   ORDER BY _seq DESC) AS rn FROM u),
+        |applied AS (SELECT o_orderkey, o_custkey, price
+        |            FROM r WHERE rn = 1 AND _op != 'D'),
+        |d AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+        |        CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |             WHEN b.o_orderkey IS NULL THEN 'removed'
+        |             WHEN a.o_custkey = b.o_custkey AND a.price = b.price
+        |               THEN 'unchanged'
+        |             ELSE 'changed' END AS change
+        |      FROM base a FULL OUTER JOIN applied b
+        |        ON a.o_orderkey = b.o_orderkey)
+        |SELECT change, count(*) AS n FROM d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the Z-order layout is physical only; results equal the raw scan
     "q_zorder_scan" ->

@@ -22,6 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** SCD Type-2 version history from a changelog: every change row
+    * becomes a version record with `valid_to` = the key's next change
+    * sequence (null ⇒ open) and `is_current` = open AND an upsert
+    * (a trailing 'D' leaves the key with no current version — the
+    * tombstone row remains visible with its own sequence). One
+    * key-partitioned lead window bounded by versions-per-key; no join.
+    */
+  def scdHistory(changes: DataFrame, keyCol: String, seqCol: String,
+                 opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current",
+        (col("valid_to").isNull && col(opCol) === "U").cast("long"))
+  }
+
+  /** Classify every key across two snapshots of the same schema:
+    * `added` (only in `b`), `removed` (only in `a`), `changed` (both,
+    * payload differs), `unchanged`. One full-outer join on the key;
+    * payloads compare as structs so the operator is schema-generic.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val l = a.select(col(keyCol).as("_k"),
+      struct(compareCols.map(col): _*).as("_pa"))
+    val r = b.select(col(keyCol).as("_k"),
+      struct(compareCols.map(col): _*).as("_pb"))
+    l.join(r, Seq("_k"), "full_outer")
+      .select(col("_k").as("key"),
+        when(col("_pa").isNull, "added")
+          .when(col("_pb").isNull, "removed")
+          .when(col("_pa") === col("_pb"), "unchanged")
+          .otherwise("changed").as("change"))
+  }
+
   /** `changes` must carry the base schema plus `seqCol` (bigint, unique
     * per key — ties would make the winner nondeterministic, so they
     * throw at the caller's peril) and `opCol` ('U' upsert / 'D' delete).

@@ -42,4 +42,30 @@ class CdcSpec extends SparkSpec {
     Cdc.applyChanges(base, changes, "k", "_seq", "_op")
       .columns.toSeq shouldBe Seq("k", "v")
   }
+
+  test("scdHistory: versions close at the next seq; trailing delete leaves no current") {
+    val log = Seq(
+      (1L, "a1", 0L, "U"), (1L, "a2", 3L, "U"),            // k1: two versions
+      (2L, "b1", 0L, "U"), (2L, "b-gone", 5L, "D"),        // k2: deleted
+      (3L, "c1", 7L, "U"))                                 // k3: single open version
+      .toDF("k", "v", "_seq", "_op")
+    val got = Cdc.scdHistory(log, "k", "_seq", "_op")
+      .select("k", "v", "_seq", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Long)].collect().toSet
+    got shouldBe Set(
+      (1L, "a1", 0L, Some(3L), 0L),
+      (1L, "a2", 3L, None, 1L),
+      (2L, "b1", 0L, Some(5L), 0L),
+      (2L, "b-gone", 5L, None, 0L), // tombstone: open but NOT current
+      (3L, "c1", 7L, None, 1L))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val b = Seq((1L, "x"), (2L, "Y"), (4L, "w")).toDF("k", "v")
+    val got = Cdc.snapshotDiff(a, b, "k", Seq("v"))
+      .as[(Long, String)].collect().toMap
+    got shouldBe Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added")
+  }
 }
