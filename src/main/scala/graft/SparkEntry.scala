@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Baskets, Cdc, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
+import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
 import graft.functions.TextAnalytics
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -1687,6 +1687,19 @@ object SparkEntry {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
         .where(col("n") >= 3)
         .orderBy(col("n").desc, col("a"), col("b"))),
+
+    // BPE end-to-end: merges trained driver-side on the CAPPED word-
+    // frequency table (bounded state, the PQ-codebook argument), then a
+    // map-only codegen encode pass. Iterative merge application is not
+    // SQL-expressible -> rows-only; kernel ≡ reference asserted in
+    // BpeSpec, training determinism asserted, row count pinned
+    "q_bpe_encode" -> ((s, dir) =>
+      Bpe.encodeCorpus(Tables.documents(s, dir), "doc_id", "text",
+          numMerges = 50, vocabCap = 5000)
+        .select(col("id").as("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          size(array_distinct(col("subwords"))).cast("long").as("n_unique"))
+        .orderBy(col("doc_id"))),
 
     // Okapi BM25 against a fixed term set: term-matched explode (the
     // filter rides the scan), broadcast df/avgdl, one doc-keyed shuffle

@@ -18,7 +18,7 @@ class EntrySpec extends SparkSpec {
       "q_ivf_topk", "q_pq_topk", "q_ivfpq_topk", "q_ivfpq_rerank",
       "q_fingerprint", "q_approx_distinct",
       "q_embedding_neardup_lsh", "q_source_similarity", "q_kmeans_sizes",
-      "q_approx_quantile", "q_knn_graph_lsh")
+      "q_approx_quantile", "q_knn_graph_lsh", "q_bpe_encode")
   }
 
   test("rows-only queries return their pinned sf0.001 row counts") {
@@ -39,7 +39,8 @@ class EntrySpec extends SparkSpec {
       "q_source_similarity" -> 190L,
       "q_kmeans_sizes" -> 8L,
       "q_approx_quantile" -> 3L,
-      "q_knn_graph_lsh" -> 1500L)
+      "q_knn_graph_lsh" -> 1500L,
+      "q_bpe_encode" -> 500L)
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
