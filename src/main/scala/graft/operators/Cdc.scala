@@ -28,6 +28,8 @@ object Cdc {
     * (a trailing 'D' leaves the key with no current version — the
     * tombstone row remains visible with its own sequence). One
     * key-partitioned lead window bounded by versions-per-key; no join.
+    * Sequences must be unique per key — ties make `valid_to`
+    * nondeterministic, the same contract as [[applyChanges]].
     */
   def scdHistory(changes: DataFrame, keyCol: String, seqCol: String,
                  opCol: String): DataFrame = {

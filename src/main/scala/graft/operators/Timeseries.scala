@@ -41,6 +41,10 @@ object Timeseries {
     * `valueCol` should be exact-typed (integer/decimal) if the caller
     * wants engine-exact fills — the operator does not reassociate
     * anything itself beyond the one SUM per bucket.
+    *
+    * Rows with a null timestamp bucket to null and are dropped by the
+    * spine join (the spine is built from non-null buckets only) —
+    * filter or impute upstream if they must count.
     */
   def resample(df: DataFrame, keyCol: String, tsCol: String,
                valueCol: Column, bucketMicros: Long): DataFrame = {
