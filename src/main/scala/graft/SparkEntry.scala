@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
-import graft.functions.TextAnalytics
+import graft.functions.{DedupExpr, TextAnalytics}
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
   * oracles. Every query: deterministic ORDER BY on a key, derived integer
@@ -125,6 +125,22 @@ object SparkEntry {
     * would maintain for its hottest join key. Returns (orders, customer)
     * catalog table names.
     */
+  /** Largest documents table the PNG/WAV asset fixtures will synthesize:
+    * per-doc asset generation is driver-side by design (a bench fixture,
+    * not an operator), so the collect is require()-capped — an oversized
+    * fixture dir fails loudly naming this knob instead of OOMing.
+    */
+  private val MaxAssetFixtureDocs = 200000L
+  private def boundedDocIds(s: SparkSession, dir: String, what: String): Array[Long] = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val n = ids.count()
+    require(n <= MaxAssetFixtureDocs,
+      s"$what asset fixture: $n documents exceeds MaxAssetFixtureDocs=" +
+        s"$MaxAssetFixtureDocs — point the fixture at a smaller corpus " +
+        "or raise the knob")
+    ids.collect().map(_.getLong(0))
+  }
+
   private val pngFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Process-lifetime REAL-PNG asset fixture for q_image_decode: one
     * actual PNG per document, encoded with the JRE's ImageIO — width =
@@ -138,8 +154,7 @@ object SparkEntry {
     pngFixtures.computeIfAbsent(dir, _ => {
       val tmp = fixtureDir("graft-png")
       val path = tmp.getAbsolutePath + "/assets"
-      val rows = Tables.documents(s, dir).select(col("doc_id")).collect()
-        .map(_.getLong(0)).toSeq.map { id =>
+      val rows = boundedDocIds(s, dir, "PNG").toSeq.map { id =>
           val (w, h, g) = ((id % 64 + 1).toInt, (id % 48 + 1).toInt, (id % 256).toInt)
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -170,8 +185,7 @@ object SparkEntry {
       val tmp = fixtureDir("graft-wav")
       val path = tmp.getAbsolutePath + "/assets"
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-      val rows = Tables.documents(s, dir).select(col("doc_id")).collect()
-        .map(_.getLong(0)).toSeq.map { id =>
+      val rows = boundedDocIds(s, dir, "WAV").toSeq.map { id =>
           val nFrames = (id % 800 + 1).toInt
           val v = (id % 20000 - 10000).toInt
           val pcm = new Array[Byte](nFrames * 2)
@@ -223,23 +237,48 @@ object SparkEntry {
     * otherwise duplicate the kernel cosine for every pair; this way the
     * rounded value is only computed for surviving rows.
     */
-  private def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("_cos", Similarity.cosine(col("va"), col("vb")))
-      .where(col("_cos") >= 0.3999995)
-      .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
-  }
+  private val embPairFixtures = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def embeddingPairs(s: SparkSession, dir: String): DataFrame =
+    embPairFixtures.computeIfAbsent(dir, _ => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("_cos", Similarity.cosine(col("va"), col("vb")))
+        .where(col("_cos") >= 0.3999995)
+        .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
+        // process-lifetime checkpoint: four declared queries (neardup /
+        // clusters / clusters_star / keepers) consume this pair set, and
+        // connected-components re-reads it every iteration — the O(n²)
+        // join must run ONCE per fixture dir, not once per consumer scan
+        .localCheckpoint(true)
+    })
+
+  /** Process-lifetime shared document-shingle table (id, source, sh):
+    * the tokenize→shingle→hash kernel runs ONCE per fixture dir and the
+    * checkpointed array column feeds the whole n-gram family (Jaccard,
+    * containment, PPJoin, decontamination, cross-source, clusters/keepers)
+    * — each consumer explodes/filters it map-side instead of re-scanning
+    * the full text corpus through the kernel.
+    */
+  private val shingleFixtures = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    shingleFixtures.computeIfAbsent(dir, _ =>
+      Tables.documents(s, dir).select(col("doc_id").as("id"), col("source"),
+          DedupExpr.shingleHashes(TextAnalytics.tokens(col("text")), 3).as("sh"))
+        .localCheckpoint(true))
 
   /** Scale-safe near-dup pair source shared by the _ngram cluster/keeper
-    * queries: exact n-gram Jaccard (shuffles only 64-bit shingle hashes;
-    * no nested-loop join).
+    * queries AND q_ngram_jaccard: exact n-gram Jaccard over the shared
+    * shingle table (shuffles only 64-bit shingle hashes; no nested-loop
+    * join). Checkpointed once per dir — three consumers, and the CC
+    * iteration re-reads pairs per round.
     */
+  private val ngramPairFixtures = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def ngramPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      k = 3, threshold = 0.8)
+    ngramPairFixtures.computeIfAbsent(dir, _ =>
+      Dedup.ngramJaccardPairsPre(docShingles(s, dir), threshold = 0.8)
+        .localCheckpoint(true))
 
   // ------------------------------------------------------------ queries
 
@@ -905,8 +944,7 @@ object SparkEntry {
     // either direction's |A∩B|/|A| clears the threshold — catches
     // wholesale inclusion that symmetric Jaccard dilutes away
     "q_containment" -> ((s, dir) =>
-      Dedup.ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 3, threshold = 0.5)
+      Dedup.ngramContainmentPairsPre(docShingles(s, dir), threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("cont_ab"), 6).as("cont_ab"),
           round(col("cont_ba"), 6).as("cont_ba"))
         .orderBy(col("id_a"), col("id_b"))),
@@ -981,8 +1019,7 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 3, threshold = 0.8)
+      ngramPairs(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -1068,10 +1105,11 @@ object SparkEntry {
     // 64-bit shingle hashes, DuckDB shared shingle strings — identical
     // barring a ~2^-64 collision (same argument as q_ngram_jaccard).
     "q_decontaminate" -> ((s, dir) => {
-      val all = Tables.documents(s, dir)
-      Curation.decontaminate(
-          all.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
-          all.where(col("doc_id") % 50 === 0), "text", k = 3)
+      val all = docShingles(s, dir)
+      Curation.decontaminatePre(
+          all.where(col("id") % 50 =!= 0).select(col("id"), col("sh")),
+          all.where(col("id") % 50 === 0)
+            .select(explode(col("sh")).as("h")).distinct())
         .select(col("id").as("doc_id"), col("n_sh"), col("n_shared"),
           round(col("overlap_frac"), 4).as("overlap_frac"), col("contaminated"))
         .orderBy(col("doc_id"))
@@ -1083,10 +1121,12 @@ object SparkEntry {
     // with a shuffle-hash join (never a benchmark-side broadcast) — the
     // variant for benchmark sets too large to broadcast raw
     "q_decontaminate_bloom" -> ((s, dir) => {
-      val all = Tables.documents(s, dir)
-      Curation.decontaminateBloom(
-          all.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
-          all.where(col("doc_id") % 50 === 0), "text", k = 3)
+      val all = docShingles(s, dir)
+      Curation.decontaminateBloomPre(
+          all.where(col("id") % 50 =!= 0).select(col("id"), col("sh")),
+          all.where(col("id") % 50 === 0)
+            .select(explode(col("sh")).as("h")).distinct()
+            .localCheckpoint(true)) // bloom build + exact-verify join
         .select(col("id").as("doc_id"), col("n_sh"), col("n_shared"),
           round(col("overlap_frac"), 4).as("overlap_frac"), col("contaminated"))
         .orderBy(col("doc_id"))
@@ -1543,8 +1583,7 @@ object SparkEntry {
     // the oracle is the SAME brute-force exact join as q_ngram_jaccard,
     // so the hash-match proves the filter's completeness empirically
     "q_ppjoin" -> ((s, dir) =>
-      Dedup.prefixFilterPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 3, threshold = 0.8)
+      Dedup.prefixFilterPairsPre(docShingles(s, dir), threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -1581,7 +1620,11 @@ object SparkEntry {
     // intersects the shingle STRINGS (the q_ngram_jaccard precedent:
     // counts agree because 64-bit collisions are vanishing)
     "q_cross_source" -> ((s, dir) =>
-      Curation.crossSourceOverlap(Tables.documents(s, dir), "source", "text", k = 3)
+      Curation.crossSourceOverlapPre(
+          docShingles(s, dir)
+            .select(col("source").as("_src"), explode(col("sh")).as("h"))
+            .distinct()
+            .localCheckpoint(true)) // both self-join branches consume it
         .orderBy(col("source_a"), col("source_b"))),
 
     // Deterministic 3-way train/val/test split: the first 16 md5 bits

@@ -17,6 +17,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same justification as Bench: the only unpartitioned windows run
+    // over bounded block/seed aggregates (WindowAuditSpec pins them)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Dump queries on a small thread pool: Spark's scheduler interleaves
     // the jobs, so the many small queries overlap their planning/IO gaps

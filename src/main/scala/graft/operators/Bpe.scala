@@ -24,9 +24,19 @@ object Bpe {
   /** (doc id, flat subword array) for every document, under merges
     * trained on the capped word-frequency table.
     */
+  /** Largest word-frequency table the driver will hold for merge
+    * training; beyond this the collect would risk driver memory, so the
+    * knob fails loudly instead.
+    */
+  val MaxVocabCap: Int = 1 << 20
+
   def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
                    numMerges: Int, vocabCap: Int = 10000): DataFrame = {
     require(vocabCap > 0, s"vocabCap $vocabCap")
+    require(vocabCap <= MaxVocabCap,
+      s"encodeCorpus: vocabCap=$vocabCap exceeds MaxVocabCap=$MaxVocabCap " +
+        "(the word-frequency table is collected to the driver for merge " +
+        "training); lower the vocabCap knob")
     val wordFreq = docs
       .select(explode(TextAnalytics.tokens(col(textCol))).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("_f"))

@@ -33,13 +33,22 @@ object Curation {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
-                    k: Int = 3): DataFrame = {
-    val benchSh = bench.select(
-      explode(DedupExpr.shingleHashes(
-        TextAnalytics.tokens(col(benchTextCol)), k)).as("h")).distinct()
-    val shingled = docs.select(col(idCol).as("id"),
-        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
-      .localCheckpoint(true)
+                    k: Int = 3): DataFrame =
+    decontaminatePre(
+      docs.select(col(idCol).as("id"),
+          DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
+        .localCheckpoint(true),
+      bench.select(
+        explode(DedupExpr.shingleHashes(
+          TextAnalytics.tokens(col(benchTextCol)), k)).as("h")).distinct())
+
+  /** [[decontaminate]] over a PRE-SHINGLED corpus: `shingled` carries
+    * (id, sh: array<long>), `benchSh` the benchmark's distinct shingle
+    * hashes as (h). The caller owns materialization of both — the hook
+    * that lets one checkpointed shingle table feed the whole n-gram
+    * family instead of re-running the shingle kernel per query.
+    */
+  def decontaminatePre(shingled: DataFrame, benchSh: DataFrame): DataFrame = {
     val shared = shingled.select(col("id"), explode(col("sh")).as("h"))
       .join(broadcast(benchSh), Seq("h"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
@@ -70,20 +79,29 @@ object Curation {
     */
   def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
                          bench: DataFrame, benchTextCol: String,
-                         k: Int = 3, fpp: Double = 0.01): DataFrame = {
-    val benchSh = bench.select(
-        explode(DedupExpr.shingleHashes(
-          TextAnalytics.tokens(col(benchTextCol)), k)).as("h")).distinct()
-      .localCheckpoint(true) // reused: bloom build AND exact-verify join
+                         k: Int = 3, fpp: Double = 0.01): DataFrame =
+    decontaminateBloomPre(
+      docs.select(col(idCol).as("id"),
+          DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
+        .localCheckpoint(true),
+      bench.select(
+          explode(DedupExpr.shingleHashes(
+            TextAnalytics.tokens(col(benchTextCol)), k)).as("h")).distinct()
+        .localCheckpoint(true), // reused: bloom build AND exact-verify join
+      fpp)
+
+  /** [[decontaminateBloom]] over a pre-shingled corpus (same contract as
+    * [[decontaminatePre]]; `benchSh` should be materialized — it is
+    * consumed twice, by the Bloom build and the exact-verify join).
+    */
+  def decontaminateBloomPre(shingled: DataFrame, benchSh: DataFrame,
+                            fpp: Double = 0.01): DataFrame = {
     val nBench = benchSh.count()
     // stat.bloomFilter NPEs on an empty relation (null aggregate buffer);
     // an empty benchmark means a never-matching filter
     val bloom =
       if (nBench > 0) benchSh.stat.bloomFilter("h", nBench, fpp)
       else org.apache.spark.util.sketch.BloomFilter.create(1)
-    val shingled = docs.select(col(idCol).as("id"),
-        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
-      .localCheckpoint(true)
     val candidates = shingled.select(col("id"), explode(col("sh")).as("h"))
       .where(CurationExpr.bloomMightContain(col("h"), bloom))
     val shared = candidates.join(benchSh.hint("shuffle_hash"), Seq("h"))
@@ -249,11 +267,17 @@ object Curation {
     * #sources² per shingle (sources are a small dimension by nature).
     */
   def crossSourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
-                         k: Int = 3): DataFrame = {
-    val sh = docs.select(col(sourceCol).as("_src"),
-        explode(DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k)).as("h"))
-      .distinct()
-      .localCheckpoint(true)
+                         k: Int = 3): DataFrame =
+    crossSourceOverlapPre(
+      docs.select(col(sourceCol).as("_src"),
+          explode(DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k)).as("h"))
+        .distinct()
+        .localCheckpoint(true))
+
+  /** [[crossSourceOverlap]] over pre-exploded DISTINCT (_src, h) rows
+    * (caller owns materialization — both self-join branches consume it).
+    */
+  def crossSourceOverlapPre(sh: DataFrame): DataFrame = {
     sh.select(col("h"), col("_src").as("source_a"))
       .join(sh.select(col("h"), col("_src").as("source_b")), Seq("h"))
       .where(col("source_a") < col("source_b"))

@@ -261,7 +261,8 @@ object Dedup {
     // overhead regardless of data size. Above it, fall through to
     // distributed large-star/small-star rounds.
     val edgeCount = p.count()
-    if (integralIds && edgeCount <= driverEdgeLimit) return clustersDriver(p)
+    if (integralIds && edgeCount <= driverEdgeLimit)
+      return clustersDriver(p, edgeCount, driverEdgeLimit)
     clustersStarWithRounds(p, maxIters, reliable)._1
   }
 
@@ -358,7 +359,15 @@ object Dedup {
     * list of integral ids; labels = min id per component (same result as
     * the distributed propagation, ids widened to BIGINT).
     */
-  private def clustersDriver(symPairs: DataFrame): DataFrame = {
+  private def clustersDriver(symPairs: DataFrame, edgeCount: Long,
+                             driverEdgeLimit: Long): DataFrame = {
+    // [[clusters]] routes here only below its driverEdgeLimit knob;
+    // re-assert before the collect so a future caller with an unbounded
+    // edge list fails loudly instead of OOMing the driver
+    require(edgeCount <= driverEdgeLimit,
+      s"clustersDriver: $edgeCount edges exceeds driverEdgeLimit=" +
+        s"$driverEdgeLimit — raise the knob or use the distributed " +
+        "large-star/small-star path (Dedup.clusters with driverEdgeLimit=0)")
     val spark = symPairs.sparkSession
     import spark.implicits._
     val es = symPairs.select(col("src").cast("long"), col("dst").cast("long"))
@@ -443,13 +452,25 @@ object Dedup {
     * then |A∩B| / (|A|+|B|−|A∩B|). Shuffles only 64-bit hashes.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, threshold: Double = 0.8): DataFrame = {
+                        k: Int = 3, threshold: Double = 0.8): DataFrame =
     // materialize once — both self-join branches would recompute the
     // tokenize+shingle+hash kernel
-    val sh = df.select(col(idCol).as("id"),
-        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
-      .localCheckpoint(true)
+    ngramJaccardPairsPre(
+      df.select(col(idCol).as("id"),
+          DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
+        .localCheckpoint(true),
+      threshold)
+
+  /** [[ngramJaccardPairs]] over a PRE-SHINGLED corpus: `shingled` carries
+    * (id, sh: array<long>) and the caller owns its materialization — the
+    * hook that lets one checkpointed shingle table feed the whole n-gram
+    * family (Jaccard, containment, PPJoin, decontamination, cross-source)
+    * instead of each query re-running the tokenize+shingle kernel over
+    * the full corpus.
+    */
+  def ngramJaccardPairsPre(shingled: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("h"))
     val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
@@ -484,12 +505,20 @@ object Dedup {
     * candidate pairs only.
     */
   def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, threshold: Double = 0.8): DataFrame = {
+                        k: Int = 3, threshold: Double = 0.8): DataFrame =
+    prefixFilterPairsPre(
+      df.select(col(idCol).as("id"),
+          DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
+        .localCheckpoint(true),
+      threshold)
+
+  /** [[prefixFilterPairs]] over a pre-shingled (id, sh) corpus (same
+    * caller-owns-materialization contract as [[ngramJaccardPairsPre]]).
+    */
+  def prefixFilterPairsPre(shingled: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold")
-    val sh = df.select(col(idCol).as("id"),
-        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
-      .localCheckpoint(true)
+    val sh = shingled.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("h"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("_df"))
     val w = Window.partitionBy(col("id")).orderBy(col("_df"), col("h"))
     val prefixLen = col("n_sh") - ceil(col("n_sh") * threshold).cast("long") + 1
@@ -530,11 +559,19 @@ object Dedup {
     * keeps pairs where either direction clears it.
     */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
-                            k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
-      .localCheckpoint(true)
+                            k: Int = 3, threshold: Double = 0.8): DataFrame =
+    ngramContainmentPairsPre(
+      df.select(col(idCol).as("id"),
+          DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), k).as("sh"))
+        .localCheckpoint(true),
+      threshold)
+
+  /** [[ngramContainmentPairs]] over a pre-shingled (id, sh) corpus (same
+    * caller-owns-materialization contract as [[ngramJaccardPairsPre]]).
+    */
+  def ngramContainmentPairsPre(shingled: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("h"))
     val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("h")).where(col("id_a") < col("id_b"))

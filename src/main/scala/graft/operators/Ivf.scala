@@ -101,11 +101,14 @@ object Ivf {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             numCentroids: Int, lloydIters: Int = 1): (DataFrame, DataFrame) = {
-    // deterministic seeds: the numCentroids lowest ids
+    // deterministic seeds: the numCentroids lowest ids, labeled by their
+    // OWN id (not a 1..k rank) — cluster ids only need to be distinct,
+    // deterministic longs, and ordering by seed id is the same total
+    // order the old rank gave, so tie-breaking is unchanged while the
+    // single-partition row_number window (and its WindowExec warning)
+    // disappears entirely: the seed step is now map-only after the top-k
     var centroids = corpus.orderBy(col(idCol)).limit(numCentroids)
-      .select(col(idCol), col(vecCol))
-      .withColumn("cluster_id", row_number().over(Window.orderBy(col(idCol))).cast("long"))
-      .select(col("cluster_id"), col(vecCol).as("cvec"))
+      .select(col(idCol).cast("long").as("cluster_id"), col(vecCol).as("cvec"))
     var assignments: DataFrame = null
     var it = 0
     while (it <= lloydIters) {

@@ -40,8 +40,18 @@ object Pq {
     if (n > 0) s.map(_ / n) else s
   }
 
+  /** Largest training sample the driver will hold (the FAISS pattern:
+    * codebooks train on a bounded sample, never the corpus); an
+    * oversized sampleN knob fails loudly instead of OOMing the collect.
+    */
+  val MaxTrainSample: Int = 1000000
+
   def train(corpus: DataFrame, vecCol: String, m: Int, k: Int = 256,
             sampleN: Int = 10000, iters: Int = 10): Codebooks = {
+    require(sampleN > 0 && sampleN <= MaxTrainSample,
+      s"pq train: sampleN=$sampleN outside (0, MaxTrainSample=" +
+        s"$MaxTrainSample] — codebook training collects the sample to " +
+        "the driver; lower the sampleN knob")
     val rows: Array[Array[Double]] = corpus.select(col(vecCol)).limit(sampleN)
       .collect().map { r: Row => normalizeD(Ivf.vecToDouble(r.getSeq[Any](0))) }
     trainOn(rows, m, k, iters)
@@ -56,6 +66,10 @@ object Pq {
   def trainResidual(assignments: DataFrame, vecCol: String, clusterCol: String,
                     ids: Array[Long], cnorm: Array[Array[Double]], m: Int,
                     k: Int = 256, sampleN: Int = 10000, iters: Int = 10): Codebooks = {
+    require(sampleN > 0 && sampleN <= MaxTrainSample,
+      s"pq trainResidual: sampleN=$sampleN outside (0, MaxTrainSample=" +
+        s"$MaxTrainSample] — codebook training collects the sample to " +
+        "the driver; lower the sampleN knob")
     val rows: Array[Array[Double]] = assignments
       .select(col(vecCol), col(clusterCol)).limit(sampleN)
       .collect().map { r: Row =>

@@ -54,6 +54,12 @@ object Sampling {
   def weightedSample(df: DataFrame, stratumCol: Column, idCol: Column,
                      weightCol: Column, k: Int): DataFrame = {
     require(k > 0, s"k $k")
+    // 'score' is part of the OUTPUT contract (callers select it by name),
+    // so it cannot be renamed collision-safely like the scratch rank
+    // column — fail loudly instead of silently overwriting a user column
+    require(!df.columns.contains("score"),
+      "weightedSample reserves the output column name 'score'; rename the " +
+        "input's 'score' column before sampling")
     val hx = conv(substring(md5(idCol.cast("string").cast("binary")), 1, 12),
       16, 10).cast("long")
     val u = (hx + 1).cast("double") / lit(281474976710656.0) // 2^48

@@ -29,7 +29,13 @@ object Stats {
   def histogram(df: DataFrame, valueCol: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val bounds = df.agg(min(valueCol).as("_lo"), max(valueCol).as("_hi"))
-    df.select(valueCol.as("_v")).crossJoin(broadcast(bounds))
+    // NULLs carry no bin evidence and must behave the same in both
+    // branches: the normal branch's arithmetic sent them to a separate
+    // NULL bucket while the degenerate min==max branch (whose `when`
+    // condition ignores the row value) put them in bin 0 — exclude them
+    // before bucketing so the branches agree
+    df.select(valueCol.as("_v")).where(col("_v").isNotNull)
+      .crossJoin(broadcast(bounds))
       .select(
         when(col("_hi") === col("_lo"), lit(0L))
           .otherwise(least(

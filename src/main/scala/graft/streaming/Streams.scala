@@ -419,9 +419,15 @@ object Streams {
                                  timerValues: TimerValues): Iterator[Transition] = {
       var last = if (st.exists()) Option(st.get()) else None
       val out = Seq.newBuilder[Transition]
-      rows.toSeq.sortBy(e => (e.ts.getTime * 1000L, e.event_id)).foreach { e =>
+      // TRUE epoch micros (getTime is millis; getNanos carries the full
+      // sub-second) — the batch twin Funnel.transitions orders by
+      // unix_micros, and two same-millisecond events must tie-break the
+      // same way in both engines for the stream ≡ batch contract to hold
+      def micros(ts: java.sql.Timestamp): Long =
+        ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
         last.foreach(l => out += Transition(userId, l.event_type, e.event_type))
-        last = Some(LastEvent(e.ts.getTime * 1000L, e.event_id, e.event_type))
+        last = Some(LastEvent(micros(e.ts), e.event_id, e.event_type))
       }
       last.foreach(st.update)
       out.result().iterator

@@ -75,7 +75,24 @@ object GeoBench {
       .write.mode("overwrite").text(outPath)
     val sec = (System.nanoTime() - t0) / 1e9
     val outRows = spark.read.text(outPath).count()
-    println(s"""{"metric":"geonames_transform","input_rows":$rows,"output_rows":$outRows,"sec":$sec,"rows_per_sec":${(rows / sec).toLong},"cpus":$cpus}""")
+
+    // --- untimed golden invariants on the full-dump output -----------
+    // (the GeoNamesSpec contracts, spot-held at dump scale): every line
+    // parses back as a typed envelope, pit uris are unique, both record
+    // types are present, and every relation's `from` references an
+    // emitted pit (the fallback join must never leave dangling edges).
+    val (pits, rels) = GeoNames.readEnvelopes(spark, outPath)
+    val nPits = pits.count()
+    val nRels = rels.count()
+    require(nPits > 0 && nRels > 0, s"degenerate output: $nPits pits / $nRels rels")
+    require(nPits + nRels == outRows,
+      s"unparseable envelope lines: $nPits + $nRels != $outRows")
+    require(pits.select(col("uri")).distinct().count() == nPits,
+      "duplicate pit uris")
+    val dangling = rels.select(col("from").as("uri"))
+      .join(pits.select(col("uri")), Seq("uri"), "left_anti").count()
+    require(dangling == 0L, s"$dangling relations reference missing pits")
+    println(s"""{"metric":"geonames_transform","input_rows":$rows,"output_rows":$outRows,"pits":$nPits,"relations":$nRels,"sec":$sec,"rows_per_sec":${(rows / sec).toLong},"cpus":$cpus}""")
     spark.stop()
   }
 }

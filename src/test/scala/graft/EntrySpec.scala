@@ -2,6 +2,29 @@ package graft
 
 /** The driver's smoke contract: entry() on sf0.001 must return rows. */
 class EntrySpec extends SparkSpec {
+
+  /** Deterministic content hash of a (small) result: every cell
+    * canonicalized to a string, rows sorted, md5 over the whole dump —
+    * the same discipline the driver's DuckDB compare applies to oracled
+    * queries, applied here to the rows-only ones so a
+    * wrong-but-same-cardinality regression cannot slip through.
+    */
+  private def contentHash(df: org.apache.spark.sql.DataFrame): String = {
+    def cell(v: Any): String = v match {
+      case null => "␀"
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case s: Seq[_] => s.map(cell).mkString("[", ",", "]")
+      case m: Map[_, _] =>
+        m.toSeq.map { case (k, x) => cell(k) + "->" + cell(x) }
+          .sorted.mkString("{", ",", "}")
+      case r: org.apache.spark.sql.Row => r.toSeq.map(cell).mkString("(", ",", ")")
+      case x => x.toString
+    }
+    val lines = df.collect().map(_.toSeq.map(cell).mkString("|")).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(lines.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
   test("entry flagship query returns rows on sf0.001") {
     val df = SparkEntry.entry(spark)
     df.count() should be > 0L
@@ -44,6 +67,34 @@ class EntrySpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
+    got shouldBe expected
+  }
+
+  test("rows-only queries match their pinned sf0.001 content hashes") {
+    // counts alone would pass a wrong-but-same-cardinality result; the
+    // hash pins the VALUES (all 15 are deterministic by construction —
+    // hash-derived planes/signatures, fixed seeds, fixed k)
+    // q_ivf_topk == q_ivfpq_rerank is expected: at sf0.001 both recover
+    // the exact cosine top-5 (full recall), so the dumps coincide
+    val expected = Map(
+      "q_minhash_pairs" -> "ba557a66966fcacbef2b004f38ee02cd",
+      "q_simhash_pairs" -> "21eb2855fda2570c8a05242ed8c9c837",
+      "q_lsh_topk" -> "246efe577094b3cd3b6ca60f0213b01c",
+      "q_ivf_topk" -> "31aaf0df5047b945df58269beb7637bc",
+      "q_pq_topk" -> "a4f7a89e76248698c03233ec9cf03b3b",
+      "q_ivfpq_topk" -> "a9cc9bc4d6a485ce094896b7d9d73646",
+      "q_ivfpq_rerank" -> "31aaf0df5047b945df58269beb7637bc",
+      "q_fingerprint" -> "ddc509228e64b3d9245a9c8625e9e04e",
+      "q_approx_distinct" -> "5202d57e916f7ca51003f58d270434c6",
+      "q_embedding_neardup_lsh" -> "af730694dcca0ce045558480d2cf235c",
+      "q_source_similarity" -> "b1489a59f6813ece2580f6982239a445",
+      "q_kmeans_sizes" -> "317807c5ee1f21b677cf8b8f32f55a05",
+      "q_approx_quantile" -> "f2c989c7679b989ad6ffcf5cab20e710",
+      "q_knn_graph_lsh" -> "dcf37446c8b2b588b333854717ebd8c4",
+      "q_bpe_encode" -> "efff38eebad84cd301624f802fa2eb74")
+    val dir = "/root/testdata/sf0.001"
+    val got = expected.keys.toSeq.sorted
+      .map(q => q -> contentHash(SparkEntry.queries(q)(spark, dir))).toMap
     got shouldBe expected
   }
 }

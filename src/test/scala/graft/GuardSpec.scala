@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bpe, Pq, Sampling, Stats}
+
+/** Runtime cap guards on driver-side bounded state: every knob that
+  * gates a driver collect must fail LOUDLY, naming itself, when set
+  * past its documented bound — never OOM the driver. One test per
+  * public guard (the private ones — clustersDriver's edge re-assert,
+  * the PNG/WAV fixture doc cap — sit behind branches their callers
+  * already bound, and carry the same require() discipline).
+  */
+class GuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+
+  test("Bpe.encodeCorpus rejects a vocabCap past MaxVocabCap, naming the knob") {
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encodeCorpus(docs, "doc_id", "text",
+        numMerges = 4, vocabCap = Bpe.MaxVocabCap + 1)
+    }
+    e.getMessage should include("vocabCap")
+    e.getMessage should include("MaxVocabCap")
+  }
+
+  test("Pq.train rejects a sampleN past MaxTrainSample, naming the knob") {
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Pq.train(vecs, "v", m = 2, k = 2, sampleN = Pq.MaxTrainSample + 1)
+    }
+    e.getMessage should include("sampleN")
+    e.getMessage should include("MaxTrainSample")
+  }
+
+  test("weightedSample refuses an input that already has a 'score' column") {
+    val withScore = docs.withColumn("score", lit(0.5))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(withScore, col("doc_id"), col("doc_id"),
+        lit(1.0), k = 1)
+    }
+    e.getMessage should include("score")
+  }
+
+  test("histogram excludes NULLs in both the normal and degenerate branches") {
+    // normal branch: nulls used to form a separate NULL bucket group
+    val mixed = Seq(Some(0.0), Some(10.0), None).toDF("v")
+    Stats.histogram(mixed, col("v"), 2).orderBy("bucket")
+      .as[(Long, Long)].collect() shouldBe Array((0L, 1L), (1L, 1L))
+    // degenerate min==max branch: nulls used to land in bin 0
+    val const = Seq(Some(7.0), Some(7.0), None).toDF("v")
+    Stats.histogram(const, col("v"), 5)
+      .as[(Long, Long)].collect() shouldBe Array((0L, 2L))
+  }
+}

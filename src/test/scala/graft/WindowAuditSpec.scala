@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+
+/** Audit: no declared query may run an unpartitioned window over an
+  * unbounded input. The library's two-level prefix-sum construction
+  * (Packing.packSequences / globalOrderIndex) deliberately runs ONE
+  * global window over the *block-aggregate* table — a bounded dimension
+  * (corpus / blockSize rows), never the corpus — and Bench silences
+  * WindowExec's single-partition warning on that justification. This
+  * spec is what keeps the justification honest: it walks every declared
+  * query's optimized plan, collects unpartitioned Window nodes, and
+  * asserts (a) only the pinned allowlist of queries has any, and (b)
+  * each such window's child subtree contains the Aggregate that bounds
+  * it. A new unpartitioned window anywhere else fails here — visible at
+  * test time even with the runtime log quiet.
+  */
+class WindowAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("unpartitioned windows: only over block-aggregate tables, only in pinned queries") {
+    val findings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      val bare = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      val unbounded = bare.filterNot(w =>
+        w.child.collectFirst { case a: Aggregate => a }.isDefined)
+      (name, bare.size, unbounded.size)
+    }
+    val withBare = findings.filter(_._2 > 0).map(_._1).toSet
+    val withUnbounded = findings.filter(_._3 > 0).map(_._1)
+    // every unpartitioned window must sit above an aggregate (the
+    // bounded block/dimension table), never directly above corpus rows
+    withUnbounded shouldBe empty
+    // and the set of queries that use the construction at all is pinned
+    withBare shouldBe Set(
+      "q_pack_sequences", "q_shuffle_rank", "q_quality_bins",
+      "q_jaro", "q_gini")
+  }
+}

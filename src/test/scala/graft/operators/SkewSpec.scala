@@ -3,6 +3,17 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Manual-salting correctness. WHEN to salt vs lean on AQE: Spark's
+  * adaptive skew-join (spark.sql.adaptive.skewJoin.*) splits a skewed
+  * SORT-MERGE/SHUFFLED-HASH join partition automatically once it
+  * crosses the 256 MB / 5× thresholds — at that regime the built-in
+  * suffices with zero code (measured against saltedJoin on the same
+  * skewed fixture in StressBench section 12; numbers in
+  * docs/THROUGHPUT.md). Salting remains the tool for the cases AQE
+  * cannot touch: aggregation hot keys (no join to split), skew below
+  * the thresholds that still pins a reducer, and broadcast-ineligible
+  * joins the planner keeps unsplit.
+  */
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
