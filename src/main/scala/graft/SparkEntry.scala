@@ -254,6 +254,15 @@ object SparkEntry {
         .localCheckpoint(true)
     })
 
+  /** Process-lifetime checkpointed embeddings table shared by the PQ
+    * family (codebook training samples it, encode and probe each scan
+    * it) — one materialization per fixture dir instead of one per query.
+    */
+  private val embCkFixtures = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def embeddingsCk(s: SparkSession, dir: String): DataFrame =
+    embCkFixtures.computeIfAbsent(dir, _ =>
+      Tables.embeddings(s, dir).localCheckpoint(true))
+
   /** Process-lifetime shared document-shingle table (id, source, sh):
     * the tokenize→shingle→hash kernel runs ONCE per fixture dir and the
     * checkpointed array column feeds the whole n-gram family (Jaccard,
@@ -1213,7 +1222,7 @@ object SparkEntry {
     // queries via ADC lookup tables (no oracle — quantized scores are
     // approximate by design; recall measured in PqSpec/SimBench)
     "q_pq_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).localCheckpoint(true)
+      val emb = embeddingsCk(s, dir)
       val cb = Pq.train(emb, "embedding", m = 16, k = 64, sampleN = 2000)
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding")).collect()
@@ -1231,7 +1240,7 @@ object SparkEntry {
     // PqSpec proves exhaustive-probe ≡ full-scan PQ, SimBench measures
     // recall at 1M)
     "q_ivfpq_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).localCheckpoint(true)
+      val emb = embeddingsCk(s, dir)
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
@@ -1247,7 +1256,7 @@ object SparkEntry {
     // only on the survivors (no oracle — shortlist is approximate;
     // PqSpec proves full-coverage re-rank ≡ brute force exactly)
     "q_ivfpq_rerank" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).localCheckpoint(true)
+      val emb = embeddingsCk(s, dir)
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq

@@ -282,14 +282,14 @@ object StressBench {
       val nKeys = 1000000L
       val hotKey = lit(7L)
       val fact = spark.range(nRows).select(
-          when(pmod(xxhash64(col("id")), lit(2L)) === 0L, hotKey)
+          when(pmod(xxhash64(col("id")), lit(10L)) < 9L, hotKey)
             .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(nKeys))).as("k"),
           (col("id") % 100L).cast("double").as("v"))
         .localCheckpoint(true)
       val dim = spark.range(nKeys)
         .select(col("id").as("k"), concat(lit("n"), col("id")).as("name"))
         .localCheckpoint(true)
-      def withConfs(pairs: (String, String)*)(body: => (Long, Double)): (Long, Double) = {
+      def withConfs[A](pairs: (String, String)*)(body: => A): A = {
         val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
         pairs.foreach { case (k, v) => spark.conf.set(k, v) }
         try body
@@ -300,29 +300,42 @@ object StressBench {
       }
       val noBroadcast = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-      def sumJoin(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
-        val (row, t) = timed {
-          df.agg(count(lit(1)), sum(col("v"))).head()
-        }
-        (row.getLong(0), t)
+      // (count, sec, final AQE plan of the query that actually ran —
+      // the skew=true marker only exists on the executed plan)
+      def sumJoin(df: org.apache.spark.sql.DataFrame): (Long, Double, String) = {
+        val agg = df.agg(count(lit(1)), sum(col("v")))
+        // collect(), not head(): head() wraps a limit in a NEW query
+        // execution, leaving this one un-finalized (isFinalPlan=false)
+        // and the skew rewrite invisible
+        val (row, t) = timed(agg.collect()(0))
+        (row.getLong(0), t, agg.queryExecution.executedPlan.toString)
       }
-      val (nOff, tOff) = withConfs(
+      // untimed warm passes so no timed variant pays the
+      // checkpoint-block first-read or its plan's first JIT
+      sumJoin(fact.join(dim, Seq("k")))
+      sumJoin(Skew.saltedJoin(fact, dim, "k", salts = 32))
+      val (nOff, tOff, _) = withConfs(
         noBroadcast :+ ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
         sumJoin(fact.join(dim, Seq("k")))
       }
-      var skewApplied = false
-      val (nAqe, tAqe) = withConfs(noBroadcast ++ Seq(
+      val (nAqe, tAqe, aqePlan) = withConfs(noBroadcast ++ Seq(
           "spark.sql.adaptive.skewJoin.enabled" -> "true",
           // scale the 256 MB cluster default down to the fixture
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
           "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
-          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2"): _*) {
-        val df = fact.join(dim, Seq("k"))
-        val r = sumJoin(df)
-        skewApplied = df.queryExecution.executedPlan.toString.contains("skew=true")
-        r
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+          // the downstream one-row aggregate makes the planner see the
+          // split as an extra shuffle; force it (the cluster-default
+          // behavior when the join output feeds a wide consumer)
+          "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true"): _*) {
+        sumJoin(fact.join(dim, Seq("k")))
       }
-      val (nSalt, tSalt) = withConfs(noBroadcast: _*) {
+      // Spark prints the rewrite as `SortMergeJoin(skew=true)` on the
+      // join and `AQEShuffleRead ... skewed` on the reader nodes
+      val skewApplied = aqePlan.contains("skew=true") || aqePlan.contains("skewed")
+      if (sys.env.contains("SPARK_GRAFT_DEBUG_PLAN"))
+        System.err.println("[skewplan] " + aqePlan.take(4000))
+      val (nSalt, tSalt, _) = withConfs(noBroadcast: _*) {
         sumJoin(Skew.saltedJoin(fact, dim, "k", salts = 32))
       }
       require(nOff == nAqe && nAqe == nSalt,
