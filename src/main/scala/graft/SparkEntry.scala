@@ -1188,6 +1188,37 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hard-negative mining for contrastive training: per query vector,
+    // the 5 most-similar vectors with a DIFFERENT label — the
+    // confusable-but-wrong examples an embedding loss learns most from.
+    // Queries broadcast; label inequality fused into the join condition;
+    // per-query top-k WindowGroupLimit-pruned. Oracled like
+    // q_cosine_topk (DuckDB list_cosine_similarity + window).
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      Retrieval.hardNegatives(emb, "vec_id", "embedding", "label",
+          queries, "query_id", "qv", "qlabel", k = 5, roundTo = 6)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // SemDeDup-style semantic dedup decision: k-means buckets (Lloyd via
+    // Ivf.build), exact cosine only within a bucket, CC + keeper pick
+    // over the surviving pairs. Same threshold boundary as
+    // q_embedding_neardup, so the pair set is provably a subset of the
+    // exact anchor (asserted in SimilaritySpec); Lloyd isn't SQL →
+    // rows-only with count AND content hash pinned in EntrySpec.
+    "q_semantic_dedup" -> ((s, dir) =>
+      Dedup.keepers(Tables.embeddings(s, dir), "vec_id",
+          Dedup.semanticNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+            "embedding", numCentroids = 8, threshold = 0.3999995))
+        .select(col("id"), col("keeper_id"), col("keep"))
+        .orderBy(col("id"))),
+
     "q_embedding_norm" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(
           col("vec_id"),
@@ -2731,6 +2762,19 @@ object SparkEntry {
         |        FROM embeddings WHERE vec_id < 5) q,
         |       (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings) c
         |  WHERE c.neighbor_id <> q.query_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // same shape as q_cosine_topk with the different-label restriction
+    "q_hard_negatives" ->
+      """SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(c.cv, q.qv),6) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(c.cv, q.qv),6) DESC, c.neighbor_id) AS rank
+        |  FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+        |        FROM embeddings WHERE vec_id < 5) q,
+        |       (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label FROM embeddings) c
+        |  WHERE c.neighbor_id <> q.query_id AND c.label <> q.qlabel) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_embedding_norm" ->

@@ -445,6 +445,42 @@ object Dedup {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): k-means buckets the corpus, exact cosine
+    * runs only WITHIN a bucket — the third scale-safe candidate
+    * generator beside banded sign-LSH ([[embeddingNearDupPairs]]) and
+    * sorted neighborhoods, and the one that catches paraphrase-level
+    * duplicates whose vectors sit close without sharing LSH bands.
+    *
+    * Scale shape: centroids train on the bounded-seed Lloyd loop
+    * ([[Ivf.build]] — assignment is one map-only kernel pass), the pair
+    * join is an EQUI-join on cluster_id with fan-out bounded by cluster
+    * size (numCentroids scales with the corpus to hold the bucket size
+    * constant — the SemDeDup recipe), and only surviving pairs carry
+    * vectors past the filter. Recall is bounded by clustering (near-dups
+    * split across buckets are missed — the same contract as the LSH
+    * path, subset-of-exact asserted in SimilaritySpec).
+    *
+    * `threshold` is the UNROUNDED cosine boundary (pass the half-up
+    * boundary, e.g. 0.3999995 for round(·,6) ≥ 0.4, to match an
+    * exact-pair anchor bit-for-bit on the kept set).
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           numCentroids: Int, threshold: Double,
+                           lloydIters: Int = 2, roundTo: Int = 6): DataFrame = {
+    val (assignments, _) = Ivf.build(df, idCol, vecCol, numCentroids, lloydIters)
+    val asg = assignments
+      .select(col("cluster_id"), col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true) // both self-join branches; Lloyd ran once
+    val a = asg.select(col("cluster_id"), col("id").as("id_a"), col("v").as("va"))
+    val b = asg.select(col("cluster_id"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cluster_id")).where(col("id_a") < col("id_b"))
+      .withColumn("_cos", Similarity.cosine(col("va"), col("vb")))
+      .where(col("_cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("_cos"), roundTo).as("cos_sim"))
+  }
+
   // ------------------------------------------------------ n-gram jaccard
 
   /** Exact n-gram Jaccard similarity for candidate pairs: explode shingles

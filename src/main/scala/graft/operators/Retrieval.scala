@@ -142,6 +142,35 @@ object Retrieval {
       .where(col("rk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the k most-similar corpus vectors carrying a DIFFERENT label —
+    * confusable-but-wrong examples, exactly the negatives an
+    * embedding-model loss learns most from (the standard upgrade over
+    * random in-batch negatives). Ranking key is (rounded cosine desc,
+    * id asc) — the [[Similarity.bruteForceTopK]] determinism contract.
+    *
+    * Scale shape: the query set broadcasts (it is small by nature — a
+    * training batch or probe set), the corpus is one map-side scan with
+    * the label inequality fused into the join condition, and the
+    * per-query top-k window is WindowGroupLimit-pruned to ≤ k rows per
+    * task before the exchange. At corpus scale the candidate stage
+    * swaps for the ANN index (Ivf/Pq shortlist + [[Similarity
+    * .rerankExact]]) exactly like the k-NN graph's LSH build.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, qidCol: String,
+                    qvecCol: String, qlabelCol: String, k: Int,
+                    roundTo: Int = 6): DataFrame = {
+    val joined = corpus.join(broadcast(queries),
+        col(idCol) =!= col(qidCol) && col(labelCol) =!= col(qlabelCol))
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        round(Similarity.cosine(col(vecCol), col(qvecCol)), roundTo).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** k-NN graph restricted to a candidate pair set (e.g. the banded
     * sign-LSH pairs of [[Dedup.embeddingNearDupPairs]]): symmetrize the
     * pairs, rank per source, keep top-`k`. The candidate generator

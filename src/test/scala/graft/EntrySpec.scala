@@ -41,7 +41,8 @@ class EntrySpec extends SparkSpec {
       "q_ivf_topk", "q_pq_topk", "q_ivfpq_topk", "q_ivfpq_rerank",
       "q_fingerprint", "q_approx_distinct",
       "q_embedding_neardup_lsh", "q_source_similarity", "q_kmeans_sizes",
-      "q_approx_quantile", "q_knn_graph_lsh", "q_bpe_encode")
+      "q_approx_quantile", "q_knn_graph_lsh", "q_bpe_encode",
+      "q_semantic_dedup")
   }
 
   test("rows-only queries return their pinned sf0.001 row counts") {
@@ -63,7 +64,8 @@ class EntrySpec extends SparkSpec {
       "q_kmeans_sizes" -> 8L,
       "q_approx_quantile" -> 3L,
       "q_knn_graph_lsh" -> 1500L,
-      "q_bpe_encode" -> 500L)
+      "q_bpe_encode" -> 500L,
+      "q_semantic_dedup" -> 500L)
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
@@ -91,7 +93,8 @@ class EntrySpec extends SparkSpec {
       "q_kmeans_sizes" -> "317807c5ee1f21b677cf8b8f32f55a05",
       "q_approx_quantile" -> "f2c989c7679b989ad6ffcf5cab20e710",
       "q_knn_graph_lsh" -> "dcf37446c8b2b588b333854717ebd8c4",
-      "q_bpe_encode" -> "efff38eebad84cd301624f802fa2eb74")
+      "q_bpe_encode" -> "efff38eebad84cd301624f802fa2eb74",
+      "q_semantic_dedup" -> "26afce62140d6cba51bf8c0d5d42ac2f")
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> contentHash(SparkEntry.queries(q)(spark, dir))).toMap

@@ -22,6 +22,25 @@ class RetrievalSpec extends SparkSpec {
     got(2L) shouldBe s(1.0, 2.0) +- 1e-12
   }
 
+  test("hardNegatives: nearest different-label vectors only, self excluded") {
+    // query 0 (label A) at (1,0); same-label 1 at (0.9,0.1) must NOT
+    // appear; different-label 2 at (0.8,0.2) and 3 at (0,1) must rank in
+    // cosine order; 4 shares label A and is excluded despite proximity
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), "A"),
+      (1L, Seq(0.9f, 0.1f), "A"),
+      (2L, Seq(0.8f, 0.2f), "B"),
+      (3L, Seq(0f, 1f), "B"),
+      (4L, Seq(1f, 0.01f), "A")).toDF("vec_id", "embedding", "label")
+    val queries = vecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val got = Retrieval.hardNegatives(vecs, "vec_id", "embedding", "label",
+        queries, "query_id", "qv", "qlabel", k = 5)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    got.map(_._1).toSeq shouldBe Seq(2L, 3L) // only B-labeled, cosine desc
+  }
+
   test("collocations scores PMI from bigram-table marginals, hand-computed") {
     // corpus bigrams: (a b) x3 [from "a b a b a b" -> ab,ba,ab... let's
     // use explicit docs], (c d) x2, (a d) x1 -> N=6 after the layout below

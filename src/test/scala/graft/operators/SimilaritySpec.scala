@@ -73,6 +73,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticNearDupPairs ⊆ exact all-pairs; recall reported on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sem = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+        numCentroids = 8, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    exact should not be empty
+    // cluster bucketing can only DROP cross-bucket pairs, never invent
+    sem.subsetOf(exact) shouldBe true
+    // determinism: seeded Lloyd + deterministic assignment ⇒ same set
+    val again = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+        numCentroids = 8, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    again shouldBe sem
+    // the EXACT contract: sem is precisely the exact pairs whose two
+    // ids share a k-means bucket — complete within buckets, silent
+    // across them (this corpus's pairs are all weak, cos ≤ 0.48, so
+    // cross-bucket scatter is expected and the planted-dup test below
+    // carries the recall story)
+    val asg = Ivf.build(emb, "vec_id", "embedding", numCentroids = 8,
+        lloydIters = 2)._1
+      .select(col("vec_id"), col("cluster_id")).as[(Long, Long)]
+      .collect().toMap
+    val coBucketed = exact.filter { case (x, y) => asg(x) == asg(y) }
+    sem shouldBe coBucketed
+  }
+
+  test("semanticNearDupPairs finds planted true duplicates (SemDeDup recall)") {
+    // 200 deterministic pseudo-random 8-d vectors; ids 1000-1009 are
+    // near-identical copies of ids 0-9 (one component nudged 1%) — the
+    // actual SemDeDup regime (cos ≈ 0.999). True dups co-cluster, so
+    // every planted pair must surface.
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(d => (((i * 2654435761L + d * 40503L) % 1000) / 500f - 1f))
+    val base = (0L until 200L).map(i => (i, vec(i)))
+    val dups = (0L until 10L).map(i =>
+      (1000L + i, vec(i).updated(0, vec(i).head * 1.01f + 0.001f)))
+    val all = (base ++ dups).toDF("vec_id", "embedding")
+    val sem = Dedup.semanticNearDupPairs(all, "vec_id", "embedding",
+        numCentroids = 8, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 10L).map(i => (i, 1000L + i)).toSet
+    withClue(s"found ${sem.size} pairs, planted hits ${planted.count(sem.contains)}: ") {
+      planted.subsetOf(sem) shouldBe true
+    }
+  }
+
   test("bruteForceTopK: correct neighbours, ranked by cosine desc, self excluded") {
     val queries = vecs.where(col("vec_id") === 0L)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
