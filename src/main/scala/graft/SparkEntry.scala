@@ -1206,6 +1206,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Embedding-space retrieval evaluation: label-as-qrels RR /
+    // precision@k / recall@k / nDCG@k per query over the brute-force
+    // cosine ranking — the eval harness a retrieval pipeline runs after
+    // every index build. Oracled end-to-end in DuckDB (window rank +
+    // generate_series idcg).
+    "q_retrieval_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      Retrieval.retrievalEval(emb, "vec_id", "embedding", "label",
+          queries, "query_id", "qv", "qlabel", k = 10, roundTo = 6)
+        .orderBy(col("query_id"))
+    }),
+
     // SemDeDup-style semantic dedup decision: k-means buckets (Lloyd via
     // Ivf.build), exact cosine only within a bucket, CC + keeper pick
     // over the surviving pairs. Same threshold boundary as
@@ -2776,6 +2791,36 @@ object SparkEntry {
         |       (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label FROM embeddings) c
         |  WHERE c.neighbor_id <> q.query_id AND c.label <> q.qlabel) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // same ranking contract as q_cosine_topk; idcg via generate_series;
+    // ln(x)/ln(2) spelled identically to the Spark side
+    "q_retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 20),
+        |tot AS (SELECT q.query_id, CAST(count(*) - 1 AS BIGINT) AS n_rel
+        |        FROM q JOIN embeddings e ON e.label = q.qlabel GROUP BY 1),
+        |ranked AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(c.cv, q.qv),6) DESC, c.neighbor_id) AS rank
+        |  FROM q, (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label
+        |           FROM embeddings) c
+        |  WHERE c.neighbor_id <> q.query_id),
+        |agg AS (SELECT query_id,
+        |    CAST(sum(rel) AS BIGINT) AS hits,
+        |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+        |    sum(CASE WHEN rel = 1 THEN 1.0 / (ln(rank + 1.0) / ln(2.0)) ELSE 0.0 END) AS dcg
+        |  FROM ranked WHERE rank <= 10 GROUP BY 1)
+        |SELECT a.query_id, a.hits, t.n_rel,
+        |  coalesce(round(1.0 / first_rel, 6), 0.0) AS rr,
+        |  round(a.hits / 10.0, 6) AS precision_k,
+        |  round(CASE WHEN least(10, t.n_rel) > 0
+        |        THEN CAST(a.hits AS DOUBLE) / least(10, t.n_rel) ELSE 0.0 END, 6) AS recall_k,
+        |  round(CASE WHEN least(10, t.n_rel) > 0
+        |        THEN dcg / list_sum(list_transform(generate_series(1, least(10, t.n_rel)),
+        |                 i -> 1.0 / (ln(i + 1.0) / ln(2.0)))) ELSE 0.0 END, 6) AS ndcg_k
+        |FROM agg a JOIN tot t USING (query_id) ORDER BY query_id""".stripMargin,
 
     "q_embedding_norm" ->
       """SELECT vec_id,

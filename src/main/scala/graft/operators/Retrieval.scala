@@ -171,6 +171,69 @@ object Retrieval {
     joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IR-style retrieval quality metrics per query: reciprocal rank,
+    * precision@k, recall@k, and nDCG@k of a brute-force cosine run,
+    * where a candidate is RELEVANT iff it carries the query's label —
+    * the standard label-as-qrels evaluation of an embedding space
+    * (does nearest-neighbor retrieval surface same-class items?).
+    *
+    * Queries are drawn from the corpus: the query row itself is
+    * excluded from both the candidate set and the relevant total
+    * (`n_rel` = same-label corpus rows − 1). `recall_k` and `ndcg_k`
+    * normalize by `min(k, n_rel)` (the best achievable at depth k);
+    * both are 0 when a label is unique in the corpus.
+    *
+    * Scale shape: the query set broadcasts; candidates rank through the
+    * same WindowGroupLimit-pruned top-k as [[Similarity.bruteForceTopK]]
+    * so each task exchanges ≤ k rows per query; the per-label totals
+    * are a dimension-sized aggregate broadcast back. Metric arithmetic
+    * is over ≤ k rows per query. At corpus scale the candidate stage
+    * swaps for an ANN shortlist exactly like [[hardNegatives]].
+    *
+    * Determinism: ranking key is (rounded cosine desc, id asc); DCG
+    * uses ln(rank+1)/ln 2 spelled identically in the DuckDB oracle.
+    */
+  def retrievalEval(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, qidCol: String,
+                    qvecCol: String, qlabelCol: String, k: Int,
+                    roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k $k")
+    val log2 = (c: Column) => log(c) / log(lit(2.0))
+    // per-query relevant total: corpus rows sharing the label, minus self
+    val labelCounts = corpus.groupBy(col(labelCol).as("_lbl"))
+      .agg(count(lit(1)).as("_lbl_n"))
+    val totals = queries.join(broadcast(labelCounts), col(qlabelCol) === col("_lbl"))
+      .select(col(qidCol).as("query_id"), (col("_lbl_n") - 1L).as("n_rel"))
+    val ranked = corpus.join(broadcast(queries), col(idCol) =!= col(qidCol))
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        (col(labelCol) === col(qlabelCol)).cast("int").as("rel"),
+        round(Similarity.cosine(col(vecCol), col(qvecCol)), roundTo).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val agg = ranked.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .groupBy(col("query_id")).agg(
+        sum(col("rel")).cast("long").as("hits"),
+        min(when(col("rel") === 1, col("rank"))).as("_first"),
+        sum(when(col("rel") === 1, lit(1.0) / log2(col("rank") + lit(1.0)))
+          .otherwise(lit(0.0))).as("_dcg"))
+    // ideal DCG at the achievable depth: Σ_{i=1..min(k,n_rel)} 1/log2(i+1)
+    agg.join(broadcast(totals), Seq("query_id"))
+      .withColumn("_neff", least(lit(k.toLong), col("n_rel")))
+      .select(
+        col("query_id"), col("hits"), col("n_rel"),
+        coalesce(round(lit(1.0) / col("_first"), roundTo), lit(0.0)).as("rr"),
+        round(col("hits").cast("double") / k, roundTo).as("precision_k"),
+        round(when(col("_neff") > 0L,
+            col("hits").cast("double") / col("_neff")).otherwise(lit(0.0)),
+          roundTo).as("recall_k"),
+        round(when(col("_neff") > 0L, col("_dcg") /
+            expr("aggregate(sequence(1L, _neff), cast(0.0 as double), " +
+              "(a, i) -> a + 1.0 / (ln(i + 1.0) / ln(2.0)))"))
+          .otherwise(lit(0.0)), roundTo).as("ndcg_k"))
+  }
+
   /** k-NN graph restricted to a candidate pair set (e.g. the banded
     * sign-LSH pairs of [[Dedup.embeddingNearDupPairs]]): symmetrize the
     * pairs, rank per source, keep top-`k`. The candidate generator

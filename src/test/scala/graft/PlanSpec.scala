@@ -203,4 +203,27 @@ class PlanSpec extends SparkSpec {
       (p should not).include("CartesianProduct")
     }
   }
+
+  test("q_hard_negatives: single broadcast query probe, pruned top-k") {
+    val p = planOf("q_hard_negatives")
+    // the one BNLJ is the tiny broadcast query set riding the corpus
+    // scan — never a row×row product of two large sides
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) should be <= 1
+    (p should not).include("CartesianProduct")
+    p should include("WindowGroupLimit")
+  }
+
+  test("q_retrieval_eval: broadcast probe + broadcast label totals, pruned top-k") {
+    val p = planOf("q_retrieval_eval")
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) should be <= 1
+    (p should not).include("CartesianProduct")
+    p should include("WindowGroupLimit")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q_semantic_dedup: cluster-bucketed equi-joins only — no nested loop, no cartesian") {
+    val p = planOf("q_semantic_dedup")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
 }

@@ -41,6 +41,36 @@ class RetrievalSpec extends SparkSpec {
     got.map(_._1).toSeq shouldBe Seq(2L, 3L) // only B-labeled, cosine desc
   }
 
+  test("retrievalEval: hand-computed RR/precision/recall/nDCG at k=3") {
+    // query 0 (label A) at (1,0); ranking by cosine: 1:A(.9,.1) >
+    // 2:B(.8,.2) > 3:A(0,1) > 4:B(-1,0). top-3 rel pattern = 1,0,1:
+    // hits=2, first=1 -> rr=1; n_rel=2 (ids 1,3) -> neff=min(3,2)=2,
+    // recall=1; precision=2/3; dcg=1/log2(2)+1/log2(4)=1.5,
+    // idcg=1/log2(2)+1/log2(3)
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), "A"),
+      (1L, Seq(0.9f, 0.1f), "A"),
+      (2L, Seq(0.8f, 0.2f), "B"),
+      (3L, Seq(0f, 1f), "A"),
+      (4L, Seq(-1f, 0f), "B")).toDF("vec_id", "embedding", "label")
+    val queries = vecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val got = Retrieval.retrievalEval(vecs, "vec_id", "embedding", "label",
+        queries, "query_id", "qv", "qlabel", k = 3)
+      .select("hits", "n_rel", "rr", "precision_k", "recall_k", "ndcg_k")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    got.length shouldBe 1
+    val (hits, nRel, rr, p, r, ndcg) = got.head
+    hits shouldBe 2L
+    nRel shouldBe 2L
+    rr shouldBe 1.0
+    p shouldBe BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r shouldBe 1.0
+    val idcg = 1.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    ndcg shouldBe BigDecimal(1.5 / idcg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   test("collocations scores PMI from bigram-table marginals, hand-computed") {
     // corpus bigrams: (a b) x3 [from "a b a b a b" -> ab,ba,ab... let's
     // use explicit docs], (c d) x2, (a d) x1 -> N=6 after the layout below
