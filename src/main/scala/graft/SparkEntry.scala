@@ -1234,6 +1234,13 @@ object SparkEntry {
         .select(col("id"), col("keeper_id"), col("keep"))
         .orderBy(col("id"))),
 
+    // Class-prototype table: per-label centroid + per-dim variance.
+    // Shuffle is dimension-sized (partial agg collapses the posexplode
+    // fan-out map-side) — the plan shape that survives any corpus size.
+    "q_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label"), col("dim"))),
+
     "q_embedding_norm" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(
           col("vec_id"),
@@ -2821,6 +2828,15 @@ object SparkEntry {
         |        THEN dcg / list_sum(list_transform(generate_series(1, least(10, t.n_rel)),
         |                 i -> 1.0 / (ln(i + 1.0) / ln(2.0)))) ELSE 0.0 END, 6) AS ndcg_k
         |FROM agg a JOIN tot t USING (query_id) ORDER BY query_id""".stripMargin,
+
+    // identical one-pass variance tree on both sides
+    "q_label_centroids" ->
+      """SELECT label, dim, round(avg(v), 6) AS mean_v,
+        |  round(avg(v*v) - avg(v)*avg(v), 6) AS var_v
+        |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+        |      FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "q_embedding_norm" ->
       """SELECT vec_id,

@@ -57,6 +57,32 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Per-label centroid and per-dimension variance of an embedding
+    * column — the class-prototype table behind prototype classification,
+    * per-class drift monitoring, and centroid seeding for bucketed
+    * semantic dedup ([[Dedup.semanticNearDupPairs]]).
+    *
+    * Scale shape: posexplode fans each vector to d rows, but partial
+    * aggregation (map-side combine) collapses every task to ≤
+    * |labels|·d partial sums before the one exchange — shuffle volume
+    * is dimension-table-sized regardless of corpus size. Variance is
+    * the one-pass E[v²] − E[v]² form spelled identically in the DuckDB
+    * oracle (values are unit-scale, so no cancellation risk).
+    *
+    * Returns (label, dim, mean_v, var_v), dim 1-based to match SQL
+    * `generate_subscripts`.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+                     roundTo: Int = 6): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(asDouble(col(vecCol))).as(Seq("_pos", "v")))
+      .select(col("label"), (col("_pos") + 1).cast("long").as("dim"), col("v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        round(avg(col("v")), roundTo).as("mean_v"),
+        round(avg(col("v") * col("v")) - avg(col("v")) * avg(col("v")),
+          roundTo).as("var_v"))
+
   /** Deterministic pseudo-random unit-ish hyperplane component: a value in
     * [-1, 1) derived from (plane index, dimension index) via xxhash64 —
     * reproducible on every executor with zero state shipped.

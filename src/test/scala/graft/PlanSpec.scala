@@ -221,6 +221,16 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("q_label_centroids: map-side partial agg collapses the fan-out — one data exchange, no join") {
+    val p = planOf("q_label_centroids")
+    (p should not).include("Join")
+    p should include("HashAggregate")
+    // partial agg bounds the shuffle to |labels|·d rows per task: the
+    // only exchanges are the agg's hash partitioning + the output sort
+    p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("rangepartitioning")).toSeq should have size 1
+  }
+
   test("q_semantic_dedup: cluster-bucketed equi-joins only — no nested loop, no cartesian") {
     val p = planOf("q_semantic_dedup")
     (p should not).include("BroadcastNestedLoopJoin")

@@ -124,6 +124,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("labelCentroids: hand-computed per-label per-dim mean and variance") {
+    val df = Seq(
+      ("A", Seq(1f, 0f)),
+      ("A", Seq(3f, 2f)),
+      ("B", Seq(10f, -2f))).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df, "label", "embedding")
+      .orderBy("label", "dim")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // A dim1: mean(1,3)=2, var=E[v^2]-E[v]^2=(1+9)/2-4=1
+    // A dim2: mean(0,2)=1, var=(0+4)/2-1=1; B: single row -> var 0
+    got shouldBe Seq(
+      ("A", 1L, 2.0, 1.0), ("A", 2L, 1.0, 1.0),
+      ("B", 1L, 10.0, 0.0), ("B", 2L, -2.0, 0.0))
+  }
+
   test("bruteForceTopK: correct neighbours, ranked by cosine desc, self excluded") {
     val queries = vecs.where(col("vec_id") === 0L)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
