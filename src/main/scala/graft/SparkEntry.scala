@@ -1221,6 +1221,27 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // Embedding-space confusion matrix: top-10 neighbor labels per
+    // probe query, counted by (query label, neighbor label) — which
+    // classes the space confuses. Probe set is a broadcast sample.
+    "q_confusion_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      Retrieval.labelConfusion(emb, "vec_id", "embedding", "label",
+          queries, "query_id", "qv", "qlabel", k = 10, roundTo = 6)
+        .orderBy(col("query_label"), col("neighbor_label"))
+    }),
+
+    // Budget-constrained curation: per source, highest-quality docs
+    // admitted until the cumulative token count passes the budget —
+    // the greedy knapsack of mixture building. One source-keyed window.
+    "q_token_budget" -> ((s, dir) =>
+      Curation.tokenBudgetSelect(Tables.documents(s, dir), "doc_id", "text",
+          "source", budget = 800L, stopwords = Seq("the", "a", "of", "and"))
+        .orderBy(col("source"), col("doc_id"))),
+
     // SemDeDup-style semantic dedup decision: k-means buckets (Lloyd via
     // Ivf.build), exact cosine only within a bucket, CC + keeper pick
     // over the surviving pairs. Same threshold boundary as
@@ -2828,6 +2849,45 @@ object SparkEntry {
         |        THEN dcg / list_sum(list_transform(generate_series(1, least(10, t.n_rel)),
         |                 i -> 1.0 / (ln(i + 1.0) / ln(2.0)))) ELSE 0.0 END, 6) AS ndcg_k
         |FROM agg a JOIN tot t USING (query_id) ORDER BY query_id""".stripMargin,
+
+    // same ranked CTE as q_retrieval_eval, grouped by the label pair
+    "q_confusion_pairs" ->
+      """SELECT query_label, neighbor_label, count(*) AS n FROM (
+        |  SELECT q.qlabel AS query_label, c.label AS neighbor_label,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(c.cv, q.qv),6) DESC, c.neighbor_id) AS rank
+        |  FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+        |        FROM embeddings WHERE vec_id < 50) q,
+        |       (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label
+        |        FROM embeddings) c
+        |  WHERE c.neighbor_id <> q.query_id) t
+        |WHERE rank <= 10
+        |GROUP BY query_label, neighbor_label
+        |ORDER BY query_label, neighbor_label""".stripMargin,
+
+    // quality subtree copied verbatim from q_quality_score; exact-long
+    // running sum so the budget cut cannot float-flip
+    "q_token_budget" ->
+      """SELECT doc_id, source, quality, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, source, quality, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM (SELECT doc_id, source,
+        |          round((least(length(text) / 500.0, 1.0)
+        |            + (1.0 - least(
+        |                (CASE WHEN length(text) = 0 THEN 0.0
+        |                      ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |                 END) * 5.0, 1.0))
+        |            + (1.0 - abs(
+        |                (CASE WHEN len(toks) = 0 THEN 0.0
+        |                      ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |                 END) - 0.4))) / 3.0, 4) AS quality,
+        |          CAST(len(toks) AS BIGINT) AS n_tokens
+        |        FROM (SELECT doc_id, source, text,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |              FROM documents) a) b) c
+        |WHERE cum_tokens <= 800 ORDER BY source, doc_id""".stripMargin,
 
     // identical one-pass variance tree on both sides
     "q_label_centroids" ->

@@ -311,4 +311,37 @@ object Curation {
           col("dup_token_frac") <= maxDupTokenFrac &&
           !col("contaminated") && col("is_exact_keeper"))
   }
+
+  /** Budget-constrained curation: per source, admit documents in
+    * (quality desc, id asc) order until the next document would push
+    * the source's cumulative token count past `budget` — the
+    * quality-greedy knapsack every mixture recipe runs when a source's
+    * raw size exceeds its token allocation.
+    *
+    * Scale shape: scoring is a map-only kernel pass; the running sum is
+    * one window keyed by source. A pathologically large single source
+    * pays that source's sort — at corpus scale the standard prelude is
+    * a sampled quality-threshold pre-filter (drop the obvious rejects
+    * map-side, e.g. via [[Sampling]] quantiles) so the window sees only
+    * the contenders near the budget boundary; the greedy order and
+    * tie-breaks here are the contract that prelude must preserve.
+    *
+    * Ties are impossible to mis-order: quality is rounded to 4 dp and
+    * doc id breaks equal scores deterministically.
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, budget: Long,
+                        stopwords: Seq[String]): DataFrame = {
+    require(budget > 0, s"budget $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        TextAnalytics.qualityScore(col(textCol), stopwords).as("quality"),
+        TextAnalytics.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
 }

@@ -234,6 +234,37 @@ object Retrieval {
           .otherwise(lit(0.0)), roundTo).as("ndcg_k"))
   }
 
+  /** Embedding-space confusion matrix over a probe set: for each probe
+    * query, rank the corpus by cosine (the [[retrievalEval]] /
+    * [[Similarity.bruteForceTopK]] contract) and count top-k neighbors
+    * by (query label, neighbor label). The diagonal measures class
+    * cohesion; off-diagonal mass names exactly which label pairs the
+    * embedding space confuses — the first diagnostic after an encoder
+    * change, and the label-pair prior that [[hardNegatives]] mining
+    * sharpens.
+    *
+    * Scale shape: identical to [[hardNegatives]] — the probe set is a
+    * broadcast sample (never the full corpus: all-corpus probes are the
+    * O(n²) anti-pattern), the top-k window is WindowGroupLimit-pruned,
+    * and the output is ≤ |labels|² rows.
+    */
+  def labelConfusion(corpus: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, queries: DataFrame, qidCol: String,
+                     qvecCol: String, qlabelCol: String, k: Int,
+                     roundTo: Int = 6): DataFrame = {
+    val ranked = corpus.join(broadcast(queries), col(idCol) =!= col(qidCol))
+      .select(col(qidCol).as("query_id"),
+        col(qlabelCol).as("query_label"), col(labelCol).as("neighbor_label"),
+        col(idCol).as("neighbor_id"),
+        round(Similarity.cosine(col(vecCol), col(qvecCol)), roundTo).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    ranked.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .groupBy(col("query_label"), col("neighbor_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** k-NN graph restricted to a candidate pair set (e.g. the banded
     * sign-LSH pairs of [[Dedup.embeddingNearDupPairs]]): symmetrize the
     * pairs, rank per source, keep top-`k`. The candidate generator

@@ -231,6 +231,22 @@ class PlanSpec extends SparkSpec {
       .filterNot(_.contains("rangepartitioning")).toSeq should have size 1
   }
 
+  test("q_confusion_pairs: broadcast probe, pruned top-k, bounded label-pair output") {
+    val p = planOf("q_confusion_pairs")
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) should be <= 1
+    (p should not).include("CartesianProduct")
+    p should include("WindowGroupLimit")
+  }
+
+  test("q_token_budget: map-only scoring + one source-keyed window, no join") {
+    val p = planOf("q_token_budget")
+    (p should not).include("Join")
+    p should include("Window")
+    // one source-keyed exchange + the output sort — nothing else
+    p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("rangepartitioning")).toSeq should have size 1
+  }
+
   test("q_semantic_dedup: cluster-bucketed equi-joins only — no nested loop, no cartesian") {
     val p = planOf("q_semantic_dedup")
     (p should not).include("BroadcastNestedLoopJoin")

@@ -7,6 +7,23 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("tokenBudgetSelect: quality-greedy per source, cut at the budget boundary") {
+    // src X: doc 1 high quality (clean text), doc 2 punct-heavy (low),
+    // doc 3 mid — each 4 tokens. budget 8 -> the two best fit, the
+    // third's cumsum (12) exceeds. src Y independent: its single doc fits.
+    val docs = Seq(
+      (1L, "the cat sat down", "X"),
+      (2L, "!!! ??? ;;; :::", "X"),
+      (3L, "a dog ran fast", "X"),
+      (4L, "of mice and men", "Y")).toDF("doc_id", "text", "source")
+    val got = Curation.tokenBudgetSelect(docs, "doc_id", "text", "source",
+        budget = 8L, stopwords = Seq("the", "a", "of", "and"))
+      .select("doc_id", "source", "cum_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    got.map(_._1).toSeq shouldBe Seq(1L, 3L, 4L)
+    got.map(t => t._1 -> t._3).toMap shouldBe Map(1L -> 4L, 3L -> 8L, 4L -> 4L)
+  }
+
   // --------------------------------------------------------- decontaminate
 
   test("decontaminate flags shingle overlap with the benchmark, keeps zero-overlap docs") {

@@ -41,6 +41,25 @@ class RetrievalSpec extends SparkSpec {
     got.map(_._1).toSeq shouldBe Seq(2L, 3L) // only B-labeled, cosine desc
   }
 
+  test("labelConfusion: top-k neighbor labels counted per query label") {
+    // query 0 (A) at (1,0): top-3 by cosine are 4:A(1,.01), 1:A(.9,.1),
+    // 2:B(.8,.2) -> (A,A)=2, (A,B)=1
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), "A"),
+      (1L, Seq(0.9f, 0.1f), "A"),
+      (2L, Seq(0.8f, 0.2f), "B"),
+      (3L, Seq(0f, 1f), "B"),
+      (4L, Seq(1f, 0.01f), "A")).toDF("vec_id", "embedding", "label")
+    val queries = vecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val got = Retrieval.labelConfusion(vecs, "vec_id", "embedding", "label",
+        queries, "query_id", "qv", "qlabel", k = 3)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    got shouldBe Map(("A", "A") -> 2L, ("A", "B") -> 1L)
+  }
+
   test("retrievalEval: hand-computed RR/precision/recall/nDCG at k=3") {
     // query 0 (label A) at (1,0); ranking by cosine: 1:A(.9,.1) >
     // 2:B(.8,.2) > 3:A(0,1) > 4:B(-1,0). top-3 rel pattern = 1,0,1:
