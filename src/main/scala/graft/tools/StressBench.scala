@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Funnel, Graphs, Packing, Retrieval, Skew, Stats, Timeseries}
+import graft.operators.{Dedup, Funnel, Graphs, Ivf, Packing, Retrieval, Skew, Stats, Timeseries}
 
 /** Adversarial-shape scale evidence for the three paths the round-4
   * review flagged as needing proof past the sf dirs:
@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 12).toSet
+      else (1 to 13).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -341,6 +341,41 @@ object StressBench {
       require(nOff == nAqe && nAqe == nSalt,
         s"skew variants disagree: off=$nOff aqe=$nAqe salted=$nSalt")
       println(s"""{"metric":"skew_join","rows":$nRows,"keys":$nKeys,"matched":$nOff,"sec_plain_noskew":$tOff,"sec_aqe_skew":$tAqe,"aqe_skew_applied":$skewApplied,"sec_salted":$tSalt,"cpus":$cpus}""")
+    }
+    // ---- 13. SemDeDup at scale: bucketed semantic near-dup over 200k
+    // deterministic 32-d vectors with 5k planted near-identical copies
+    // (first component nudged 1% — cos ≈ 0.9999, the true-duplicate
+    // regime). numCentroids holds the bucket size roughly constant (the
+    // SemDeDup recipe): in-bucket pair work is Σ bucket²/2, never n²/2,
+    // and the Lloyd assignment is a map-only kernel pass against a
+    // broadcast centroid table. Planted-pair recall is printed — true
+    // dups co-cluster, so it should be ≈ 1 — alongside the honest
+    // bucket-size skew (max bucket), the quantity that governs the
+    // worst task.
+    section(13) {
+      val n = 200000L
+      val nDup = 5000L
+      val d = 32
+      val k = 512
+      def comp(idc: org.apache.spark.sql.Column, j: Int) =
+        pmod(xxhash64(idc, lit(j)), lit(2000L)).cast("double") / 1000.0 - 1.0
+      val base = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until d).map(j => comp(col("id"), j).cast("float")): _*).as("embedding"))
+      val dups = spark.range(nDup).select((col("id") + n).as("vec_id"),
+        array((0 until d).map(j =>
+          (comp(col("id"), j) * (if (j == 0) 1.01 else 1.0)).cast("float")): _*)
+          .as("embedding"))
+      val all = base.unionAll(dups).localCheckpoint(true)
+      val (pairs, tSem) = timed {
+        Dedup.semanticNearDupPairs(all, "vec_id", "embedding",
+          numCentroids = k, threshold = 0.99).localCheckpoint(true)
+      }
+      val nPairs = pairs.count()
+      val planted = pairs.where(col("id_b") === col("id_a") + n).count()
+      val maxBucket = Ivf.build(all, "vec_id", "embedding", k, 2)._1
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+      println(s"""{"metric":"semantic_dedup","vectors":${n + nDup},"centroids":$k,"pairs":$nPairs,"planted_found":$planted,"planted":$nDup,"max_bucket":$maxBucket,"sec":$tSem,"cpus":$cpus}""")
     }
     spark.stop()
   }
