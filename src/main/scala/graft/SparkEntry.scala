@@ -1032,6 +1032,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental dedup: the docs with id % 10 == 0 play the "new
+    // crawl batch"; only their shingles probe the (shared, persisted-
+    // index-shaped) corpus shingle table — candidate cost O(|new|·df),
+    // output = the full self-join's pairs restricted to new-touching
+    // ones (the oracle states it exactly that way).
+    "q_incremental_dedup" -> ((s, dir) =>
+      Dedup.incrementalNgramPairs(docShingles(s, dir),
+          col("id") % 10 === 0, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Temperature-scaled mixture allocation (w ∝ share^0.5): the
+    // sampling-rate table a multi-source pretraining mix is built from.
+    "q_mixture_weights" -> ((s, dir) =>
+      Packing.mixtureWeights(Tables.documents(s, dir), col("source"),
+          TextAnalytics.tokenCount(col("text")).cast("long"), alpha = 0.5)
+        .orderBy(col("source"))),
+
     // The same exact n-gram Jaccard, expressed ENTIRELY in SQL against
     // the registered kernel functions (GraftExtensions) — the SQL-surface
     // parity check, hash-matched against the same DuckDB oracle. Reads
@@ -2576,6 +2594,41 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the full self-join restricted to new-touching pairs — the
+    // incremental operator must reproduce this exactly
+    "q_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+        |  AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical share/pow/normalize tree on both sides
+    "q_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |                             t -> length(t) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t,
+        |               sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
+        |  round(pow(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS weight
+        |FROM per, tot ORDER BY source""".stripMargin,
 
     // identical oracle shape to q_ngram_jaccard (the SQL-surface variant
     // computes the same pairs)

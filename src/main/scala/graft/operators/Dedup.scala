@@ -518,6 +518,47 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Incremental n-gram Jaccard dedup: pairs (id_a < id_b) with
+    * Jaccard ≥ `threshold` where AT LEAST ONE side is in the new batch
+    * — the daily-increment pattern: a fresh crawl dedups against the
+    * standing corpus (and within itself) without EVER re-pairing
+    * corpus × corpus.
+    *
+    * `shingled` carries the full corpus (standing + new) in the
+    * [[ngramJaccardPairsPre]] (id, sh) contract; `isNew` marks the
+    * batch. Only the new side explodes into the probe of the shingle
+    * equi-join, so candidate cost is O(|new| · df) — independent of the
+    * standing corpus's internal pair structure, which is exactly what a
+    * persisted shingle index buys at 100 TB. The direction predicate
+    * (new < other, OR the other side is standing corpus) emits each
+    * shared shingle of each qualifying pair exactly once, so the output
+    * is bit-identical to filtering the full self-join's pairs to
+    * new-touching ones — the DuckDB oracle states it that way, and
+    * DedupSpec asserts it against [[ngramJaccardPairsPre]].
+    */
+  def incrementalNgramPairs(shingled: DataFrame, isNew: Column,
+                            threshold: Double): DataFrame = {
+    val ex = shingled.select(col("id"), size(col("sh")).as("n_sh"),
+      isNew.as("is_new"), explode(col("sh")).as("h"))
+    val n = ex.where(col("is_new"))
+      .select(col("h"), col("id").as("nid"), col("n_sh").as("n_n"))
+    val m = ex.select(col("h"), col("id").as("mid"), col("n_sh").as("n_m"),
+      col("is_new").as("m_new"))
+    n.join(m, Seq("h"))
+      .where(col("nid") =!= col("mid") &&
+        (col("nid") < col("mid") || !col("m_new")))
+      .select(least(col("nid"), col("mid")).as("id_a"),
+        greatest(col("nid"), col("mid")).as("id_b"),
+        when(col("nid") < col("mid"), col("n_n")).otherwise(col("n_m")).as("n_a"),
+        when(col("nid") < col("mid"), col("n_m")).otherwise(col("n_n")).as("n_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Exact set-similarity self-join via PREFIX FILTERING (the
     * AllPairs/PPJoin family — Bayardo et al., WWW'07): same output
     * contract as [[ngramJaccardPairs]], but candidate generation joins

@@ -150,4 +150,32 @@ object Packing {
       acc || (sourceCol === src && h < thr)
     }
   }
+
+  /** Temperature-scaled source mixture weights — the multilingual /
+    * multi-source sampling-rate recipe (mT5 / XLM-R): per source the
+    * raw token share p_s, and the tempered sampling weight
+    * w_s = p_s^alpha / Σ p^alpha. alpha < 1 flattens the mixture
+    * (upsamples tail sources), alpha = 1 is proportional, alpha = 0
+    * uniform. This is the allocation TABLE; [[sourceMixture]] is the
+    * map-only per-row admission that realizes a chosen allocation.
+    *
+    * Scale shape: the corpus collapses to one bounded per-source
+    * aggregate (map-side combine), then ONE one-row aggregate
+    * broadcasts back — the t^alpha factor cancels in the
+    * normalization (p_s^a / Σ p^a = n_s^a / Σ n^a), so the weight
+    * needs only the raw token counts and a single normalizer.
+    */
+  def mixtureWeights(docs: DataFrame, sourceCol: Column, nTokensCol: Column,
+                     alpha: Double, roundTo: Int = 6): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha")
+    val per = docs.groupBy(sourceCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokensCol).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).cast("double").as("_tot"),
+      sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("_z"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("_tot"), roundTo).as("token_share"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("_z"),
+          roundTo).as("weight"))
+  }
 }

@@ -247,6 +247,20 @@ class PlanSpec extends SparkSpec {
       .filterNot(_.contains("rangepartitioning")).toSeq should have size 1
   }
 
+  test("q_incremental_dedup: shingle equi-joins only — no nested loop, no cartesian") {
+    val p = planOf("q_incremental_dedup")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_mixture_weights: bounded aggregates — only one-row broadcast joins") {
+    val p = planOf("q_mixture_weights")
+    // the one cross join is a one-row total broadcast back — never a
+    // row×row product of data-sized sides
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) should be <= 1
+    (p should not).include("SortMergeJoin")
+  }
+
   test("q_semantic_dedup: cluster-bucketed equi-joins only — no nested loop, no cartesian") {
     val p = planOf("q_semantic_dedup")
     (p should not).include("BroadcastNestedLoopJoin")

@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("incrementalNgramPairs: exactly the full self-join's new-touching pairs") {
+    import graft.functions.{DedupExpr, TextAnalytics}
+    // dups across the new/old boundary AND a dup pair entirely in the
+    // old corpus (1,7): the latter must appear in the full join but
+    // never in the incremental output
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six"),
+      (4L, "one two three four five six"),
+      (5L, "totally different text goes here now"),
+      (6L, "one two three four five seven"),
+      (7L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val shingled = d.select(col("doc_id").as("id"),
+      DedupExpr.shingleHashes(TextAnalytics.tokens(col("text")), 3).as("sh"))
+    val full = Dedup.ngramJaccardPairsPre(shingled, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val inc = Dedup.incrementalNgramPairs(shingled, col("id") % 2 === 0, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    full.exists(t => t._1 == 1L && t._2 == 7L) shouldBe true // old-old dup exists
+    val expected = full.filter(t => t._1 % 2 == 0 || t._2 % 2 == 0)
+    expected should not be empty
+    inc shouldBe expected
+  }
+
   private def docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1

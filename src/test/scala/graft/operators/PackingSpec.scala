@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mixtureWeights: alpha=0.5 tempering gives the exact 3:1 hand case") {
+    // X holds 90 of 100 tokens, Y 10: sqrt(.9):sqrt(.1) = 3:1 exactly,
+    // so weights are 0.75/0.25 and shares 0.9/0.1
+    val docs = Seq(("X", 50L), ("X", 40L), ("Y", 10L)).toDF("source", "nt")
+    val got = Packing.mixtureWeights(docs, col("source"), col("nt"), alpha = 0.5)
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    got shouldBe Seq(("X", 2L, 90L, 0.9, 0.75), ("Y", 1L, 10L, 0.1, 0.25))
+  }
+
   test("packSequences: offsets equal a flat prefix sum regardless of block size") {
     val docs = (0L until 100L).map(i => (i, 1L + (i % 7))).toDF("doc_id", "toks")
     // ground truth: flat cumulative start offsets
