@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 13).toSet
+      else (1 to 14).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -376,6 +376,64 @@ object StressBench {
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).head().getLong(0)
       println(s"""{"metric":"semantic_dedup","vectors":${n + nDup},"centroids":$k,"pairs":$nPairs,"planted_found":$planted,"planted":$nDup,"max_bucket":$maxBucket,"sec":$tSem,"cpus":$cpus}""")
+    }
+    // ---- 14. incremental vs full n-gram dedup at 1.1M docs: a 100k
+    // "new crawl" batch (each doc a one-token mutation of a standing
+    // doc — a guaranteed J≈0.93 pair) against a 1M standing corpus.
+    // Every doc opens with a 3-token boilerplate phrase from a
+    // 2000-phrase pool (hot-shingle df ≈ 550 — the header/license/
+    // template structure real web corpora have), so the full self-join
+    // must aggregate pool·df²/2 ≈ 3.0e8 old-old candidate rows EVERY
+    // run, while the incremental probe generates only
+    // pool·df_new·df ≈ 5.5e7 — the ratio grows as n/(2·|new|), i.e.
+    // ~50× for a 1% daily increment. Output equivalence (full
+    // restricted to new-touching pairs == incremental) is require()d
+    // in-run.
+    section(14) {
+      import graft.functions.{DedupExpr, TextAnalytics}
+      val nOld = 1000000L
+      val nNew = 100000L
+      def phrase(idc: org.apache.spark.sql.Column) = {
+        val f = pmod(xxhash64(idc, lit(100)), lit(2000L))
+        concat(lit("p"), f, lit("a p"), f, lit("b p"), f, lit("c"))
+      }
+      def body(idc: org.apache.spark.sql.Column, mutated: Boolean) =
+        array_join(transform(sequence(lit(0), lit(79)),
+          j => if (mutated)
+            when(j === 0, lit("mutated"))
+              .otherwise(concat(lit("t"), pmod(xxhash64(idc, j), lit(50000))))
+          else concat(lit("t"), pmod(xxhash64(idc, j), lit(50000)))), " ")
+      val olds = spark.range(nOld).select(col("id"), lit(false).as("is_new"),
+        concat(phrase(col("id")), lit(" "), body(col("id"), mutated = false))
+          .as("text"))
+      // text FIRST (hashed from the ORIGINAL id so doc nOld+i really is
+      // a mutation of standing doc i), id shifted in a second select —
+      // aliasing id in the same select would shadow the hash input via
+      // lateral column resolution
+      val news = spark.range(nNew).select(col("id"), lit(true).as("is_new"),
+          concat(phrase(col("id")), lit(" "), body(col("id"), mutated = true))
+            .as("text"))
+        .select((col("id") + nOld).as("id"), col("is_new"), col("text"))
+      val shingled = olds.unionAll(news).select(col("id"), col("is_new"),
+          DedupExpr.shingleHashes(TextAnalytics.tokens(col("text")), 3).as("sh"))
+        .localCheckpoint(true)
+      val (incPairs, tInc) = timed {
+        val p = Dedup.incrementalNgramPairs(shingled, col("is_new"), 0.8)
+          .localCheckpoint(true)
+        p.count(); p
+      }
+      val nInc = incPairs.count()
+      val planted = incPairs.where(col("id_b") === col("id_a") + nOld).count()
+      val (fullPairs, tFull) = timed {
+        val p = Dedup.ngramJaccardPairsPre(shingled.select(col("id"), col("sh")), 0.8)
+          .localCheckpoint(true)
+        p.count(); p
+      }
+      val expected = fullPairs.where(col("id_a") >= nOld || col("id_b") >= nOld)
+      require(expected.exceptAll(incPairs).count() == 0 &&
+        incPairs.exceptAll(expected).count() == 0,
+        "incremental != full-restricted-to-new-touching")
+      println(s"""{"metric":"incremental_dedup","docs":${nOld + nNew},"new":$nNew,"pairs":$nInc,"planted_found":$planted,"planted":$nNew,"sec_incremental":$tInc,"sec_full":$tFull,"cpus":$cpus}""")
     }
     spark.stop()
   }
