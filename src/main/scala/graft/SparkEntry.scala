@@ -237,10 +237,22 @@ object SparkEntry {
     * otherwise duplicate the kernel cosine for every pair; this way the
     * rounded value is only computed for surviving rows.
     */
+  /** Hard cap for the exact all-pairs oracle anchor below: the cartesian
+    * exists to anchor the LSH/semantic scale twins at test scale, and a
+    * 100× input must fail loudly (naming this knob) rather than melt a
+    * cluster with an O(n²) join.
+    */
+  private val MaxExactPairRows = 100000L
+
   private val embPairFixtures = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def embeddingPairs(s: SparkSession, dir: String): DataFrame =
     embPairFixtures.computeIfAbsent(dir, _ => {
       val emb = Tables.embeddings(s, dir)
+      val nEmb = emb.count()
+      require(nEmb <= MaxExactPairRows,
+        s"embeddingPairs is the exact all-pairs oracle anchor (O(n^2)): " +
+          s"$nEmb rows > MaxExactPairRows=$MaxExactPairRows — use the " +
+          "q_embedding_neardup_lsh / q_semantic_dedup scale paths")
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("id_a") < col("id_b"))

@@ -123,7 +123,18 @@ object Retrieval {
   }
 
   def knnGraph(vecs: DataFrame, idCol: String, vecCol: String,
-               k: Int, roundTo: Int = 6): DataFrame = {
+               k: Int, roundTo: Int = 6,
+               maxExactRows: Long = 100000L): DataFrame = {
+    // exact all-pairs ORACLE ANCHOR — an O(n²) cartesian by design.
+    // Fail loudly with the knob's name instead of silently melting a
+    // cluster: the scale path is knnGraphFromPairs over an LSH/banded
+    // candidate generator (plan-locked, recall-asserted in RetrievalSpec)
+    val n = vecs.count()
+    require(n <= maxExactRows,
+      s"knnGraph is the exact all-pairs oracle anchor (O(n^2)): input has " +
+        s"$n rows > maxExactRows=$maxExactRows. Use knnGraphFromPairs(" +
+        "Dedup.embeddingNearDupPairs(...)) — the scale path — or raise " +
+        "maxExactRows deliberately.")
     val a = vecs.select(col(idCol).as("src"), col(vecCol).as("_va"))
     val b = vecs.select(col(idCol).as("dst"), col(vecCol).as("_vb"))
     val w = org.apache.spark.sql.expressions.Window

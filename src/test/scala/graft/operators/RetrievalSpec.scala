@@ -41,6 +41,19 @@ class RetrievalSpec extends SparkSpec {
     got.map(_._1).toSeq shouldBe Seq(2L, 3L) // only B-labeled, cosine desc
   }
 
+  test("knnGraph: oversized input fails loudly naming the cap knob") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)),
+      (3L, Seq(0.5f, 0.5f)), (4L, Seq(0.2f, 0.9f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.knnGraph(vecs, "vec_id", "embedding", k = 2, maxExactRows = 3L)
+    }
+    e.getMessage should include("maxExactRows")
+    e.getMessage should include("knnGraphFromPairs")
+    // under the cap the anchor still runs
+    Retrieval.knnGraph(vecs, "vec_id", "embedding", k = 2).count() shouldBe 10L
+  }
+
   test("labelConfusion: top-k neighbor labels counted per query label") {
     // query 0 (A) at (1,0): top-3 by cosine are 4:A(1,.01), 1:A(.9,.1),
     // 2:B(.8,.2) -> (A,A)=2, (A,B)=1
