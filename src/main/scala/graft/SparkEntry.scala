@@ -1055,6 +1055,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Batch run of the STREAMING incremental-dedup plan (the
+    // q_tumbling_batch pattern): new docs (id % 10 == 0) probe the
+    // shared corpus shingle index through the windowed-aggregation
+    // plan; one synthetic event-time per doc, day window. Oracle = the
+    // self-join restricted to exactly-one-side-new pairs.
+    "q_incdedup_stream_batch" -> ((s, dir) => {
+      val newDocs = Tables.documents(s, dir)
+        .where(col("doc_id") % 10 === 0)
+        .select(timestamp_seconds(col("doc_id")).as("ts"),
+          col("doc_id"), col("text"))
+      val corpus = docShingles(s, dir).where(col("id") % 10 =!= 0)
+        .select(col("id"), col("sh"))
+      graft.streaming.Streams.incrementalDedupStream(newDocs, "ts",
+          "doc_id", "text", corpus, threshold = 0.8,
+          watermark = "1 minute", windowDur = "1 day")
+        .orderBy(col("doc_id"), col("corpus_id"))
+    }),
+
     // Temperature-scaled mixture allocation (w ∝ share^0.5): the
     // sampling-rate table a multi-source pretraining mix is built from.
     "q_mixture_weights" -> ((s, dir) =>
@@ -2627,6 +2645,28 @@ object SparkEntry {
         |  AND len(list_intersect(a.s, b.s)) * 1.0 /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the self-join restricted to exactly-one-side-new pairs, reshaped
+    // to the stream's (new doc, corpus doc) orientation
+    "q_incdedup_stream_batch" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT CASE WHEN a.doc_id % 10 = 0 THEN a.doc_id ELSE b.doc_id END AS doc_id,
+        |       CASE WHEN a.doc_id % 10 = 0 THEN b.doc_id ELSE a.doc_id END AS corpus_id,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE ((a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0))
+        |  AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY doc_id, corpus_id""".stripMargin,
 
     // identical share/pow/normalize tree on both sides
     "q_mixture_weights" ->

@@ -115,6 +115,48 @@ object Streams {
     else gated.dropDuplicates("content_hash")
   }
 
+  /** Continuous incremental dedup — the streaming twin of
+    * [[graft.operators.Dedup.incrementalNgramPairs]]: each arriving
+    * document's n-gram shingles probe a STATIC standing-corpus shingle
+    * index, and the per-(new doc, corpus doc) intersection count folds
+    * into an event-time-windowed aggregation; matches with Jaccard ≥
+    * `threshold` emit when the watermark closes the window. The
+    * stream-static equi-join is STATELESS (the static side re-resolves
+    * per micro-batch — in production persist `corpusShingled` exploded
+    * and bucketed by hash so each batch is one co-located probe); only
+    * the windowed (doc, corpus_doc) counts hold state, bounded by the
+    * watermark.
+    *
+    * Output: (doc_id, corpus_id, jaccard rounded to 4) — new-vs-corpus
+    * matches only (in-stream new-vs-new dedup is [[curateStream]]'s
+    * content-hash job). Batch-equivalence: running the same transform
+    * on a batch frame, and the batch operator restricted to
+    * new-touching-old pairs, both produce this output exactly
+    * (StreamsSpec).
+    */
+  def incrementalDedupStream(newDocs: DataFrame, tsCol: String,
+                             idCol: String, textCol: String,
+                             corpusShingled: DataFrame, threshold: Double,
+                             watermark: String = "10 seconds",
+                             windowDur: String = "10 seconds"): DataFrame = {
+    import graft.functions.{DedupExpr, TextAnalytics}
+    val newSh = newDocs.select(col(tsCol).as("ts"), col(idCol).as("doc_id"),
+        DedupExpr.shingleHashes(TextAnalytics.tokens(col(textCol)), 3).as("sh"))
+      .select(col("ts"), col("doc_id"), size(col("sh")).as("n_new"),
+        explode(col("sh")).as("h"))
+      .withWatermark("ts", watermark)
+    val idx = corpusShingled.select(col("id").as("corpus_id"),
+      size(col("sh")).as("n_old"), explode(col("sh")).as("h"))
+    newSh.join(idx, Seq("h"))
+      .groupBy(window(col("ts"), windowDur), col("doc_id"), col("corpus_id"),
+        col("n_new"), col("n_old"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_id"), col("corpus_id"),
+        round(col("inter").cast("double") /
+          (col("n_new") + col("n_old") - col("inter")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Stream-stream inner join with an event-time interval bound: left
     * row joins right rows with `rightTs` in [leftTs − lookback, leftTs].
     * Both sides carry watermarks, so each side's join state is bounded —

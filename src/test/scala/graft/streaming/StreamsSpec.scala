@@ -182,6 +182,60 @@ class StreamsSpec extends SparkSpec {
     got shouldBe batch
   }
 
+  test("incrementalDedupStream: stream equals batch plan AND the batch operator's new-vs-corpus pairs") {
+    import StreamsSpec.Doc
+    import graft.functions.{DedupExpr, TextAnalytics}
+    import graft.operators.Dedup
+    val corpusDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different standing corpus document about engines"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "text")
+    val corpusShingled = corpusDocs.select(col("id"),
+      DedupExpr.shingleHashes(TextAnalytics.tokens(col("text")), 3).as("sh"))
+    val newDocs = Seq(
+      Doc(ts(1), 10L, "the quick brown fox jumps over the lazy cat tonight"),
+      Doc(ts(2), 11L, "completely novel sentences matching zero standing entries"),
+      // late row advances the watermark so windows of 10/11 close in
+      // append mode; shares no shingle with the corpus by construction
+      Doc(ts(99), 12L, "final flush marker row without overlapping trigram content"))
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Streams.incrementalDedupStream(df, "ts", "doc_id", "text",
+        corpusShingled, threshold = 0.5,
+        watermark = "1 minute", windowDur = "1 minute")
+    // batch run of the IDENTICAL plan
+    val batchGot = run(newDocs.toDF()).as[(Long, Long, Double)].collect().toSet
+    // the batch operator over the union, restricted to new-vs-corpus
+    // pairs (corpus ids sort first, so corpus side is id_a)
+    val union = corpusDocs.select(col("id"), lit(false).as("is_new"), col("text"))
+      .unionAll(newDocs.toDF()
+        .select(col("doc_id").as("id"), lit(true).as("is_new"), col("text")))
+    val shingled = union.select(col("id"), col("is_new"),
+      DedupExpr.shingleHashes(TextAnalytics.tokens(col("text")), 3).as("sh"))
+    val opPairs = Dedup.incrementalNgramPairs(shingled, col("is_new"), 0.5)
+      .where(col("id_a") <= 3L)
+      .select(col("id_b"), col("id_a"), round(col("jaccard"), 4))
+      .as[(Long, Long, Double)].collect().toSet
+    batchGot should not be empty // the planted near-dup (10 vs 1) matched
+    batchGot shouldBe opPairs
+    // streaming run: append-mode windowed agg, flushed by the late row
+    val stream = MemoryStream[Doc]
+    val name = s"mem_${System.nanoTime()}"
+    val q = run(stream.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    stream.addData(newDocs.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(newDocs(2))
+    q.processAllAvailable()
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (spark.table(name).count() < batchGot.size && System.nanoTime() < deadline) {
+      Thread.sleep(200); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).as[(Long, Long, Double)].collect().toSet
+    got shouldBe batchGot
+  }
+
   test("cdcStream: continuous MERGE changelog; fold equals batch Cdc.applyChanges") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
