@@ -121,6 +121,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incrementalNgramPairs == full self-join restricted to new-touching, random corpora") {
+    import graft.functions.{DedupExpr, TextAnalytics}
+    val docGen = Gen.listOfN(12, Gen.chooseNum(0, 5)).map(_.map(i => s"w$i").mkString(" "))
+    for (seed <- Seq(7L, 19L, 31L); t <- Seq(0.4, 0.7)) {
+      val base = (0 until 14).map(i => sample(docGen, seed * 100 + i))
+      // dup + near-dup plants so both old-old and new-touching pairs occur
+      val docs = (base ++ Seq(base.head, base(1) + " extra"))
+        .zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+        .toDF("doc_id", "text")
+      val shingled = docs.select(col("doc_id").as("id"),
+        DedupExpr.shingleHashes(TextAnalytics.tokens(col("text")), 2).as("sh"))
+      val full = Dedup.ngramJaccardPairsPre(shingled, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val inc = Dedup.incrementalNgramPairs(shingled, col("id") % 3 === 0, t)
+        .as[(Long, Long, Double)].collect().toSet
+      withClue(s"seed=$seed t=$t") {
+        inc shouldBe full.filter(p => p._1 % 3 == 0 || p._2 % 3 == 0)
+      }
+    }
+  }
+
   test("jaroWinkler bounds and identities on random seeded string pairs") {
     val strGen = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
     val pairs = (1 to 60).map(i =>
