@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
+import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
 import graft.functions.{DedupExpr, TextAnalytics}
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -1079,6 +1079,75 @@ object SparkEntry {
       Packing.mixtureWeights(Tables.documents(s, dir), col("source"),
           TextAnalytics.tokenCount(col("text")).cast("long"), alpha = 0.5)
         .orderBy(col("source"))),
+
+    // Duplicate-inflation report over the shared n-gram pair source:
+    // cluster-size histogram + tokens a keep-min-id dedup would drop —
+    // the decision table read before paying for the full dedup pass.
+    // Oracled end-to-end (recursive-CTE components + the same aggregates).
+    "q_dup_inflation" -> ((s, dir) =>
+      CorpusStats.dupInflation(Tables.documents(s, dir), "doc_id", "text",
+          ngramPairs(s, dir))
+        .orderBy(col("cluster_size"))),
+
+    // Corpus-driven stopword mining: document-frequency ratio ≥ 0.6.
+    "q_stopwords" -> ((s, dir) =>
+      CorpusStats.stopwords(Tables.documents(s, dir), "text", 0.6)
+        .orderBy(col("token"))),
+
+    // OOV rate per doc against the corpus's own top-30 tokens.
+    "q_oov_rate" -> ((s, dir) =>
+      CorpusStats.oovRate(Tables.documents(s, dir), "doc_id", "text", 30)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
+          col("oov_rate"))
+        .orderBy(col("doc_id"))),
+
+    // First-occurrence shingle novelty (information-gain curve of the
+    // crawl, id order = arrival order). Shares the checkpointed shingle
+    // table; hashes engine-side vs shingle strings oracle-side (the
+    // q_cross_source 2^-64 collision argument).
+    "q_novelty" -> ((s, dir) =>
+      CorpusStats.novelty(docShingles(s, dir))
+        .select(col("id").as("doc_id"), col("n_sh"), col("n_novel"),
+          col("novelty"))
+        .orderBy(col("doc_id"))),
+
+    // Per-source document cap by quality rank — the per-domain cap of
+    // web-scale curation (no domain dominates the mixture).
+    "q_source_cap" -> ((s, dir) =>
+      CorpusStats.sourceCap(Tables.documents(s, dir), "doc_id", "text",
+          "source", cap = 10, stopwords = Seq("the", "a", "of", "and"))
+        .select(col("id").as("doc_id"), col("source"), col("quality"),
+          col("rk"))
+        .orderBy(col("source"), col("rk"))),
+
+    // k-NN majority-vote classification of a broadcast probe set —
+    // leave-one-out accuracy table of the embedding space's labels.
+    "q_knn_classify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      Retrieval.knnClassify(emb, "vec_id", "embedding", "label",
+          queries, "query_id", "qv", "qlabel", k = 5, roundTo = 6)
+        .orderBy(col("query_id"))
+    }),
+
+    // MMR diversified re-rank of each probe's top-20 shortlist (pick 5,
+    // λ=0.7). The greedy argmax is iterative → typed mapGroups over the
+    // bounded shortlist; not SQL-expressible, so rows-only with count
+    // AND content hash pinned in EntrySpec; reference-equivalence and
+    // diversity properties in RetrievalSpec.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = embeddingsCk(s, dir)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Retrieval.mmrRerank(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", n = 20, m = 5, lambda = 0.7)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("mmr_score"), 6).as("mmr_score"),
+          col("pick_rank").cast("long").as("pick_rank"))
+        .orderBy(col("query_id"), col("pick_rank"))
+    }),
 
     // The same exact n-gram Jaccard, expressed ENTIRELY in SQL against
     // the registered kernel functions (GraftExtensions) — the SQL-surface
@@ -2681,6 +2750,154 @@ object SparkEntry {
         |  round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
         |  round(pow(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS weight
         |FROM per, tot ORDER BY source""".stripMargin,
+
+    // components CTE copied verbatim from q_dedup_clusters_ngram, then
+    // the inflation aggregates; keeper-token pick via row_number (the
+    // deterministic mirror of Spark's min(struct(id, n_tokens)))
+    "q_dup_inflation" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |toks AS (SELECT doc_id,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |         FROM documents),
+        |withcl AS (
+        |  SELECT t.doc_id AS id, t.n_tokens,
+        |    coalesce(cl.cluster_id, t.doc_id) AS cluster_id
+        |  FROM toks t LEFT JOIN cl ON cl.id = t.doc_id),
+        |per AS (
+        |  SELECT cluster_id, count(*) AS cluster_size,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tok,
+        |    CAST(sum(CASE WHEN rk = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS keeper_tok
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY id) AS rk
+        |        FROM withcl) w
+        |  GROUP BY cluster_id)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(tok - keeper_tok) AS BIGINT) AS dropped_tokens
+        |FROM per GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // threshold compares the ROUNDED ratio on both sides (parity rule)
+    "q_stopwords" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)),
+        |d AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+        |tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT token, df, round(df * 1.0 / n_docs, 4) AS df_ratio
+        |FROM d, tot
+        |WHERE round(df * 1.0 / n_docs, 4) >= 0.6
+        |ORDER BY token""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token FROM (
+        |  SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        |  FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY token) c) r
+        |  WHERE rk <= 30)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+        |        / count(*), 4) AS oov_rate
+        |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // shingle CTE copied from q_dedup_clusters_ngram: hashes engine-side
+    // vs shingle strings oracle-side (q_cross_source collision argument)
+    "q_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t),
+        |ex AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(s) AS g FROM sh)),
+        |f AS (SELECT g, min(doc_id) AS first_id FROM ex GROUP BY g)
+        |SELECT e.doc_id, count(*) AS n_sh,
+        |  CAST(sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END) * 1.0
+        |        / count(*), 4) AS novelty
+        |FROM ex e JOIN f ON e.g = f.g
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    // quality subtree copied verbatim from q_quality_score; both engines
+    // rank by the ROUNDED quality with doc_id tie-break
+    "q_source_cap" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    round((len_score + punct_score + sw_score) / 3.0, 4) AS quality
+        |  FROM (SELECT doc_id, source,
+        |          least(length(text) / 500.0, 1.0) AS len_score,
+        |          1.0 - least(
+        |            (CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |             END) * 5.0, 1.0) AS punct_score,
+        |          1.0 - abs(
+        |            (CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |             END) - 0.4) AS sw_score
+        |        FROM (SELECT doc_id, source, text,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |              FROM documents) a) b)
+        |SELECT doc_id, source, quality, rk FROM (
+        |  SELECT doc_id, source, quality,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+        |  FROM q) t
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    // vote ties: (votes desc, best rank asc, label asc) on both sides
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |             label AS qlabel
+        |           FROM embeddings WHERE vec_id < 50),
+        |top AS (SELECT * FROM (
+        |  SELECT q.query_id, q.qlabel AS true_label, c.label AS neighbor_label,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(c.cv, q.qv),6) DESC,
+        |               c.neighbor_id) AS rk
+        |  FROM q, (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+        |             label FROM embeddings) c
+        |  WHERE c.neighbor_id <> q.query_id) t
+        |  WHERE rk <= 5),
+        |votes AS (
+        |  SELECT query_id, true_label, neighbor_label,
+        |    count(*) AS votes, min(rk) AS best
+        |  FROM top GROUP BY query_id, true_label, neighbor_label)
+        |SELECT query_id, true_label, neighbor_label AS pred_label, votes,
+        |  (neighbor_label = true_label) AS correct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, best, neighbor_label) AS vrk
+        |      FROM votes) v
+        |WHERE vrk = 1 ORDER BY query_id""".stripMargin,
 
     // identical oracle shape to q_ngram_jaccard (the SQL-surface variant
     // computes the same pairs)

@@ -292,4 +292,118 @@ object Retrieval {
       .orderBy(col("cos_sim").desc, col("dst"))
     sym.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
+
+  /** k-NN majority-vote classification of a probe set: rank the corpus
+    * by cosine per query (the [[labelConfusion]] contract — self
+    * excluded), take the top `k`, and predict the label holding the
+    * most of those k slots. The zero-training eval of an embedding
+    * space's label structure, and the leave-one-out accuracy table when
+    * the probes are drawn from the corpus.
+    *
+    * Vote ties break by (votes desc, best_rank asc, label asc): a label
+    * whose nearest supporter ranks earlier wins, then lexicographic —
+    * deterministic on any engine.
+    *
+    * Scale shape: identical to [[hardNegatives]] — broadcast probe set,
+    * WindowGroupLimit-pruned top-k, then per-query vote aggregates over
+    * ≤ k rows.
+    */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queries: DataFrame, qidCol: String,
+                  qvecCol: String, qlabelCol: String, k: Int,
+                  roundTo: Int = 6): DataFrame = {
+    val ranked = corpus.join(broadcast(queries), col(idCol) =!= col(qidCol))
+      .select(col(qidCol).as("query_id"),
+        col(qlabelCol).as("true_label"), col(labelCol).as("neighbor_label"),
+        col(idCol).as("neighbor_id"),
+        round(Similarity.cosine(col(vecCol), col(qvecCol)), roundTo).as("cos_sim"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val votes = ranked.withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("neighbor_label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("_best"))
+    val wVote = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("_best").asc, col("neighbor_label").asc)
+    votes.withColumn("_vrk", row_number().over(wVote)).where(col("_vrk") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("neighbor_label").as("pred_label"), col("votes"),
+        (col("neighbor_label") === col("true_label")).as("correct"))
+  }
+
+  /** Maximal Marginal Relevance re-rank: from each query's top-`n`
+    * cosine candidates, greedily pick `m` maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    * standard diversification pass over a retrieval shortlist
+    * (Carbonell & Goldstein '98), and the diverse-sampling step of
+    * embedding-space curation.
+    *
+    * The greedy argmax is inherently iterative (each pick changes every
+    * remaining candidate's penalty), so the per-query selection runs as
+    * typed `mapGroups` over the BOUNDED shortlist (≤ n rows with their
+    * vectors) — the same bounded-group justification as the PQ codebook
+    * train. Candidate generation and the top-n cut stay declarative and
+    * WindowGroupLimit-pruned; nothing unbounded reaches the group.
+    * Scores round to `roundTo` before comparison, ties break by id asc
+    * — fully deterministic (reference-equivalence in RetrievalSpec).
+    *
+    * Returns (query_id, neighbor_id, mmr_score, pick_rank), `m` rows
+    * per query in pick order.
+    */
+  def mmrRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                n: Int, m: Int, lambda: Double,
+                roundTo: Int = 6): DataFrame = {
+    require(n >= m && m > 0, s"need n >= m > 0, got n=$n m=$m")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val shortlist = Similarity.bruteForceTopK(corpus, idCol, vecCol,
+        queries, qidCol, qvecCol, n, roundTo)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("_nv")), Seq("neighbor_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cos_sim").cast("double"), col("_nv").cast("array<double>"))
+      .as[(Long, Long, Double, Array[Double])]
+    shortlist.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy(c => (-c._3, c._2))
+        mmrGreedy(cands.map(c => (c._2, c._3, c._4)), m, lambda, roundTo)
+          .map { case (id, score, rank) => (qid, id, score, rank) }
+      }
+      .toDF("query_id", "neighbor_id", "mmr_score", "pick_rank")
+  }
+
+  /** Plain-Scala greedy MMR over one bounded candidate list
+    * ((id, relevance, vector), relevance-sorted). Exposed for the
+    * reference-equivalence property test. */
+  private[graft] def mmrGreedy(cands: Array[(Long, Double, Array[Double])],
+                               m: Int, lambda: Double,
+                               roundTo: Int): Seq[(Long, Double, Int)] = {
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands.toIndexedSeq: _*)
+    while (picked.length < m && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel, v) =>
+        val penalty =
+          if (pickedVecs.isEmpty) 0.0 else pickedVecs.map(p => cos(v, p)).max
+        (id, rnd(lambda * rel - (1.0 - lambda) * penalty), v)
+      }
+      // max mmr score, ties by id asc
+      val best = scored.minBy { case (id, s, _) => (-s, id) }
+      val idx = scored.indexWhere(_._1 == best._1)
+      picked += ((best._1, best._2, picked.length + 1))
+      pickedVecs += best._3
+      remaining.remove(idx)
+    }
+    picked.toSeq
+  }
 }

@@ -42,7 +42,7 @@ class EntrySpec extends SparkSpec {
       "q_fingerprint", "q_approx_distinct",
       "q_embedding_neardup_lsh", "q_source_similarity", "q_kmeans_sizes",
       "q_approx_quantile", "q_knn_graph_lsh", "q_bpe_encode",
-      "q_semantic_dedup")
+      "q_semantic_dedup", "q_mmr_rerank")
   }
 
   test("rows-only queries return their pinned sf0.001 row counts") {
@@ -65,7 +65,8 @@ class EntrySpec extends SparkSpec {
       "q_approx_quantile" -> 3L,
       "q_knn_graph_lsh" -> 1500L,
       "q_bpe_encode" -> 500L,
-      "q_semantic_dedup" -> 500L)
+      "q_semantic_dedup" -> 500L,
+      "q_mmr_rerank" -> 50L)
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
@@ -94,7 +95,8 @@ class EntrySpec extends SparkSpec {
       "q_approx_quantile" -> "f2c989c7679b989ad6ffcf5cab20e710",
       "q_knn_graph_lsh" -> "dcf37446c8b2b588b333854717ebd8c4",
       "q_bpe_encode" -> "efff38eebad84cd301624f802fa2eb74",
-      "q_semantic_dedup" -> "26afce62140d6cba51bf8c0d5d42ac2f")
+      "q_semantic_dedup" -> "26afce62140d6cba51bf8c0d5d42ac2f",
+      "q_mmr_rerank" -> "0b1e85345f4cfd991efec0707e04bb38")
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> contentHash(SparkEntry.queries(q)(spark, dir))).toMap

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{DedupExpr, TextAnalytics}
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dupInflation: cluster-size histogram and dropped-token mass, hand-computed") {
+    // docs 1,2,3 form one cluster (pairs 1-2, 2-3); 4 is a singleton.
+    // tokens: 1→3, 2→2, 3→1, 4→4. keeper of {1,2,3} is id 1 (3 tokens)
+    // → dropped = (3+2+1) - 3 = 3. singleton drops 0.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a"), (4L, "w x y z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = CorpusStats.dupInflation(docs, "doc_id", "text", pairs)
+      .orderBy(col("cluster_size"))
+      .select("cluster_size", "n_clusters", "n_docs", "total_tokens",
+        "dropped_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got shouldBe Array((1L, 1L, 1L, 4L, 0L), (3L, 1L, 3L, 6L, 3L))
+  }
+
+  test("stopwords: df-ratio threshold on the rounded ratio") {
+    // 'the' in 3/4 docs (0.75), 'cat' in 2/4 (0.5), rest rarer.
+    // threshold 0.75 keeps only 'the'; repeated token in one doc counts
+    // once (distinct-per-doc df).
+    val docs = Seq(
+      (1L, "the the cat"), (2L, "the dog"), (3L, "the cat"), (4L, "bird"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.stopwords(docs, "text", 0.75)
+      .as[(String, Long, Double)].collect()
+    got shouldBe Array(("the", 3L, 0.75))
+  }
+
+  test("oovRate: per-doc share of tokens outside the corpus top-k vocab") {
+    // freq: a→3, b→2, c→1, d→1; vocab size 2 = {a, b}
+    // (c/d tie at 1 broken by token asc but both miss the cut).
+    // doc 1 "a b c" → 1/3 oov; doc 2 "a a d" → 1/3; doc 3 "b" → 0.
+    val docs = Seq((1L, "a b c"), (2L, "a a d"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy(col("id"))
+      .select("id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect()
+    got shouldBe Array(
+      (1L, 3L, 1L, 0.3333), (2L, 3L, 1L, 0.3333), (3L, 1L, 0L, 0.0))
+  }
+
+  test("oovRate vocab boundary tie breaks by token asc") {
+    // freq: a→2, b→2, c→2; vocabSize=2 must keep {a, b} (c loses the
+    // lexicographic tie), so every c token is OOV.
+    val docs = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val got = CorpusStats.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy(col("id")).select("n_oov").as[Long].collect()
+    got shouldBe Array(1L, 1L)
+  }
+
+  test("novelty: first occurrence by id order owns the shingle") {
+    // doc 1 introduces both shingles; doc 2 repeats one of them and
+    // introduces one; doc 3 is an exact dup of doc 1 → novelty 0.
+    val sh = Seq(
+      (1L, Seq(10L, 20L)),
+      (2L, Seq(20L, 30L)),
+      (3L, Seq(10L, 20L))).toDF("id", "sh")
+    val got = CorpusStats.novelty(sh)
+      .orderBy(col("id"))
+      .select("id", "n_sh", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+    got shouldBe Array(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0))
+  }
+
+  test("sourceCap keeps the cap best-quality docs per source, id tie-break") {
+    // source A has 3 docs, cap 2: the two highest quality survive;
+    // source B keeps its single doc. Equal-quality ties break id asc.
+    val good = "the cat and the dog of the house and the yard went off"
+    val docs = Seq(
+      (1L, good, "A"), (2L, good, "A"), (3L, "zz!!", "A"), (4L, good, "B"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusStats.sourceCap(docs, "doc_id", "text", "source",
+        cap = 2, stopwords = Seq("the", "a", "of", "and"))
+      .orderBy(col("source"), col("rk"))
+      .select("id", "source", "rk").as[(Long, String, Long)].collect()
+    got shouldBe Array((1L, "A", 1L), (2L, "A", 2L), (4L, "B", 1L))
+  }
+
+  test("dupInflation/novelty plans contain no nested-loop join") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id").as("id"),
+      DedupExpr.shingleHashes(TextAnalytics.tokens(col("text")), 3).as("sh"))
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    for (df <- Seq(CorpusStats.dupInflation(docs, "doc_id", "text", pairs),
+                   CorpusStats.novelty(sh))) {
+      val plan = df.queryExecution.executedPlan.toString
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+    }
+  }
+}

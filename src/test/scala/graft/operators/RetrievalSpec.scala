@@ -206,4 +206,99 @@ class RetrievalSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("knnClassify: majority vote with deterministic tie-breaks, self excluded") {
+    // query 0 (true A) at (1,0); k=3 neighbors by cosine: 1 (A, .9,.1),
+    // 2 (B, .8,.2), 3 (B, .7,.3) → B wins 2-1 despite A ranking first.
+    // 4 at (0,1) is far and must not enter the vote.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), "A"),
+      (1L, Seq(0.9f, 0.1f), "A"),
+      (2L, Seq(0.8f, 0.2f), "B"),
+      (3L, Seq(0.7f, 0.3f), "B"),
+      (4L, Seq(0f, 1f), "C")).toDF("vec_id", "embedding", "label")
+    val queries = vecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val got = Retrieval.knnClassify(vecs, "vec_id", "embedding", "label",
+        queries, "query_id", "qv", "qlabel", k = 3)
+      .select("query_id", "true_label", "pred_label", "votes", "correct")
+      .as[(Long, String, String, Long, Boolean)].collect()
+    got shouldBe Array((0L, "A", "B", 2L, false))
+  }
+
+  test("knnClassify vote tie breaks by earliest supporting rank") {
+    // k=2: neighbor 1 (A) ranks 1, neighbor 2 (B) ranks 2 — one vote
+    // each; A's supporter ranks earlier so A must win.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), "A"),
+      (1L, Seq(0.9f, 0.1f), "A"),
+      (2L, Seq(0.8f, 0.2f), "B")).toDF("vec_id", "embedding", "label")
+    val queries = vecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val got = Retrieval.knnClassify(vecs, "vec_id", "embedding", "label",
+        queries, "query_id", "qv", "qlabel", k = 2)
+      .select("pred_label", "correct").as[(String, Boolean)].collect()
+    got shouldBe Array(("A", true))
+  }
+
+  test("mmrRerank at lambda=1 reduces to relevance order; diversification kicks in below") {
+    // corpus: two near-identical vectors close to the query plus one
+    // orthogonal-ish outlier. λ=1 picks the two twins first (pure
+    // relevance); λ=0.3 must pick the outlier second — the diversity
+    // penalty overtakes the twin's higher relevance.
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(0.99f, 0.01f)),
+      (3L, Seq(0.4f, 0.9f))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1f, 0f))).toDF("query_id", "qv")
+    def picks(lambda: Double): Seq[Long] =
+      Retrieval.mmrRerank(vecs, "vec_id", "embedding",
+          queries, "query_id", "qv", n = 3, m = 2, lambda = lambda)
+        .orderBy(col("pick_rank")).select("neighbor_id")
+        .as[Long].collect().toSeq
+    picks(1.0) shouldBe Seq(1L, 2L)
+    picks(0.3) shouldBe Seq(1L, 3L)
+  }
+
+  test("mmrRerank distributed selection equals the plain-Scala greedy reference") {
+    // deterministic synthetic vectors (no RNG) — the Spark mapGroups
+    // path must reproduce mmrGreedy run on the brute-force shortlist
+    val dim = 8
+    def vec(i: Long): Array[Double] =
+      Array.tabulate(dim)(j => math.sin(i * 31 + j * 7) + math.cos(i * 13 - j))
+    val corpus = (1L to 40L).map(i => (i, vec(i).map(_.toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, vec(100L).map(_.toFloat).toSeq))
+      .toDF("query_id", "qv")
+    val got = Retrieval.mmrRerank(corpus, "vec_id", "embedding",
+        queries, "query_id", "qv", n = 10, m = 4, lambda = 0.6)
+      .orderBy(col("pick_rank"))
+      .select("neighbor_id", "mmr_score", "pick_rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    // reference: brute-force top-10 by rounded cosine (id tie-break),
+    // then the exposed plain-Scala greedy
+    val q = vec(100L).map(_.toFloat).map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val shortlist = (1L to 40L)
+      .map { i =>
+        val v = vec(i).map(_.toFloat).map(_.toDouble)
+        (i, rnd(cos(v, q)), v)
+      }
+      .sortBy { case (id, c, _) => (-c, id) }.take(10).toArray
+    val want = Retrieval.mmrGreedy(shortlist, m = 4, lambda = 0.6, roundTo = 6)
+    got.map(_._1) shouldBe want.map(_._1)
+    got.map(_._3) shouldBe want.map(_._3)
+    got.zip(want).foreach { case ((_, s, _), (_, ws, _)) =>
+      s shouldBe ws +- 1e-9
+    }
+  }
 }
