@@ -1149,6 +1149,51 @@ object SparkEntry {
         .orderBy(col("query_id"), col("pick_rank"))
     }),
 
+    // Exact sparse TF-IDF cosine pairs via the inverted-index equi-join
+    // with a df-cut — the lexical sibling of q_embedding_neardup, and
+    // the AllPairs df-cut scale shape (no nested loop anywhere).
+    "q_tfidf_cosine" -> ((s, dir) =>
+      Retrieval.tfidfCosinePairs(Tables.documents(s, dir), "doc_id", "text",
+          dfNum = 1L, dfDen = 10L, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Per-source ROC-AUC of the quality heuristic predicting lang='en' —
+    // the Mann–Whitney gate run before trusting a score as a filter.
+    // Integer 2U until the single final division (see Stats.auc).
+    "q_auc" -> ((s, dir) =>
+      Stats.auc(
+          Tables.documents(s, dir).select(col("source"),
+            TextAnalytics.qualityScore(col("text"),
+              Seq("the", "a", "of", "and")).as("q"),
+            (col("lang") === "en").as("l")),
+          col("source"), col("q"), col("l"))
+        .select(col("group").as("source"), col("n_pos"), col("n_neg"),
+          col("auc"))
+        .orderBy(col("source"))),
+
+    // Pareto frontier of (quality max, token cost min) — the efficient
+    // frontier of budgeted curation. Frontier test via two bounded
+    // aggregates over the 4-dp score grid, never a self-join.
+    "q_pareto_docs" -> ((s, dir) =>
+      CorpusStats.paretoFront(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextAnalytics.qualityScore(col("text"),
+              Seq("the", "a", "of", "and")).as("q"),
+            size(split(col("text"), " ")).cast("long").as("nt")),
+          col("doc_id"), col("q"), col("nt"))
+        .select(col("id").as("doc_id"), col("score").as("quality"),
+          col("cost").as("n_tokens"))
+        .orderBy(col("quality").desc, col("n_tokens"), col("doc_id"))),
+
+    // Time-weighted average metric value per event type under the
+    // (micros, event_id) total order — exact decimal sums, the
+    // irregular-sampling summary a plain mean over-counts bursts on.
+    "q_twap" -> ((s, dir) =>
+      Timeseries.twap(Tables.events(s, dir), "event_type",
+          unix_micros(col("ts")), col("value"), col("event_id"))
+        .select(col("key").as("event_type"), col("n_intervals"), col("twap"))
+        .orderBy(col("event_type"))),
+
     // The same exact n-gram Jaccard, expressed ENTIRELY in SQL against
     // the registered kernel functions (GraftExtensions) — the SQL-surface
     // parity check, hash-matched against the same DuckDB oracle. Reads
@@ -2898,6 +2943,111 @@ object SparkEntry {
         |        ORDER BY votes DESC, best, neighbor_label) AS vrk
         |      FROM votes) v
         |WHERE vrk = 1 ORDER BY query_id""".stripMargin,
+
+    // integer micro-weights, HUGEINT sums mirroring Spark's
+    // decimal(38,0); membership tests the ROUNDED cosine on both sides
+    "q_tfidf_cosine" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> length(x) > 0) AS l FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_l FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM (
+        |         SELECT doc_id, unnest(l) AS term FROM toks) u GROUP BY 1, 2),
+        |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |        CROSS JOIN n GROUP BY term, n_l
+        |        HAVING CAST(count(*) AS BIGINT) * 10 <= n_l * 1),
+        |w AS (SELECT doc_id, tf.term AS term, df,
+        |        CAST(round(tf * (ln((1.0 + CAST(n_l AS DOUBLE)) / (1.0 + df)) + 1.0) * 10000, 0) AS BIGINT) AS w
+        |      FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n),
+        |nm AS (SELECT doc_id, sqrt(CAST(sum(w::HUGEINT * w) AS DOUBLE)) AS nrm
+        |       FROM w GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           CAST(sum(a.w::HUGEINT * b.w) AS DOUBLE) AS dot
+        |         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |         WHERE a.df >= 2
+        |         GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        |FROM dots JOIN nm na ON na.doc_id = id_a
+        |          JOIN nm nb ON nb.doc_id = id_b
+        |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // quality subtree copied verbatim from q_source_cap; 2U stays
+    // integer (HUGEINT) until the one final division, like Spark
+    "q_auc" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    round((len_score + punct_score + sw_score) / 3.0, 4) AS score,
+        |    (lang = 'en') AS lbl
+        |  FROM (SELECT source, lang,
+        |          least(length(text) / 500.0, 1.0) AS len_score,
+        |          1.0 - least(
+        |            (CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |             END) * 5.0, 1.0) AS punct_score,
+        |          1.0 - abs(
+        |            (CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |             END) - 0.4) AS sw_score
+        |        FROM (SELECT source, lang, text,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |              FROM documents) a) b),
+        |ps AS (SELECT source, score,
+        |         CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |         CAST(sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |       FROM d GROUP BY 1, 2),
+        |c AS (SELECT *, coalesce(sum(nn) OVER (PARTITION BY source
+        |        ORDER BY score ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
+        |      FROM ps)
+        |SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(np * (2 * cumnn + nn)) AS DOUBLE) /
+        |        (2.0 * sum(np) * sum(nn)), 4) AS auc
+        |FROM c GROUP BY source
+        |HAVING sum(np) > 0 AND sum(nn) > 0
+        |ORDER BY source""".stripMargin,
+
+    // dominance by brute-force NOT EXISTS — the O(n²) oracle of the
+    // two-bounded-aggregate frontier; equal twins survive on both sides
+    "q_pareto_docs" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    round((len_score + punct_score + sw_score) / 3.0, 4) AS quality,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, text,
+        |          least(length(text) / 500.0, 1.0) AS len_score,
+        |          1.0 - least(
+        |            (CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |             END) * 5.0, 1.0) AS punct_score,
+        |          1.0 - abs(
+        |            (CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |             END) - 0.4) AS sw_score
+        |        FROM (SELECT doc_id, text,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |              FROM documents) a) b)
+        |SELECT doc_id, quality, n_tokens FROM q p
+        |WHERE NOT EXISTS (SELECT 1 FROM q o WHERE
+        |  (o.quality > p.quality AND o.n_tokens <= p.n_tokens) OR
+        |  (o.quality >= p.quality AND o.n_tokens < p.n_tokens))
+        |ORDER BY quality DESC, n_tokens, doc_id""".stripMargin,
+
+    // integer cents × integer micro-gaps, HUGEINT sums (the Spark side
+    // sums decimal(38,0)); the last observation carries no interval
+    "q_twap" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS tu, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT event_type, cents,
+        |        lead(tu) OVER (PARTITION BY event_type
+        |          ORDER BY tu, event_id) - tu AS gap
+        |      FROM e)
+        |SELECT event_type, count(*) AS n_intervals,
+        |  round(CAST(sum(cents::HUGEINT * gap) AS DOUBLE) /
+        |        CAST(sum(gap::HUGEINT) AS DOUBLE) / 100.0, 6) AS twap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // identical oracle shape to q_ngram_jaccard (the SQL-surface variant
     // computes the same pairs)

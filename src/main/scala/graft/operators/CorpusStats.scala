@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,5 +150,38 @@ object CorpusStats {
       .orderBy(col("quality").desc, col("id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= cap)
+  }
+
+  /** 2-D Pareto frontier (skyline) of the corpus under (maximize
+    * `scoreCol`, minimize `costCol`) — the documents no other document
+    * beats on both axes, e.g. "best quality per token spent": the
+    * efficient frontier a budget-constrained curation pass selects
+    * from. A row is dominated iff some other row is ≥ on score and ≤
+    * on cost with at least one strict; equal (score, cost) twins do
+    * not dominate each other and both survive.
+    *
+    * Scale shape — no self-join and no corpus-sized window: the
+    * frontier test needs only (a) each score level's minimum cost and
+    * (b) the running minimum cost over STRICTLY higher score levels.
+    * (a) is a score-keyed aggregate; (b) is a window over the DISTINCT
+    * score table, bounded by the score's rounding grid (`scoreCol`
+    * must be pre-rounded — a 4-dp score in [0,1] has ≤ 10001 levels)
+    * rather than the corpus; survivors come from one broadcast join
+    * back. The classic sort-scan skyline, re-expressed as two bounded
+    * aggregates.
+    */
+  def paretoFront(df: DataFrame, idCol: Column, scoreCol: Column,
+                  costCol: Column): DataFrame = {
+    val rows = df.select(idCol.as("id"), scoreCol.as("score"),
+      costCol.cast("long").as("cost"))
+    val wAbove = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val levels = rows.groupBy(col("score")).agg(min(col("cost")).as("_lmin"))
+      .select(col("score"), col("_lmin"),
+        min(col("_lmin")).over(wAbove).as("_above"))
+    rows.join(broadcast(levels), Seq("score"))
+      .where(col("cost") === col("_lmin") &&
+        (col("_above").isNull || col("cost") < col("_above")))
+      .select(col("id"), col("score"), col("cost"))
   }
 }

@@ -122,6 +122,76 @@ object Retrieval {
         log((col("cab") * col("tot")) / (col("ca") * col("cb"))).as("pmi"))
   }
 
+  /** Exact sparse TF-IDF cosine pairs via an inverted-index equi-join
+    * with a document-frequency cut — the lexical sibling of the
+    * embedding near-dup family: every document pair whose cosine in the
+    * TF-IDF space meets `threshold`.
+    *
+    * The vector space is DEFINED over terms with df·dfDen ≤ N·dfNum
+    * (df at most the fraction dfNum/dfDen of the corpus — a RELATIVE
+    * cut, so the space means the same thing at any scale; the test is
+    * pure integer arithmetic on both engines). High-df terms are
+    * stopword noise for similarity AND the skew that makes a term-keyed
+    * self-join melt — excluding them from the space (not just the
+    * candidate step), both weights and norms, keeps the result exact
+    * w.r.t. the declared space. With the cut, a term contributes at
+    * most df² ≤ (N·dfNum/dfDen)·df join rows, so candidate fan-out is
+    * linear in the posting-list mass with a hard per-term bound — the
+    * AllPairs df-cut (Bayardo et al., WWW'07), same family as
+    * [[graft.operators.Dedup]]'s prefix filter.
+    *
+    * Exactness discipline: weights are integer micro-units
+    * (round(tf·idf·10⁴), idf = ln((1+N)/(1+df))+1 — the [[tfidf]]
+    * smoothing); dot products and squared norms sum exactly as
+    * decimal(38,0) (a long product could overflow and a double sum is
+    * order-dependent); only the final cosine ratio is floating, from
+    * identically-converted exact integers, and membership tests the
+    * ROUNDED cosine on both engines.
+    *
+    * Plan shape: tokenize→(doc,term) count, term-keyed df aggregate
+    * broadcast back, term-keyed self-join (equi — never a nested
+    * loop), pair-keyed sum, doc-keyed norm join. Every shuffle carries
+    * ids, term strings, and longs.
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       dfNum: Long, dfDen: Long, threshold: Double,
+                       roundTo: Int = 6): DataFrame = {
+    require(dfNum > 0 && dfDen > 0 && dfNum <= dfDen,
+      s"df cut $dfNum/$dfDen must be a fraction in (0, 1]")
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextAnalytics.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_l"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .where(col("df") * dfDen <= col("n_l") * dfNum)
+    val w = tf.join(broadcast(dfT), Seq("term"))
+      .select(col("id"), col("term"), col("df"),
+        round(col("tf") *
+            (log((lit(1.0) + col("n_l").cast("double")) /
+              (lit(1.0) + col("df"))) + 1.0) *
+            10000, 0).cast("long").as("w"))
+    val norms = w.groupBy(col("id"))
+      .agg(sum((col("w").cast("decimal(19,0)") * col("w"))
+        .cast("decimal(38,0)")).as("_n2"))
+      .select(col("id"), sqrt(col("_n2").cast("double")).as("_norm"))
+    // df = 1 terms shape the norms above but cannot produce a pair
+    val joinable = w.where(col("df") >= 2)
+    val dots = joinable.as("a").join(joinable.as("b"), Seq("term"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum((col("a.w").cast("decimal(19,0)") * col("b.w"))
+        .cast("decimal(38,0)")).as("_dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("_norm").as("_na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("_norm").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("_dot").cast("double") / (col("_na") * col("_nb")),
+          roundTo).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   def knnGraph(vecs: DataFrame, idCol: String, vecCol: String,
                k: Int, roundTo: Int = 6,
                maxExactRows: Long = 100000L): DataFrame = {

@@ -167,6 +167,46 @@ object Stats {
         col("_n").as("n_keys"), col("_tot").as("total"))
   }
 
+  /** Per-group ROC-AUC of a score against a boolean label — the
+    * Mann–Whitney U statistic, tie-corrected: a positive scores 1 for
+    * each negative strictly below it and ½ for each tied negative,
+    * normalized by n_pos·n_neg. The standard "does this heuristic
+    * actually separate the classes?" gate a pipeline runs before using
+    * a quality score as a filter.
+    *
+    * Exactness discipline: the corpus reduces to one row per
+    * (group, DISTINCT rounded score) carrying integer (n_pos, n_neg);
+    * 2·U = Σ_scores n_pos·(2·cum_neg_below + n_neg_at) stays integer
+    * until the single final division, so there is no float-sum order
+    * dependence anywhere (oracle-parity contract). Groups missing a
+    * class are dropped (AUC is undefined), not emitted as NULL.
+    *
+    * Scale shape: one (group, score)-keyed count aggregate, then a
+    * cumulative window over the DISTINCT-score table — bounded per
+    * group by the score's rounding grid (a 4-dp score in [0,1] has
+    * ≤ 10001 rows per group), never the corpus.
+    */
+  def auc(df: DataFrame, groupCol: Column, scoreCol: Column,
+          labelCol: Column, roundTo: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_s_grp")).orderBy(col("_s_score").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val perScore = df.select(groupCol.as("_s_grp"), scoreCol.as("_s_score"),
+        labelCol.cast("boolean").as("_s_lbl"))
+      .groupBy(col("_s_grp"), col("_s_score"))
+      .agg(sum(when(col("_s_lbl"), 1L).otherwise(0L)).as("_np"),
+        sum(when(col("_s_lbl"), 0L).otherwise(1L)).as("_nn"))
+    perScore
+      .withColumn("_cumnn", coalesce(sum(col("_nn")).over(w), lit(0L)))
+      .groupBy(col("_s_grp").as("group"))
+      .agg(sum(col("_np")).as("n_pos"), sum(col("_nn")).as("n_neg"),
+        sum(col("_np") * (lit(2L) * col("_cumnn") + col("_nn"))).as("_u2"))
+      .where(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("group"), col("n_pos"), col("n_neg"),
+        round(col("_u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), roundTo).as("auc"))
+  }
+
   /** Per-group Shannon entropy (nats) of a discrete column: H = −Σ p·ln p
     * over the group's value distribution, plus the distinct-value and
     * total counts. The inner aggregate reduces the data to one row per

@@ -141,6 +141,46 @@ object Timeseries {
       .agg(max(col("_conc")).as("max_concurrent"))
   }
 
+  /** Per-key time-weighted average of an observation series — TWAP:
+    * each observation's value holds until the key's next observation,
+    * so the average weights each value by its holding interval
+    * (Σ value·gap / Σ gap). The standard way to summarize an
+    * irregularly-sampled metric (price, gauge, queue depth) where a
+    * plain mean over-counts bursts of samples.
+    *
+    * The key's LAST observation has no successor and carries no
+    * interval — it is excluded (the right-open convention). Keys with
+    * a single observation are therefore dropped entirely.
+    *
+    * Exactness discipline: gaps are integer microseconds under the
+    * total (micros, tieCol) order; values become integer cents; the
+    * two sums run as decimal(38,0) — exact at any scale, where a long
+    * would overflow at ~10^18 cents·micros and a double sum would be
+    * partial-aggregation-order dependent. Only the final ratio (of two
+    * exactly-represented sums, identically converted) is floating.
+    *
+    * Scale shape: ONE key-partitioned lead window over (micros, tie)
+    * and a key-keyed aggregate — no self-join, and the shuffle carries
+    * (key, micros, cents) rows only.
+    */
+  def twap(df: DataFrame, keyCol: String, microsCol: Column,
+           valueCol: Column, tieCol: Column, roundTo: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col("_t_key"))
+      .orderBy(col("_t_us").asc, col("_t_tie").asc)
+    val withGap = df.select(col(keyCol).as("_t_key"), microsCol.as("_t_us"),
+        tieCol.as("_t_tie"),
+        round(valueCol * 100).cast("long").as("_t_cents"))
+      .withColumn("_t_gap", lead(col("_t_us"), 1).over(w) - col("_t_us"))
+      .where(col("_t_gap").isNotNull)
+    withGap.groupBy(col("_t_key").as("key"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum((col("_t_cents") * col("_t_gap")).cast("decimal(38,0)")).as("_cg"),
+        sum(col("_t_gap").cast("decimal(38,0)")).as("_g"))
+      .select(col("key"), col("n_intervals"),
+        round(col("_cg").cast("double") / col("_g").cast("double") / 100.0,
+          roundTo).as("twap"))
+  }
+
   /** Integer floor division as a Column (Spark's `/` is double division
     * and `div` on columns truncates toward zero for negatives; all our
     * epochs are positive so `floor` semantics and `div` agree — kept as

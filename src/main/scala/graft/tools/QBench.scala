@@ -2,14 +2,15 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Single-query micro-bench: `runMain graft.tools.QBench <name> [reps]`.
-  * Times one declared query `reps` times after the same untimed warmup
+/** Single-query micro-bench: `runMain graft.tools.QBench <names> [reps]`
+  * (`<names>` = one query or a comma-separated list, sharing one JVM).
+  * Times each declared query `reps` times after the same untimed warmup
   * Bench uses, printing each rep — for isolating a per-query regression
   * from whole-suite JIT/ordering noise.
   */
 object QBench {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,11 +22,13 @@ object QBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val fn = graft.SparkEntry.queries(name)
-    (1 to reps).foreach { r =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).queryExecution.toRdd.count()
-      println(f"[qbench] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        println(f"[qbench] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }

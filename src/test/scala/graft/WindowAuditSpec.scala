@@ -35,6 +35,6 @@ class WindowAuditSpec extends SparkSpec {
     // and the set of queries that use the construction at all is pinned
     withBare shouldBe Set(
       "q_pack_sequences", "q_shuffle_rank", "q_quality_bins",
-      "q_jaro", "q_gini")
+      "q_jaro", "q_gini", "q_pareto_docs")
   }
 }

@@ -100,4 +100,35 @@ class CorpusStatsSpec extends SparkSpec {
       plan should not include "CartesianProduct"
     }
   }
+
+  test("paretoFront keeps exactly the non-dominated rows, equal twins included") {
+    // points (score, cost): A(0.9, 10) frontier; B(0.9, 12) dominated
+    // by A (same score, higher cost); C(0.8, 8) frontier; C2(0.8, 8)
+    // equal twin — survives; D(0.8, 9) dominated by C; E(0.5, 5)
+    // frontier; F(0.4, 20) dominated by everything cheaper+better.
+    val df = Seq(
+      (1L, 0.9, 10L), (2L, 0.9, 12L), (3L, 0.8, 8L), (4L, 0.8, 8L),
+      (5L, 0.8, 9L), (6L, 0.5, 5L), (7L, 0.4, 20L))
+      .toDF("id", "s", "c")
+    val got = CorpusStats.paretoFront(df, col("id"), col("s"), col("c"))
+      .orderBy(col("id"))
+      .as[(Long, Double, Long)].collect()
+    got shouldBe Array(
+      (1L, 0.9, 10L), (3L, 0.8, 8L), (4L, 0.8, 8L), (6L, 0.5, 5L))
+  }
+
+  test("paretoFront matches the brute-force dominance definition on random points") {
+    val rng = new scala.util.Random(7)
+    val pts = Seq.tabulate(200)(i =>
+      (i.toLong, (rng.nextInt(20) / 20.0), (rng.nextInt(30) + 1).toLong))
+    val want = pts.filter { case (_, s, c) =>
+      !pts.exists { case (_, s2, c2) =>
+        (s2 > s && c2 <= c) || (s2 >= s && c2 < c)
+      }
+    }.map(_._1).sorted
+    val got = CorpusStats.paretoFront(pts.toDF("id", "s", "c"),
+        col("id"), col("s"), col("c"))
+      .orderBy(col("id")).as[(Long, Double, Long)].collect()
+    got.map(_._1).toSeq shouldBe want
+  }
 }

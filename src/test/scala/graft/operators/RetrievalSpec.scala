@@ -301,4 +301,56 @@ class RetrievalSpec extends SparkSpec {
       s shouldBe ws +- 1e-9
     }
   }
+
+  test("tfidfCosinePairs: identical docs hit cos 1.0, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), // identical
+      (3L, "delta epsilon zeta"),                         // disjoint
+      (4L, "alpha beta theta"))                           // overlaps 1,2
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfCosinePairs(docs, "doc_id", "text",
+        dfNum = 1L, dfDen = 1L, threshold = 0.0)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Double)].collect()
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 4L))
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+    got.find(t => (t._1, t._2) == ((1L, 2L))).get._3 shouldBe 1.0
+    // the partial-overlap pair scores strictly between 0 and 1
+    val p14 = got.find(t => (t._1, t._2) == ((1L, 4L))).get._3
+    p14 should be > 0.0
+    p14 should be < 1.0
+  }
+
+  test("tfidfCosinePairs df-cut removes corpus-wide terms from the space entirely") {
+    // 'common' is in all 4 docs; with a 1/2 cut it leaves the vector
+    // space, so docs sharing ONLY 'common' have no pair at all and
+    // docs 1-2 (sharing 'rare') score on the rare term alone: 1.0
+    val docs = Seq(
+      (1L, "common rare"), (2L, "common rare"),
+      (3L, "common solo"), (4L, "common single"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfCosinePairs(docs, "doc_id", "text",
+        dfNum = 1L, dfDen = 2L, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+    got.map(t => (t._1, t._2)).toSet shouldBe Set((1L, 2L))
+    got.head._3 shouldBe 1.0
+  }
+
+  test("tfidfCosinePairs plan: equi-joins only beyond the scalar corpus count") {
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val plan = Retrieval.tfidfCosinePairs(docs, "doc_id", "text",
+        1L, 1L, 0.5).queryExecution.executedPlan.toString
+    // the only tolerated nested loops are copies of the 1-row
+    // corpus-count broadcast (the weight subtree is replicated into
+    // the two norm lookups and both term-join sides, so the single
+    // logical crossJoin(broadcast(n)) prints up to 4 times; exchange
+    // reuse dedupes the actual broadcast at runtime); the term
+    // self-join and every other join must hash
+    plan.linesIterator.count(
+      _.contains("BroadcastNestedLoopJoin")) should be <= 4
+    plan should not include "CartesianProduct"
+  }
 }

@@ -91,6 +91,31 @@ class StatsSpec extends SparkSpec {
     gs._1 shouldBe 0.49 +- 1e-12
   }
 
+  test("auc: hand-computed Mann-Whitney with ties, and degenerate groups dropped") {
+    // group g: scores/labels  pos={0.8, 0.5}, neg={0.5, 0.2}
+    //   pairwise: 0.8 beats both negs (2) + 0.5 beats 0.2 (1) + 0.5
+    //   ties 0.5 (0.5) → U = 3.5, AUC = 3.5 / (2·2) = 0.875
+    // group perfect: pos=0.9, neg=0.1 → AUC 1.0
+    // group onlypos: positives only → dropped (AUC undefined)
+    val df = Seq(
+      ("g", 0.8, true), ("g", 0.5, true), ("g", 0.5, false), ("g", 0.2, false),
+      ("perfect", 0.9, true), ("perfect", 0.1, false),
+      ("onlypos", 0.7, true), ("onlypos", 0.6, true))
+      .toDF("grp", "score", "lbl")
+    val got = Stats.auc(df, col("grp"), col("score"), col("lbl"))
+      .orderBy("group")
+      .as[(String, Long, Long, Double)].collect()
+    got shouldBe Array(("g", 2L, 2L, 0.875), ("perfect", 1L, 1L, 1.0))
+  }
+
+  test("auc is 0.5 for a score independent of the label") {
+    // every positive ties every negative on a constant score
+    val df = Seq.tabulate(10)(i => ("c", 1.0, i % 2 == 0)).toDF("g", "s", "l")
+    Stats.auc(df, col("g"), col("s"), col("l"))
+      .as[(String, Long, Long, Double)].collect() shouldBe
+      Array(("c", 5L, 5L, 0.5))
+  }
+
   test("entropy is ln(k) for uniform and 0 for constant distributions") {
     val df = (Seq.tabulate(8)(i => ("uni", s"t${i % 4}")) ++
       Seq.fill(5)(("const", "x"))).toDF("g", "v")

@@ -91,4 +91,30 @@ class TimeseriesSpec extends SparkSpec {
       (2L, 11L, 2L), // tie rows are peers: both see both
       (2L, 11L, 2L))
   }
+
+  test("twap weights each value by its holding interval; last obs and single-obs keys drop") {
+    // key 1: 10.0 held for 3 us, 20.0 held for 1 us, 40.0 has no
+    //   successor → twap = (10·3 + 20·1) / 4 = 12.5 over 2 intervals
+    // key 2: one observation → no interval → key absent
+    val df = Seq(
+      (1L, 100L, 1L, 10.0), (1L, 103L, 2L, 20.0), (1L, 104L, 3L, 40.0),
+      (2L, 100L, 4L, 99.0))
+      .toDF("key", "us", "eid", "v")
+    val got = Timeseries.twap(df, "key", col("us"), col("v"), col("eid"))
+      .as[(Long, Long, Double)].collect()
+    got shouldBe Array((1L, 2L, 12.5))
+  }
+
+  test("twap breaks same-microsecond ties by the tie column, zero-gap rows contributing nothing") {
+    // two observations in the same microsecond: the (us, tie) order
+    // makes the earlier-id row's gap 0, so only the later one carries
+    // weight into the next interval — twap = value held across the gap
+    val df = Seq(
+      (1L, 100L, 1L, 10.0), (1L, 100L, 2L, 30.0), (1L, 110L, 3L, 50.0))
+      .toDF("key", "us", "eid", "v")
+    val got = Timeseries.twap(df, "key", col("us"), col("v"), col("eid"))
+      .as[(Long, Long, Double)].collect()
+    // intervals: (10.0, gap 0) and (30.0, gap 10) → 300/10 = 30.0
+    got shouldBe Array((1L, 2L, 30.0))
+  }
 }
