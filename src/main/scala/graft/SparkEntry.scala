@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
+import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
 import graft.functions.{DedupExpr, TextAnalytics}
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -1193,6 +1193,45 @@ object SparkEntry {
           unix_micros(col("ts")), col("value"), col("event_id"))
         .select(col("key").as("event_type"), col("n_intervals"), col("twap"))
         .orderBy(col("event_type"))),
+
+    // Reliability table of the quality score against lang='en' — the
+    // calibration check run before using a score as a sampling
+    // probability. Integer score units until the final divisions.
+    "q_calibration" -> ((s, dir) =>
+      Stats.calibration(
+          Tables.documents(s, dir).select(
+            TextAnalytics.qualityScore(col("text"),
+              Seq("the", "a", "of", "and")).as("q"),
+            (col("lang") === "en").as("l")),
+          col("q"), col("l"), bins = 10)
+        .orderBy(col("bin"))),
+
+    // Population Stability Index between English and non-English docs'
+    // quality-score distributions — the drift alarm between a reference
+    // and a current window, Laplace-smoothed identically on both sides.
+    "q_psi" -> ((s, dir) =>
+      Stats.psi(
+          Tables.documents(s, dir).select(
+            least(floor(TextAnalytics.qualityScore(col("text"),
+              Seq("the", "a", "of", "and")) * 10), lit(9)).as("b"),
+            (col("lang") === "en").as("base")),
+          col("b"), col("base"), bins = 10)),
+
+    // fastText-shaped hashed-BoW logistic regression: driver-trained on
+    // the capped id-ordered sample (lang='en' as the label), scored
+    // map-only via codegen'd xxhash64 + higher-order aggregate — no
+    // UDF, no shuffle. Training isn't SQL → rows-only, count + content
+    // hash pinned in EntrySpec; equivalences in ClassifierSpec.
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = Classifier.trainLogReg(docs, "doc_id", "text",
+        col("lang") === "en")
+      docs.select(col("doc_id"),
+          Classifier.score(col("text"), model).as("p_en"),
+          (Classifier.score(col("text"), model) >= 0.5).as("pred_en"),
+          (col("lang") === "en").as("is_en"))
+        .orderBy(col("doc_id"))
+    }),
 
     // The same exact n-gram Jaccard, expressed ENTIRELY in SQL against
     // the registered kernel functions (GraftExtensions) — the SQL-surface
@@ -3033,6 +3072,63 @@ object SparkEntry {
         |  (o.quality > p.quality AND o.n_tokens <= p.n_tokens) OR
         |  (o.quality >= p.quality AND o.n_tokens < p.n_tokens))
         |ORDER BY quality DESC, n_tokens, doc_id""".stripMargin,
+
+    // quality subtree verbatim from q_auc; integer score units until
+    // the two final divisions
+    "q_calibration" ->
+      """WITH d AS (
+        |  SELECT round((len_score + punct_score + sw_score) / 3.0, 4) AS score,
+        |    (lang = 'en') AS lbl
+        |  FROM (SELECT lang,
+        |          least(length(text) / 500.0, 1.0) AS len_score,
+        |          1.0 - least(
+        |            (CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |             END) * 5.0, 1.0) AS punct_score,
+        |          1.0 - abs(
+        |            (CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |             END) - 0.4) AS sw_score
+        |        FROM (SELECT lang, text,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |              FROM documents) a) b),
+        |bn AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+        |         CAST(round(score * 10000, 0) AS BIGINT) AS u, lbl FROM d)
+        |SELECT bin, count(*) AS n,
+        |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(u) AS DOUBLE) / count(*) / 10000.0, 6) AS mean_score,
+        |  round(CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pos_rate
+        |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // same quality/bin subtree; (p−q)·ln(p/q) tree written identically,
+    // Laplace +1 per observed bin, denominators +10
+    "q_psi" ->
+      """WITH d AS (
+        |  SELECT CAST(least(floor(round((len_score + punct_score + sw_score) / 3.0, 4) * 10), 9) AS BIGINT) AS bin,
+        |    (lang = 'en') AS base
+        |  FROM (SELECT lang,
+        |          least(length(text) / 500.0, 1.0) AS len_score,
+        |          1.0 - least(
+        |            (CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |             END) * 5.0, 1.0) AS punct_score,
+        |          1.0 - abs(
+        |            (CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |             END) - 0.4) AS sw_score
+        |        FROM (SELECT lang, text,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |              FROM documents) a) b),
+        |c AS (SELECT bin,
+        |        CAST(sum(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+        |        CAST(sum(CASE WHEN base THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |      FROM d GROUP BY bin),
+        |t AS (SELECT CAST(sum(cb) AS BIGINT) AS tb,
+        |        CAST(sum(cc) AS BIGINT) AS tc FROM c)
+        |SELECT count(*) AS n_bins,
+        |  round(sum(((cb + 1)::DOUBLE / (tb + 10) - (cc + 1)::DOUBLE / (tc + 10)) *
+        |        ln(((cb + 1)::DOUBLE / (tb + 10)) / ((cc + 1)::DOUBLE / (tc + 10)))), 6) AS psi
+        |FROM c, t""".stripMargin,
 
     // integer cents × integer micro-gaps, HUGEINT sums (the Spark side
     // sums decimal(38,0)); the last observation carries no interval

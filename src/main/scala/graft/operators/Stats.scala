@@ -207,6 +207,69 @@ object Stats {
           (lit(2.0) * col("n_pos") * col("n_neg")), roundTo).as("auc"))
   }
 
+  /** Calibration (reliability) table of a probability-like score
+    * against a boolean outcome: `bins` equal-width bins over [0, 1],
+    * per bin the count, mean score, and empirical positive rate — the
+    * table behind a reliability diagram, and the check run before
+    * using a classifier score as a sampling probability. Scores at
+    * exactly 1.0 land in the top bin (closed top edge, the
+    * [[histogram]] convention).
+    *
+    * Exactness discipline: the score arrives pre-rounded to `scaleDp`
+    * decimals; it converts to integer units (10^scaleDp) so the
+    * per-bin sum is exact — mean and rate are single final divisions
+    * of exact integers. Map-only into a `bins`-row aggregate.
+    */
+  def calibration(df: DataFrame, scoreCol: Column, labelCol: Column,
+                  bins: Int, scaleDp: Int = 4): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val unit = math.pow(10.0, scaleDp)
+    val u = round(scoreCol * unit, 0).cast("long")
+    val bin = least(floor(scoreCol * bins), lit(bins - 1)).cast("long")
+    df.select(bin.as("bin"), u.as("_u"),
+        labelCol.cast("boolean").as("_l"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_u")).as("_su"),
+        sum(when(col("_l"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("_su").cast("double") / col("n") / unit, 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+  }
+
+  /** Population Stability Index between a `baseCol=true` population's
+    * and a `baseCol=false` population's distribution of a bucketed
+    * value: PSI = Σ_bins (p − q)·ln(p/q), the standard drift alarm
+    * between a reference window and a current window of the same score
+    * (< 0.1 stable, > 0.25 action). Laplace-smoothed counts (+1 per
+    * bin and side, denominators + `bins`) so one-sided-empty bins stay
+    * finite; bins observed in NEITHER population are excluded — their
+    * smoothed contribution is a constant artifact of the smoothing,
+    * not drift evidence. Applied identically on any engine.
+    *
+    * The corpus reduces to a (bin, side) count dimension map-side;
+    * the PSI sum runs over ≤ `bins` rows. Integer counts until the
+    * probability ratios; the ln/arithmetic tree is written identically
+    * in the oracle.
+    */
+  def psi(df: DataFrame, bucketCol: Column, baseCol: Column,
+          bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val counts = df.select(bucketCol.cast("long").as("bin"),
+        baseCol.cast("boolean").as("_base"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("_base"), 1L).otherwise(0L)).as("_cb"),
+        sum(when(col("_base"), 0L).otherwise(1L)).as("_cc"))
+    val tot = counts.agg(sum(col("_cb")).as("_tb"), sum(col("_cc")).as("_tc"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("_cb"), col("_cc"),
+        ((col("_cb") + 1).cast("double") / (col("_tb") + bins)).as("_p"),
+        ((col("_cc") + 1).cast("double") / (col("_tc") + bins)).as("_q"))
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum((col("_p") - col("_q")) * log(col("_p") / col("_q"))), 6)
+          .as("psi"))
+  }
+
   /** Per-group Shannon entropy (nats) of a discrete column: H = −Σ p·ln p
     * over the group's value distribution, plus the distinct-value and
     * total counts. The inner aggregate reduces the data to one row per

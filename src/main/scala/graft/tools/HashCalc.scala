@@ -1,0 +1,28 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object HashCalc {
+  def main(a: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def cell(v: Any): String = v match {
+      case null => "␀"
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case s: Seq[_] => s.map(cell).mkString("[", ",", "]")
+      case m: Map[_, _] =>
+        m.toSeq.map { case (k, x) => cell(k) + "->" + cell(x) }
+          .sorted.mkString("{", ",", "}")
+      case r: org.apache.spark.sql.Row => r.toSeq.map(cell).mkString("(", ",", ")")
+      case x => x.toString
+    }
+    for (q <- a) {
+      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val lines = df.collect().map(_.toSeq.map(cell).mkString("|")).sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(lines.mkString("\n").getBytes("UTF-8"))
+      println(s"HASH $q ${md.digest().map("%02x".format(_)).mkString}")
+    }
+    spark.stop()
+  }
+}

@@ -42,7 +42,7 @@ class EntrySpec extends SparkSpec {
       "q_fingerprint", "q_approx_distinct",
       "q_embedding_neardup_lsh", "q_source_similarity", "q_kmeans_sizes",
       "q_approx_quantile", "q_knn_graph_lsh", "q_bpe_encode",
-      "q_semantic_dedup", "q_mmr_rerank")
+      "q_semantic_dedup", "q_mmr_rerank", "q_quality_classifier")
   }
 
   test("rows-only queries return their pinned sf0.001 row counts") {
@@ -66,7 +66,8 @@ class EntrySpec extends SparkSpec {
       "q_knn_graph_lsh" -> 1500L,
       "q_bpe_encode" -> 500L,
       "q_semantic_dedup" -> 500L,
-      "q_mmr_rerank" -> 50L)
+      "q_mmr_rerank" -> 50L,
+      "q_quality_classifier" -> 500L)
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
@@ -75,8 +76,9 @@ class EntrySpec extends SparkSpec {
 
   test("rows-only queries match their pinned sf0.001 content hashes") {
     // counts alone would pass a wrong-but-same-cardinality result; the
-    // hash pins the VALUES (all 15 are deterministic by construction —
-    // hash-derived planes/signatures, fixed seeds, fixed k)
+    // hash pins the VALUES (all entries are deterministic by construction —
+    // hash-derived planes/signatures, fixed seeds, fixed k, fixed-order
+    // driver training; recompute with graft.tools.HashCalc)
     // q_ivf_topk == q_ivfpq_rerank is expected: at sf0.001 both recover
     // the exact cosine top-5 (full recall), so the dumps coincide
     val expected = Map(
@@ -96,7 +98,8 @@ class EntrySpec extends SparkSpec {
       "q_knn_graph_lsh" -> "dcf37446c8b2b588b333854717ebd8c4",
       "q_bpe_encode" -> "efff38eebad84cd301624f802fa2eb74",
       "q_semantic_dedup" -> "26afce62140d6cba51bf8c0d5d42ac2f",
-      "q_mmr_rerank" -> "0b1e85345f4cfd991efec0707e04bb38")
+      "q_mmr_rerank" -> "0b1e85345f4cfd991efec0707e04bb38",
+      "q_quality_classifier" -> "4c91feed1c7855d078044a15a8693d4c")
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> contentHash(SparkEntry.queries(q)(spark, dir))).toMap
