@@ -152,6 +152,7 @@ object SparkEntry {
     */
   private def pngAssetsFixture(s: SparkSession, dir: String): String =
     pngFixtures.computeIfAbsent(dir, _ => {
+      graft.multimodal.Multimodal.ensureImageIoInit() // in-memory stream cache
       val tmp = fixtureDir("graft-png")
       val path = tmp.getAbsolutePath + "/assets"
       val rows = boundedDocIds(s, dir, "PNG").toSeq.map { id =>
@@ -167,6 +168,57 @@ object SparkEntry {
         }
       import s.implicits._
       rows.toDF("asset_id", "media_type", "content", "format", "duration_ms")
+        // a LocalRelation writes from ONE task → one file → every decode
+        // downstream runs single-threaded; spread the corpus so codec
+        // stages parallelize like a real multi-file asset table
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private val gradPngFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Gradient-PNG fixture for the perceptual-hash queries: per-pixel
+    * PSEUDO-RANDOM gray from an integer hash of (seed, x, y) — unlike
+    * the constant-fill [[pngAssetsFixture]] (whose dHash is
+    * degenerate), every image carries a distinct texture, so unrelated
+    * images sit ~32 Hamming bits apart while PLANTED near-dups (each
+    * doc_id ≡ 1 (mod 10) re-renders its predecessor's texture with a
+    * small corner patch flipped) land within a few bits. All integer
+    * arithmetic — the corpus is bit-reproducible.
+    */
+  private def gradPngAssetsFixture(s: SparkSession, dir: String): String =
+    gradPngFixtures.computeIfAbsent(dir, _ => {
+      graft.multimodal.Multimodal.ensureImageIoInit() // in-memory stream cache
+      val tmp = fixtureDir("graft-gradpng")
+      val path = tmp.getAbsolutePath + "/assets"
+      val rows = boundedDocIds(s, dir, "gradient PNG").toSeq.map { id =>
+          val seed = if (id % 10 == 1) id - 1 else id
+          val (w, h) = ((seed % 32 + 16).toInt, (seed % 24 + 12).toInt)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var g = ((((seed ^ (x * 73856093L) ^ (y * 19349663L)) *
+                2654435761L) >>> 24) & 0xFF).toInt
+              // the near-dup perturbation: a 3x3 corner patch inverted
+              if (id % 10 == 1 && x < 3 && y < 3) g = g ^ 0xFF
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image", bos.toByteArray, "image/png", 0L)
+        }
+      import s.implicits._
+      rows.toDF("asset_id", "media_type", "content", "format", "duration_ms")
+        // a LocalRelation writes from ONE task → one file → every decode
+        // downstream runs single-threaded; spread the corpus so codec
+        // stages parallelize like a real multi-file asset table
+        .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(path)
       path
     })
@@ -204,6 +256,10 @@ object SparkEntry {
         }
       import s.implicits._
       rows.toDF("asset_id", "media_type", "content", "format", "duration_ms")
+        // a LocalRelation writes from ONE task → one file → every decode
+        // downstream runs single-threaded; spread the corpus so codec
+        // stages parallelize like a real multi-file asset table
+        .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(path)
       path
     })
@@ -757,6 +813,33 @@ object SparkEntry {
           TextAnalytics.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // Per-language character-class mix — the script/charset profile run
+    // before choosing tokenizers and language filters (a CJK corpus
+    // labeled 'en' shows up as a nonascii_frac spike). Exact integer
+    // char counts per class (pairwise-disjoint: ASCII alpha / digit /
+    // ASCII whitespace / non-ASCII / remainder = ASCII punctuation),
+    // single final divisions, identical regex trees in the oracle.
+    "q_script_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("lang"),
+        length(col("text")).as("_n"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("_alpha"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).as("_digit"),
+        length(regexp_replace(col("text"), "[^ \\t\\n\\r]", "")).as("_ws"),
+        length(regexp_replace(col("text"), "[\\x00-\\x7F]", "")).as("_na"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("n_chars"),
+          sum(col("_alpha")).as("_sa"), sum(col("_digit")).as("_sd"),
+          sum(col("_ws")).as("_sw"), sum(col("_na")).as("_sn"))
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          round(col("_sa").cast("double") / col("n_chars"), 6).as("alpha_frac"),
+          round(col("_sd").cast("double") / col("n_chars"), 6).as("digit_frac"),
+          round(col("_sw").cast("double") / col("n_chars"), 6).as("ws_frac"),
+          round(col("_sn").cast("double") / col("n_chars"), 6).as("nonascii_frac"),
+          round((col("n_chars") - col("_sa") - col("_sd") - col("_sw") - col("_sn"))
+            .cast("double") / col("n_chars"), 6).as("punct_frac"))
+        .orderBy(col("lang"))
+    }),
+
     // Deterministic corpus sampling (training-pipeline downsampling).
     // Both use the md5-hex decision variant for engine-exact oracle
     // parity; Sampling.hashSample (xxhash64, map-only) is the production
@@ -1309,6 +1392,19 @@ object SparkEntry {
         .select(col("id"), col("keeper_id"), col("keep"))
         .orderBy(col("id"))),
 
+    // Quality-aware keeper policy over the same scale-safe pair source:
+    // each cluster keeps its BEST-quality member (ties → min id), the
+    // production alternative to min-id keepers. Priority compares in
+    // integer score units (the q_calibration discipline) so the pick
+    // cannot flip on a last-ulp double difference between engines.
+    "q_dedup_keepers_quality" -> ((s, dir) =>
+      Dedup.keepersBy(
+          Tables.documents(s, dir).select(col("doc_id"),
+            round(TextAnalytics.qualityScore(col("text"),
+              Seq("the", "a", "of", "and")) * 10000, 0).cast("long").as("_qu")),
+          "doc_id", col("_qu"), ngramPairs(s, dir))
+        .orderBy(col("id"))),
+
     // Benchmark decontamination: every 50th doc plays the held-out eval
     // set; remaining docs are flagged by distinct-shingle overlap with
     // the (broadcast) benchmark shingle universe. Spark counts shared
@@ -1572,6 +1668,36 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           round(element_at(col("embedding"), 1).cast("double"), 6).as("luma"))
         .orderBy(col("asset_id"))
+    }),
+
+    // -- multimodal: perceptual dHash over REAL decoded pixels — the
+    // near-dup key for image corpora (robust to re-encode/brightness,
+    // integer-exact so bit-reproducible). Hash kernel isn't SQL →
+    // rows-only, count + content hash pinned in EntrySpec; kernel
+    // properties (copy ⇒ identical hash, perturbation ⇒ few bits,
+    // unrelated ⇒ ~32 bits) proven in MultimodalSpec.
+    "q_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val assets = s.read.schema(graft.multimodal.Multimodal.assetSchema)
+        .parquet(gradPngAssetsFixture(s, dir))
+        .as[graft.multimodal.Multimodal.Asset]
+      graft.multimodal.Multimodal.dHash64(assets).orderBy(col("asset_id"))
+    }),
+
+    // -- multimodal: image near-dup pairs — banded-Hamming equi-join
+    // over the dHash keys (pigeonhole candidates, exact verify; the
+    // simhash plan applied to pixels, no nested-loop join anywhere).
+    // The gradient fixture plants a near-dup for every doc_id ≡ 1
+    // (mod 10); unrelated textures sit ~32 bits apart.
+    "q_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val assets = s.read.schema(graft.multimodal.Multimodal.assetSchema)
+        .parquet(gradPngAssetsFixture(s, dir))
+        .as[graft.multimodal.Multimodal.Asset]
+      Dedup.hammingPairs(
+          graft.multimodal.Multimodal.dHash64(assets), "asset_id", "dhash",
+          maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // -- multimodal: REAL audio decode — javax.sound.sampled recovers
@@ -2505,6 +2631,23 @@ object SparkEntry {
         |WHERE substring(md5(cast(doc_id AS VARCHAR)), 1, 1) < '2'
         |ORDER BY doc_id""".stripMargin,
 
+    // identical regex trees; integer char counts, single final divisions
+    "q_script_mix" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(a) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS alpha_frac,
+        |  round(CAST(sum(d) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS digit_frac,
+        |  round(CAST(sum(w) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS ws_frac,
+        |  round(CAST(sum(x) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS nonascii_frac,
+        |  round(CAST(sum(n) - sum(a) - sum(d) - sum(w) - sum(x) AS DOUBLE)
+        |        / CAST(sum(n) AS BIGINT), 6) AS punct_frac
+        |FROM (SELECT lang, length(text) AS n,
+        |        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS a,
+        |        length(regexp_replace(text, '[^0-9]', '', 'g')) AS d,
+        |        length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS w,
+        |        length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS x
+        |      FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_repetition" ->
       """SELECT doc_id, cast(len(toks) AS BIGINT) AS n_tokens,
         |  round(CASE WHEN len(toks) = 0 THEN 0.0
@@ -3270,6 +3413,61 @@ object SparkEntry {
         |       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         |ORDER BY id""".stripMargin,
+
+    // same component CTE as q_dedup_keepers_ngram; keeper = max integer
+    // quality units (q_calibration subtree), ties broken by min id
+    "q_dedup_keepers_quality" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST(round(round((len_score + punct_score + sw_score) / 3.0, 4) * 10000, 0) AS BIGINT) AS qu
+        |  FROM (SELECT doc_id,
+        |          least(length(text) / 500.0, 1.0) AS len_score,
+        |          1.0 - least(
+        |            (CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |             END) * 5.0, 1.0) AS punct_score,
+        |          1.0 - abs(
+        |            (CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |             END) - 0.4) AS sw_score
+        |        FROM (SELECT doc_id, text,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |              FROM documents) a) b),
+        |m AS (
+        |  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cid, q.qu
+        |  FROM documents d
+        |  LEFT JOIN comp c ON d.doc_id = c.id
+        |  JOIN qual q ON q.doc_id = d.doc_id),
+        |k AS (
+        |  SELECT id, cid,
+        |    row_number() OVER (PARTITION BY cid ORDER BY qu DESC, id ASC) AS rn
+        |  FROM m)
+        |SELECT m.id, kk.id AS keeper_id, m.id = kk.id AS keep
+        |FROM m JOIN (SELECT cid, id FROM k WHERE rn = 1) kk ON m.cid = kk.cid
+        |ORDER BY m.id""".stripMargin,
 
     // Same string-shingle-vs-64-bit-hash equivalence as q_ngram_jaccard:
     // the benchmark's distinct shingle universe is a flattened list and

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CurationExpr, DedupExpr, TextAnalytics}
@@ -343,5 +344,52 @@ object Curation {
         TextAnalytics.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .where(col("cum_tokens") <= budget)
+  }
+
+  /** Exact duplicate-SPAN report — the diagnostic behind substring-level
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): find the maximal token spans of each
+    * document whose every `k`-gram occurs elsewhere in the corpus
+    * (another document, or again in the same one). Document-level dedup
+    * is blind to these — a unique page wrapping a boilerplate footer
+    * dedups to "unique" while the footer still trains thousands of
+    * times.
+    *
+    *   1. positional k-gram hashes per document (map-only kernel
+    *      arithmetic — the shuffle carries (doc, pos, 64-bit hash));
+    *   2. hashes with a corpus occurrence count ≥ 2 survive (one
+    *      hash-keyed aggregate + rejoin on the same key);
+    *   3. per document, runs of CONSECUTIVE duplicated positions merge
+    *      into maximal spans (gaps-and-islands: pos − rank is constant
+    *      within a run — one doc-keyed window);
+    *   4. spans shorter than `minRun` k-grams drop (a lone duplicated
+    *      k-gram is n-gram noise, not a copied span).
+    *
+    * Output: (doc_id, span_start, n_grams, span_tokens) per maximal
+    * span, span_tokens = n_grams + k − 1. All equi-joins on 64-bit
+    * hashes; no similarity math, this is EXACT containment.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, minRun: Int = 3): DataFrame = {
+    require(k >= 1, s"k $k")
+    require(minRun >= 1, s"minRun $minRun")
+    val toks = TextAnalytics.tokens(col(textCol))
+    // strict positional k-grams: position i covers tokens [i, i+k)
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+          .otherwise(array().cast("array<bigint>")))
+          .as(Seq("pos", "sh")))
+    val dup = grams.groupBy(col("sh")).agg(count(lit(1)).as("_occ"))
+      .where(col("_occ") >= 2)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dup.select(col("sh")), Seq("sh")) // hash-keyed semi shape
+      .withColumn("_island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("n_grams"))
+      .where(col("n_grams") >= minRun)
+      .select(col("doc_id"), col("span_start"), col("n_grams"),
+        (col("n_grams") + (k - 1)).as("span_tokens"))
   }
 }

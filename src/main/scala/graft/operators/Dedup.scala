@@ -159,25 +159,45 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes (bit_count of XOR). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the 4 16-bit chunks of the simhash
-    * (any pair within Hamming distance 3 of each other shares at least one
-    * exact chunk — pigeonhole), then verify with full Hamming distance.
+  /** SimHash near-dup pairs: bucket by the chunks of the simhash (any
+    * pair within Hamming distance k shares at least one exact chunk out
+    * of k+1 — pigeonhole), then verify with full Hamming distance.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashed(df, idCol, textCol), "id", "sh", maxHamming)
+
+  /** Generic banded-Hamming near-dup join over ANY (id, 64-bit hash)
+    * table — simhash text keys and dHash image keys share this plan.
+    * The hash splits into `maxHamming + 1` contiguous bit bands: a pair
+    * within Hamming distance k differs in ≤ k bands, so it matches
+    * EXACTLY in at least one of the k+1 (pigeonhole — candidate recall
+    * is 1.0, not probabilistic). Candidates equi-join on the 64-bit
+    * band key (band index folded in via xxhash64, one shuffle, never
+    * the payload); true Hamming verifies once per distinct pair.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming $maxHamming outside [1, 15]: 0 is exact grouping " +
+        "(use exactByKey); >15 makes 64-bit bands too short to prune")
+    val nBands = maxHamming + 1
     // materialize once — both join branches would recompute the hashes
-    val hashes = simhashed(df, idCol, textCol).localCheckpoint(true)
-    // candidate join carries only (chunk-key-with-index-folded, id);
-    // hamming is verified once per DISTINCT pair after rejoining hashes
-    val chunks = hashes.select(col("id"), explode(array((0 until 4).map(i =>
-        xxhash64(shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL), lit(i))): _*)).as("ck"))
+    val h = hashes.select(col(idCol).as("id"), col(hashCol).as("sh"))
+      .localCheckpoint(true)
+    val chunks = h.select(col("id"), explode(array((0 until nBands).map { i =>
+        val lo = i * 64 / nBands
+        val width = (i + 1) * 64 / nBands - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        xxhash64(shiftright(col("sh"), lo).bitwiseAND(mask), lit(i))
+      }: _*)).as("ck"))
     val cand = chunks.select(col("ck"), col("id").as("id_a"))
       .join(chunks.select(col("ck"), col("id").as("id_b")), Seq("ck"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     cand
-      .join(hashes.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(hashes.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(h.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(h.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
@@ -402,6 +422,31 @@ object Dedup {
       .join(clusters(pairs), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("keeper_id"))
       .withColumn("keep", col("id") === col("keeper_id"))
+
+  /** Priority-aware dedup decision: like [[keepers]], but each cluster's
+    * keeper is the member MAXIMIZING `priorityCol` (ties → min id) — the
+    * production curation policy of keeping the best-quality duplicate
+    * rather than the arbitrary lowest-id one. Callers must pass a
+    * priority whose values compare identically on any engine (integer
+    * units or a value rounded the same way everywhere — the
+    * [[graft.operators.Stats.calibration]] discipline), or keeper picks
+    * can flip on a last-ulp difference.
+    *
+    * Cost over [[keepers]]: one extra shuffle keyed by cluster_id for
+    * the keeper window — skew-bounded because a cluster is a set of
+    * near-duplicates (bounded by dedup semantics, not item popularity).
+    */
+  def keepersBy(all: DataFrame, idCol: String, priorityCol: Column,
+                pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("_pri").desc, col("id").asc)
+    all.select(col(idCol).as("id"), priorityCol.as("_pri"))
+      .join(clusters(pairs), Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("keeper_id", first(col("id")).over(w))
+      .select(col("id"), col("keeper_id"),
+        (col("id") === col("keeper_id")).as("keep"))
+  }
 
   // -------------------------------------------- embedding-cosine near-dup
 

@@ -42,7 +42,8 @@ class EntrySpec extends SparkSpec {
       "q_fingerprint", "q_approx_distinct",
       "q_embedding_neardup_lsh", "q_source_similarity", "q_kmeans_sizes",
       "q_approx_quantile", "q_knn_graph_lsh", "q_bpe_encode",
-      "q_semantic_dedup", "q_mmr_rerank", "q_quality_classifier")
+      "q_semantic_dedup", "q_mmr_rerank", "q_quality_classifier",
+      "q_image_dhash", "q_image_neardup")
   }
 
   test("rows-only queries return their pinned sf0.001 row counts") {
@@ -67,7 +68,9 @@ class EntrySpec extends SparkSpec {
       "q_bpe_encode" -> 500L,
       "q_semantic_dedup" -> 500L,
       "q_mmr_rerank" -> 50L,
-      "q_quality_classifier" -> 500L)
+      "q_quality_classifier" -> 500L,
+      "q_image_dhash" -> 500L,
+      "q_image_neardup" -> 50L)
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
@@ -99,7 +102,9 @@ class EntrySpec extends SparkSpec {
       "q_bpe_encode" -> "efff38eebad84cd301624f802fa2eb74",
       "q_semantic_dedup" -> "26afce62140d6cba51bf8c0d5d42ac2f",
       "q_mmr_rerank" -> "0b1e85345f4cfd991efec0707e04bb38",
-      "q_quality_classifier" -> "4c91feed1c7855d078044a15a8693d4c")
+      "q_quality_classifier" -> "4c91feed1c7855d078044a15a8693d4c",
+      "q_image_dhash" -> "dd01792d261fdb29559ae3f1c592084b",
+      "q_image_neardup" -> "0922d00369a357d524819734727c29ec")
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> contentHash(SparkEntry.queries(q)(spark, dir))).toMap

@@ -123,6 +123,12 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_image_neardup: banded-Hamming candidates are equi-joins only") {
+    val p = planOf("q_image_neardup")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("q_shj: hint forces a shuffled hash join (neither broadcast nor sort-merge)") {
     val p = planOf("q_shj")
     p should include("ShuffledHashJoin")

@@ -175,4 +175,79 @@ class MultimodalSpec extends SparkSpec {
     m(0)._1 shouldBe 11L
     m(0)._2 shouldBe "5eb63bbbe01eeed093cb22bb8f5acdc3" // md5("hello world")
   }
+
+  /** Textured PNG: pseudo-random gray per (seed, x, y) — the fixture
+    * pattern q_image_dhash uses, reproduced independently here.
+    */
+  private def texturedPng(seed: Long, w: Int, h: Int,
+                          patch: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      var g = ((((seed ^ (x * 73856093L) ^ (y * 19349663L)) *
+        2654435761L) >>> 24) & 0xFF).toInt
+      if (patch && x < 3 && y < 3) g = g ^ 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash64: exact copy hashes identically; re-encode-at-same-pixels too") {
+    val bytes = texturedPng(42L, 32, 24)
+    val ds = Seq(
+      Asset(1L, "image", bytes, "image/png", 0L),
+      Asset(2L, "image", bytes.clone(), "image/png", 0L)).toDS()
+    val h = Multimodal.dHash64(ds).orderBy("asset_id")
+      .select("dhash").as[Long].collect()
+    h(0) shouldBe h(1)
+  }
+
+  test("dHash64: corner perturbation moves few bits, unrelated textures ~half") {
+    val ds = Seq(
+      Asset(1L, "image", texturedPng(42L, 32, 24), "image/png", 0L),
+      Asset(2L, "image", texturedPng(42L, 32, 24, patch = true), "image/png", 0L),
+      Asset(3L, "image", texturedPng(777L, 32, 24), "image/png", 0L)).toDS()
+    val h = Multimodal.dHash64(ds).orderBy("asset_id")
+      .select("dhash").as[Long].collect()
+    val perturbed = java.lang.Long.bitCount(h(0) ^ h(1))
+    val unrelated = java.lang.Long.bitCount(h(0) ^ h(2))
+    perturbed should be <= 6
+    unrelated should be >= 16 // E=32 for independent textures
+  }
+
+  test("dHash64: codec-less payloads take the deterministic stub grid") {
+    val ds = Seq(
+      Asset(9L, "video", "some payload bytes".getBytes("UTF-8"), "fake/v1", 0L),
+      Asset(10L, "video", "some payload bytes".getBytes("UTF-8"), "fake/v1", 0L)).toDS()
+    val h = Multimodal.dHash64(ds).select("dhash").as[Long].collect()
+    h(0) shouldBe h(1) // deterministic, no crash
+  }
+
+  test("dHash64 is brightness-shift invariant (gradient signs survive)") {
+    // same texture, +40 gray on every pixel (clamped): dHash compares
+    // NEIGHBOR means, so a global shift flips (almost) no bits
+    def shifted(seed: Long, w: Int, h: Int, add: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = ((((seed ^ (x * 73856093L) ^ (y * 19349663L)) *
+          2654435761L) >>> 24) & 0xFF).toInt
+        val g = math.min(255, math.max(0, base / 2 + add)) // halved → no clip
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val ds = Seq(
+      Asset(1L, "image", shifted(42L, 32, 24, 0), "image/png", 0L),
+      Asset(2L, "image", shifted(42L, 32, 24, 40), "image/png", 0L)).toDS()
+    val h = Multimodal.dHash64(ds).orderBy("asset_id")
+      .select("dhash").as[Long].collect()
+    // ties (equal neighbor means) may flip either way under a shift of
+    // the halved texture; require near-identity, not equality
+    java.lang.Long.bitCount(h(0) ^ h(1)) should be <= 2
+  }
 }

@@ -364,4 +364,31 @@ class DedupSpec extends SparkSpec {
       .select("name_a", "name_b").as[(String, String)].collect().toSet
     got shouldBe Set(("a same long suffix", "z same long suffix"))
   }
+
+  test("hammingPairs reproduces the brute-force join at every k (pigeonhole completeness)") {
+    import spark.implicits._
+    // deterministic 64-bit keys: a splitmix-style scramble plus planted
+    // near keys (flip 1..k low/high bits of key i for some i)
+    def scramble(i: Long): Long = {
+      var z = i * -7046029254386353131L
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      (z ^ (z >>> 27)) * -7723592293110705685L
+    }
+    val base = (0L until 40L).map(i => i -> scramble(i))
+    val planted = Seq(
+      100L -> (scramble(3) ^ 1L),           // hamming 1 to key 3
+      101L -> (scramble(7) ^ (3L << 62)),   // hamming 2 (top bits) to key 7
+      102L -> (scramble(11) ^ 0x8421L))     // hamming 4 to key 11
+    val df = (base ++ planted).toDF("id", "h")
+    val all = (base ++ planted)
+    for (k <- Seq(1, 3, 6)) {
+      val brute = (for {
+        (ia, ha) <- all; (ib, hb) <- all
+        if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= k
+      } yield (ia, ib)).toSet
+      val got = Dedup.hammingPairs(df, "id", "h", maxHamming = k)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      got shouldBe brute // candidates are pigeonhole-complete, verify exact
+    }
+  }
 }
