@@ -1061,6 +1061,78 @@ object SparkEntry {
           Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
         .orderBy(col("col_name"))),
 
+    // Pre-flight join-explosion advisor: exact output cardinality and
+    // hottest-key fan-out of lineitem ⋈ orders from per-key COUNT
+    // dimensions — the salting/broadcast decision input, computed
+    // without running the join. Integer-exact throughout.
+    "q_join_cardinality" -> ((s, dir) =>
+      Profiling.joinCardinality(
+        Tables.lineitem(s, dir), col("l_orderkey"),
+        Tables.orders(s, dir), col("o_orderkey"))),
+
+    // Exact duplicate-SPAN report (Lee et al. substring-level dedup):
+    // maximal runs of corpus-duplicated positional 3-grams per doc.
+    // Spark counts 64-bit positional shingle hashes; DuckDB counts the
+    // shingle strings — identical barring a ~2^-64 collision.
+    "q_dup_spans" -> ((s, dir) =>
+      Curation.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, minRun = 3)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // Pairwise Welch t-tests across event types over integer cents:
+    // corpus → one exact (n, Σc, Σc²) row per group, then pure double
+    // arithmetic on the bounded dim×dim pair table — engine-exact
+    "q_welch_ttest" -> ((s, dir) =>
+      Stats.welchTTest(Tables.events(s, dir), col("event_type"),
+          expr("cast(round(value * 100) as bigint)"))
+        .orderBy(col("g_a"), col("g_b"))),
+
+    // Benford leading-digit audit of the value column (fraud/synthetic-
+    // data signal): digit from the integer's decimal string, one 9-row
+    // aggregate
+    "q_benford" -> ((s, dir) =>
+      Stats.benford(Tables.events(s, dir),
+          expr("cast(round(value * 100) as bigint)"))
+        .orderBy(col("digit"))),
+
+    // Boolean AND retrieval via posting-list intersection: the IN-filter
+    // runs before the shuffle, so cost is the query terms' posting lists,
+    // not the corpus
+    "q_bool_retrieval" -> ((s, dir) =>
+      Retrieval.booleanRetrieval(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "window", "join"), minMatch = 3)
+        .orderBy(col("doc_id"))),
+
+    // Flesch-style reading ease with vowel-run syllable estimate —
+    // map-only regexp_count arithmetic on exact integer counts
+    "q_readability" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where(TextAnalytics.tokenCount(col("text")) > 0)
+        .select(col("doc_id"),
+          TextAnalytics.tokenCount(col("text")).cast("long").as("n_words"),
+          TextAnalytics.vowelGroups(col("text")).cast("long").as("n_vowel_groups"),
+          round(TextAnalytics.readingEase(col("text")), 4).as("reading_ease"))
+        .orderBy(col("doc_id"))),
+
+    // Multiset difference / intersection (EXCEPT ALL / INTERSECT ALL):
+    // duplicate-preserving set algebra between two event partitions —
+    // Spark rewrites both to a single count-compare aggregate, no join
+    "q_except_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_id") % 2 === 0).select(col("user_id"), col("event_type"))
+        .exceptAll(ev.where(col("event_id") % 2 === 1)
+          .select(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    "q_intersect_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_id") % 2 === 0).select(col("user_id"), col("event_type"))
+        .intersectAll(ev.where(col("event_id") % 2 === 1)
+          .select(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Deterministic weighted data mixture: per-source md5-threshold keep
     // rates (upsample curated, downsample crawl, drop the rest) — pure
     // function of (id, source), map-only, engine-exact
@@ -2880,6 +2952,120 @@ object SparkEntry {
         |  count(DISTINCT l_shipdate),
         |  CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    // per-key count dimensions full-outer-joined; exact Σ cl·cr
+    "q_join_cardinality" ->
+      """WITH a AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+        |b AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_both,
+        |  CAST(sum(CASE WHEN cr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_left_only,
+        |  CAST(sum(CASE WHEN cl IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_right_only,
+        |  coalesce(sum(cl * cr), 0) AS est_output_rows,
+        |  CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_key_fanout
+        |FROM a FULL OUTER JOIN b USING (k)""".stripMargin,
+
+    // strict positional 3-grams (docs shorter than k emit none — NOT
+    // the whole-doc fallback the set-shingle oracles use); duplicated =
+    // corpus occurrence count >= 2; islands by pos - row_number
+    "q_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |           x -> length(x) > 0) AS toks FROM documents),
+        |g0 AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS pos
+        |       FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT doc_id, pos,
+        |        array_to_string(toks[pos+1:pos+3], ' ') AS sh FROM g0),
+        |d AS (SELECT sh FROM g GROUP BY sh HAVING count(*) >= 2),
+        |p AS (SELECT g.doc_id, g.pos,
+        |        row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS rn
+        |      FROM g JOIN d ON g.sh = d.sh)
+        |SELECT doc_id, min(pos) AS span_start,
+        |  count(*) AS n_grams, count(*) + 2 AS span_tokens
+        |FROM p GROUP BY doc_id, pos - rn
+        |HAVING count(*) >= 3
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // exact integer (n, Σc, Σc²) per group, then the identical double
+    // expression tree — sums of integers-as-doubles are exact below 2^53
+    "q_welch_ttest" ->
+      """WITH c0 AS (SELECT event_type AS g,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, sum(c) AS s,
+        |        sum(c * c) AS ss
+        |      FROM c0 GROUP BY 1 HAVING count(*) > 1)
+        |SELECT a.g AS g_a, b.g AS g_b,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  round(a.s / a.n / 100.0, 4) AS mean_a,
+        |  round(b.s / b.n / 100.0, 4) AS mean_b,
+        |  round((a.s / a.n - b.s / b.n) /
+        |    sqrt((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n +
+        |         (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n), 4) AS t_stat,
+        |  round(((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n +
+        |         (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) *
+        |        ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n +
+        |         (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) /
+        |    ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n *
+        |       ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n) / (a.n - 1) +
+        |     (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n *
+        |       ((b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) / (b.n - 1)), 2)
+        |    AS df_welch
+        |FROM g a JOIN g b ON a.g < b.g
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    // leading digit from the integer's decimal string — exact at every
+    // power-of-ten boundary; n/tot is double division in both engines
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |  WHERE c > 0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+        |SELECT digit, n, round(n / tot, 6) AS share,
+        |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share,
+        |  round((n / tot - ln(1.0 + 1.0 / digit) / ln(10.0)) *
+        |        (n / tot - ln(1.0 + 1.0 / digit) / ln(10.0)) /
+        |        (ln(1.0 + 1.0 / digit) / ln(10.0)) * tot, 6) AS chi2_term
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "q_bool_retrieval" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0)) AS tok FROM documents),
+        |d AS (SELECT DISTINCT doc_id, tok FROM t
+        |      WHERE tok IN ('spark', 'window', 'join'))
+        |SELECT doc_id, count(*) AS n_terms_hit FROM d
+        |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
+
+    "q_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+        |      AS n_vowel_groups,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE)
+        |      AS sentences
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_vowel_groups,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / sentences)
+        |    - 84.6 * (CAST(n_vowel_groups AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    4) AS reading_ease
+        |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT * FROM (
+        |  SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+        |  EXCEPT ALL
+        |  SELECT user_id, event_type FROM events WHERE event_id % 2 = 1)
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT * FROM (
+        |  SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+        |  INTERSECT ALL
+        |  SELECT user_id, event_type FROM events WHERE event_id % 2 = 1)
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_source_mixture" ->
       """SELECT source, count(*) AS n_kept

@@ -139,4 +139,25 @@ object TextAnalytics {
     */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Number of vowel runs ([aeiou]+ matches) — the classic cheap
+    * syllable-count proxy readability formulas are built on. Pure
+    * regexp_count: codegen'd, map-only. */
+  def vowelGroups(text: Column): Column =
+    regexp_count(lower(text), lit("[aeiou]+"))
+
+  /** Flesch-style reading-ease score with the syllable term estimated
+    * by vowel runs: 206.835 − 1.015·(words/sentences) − 84.6·
+    * (vowelGroups/words). `sentences` is max(1, count of [.!?] runs) so
+    * unpunctuated corpora (one long sentence) still score. All ratio
+    * arithmetic happens on exact integer counts — the double math is
+    * reproducible across engines.
+    */
+  def readingEase(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sentences = greatest(lit(1),
+      regexp_count(text, lit("[.!?]+"))).cast("double")
+    lit(206.835) - lit(1.015) * (words / sentences) -
+      lit(84.6) * (vowelGroups(text).cast("double") / words)
+  }
 }

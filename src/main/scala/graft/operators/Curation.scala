@@ -387,7 +387,8 @@ object Curation {
     grams.join(dup.select(col("sh")), Seq("sh")) // hash-keyed semi shape
       .withColumn("_island", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("_island"))
-      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("n_grams"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        count(lit(1)).as("n_grams"))
       .where(col("n_grams") >= minRun)
       .select(col("doc_id"), col("span_start"), col("n_grams"),
         (col("n_grams") + (k - 1)).as("span_tokens"))

@@ -32,4 +32,30 @@ object Profiling {
           col("n_distinct"), col("min_value"), col("max_value"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Pre-flight join-explosion advisor: reduce both sides to per-key
+    * COUNT dimensions (the shuffle carries (key, long), never rows),
+    * full-outer-join the dimensions, and report exactly what the real
+    * join would do — matched/only-left/only-right key counts, the
+    * EXACT output cardinality Σ c_l·c_r, and the hottest key's fan-out
+    * (the salting decision input). Two count-aggregates instead of one
+    * melted cluster; the decimal(38,0) sum cannot overflow at any
+    * realistic corpus size.
+    */
+  def joinCardinality(left: DataFrame, leftKey: org.apache.spark.sql.Column,
+                      right: DataFrame, rightKey: org.apache.spark.sql.Column): DataFrame = {
+    val a = left.select(leftKey.as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("cl"))
+    val b = right.select(rightKey.as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("cr"))
+    a.join(b, Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("cl").isNotNull && col("cr").isNotNull, 1L)
+          .otherwise(0L)).as("n_keys_both"),
+        sum(when(col("cr").isNull, 1L).otherwise(0L)).as("n_keys_left_only"),
+        sum(when(col("cl").isNull, 1L).otherwise(0L)).as("n_keys_right_only"),
+        coalesce(sum((col("cl") * col("cr")).cast("decimal(38,0)")), lit(0))
+          .cast("decimal(38,0)").as("est_output_rows"),
+        coalesce(max(col("cl") * col("cr")), lit(0L)).as("max_key_fanout"))
+  }
 }

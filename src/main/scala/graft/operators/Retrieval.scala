@@ -476,4 +476,26 @@ object Retrieval {
     }
     picked.toSeq
   }
+
+  /** Boolean (set-retrieval) query over an on-the-fly inverted index:
+    * documents whose token set matches at least `minMatch` of the query
+    * `terms` (AND = terms.size, OR = 1). The term IN-filter runs
+    * map-side BEFORE any shuffle — only (doc_id, matching-term) pairs
+    * for the |terms| query tokens ever move, so cost is bounded by the
+    * posting-list sizes of the query terms, not the corpus. This is
+    * exactly the posting-intersection plan a search engine runs,
+    * expressed as filter → distinct → count-threshold.
+    */
+  def booleanRetrieval(docs: DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String], minMatch: Int): DataFrame = {
+    require(terms.nonEmpty && minMatch >= 1 && minMatch <= terms.size,
+      s"need 1 <= minMatch <= |terms|, got minMatch=$minMatch terms=${terms.size}")
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalytics.tokens(col(textCol))).as("tok"))
+      .where(col("tok").isInCollection(terms))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"))
+      .where(col("n_terms_hit") >= minMatch)
+  }
 }

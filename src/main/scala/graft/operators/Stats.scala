@@ -288,4 +288,68 @@ object Stats {
         max(col("_tot")).as("n_total"),
         (-sum(p * log(p))).as("entropy"))
   }
+
+  /** Pairwise Welch two-sample t-tests between every pair of groups —
+    * the experiment-analysis primitive (is source A's metric different
+    * from source B's?). The corpus reduces to one exact-integer row per
+    * group (n, Σc, Σc²) over an integer-cents value column; the t
+    * statistic and Welch–Satterthwaite df are then pure double
+    * arithmetic on those exact sums, so both engines compute
+    * bit-identical results. The pair join is over the bounded group
+    * dimension only (a nested loop over k rows, never over data).
+    *
+    * Σc² is accumulated in double: exact while group sums stay below
+    * 2^53 (≈9e15 — far above any realistic cents corpus at one group),
+    * and the BIGINT-overflow-free twin of DuckDB's HUGEINT promotion.
+    */
+  def welchTTest(df: DataFrame, groupCol: Column, centsCol: Column): DataFrame = {
+    val g = df.select(groupCol.as("g"), centsCol.cast("double").as("c"))
+      .where(col("c").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .where(col("n") > 1)
+    val a = g.select(col("g").as("g_a"), col("n").as("na"),
+      col("s").as("sa"), col("ss").as("ssa"))
+    val b = g.select(col("g").as("g_b"), col("n").as("nb"),
+      col("s").as("sb"), col("ss").as("ssb"))
+    val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val sea = va / col("na")
+    val seb = vb / col("nb")
+    val se2 = sea + seb
+    a.join(b, col("g_a") < col("g_b")) // bounded dim × dim, not data × data
+      .select(col("g_a"), col("g_b"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(col("sa") / col("na") / 100.0, 4).as("mean_a"),
+        round(col("sb") / col("nb") / 100.0, 4).as("mean_b"),
+        round((col("sa") / col("na") - col("sb") / col("nb")) / sqrt(se2), 4)
+          .as("t_stat"),
+        round(se2 * se2 /
+          (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1)), 2)
+          .as("df_welch"))
+  }
+
+  /** Benford leading-digit audit of a positive integer-cents column:
+    * observed count and share per digit 1–9 against the Benford
+    * expectation log10(1 + 1/d), with the per-digit chi-square
+    * contribution. The leading digit comes from the DECIMAL STRING of
+    * the integer (substr of cast), not floor(log10) arithmetic — exact
+    * in both engines at every power-of-ten boundary. One 9-row
+    * aggregate; the scan dominates.
+    */
+  def benford(df: DataFrame, centsCol: Column): DataFrame = {
+    val d = df.select(centsCol.cast("long").as("c")).where(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum(col("n")).as("tot"))
+    val expShare = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("tot"), 6).as("share"),
+        round(expShare, 6).as("benford_share"),
+        round((col("n") / col("tot") - expShare) * (col("n") / col("tot") - expShare) /
+          expShare * col("tot"), 6).as("chi2_term"))
+  }
 }

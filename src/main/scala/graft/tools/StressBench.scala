@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 14).toSet
+      else (1 to 15).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -434,6 +434,32 @@ object StressBench {
         incPairs.exceptAll(expected).count() == 0,
         "incremental != full-restricted-to-new-touching")
       println(s"""{"metric":"incremental_dedup","docs":${nOld + nNew},"new":$nNew,"pairs":$nInc,"planted_found":$planted,"planted":$nNew,"sec_incremental":$tInc,"sec_full":$tFull,"cpus":$cpus}""")
+    }
+
+    // ---- 15. banded-Hamming pairs (the simhash/dHash near-dup join) at
+    // dictionary scale: nNames uniform 64-bit keys, every 10th id a
+    // planted 1-bit mutation of its predecessor. k=1 → 2 bands of 32
+    // bits, so random band collisions are ~n²/2^32 — the knob a
+    // production run turns (smaller k / wider bands) as cardinality
+    // grows, documented here with the measured candidate volume.
+    section(15) {
+      val n = nNames
+      val keys = spark.range(n).select(col("id"),
+          when(col("id") % 10 === 1,
+            xxhash64(col("id") - 1).bitwiseXOR(lit(1L)))
+            .otherwise(xxhash64(col("id"))).as("h"))
+        .localCheckpoint(true)
+      val plan = Dedup.hammingPairs(keys, "id", "h", maxHamming = 1)
+        .queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), "hammingPairs must stay equi-join")
+      val ((nPairs, planted), t) = timed {
+        val p = Dedup.hammingPairs(keys, "id", "h", maxHamming = 1)
+          .localCheckpoint(true)
+        (p.count(), p.where(col("id_b") === col("id_a") + 1)
+          .where(col("hamming") === 1).count())
+      }
+      println(s"""{"metric":"hamming_pairs","keys":$n,"max_hamming":1,"pairs":$nPairs,"planted_found":$planted,"planted":${(n + 8) / 10},"sec":$t,"cpus":$cpus}""")
     }
     spark.stop()
   }

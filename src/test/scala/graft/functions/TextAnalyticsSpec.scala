@@ -96,4 +96,24 @@ class TextAnalyticsSpec extends SparkSpec {
     all(got.toSeq) should (be >= 0.0 and be <= 1.0)
     got(0) should be > got(1)
   }
+
+  test("vowelGroups counts vowel runs case-insensitively") {
+    val got = Seq("AeIoU x bcd ee-oo", "zzz", "")
+      .toDF("t").select(TextAnalytics.vowelGroups(col("t")).as("v"))
+      .as[Int].collect()
+    got shouldBe Array(3, 0, 0) // "aeiou", "ee", "oo"; no vowels; empty
+  }
+
+  test("readingEase matches the Flesch formula on hand counts") {
+    // "go on. stop now!" → 4 words, 2 sentences, vowel runs: o,o,o,o = 4
+    val got = Seq("go on. stop now!").toDF("t")
+      .select(TextAnalytics.readingEase(col("t")).as("r"))
+      .as[Double].head()
+    got shouldBe (206.835 - 1.015 * (4.0 / 2.0) - 84.6 * (4.0 / 4.0)) +- 1e-9
+    // unpunctuated text: sentence count clamps to 1
+    val one = Seq("three word doc").toDF("t")
+      .select(TextAnalytics.readingEase(col("t")).as("r"))
+      .as[Double].head()
+    one shouldBe (206.835 - 1.015 * 3.0 - 84.6 * (3.0 / 3.0)) +- 1e-9
+  }
 }

@@ -283,4 +283,35 @@ class CurationSpec extends SparkSpec {
       .map(r => ((r._1, r._2), r._3)).toMap
     got shouldBe Map(("s1", "s2") -> 1L) // only "alpha beta gamma"
   }
+
+  test("duplicateSpans finds maximal copied spans, drops short runs and short docs") {
+    // docs 1 and 2 share the 6-token run "one two three four five six"
+    // (4 consecutive duplicated 3-grams); doc 3 repeats a lone 3-gram of
+    // doc 1 (run of 1 < minRun); doc 4 is 2 tokens (no 3-grams at all)
+    val docs = Seq(
+      (1L, "one two three four five six unique1 tail1"),
+      (2L, "head2 one two three four five six unique2"),
+      (3L, "zz one two three yy"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = Curation.duplicateSpans(docs, "doc_id", "text", k = 3, minRun = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // "one two three" occurs in docs 1,2,3 → duplicated; the island in
+    // doc 1 runs positions 0..3 (4 grams) BUT position 0's gram is also
+    // in doc 3, extending nothing — spans are per-doc positional runs:
+    // doc1 positions 0-3, doc2 positions 1-4; doc3's single gram (run 1)
+    // and doc4 (too short) are absent
+    got shouldBe Seq((1L, 0L, 4L, 6L), (2L, 1L, 4L, 6L))
+  }
+
+  test("duplicateSpans: self-repetition within one document counts as duplication") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam unique ending words")).toDF("doc_id", "text")
+    // 3-grams at positions 0,1,2 are all "spam spam spam" → occ 3 ≥ 2 →
+    // one island of 3 consecutive duplicated grams
+    val got = Curation.duplicateSpans(docs, "doc_id", "text", k = 3, minRun = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 0L, 3L, 5L))
+  }
 }

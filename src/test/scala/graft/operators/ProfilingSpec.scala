@@ -29,4 +29,20 @@ class ProfilingSpec extends SparkSpec {
     approx._5 shouldBe "0"
     approx._6 shouldBe "96"
   }
+
+  test("joinCardinality: exact output rows, key overlap classes, hottest fan-out") {
+    import spark.implicits._
+    // left keys: 1×3 rows, 2×1, 3×2; right keys: 1×2, 3×1, 9×4 —
+    // so 1 and 3 match, 2 is left-only, 9 is right-only
+    val left = Seq(1, 1, 1, 2, 3, 3).toDF("k")
+    val right = Seq(1, 1, 3, 9, 9, 9, 9).toDF("k")
+    val r = Profiling.joinCardinality(left, col("k"), right, col("k")).head()
+    r.getLong(0) shouldBe 2L            // keys 1 and 3 on both sides
+    r.getLong(1) shouldBe 1L            // key 2
+    r.getLong(2) shouldBe 1L            // key 9
+    r.getDecimal(3).longValueExact() shouldBe (3L * 2 + 2L * 1) // 1:6 + 3:2
+    r.getLong(4) shouldBe 6L            // key 1: 3×2
+    // ground truth: the actual join
+    left.join(right, "k").count() shouldBe 8L
+  }
 }

@@ -353,4 +353,32 @@ class RetrievalSpec extends SparkSpec {
       _.contains("BroadcastNestedLoopJoin")) should be <= 4
     plan should not include "CartesianProduct"
   }
+
+  test("booleanRetrieval: AND needs every term, OR needs one, dups don't double-count") {
+    val docs = Seq(
+      (1L, "spark window join extra"),
+      (2L, "spark spark window"),  // repeats must not fake the 3rd term
+      (3L, "join only here"),
+      (4L, "nothing relevant")).toDF("doc_id", "text")
+    val and3 = Retrieval.booleanRetrieval(docs, "doc_id", "text",
+      Seq("spark", "window", "join"), minMatch = 3)
+      .select("doc_id").as[Long].collect().toSet
+    and3 shouldBe Set(1L)
+    val or1 = Retrieval.booleanRetrieval(docs, "doc_id", "text",
+      Seq("spark", "window", "join"), minMatch = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    or1 shouldBe Array((1L, 3L), (2L, 2L), (3L, 1L))
+  }
+
+  test("booleanRetrieval filters terms before the shuffle (no full-corpus distinct)") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val plan = Retrieval.booleanRetrieval(docs, "doc_id", "text",
+      Seq("a"), 1).queryExecution.executedPlan.toString
+    // the IN-filter must sit below the first exchange: after explode the
+    // filter on tok appears in the same codegen stage, not post-shuffle
+    plan should include("Filter")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -130,4 +130,50 @@ class StatsSpec extends SparkSpec {
     got(1)._3 shouldBe 8L
     got(1)._4 shouldBe math.log(4.0) +- 1e-12
   }
+
+  test("welchTTest matches the textbook statistic on a known pair") {
+    // group a: cents 100,200,300 (mean 200, var 10000)
+    // group b: cents 400,600 (mean 500, var 20000)
+    val df = Seq(("a", 100L), ("a", 200L), ("a", 300L),
+      ("b", 400L), ("b", 600L)).toDF("g", "cents")
+    val r = Stats.welchTTest(df, col("g"), col("cents")).head()
+    r.getString(0) shouldBe "a"
+    r.getString(1) shouldBe "b"
+    r.getLong(2) shouldBe 3L
+    r.getLong(3) shouldBe 2L
+    r.getDouble(4) shouldBe 2.0 // mean in currency units
+    r.getDouble(5) shouldBe 5.0
+    // se2 = 10000/3 + 20000/2 = 13333.33..; t = -300/sqrt(se2)
+    val se2 = 10000.0 / 3 + 20000.0 / 2
+    r.getDouble(6) shouldBe BigDecimal(-300.0 / math.sqrt(se2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // df = se2^2 / ((v1/n1)^2/(n1-1) + (v2/n2)^2/(n2-1))
+    val dfW = se2 * se2 /
+      (math.pow(10000.0 / 3, 2) / 2 + math.pow(20000.0 / 2, 2) / 1)
+    r.getDouble(7) shouldBe BigDecimal(dfW)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("welchTTest drops singleton groups and emits each pair once (a < b)") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("solo", 9L))
+      .toDF("g", "cents")
+    val got = Stats.welchTTest(df, col("g"), col("cents"))
+      .select("g_a", "g_b").as[(String, String)].collect()
+    got shouldBe Array(("a", "b"))
+  }
+
+  test("benford: leading digit from decimal string, shares sum to 1") {
+    // cents 1,19,25,999,1000 → digits 1,1,2,9,1
+    val df = Seq(1L, 19L, 25L, 999L, 1000L, -5L, 0L).toDF("c")
+    val got = Stats.benford(df, col("c"))
+      .orderBy("digit")
+      .select("digit", "n", "share").as[(Int, Long, Double)].collect()
+    got.map(r => (r._1, r._2)) shouldBe Array((1, 3L), (2, 1L), (9, 1L))
+    got.map(_._3).sum shouldBe 1.0 +- 1e-9
+    // the digit-1 Benford expectation is log10(2)
+    val b1 = Stats.benford(df, col("c")).where(col("digit") === 1)
+      .select("benford_share").as[Double].head()
+    b1 shouldBe BigDecimal(math.log10(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
 }
