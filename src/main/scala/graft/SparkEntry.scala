@@ -1133,6 +1133,38 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Single-source BFS hop distances over the symmetrized k-NN graph:
+    // frontier iteration, one vertex-keyed join + min-aggregate per
+    // round — oracled against a DuckDB recursive CTE over the same graph
+    "q_bfs" -> ((s, dir) =>
+      Graphs.bfsDistances(s.read.parquet(knnEdgesFixture(s, dir)),
+          "src", "dst", sourceId = 0L, maxHops = 4)
+        .orderBy(col("id"))),
+
+    // One-way ANOVA F across event types on integer cents — the
+    // k-sample experiment gate, exact (n, Σc, Σc²) reduction per group
+    "q_anova" -> ((s, dir) =>
+      Stats.anovaF(Tables.events(s, dir), col("event_type"),
+        expr("cast(round(value * 100) as bigint)"))),
+
+    // MATCH_RECOGNIZE-lite: users whose full journey (micros, event_id
+    // order) matches signup-then-eventually-purchase — one window sort,
+    // then a map-only regex over the collapsed type sequence
+    "q_seq_match" -> ((s, dir) =>
+      Funnel.sequenceMatch(Tables.events(s, dir), "user_id", "ts",
+          "event_type", "event_id", pattern = "signup.*purchase")
+        .orderBy(col("user_id"))),
+
+    // Bounded-depth EWMA over per-user cents series: 8 α=0.5 lag terms
+    // inside ONE window — exact binary weights, engine-exact arithmetic
+    "q_ewma" -> ((s, dir) =>
+      Timeseries.ewma(Tables.events(s, dir).where(col("value").isNotNull),
+          "user_id", unix_micros(col("ts")), col("event_id"),
+          expr("cast(round(value * 100) as bigint)"), alpha = 0.5, depth = 8)
+        .select(col("key").as("user_id"), col("micros"),
+          col("tie").as("event_id"), col("ewma"))
+        .orderBy(col("user_id"), col("micros"), col("event_id"))),
+
     // Deterministic weighted data mixture: per-source md5-threshold keep
     // rates (upsample curated, downsample crawl, drop the rest) — pure
     // function of (id, source), map-only, engine-exact
@@ -3066,6 +3098,86 @@ object SparkEntry {
         |  INTERSECT ALL
         |  SELECT user_id, event_type FROM events WHERE event_id % 2 = 1)
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // same graph prelude as q_khop; min-hop via bounded recursive walk
+    "q_bfs" ->
+      """WITH RECURSIVE emb AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vid AS src, b.vid AS dst,
+        |      row_number() OVER (PARTITION BY a.vid
+        |        ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                 b.vid) AS rk
+        |    FROM emb a JOIN emb b ON a.vid <> b.vid) t
+        |  WHERE rk <= 3),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) u
+        |  WHERE src <> dst),
+        |walk(id, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, 0 AS d
+        |  UNION ALL
+        |  SELECT e.dst AS id, w.d + 1 AS d
+        |  FROM walk w JOIN sym e ON e.src = w.id WHERE w.d < 4)
+        |SELECT id, CAST(min(d) AS INT) AS dist FROM walk
+        |GROUP BY 1 ORDER BY id""".stripMargin,
+
+    // identical exact-sum reduction and double expression tree
+    "q_anova" ->
+      """WITH c0 AS (SELECT event_type AS g,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, sum(c) AS s,
+        |        sum(c * c) AS ss FROM c0 GROUP BY 1),
+        |t AS (SELECT count(*) AS k, sum(n) AS bigN, sum(s) AS bigS,
+        |        sum(s * s / n) AS sbn, sum(ss) AS sss FROM g)
+        |SELECT k, CAST(bigN AS BIGINT) AS n,
+        |  CAST(k - 1 AS BIGINT) AS df1, CAST(bigN - k AS BIGINT) AS df2,
+        |  round(((sbn - bigS * bigS / bigN) / (k - 1)) /
+        |        ((sss - sbn) / (bigN - k)), 4) AS f_stat
+        |FROM t""".stripMargin,
+
+    "q_seq_match" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS tu, event_id,
+        |             event_type FROM events),
+        |s AS (SELECT user_id, count(*) AS n_events,
+        |        string_agg(event_type, ' ' ORDER BY tu, event_id) AS seq
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, n_events FROM s
+        |WHERE regexp_matches(seq, 'signup.*purchase')
+        |ORDER BY user_id""".stripMargin,
+
+    // exact binary α=0.5 weights; CASE chain mirrors the Spark fold order
+    "q_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS micros, event_id,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT user_id, micros, event_id, c,
+        |    lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+        |    lag(c, 3) OVER w AS c3, lag(c, 4) OVER w AS c4,
+        |    lag(c, 5) OVER w AS c5, lag(c, 6) OVER w AS c6,
+        |    lag(c, 7) OVER w AS c7
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY micros, event_id))
+        |SELECT user_id, micros, event_id,
+        |  round((CASE WHEN c  IS NOT NULL THEN c  * 1.0       ELSE 0.0 END
+        |       + CASE WHEN c1 IS NOT NULL THEN c1 * 0.5       ELSE 0.0 END
+        |       + CASE WHEN c2 IS NOT NULL THEN c2 * 0.25      ELSE 0.0 END
+        |       + CASE WHEN c3 IS NOT NULL THEN c3 * 0.125     ELSE 0.0 END
+        |       + CASE WHEN c4 IS NOT NULL THEN c4 * 0.0625    ELSE 0.0 END
+        |       + CASE WHEN c5 IS NOT NULL THEN c5 * 0.03125   ELSE 0.0 END
+        |       + CASE WHEN c6 IS NOT NULL THEN c6 * 0.015625  ELSE 0.0 END
+        |       + CASE WHEN c7 IS NOT NULL THEN c7 * 0.0078125 ELSE 0.0 END) /
+        |      (CASE WHEN c  IS NOT NULL THEN 1.0       ELSE 0.0 END
+        |       + CASE WHEN c1 IS NOT NULL THEN 0.5       ELSE 0.0 END
+        |       + CASE WHEN c2 IS NOT NULL THEN 0.25      ELSE 0.0 END
+        |       + CASE WHEN c3 IS NOT NULL THEN 0.125     ELSE 0.0 END
+        |       + CASE WHEN c4 IS NOT NULL THEN 0.0625    ELSE 0.0 END
+        |       + CASE WHEN c5 IS NOT NULL THEN 0.03125   ELSE 0.0 END
+        |       + CASE WHEN c6 IS NOT NULL THEN 0.015625  ELSE 0.0 END
+        |       + CASE WHEN c7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END)
+        |      / 100.0, 4) AS ewma
+        |FROM l ORDER BY user_id, micros, event_id""".stripMargin,
 
     "q_source_mixture" ->
       """SELECT source, count(*) AS n_kept

@@ -116,4 +116,36 @@ object Funnel {
             lit(steps(i).eventType).as("name"), col("n_users"))
       }
       .reduce(_.unionAll(_))
+
+  /** MATCH_RECOGNIZE-lite: per-entity event-type sequence matching by
+    * regex. Each entity's events collapse — under the (micros, tie)
+    * total order — to one space-joined type string; `pattern` (a Java
+    * regex over that string) then classifies whole journeys, e.g.
+    * "click (?:view )*purchase" for conversions-with-browsing. Returns
+    * matching entities with their sequence length.
+    *
+    * Scale shape: one entity-keyed window sort (same shuffle as
+    * [[transitions]]) feeding a map-side aggregate to the per-entity
+    * string, then a map-only regex filter. Journey strings are bounded
+    * by per-entity event counts — skewed entities cost one long string,
+    * never a fan-out.
+    */
+  def sequenceMatch(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, tieCol: String,
+                    pattern: String): DataFrame = {
+    val ev = events.select(col(userCol).as("user_id"),
+      unix_micros(col(tsCol)).as("_us"), col(tieCol).as("_tie"),
+      col(typeCol).as("_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_us"), col("_tie"))
+    ev.select(col("user_id"), col("_type"),
+        row_number().over(w).as("_rn"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(array_sort(
+            collect_list(struct(col("_rn"), col("_type")))),
+          e => e.getField("_type")), " ").as("_seq"))
+      .where(regexp_like(col("_seq"), lit(pattern)))
+      .select(col("user_id"), col("n_events"))
+  }
 }

@@ -196,4 +196,51 @@ object Graphs {
     }
     pr
   }
+
+  /** Single-source BFS hop distances over the UNDIRECTED graph induced
+    * by `edges`, bounded to `maxHops` rounds — the reachability /
+    * influence-radius primitive. Returns (id, dist) for every vertex
+    * reached within `maxHops` hops of `sourceId` (the source itself at
+    * dist 0). Exact integers end to end — engine-reproducible.
+    *
+    * Scale shape: classic frontier iteration. Each round joins the
+    * CURRENT FRONTIER ONLY (vertices first reached last round) against
+    * the edge table on the vertex key — one hash join + one min-
+    * aggregate per round, both shuffling (id, int) pairs; the visited
+    * set never re-expands (frontier = new ids only), so total work is
+    * O(edges touched), not O(frontier × rounds). Lineage is truncated
+    * with localCheckpoint each round (the [[pageRank]] discipline).
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sourceId: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64, s"maxHops $maxHops out of [0,64]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    var dist = Seq((sourceId, 0)).toDF("id", "dist").localCheckpoint(true)
+    var frontier = dist
+    var h = 1
+    var frontierNonEmpty = true
+    while (h <= maxHops && frontierNonEmpty) {
+      val next = frontier.join(sym, frontier("id") === sym("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        // drop vertices already reached at a smaller distance
+        .join(dist.select(col("id"), lit(true).as("_seen")), Seq("id"), "left")
+        .where(col("_seen").isNull)
+        .select(col("id"), lit(h).as("dist"))
+        .localCheckpoint(true)
+      frontierNonEmpty = next.limit(1).count() > 0
+      if (frontierNonEmpty) {
+        dist = dist.unionAll(next).localCheckpoint(true)
+        frontier = next
+      }
+      h += 1
+    }
+    dist
+  }
 }

@@ -331,6 +331,36 @@ object Stats {
           .as("df_welch"))
   }
 
+  /** One-way ANOVA F statistic across all groups (the k-sample
+    * generalization of [[welchTTest]]): between/within mean squares
+    * from the same exact-integer (n, Σc, Σc²) per-group reduction —
+    * SS_between = Σ s_g²/n_g − S²/N, SS_within = Σ(ss_g − s_g²/n_g) —
+    * so the double arithmetic runs on exact sums and both engines
+    * agree bitwise. One bounded aggregate over the group dimension;
+    * the scan dominates.
+    */
+  def anovaF(df: DataFrame, groupCol: Column, centsCol: Column): DataFrame = {
+    val g = df.select(groupCol.as("g"), centsCol.cast("double").as("c"))
+      .where(col("c").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    g.agg(count(lit(1)).as("k"),
+        sum(col("n")).as("bigN"),
+        sum(col("s")).as("bigS"),
+        sum(col("s") * col("s") / col("n")).as("sbn"),
+        sum(col("ss")).as("sss"))
+      .select(col("k"), col("bigN").cast("long").as("n"),
+        ((col("sbn") - col("bigS") * col("bigS") / col("bigN")) /
+          (col("k") - 1)).as("_msb"),
+        ((col("sss") - col("sbn")) / (col("bigN") - col("k"))).as("_msw"),
+        (col("k") - 1).cast("long").as("df1"),
+        (col("bigN") - col("k")).cast("long").as("df2"))
+      .select(col("k"), col("n"), col("df1"), col("df2"),
+        round(col("_msb") / col("_msw"), 4).as("f_stat"))
+  }
+
   /** Benford leading-digit audit of a positive integer-cents column:
     * observed count and share per digit 1–9 against the Benford
     * expectation log10(1 + 1/d), with the per-digit chi-square

@@ -188,4 +188,39 @@ object Timeseries {
     */
   private def floorDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
+
+  /** Bounded-memory exponentially weighted moving average: over each
+    * key's (micros, tie) order, ema_t = Σ_{i=0..depth-1} α^i·x_{t-i}
+    * normalized by the weights actually present (rows near the series
+    * head use fewer lags). The fixed `depth` truncation is what makes
+    * the operator a pure window expression — no recursive state, no
+    * per-key scan order dependence — and α^depth residue is the
+    * documented approximation (α=0.5, depth=8 → residue < 0.4%).
+    *
+    * Scale shape: one key-partitioned window sort; the `depth` lag
+    * terms are map-side expressions inside that single WindowExec —
+    * cost is O(depth) per row with no extra shuffle. Weights α^i are
+    * compile-time literal doubles, identical in the oracle, and x is
+    * exact integer cents — Σ of ≤depth products is deterministic
+    * because the fold order is the fixed literal term order.
+    */
+  def ewma(df: DataFrame, keyCol: String, microsCol: Column, tieCol: Column,
+           centsCol: Column, alpha: Double, depth: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha $alpha out of (0,1)")
+    require(depth >= 1 && depth <= 64, s"depth $depth out of [1,64]")
+    val w = Window.partitionBy(col("_e_key")).orderBy(col("_e_us"), col("_e_tie"))
+    val base = df.select(col(keyCol).as("_e_key"), microsCol.as("_e_us"),
+      tieCol.as("_e_tie"), centsCol.cast("double").as("_e_c"))
+    // Σ α^i·lag_i and Σ α^i over the lags that exist, folded in literal
+    // term order (i = 0 first) so both engines evaluate identically
+    val terms = (0 until depth).map { i =>
+      val lagged = if (i == 0) col("_e_c") else lag(col("_e_c"), i).over(w)
+      (when(lagged.isNotNull, lagged * lit(math.pow(alpha, i))).otherwise(lit(0.0)),
+        when(lagged.isNotNull, lit(math.pow(alpha, i))).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    base.select(col("_e_key").as("key"), col("_e_us").as("micros"),
+      col("_e_tie").as("tie"), round(num / den / 100.0, 4).as("ewma"))
+  }
 }

@@ -109,4 +109,34 @@ class FunnelSpec extends SparkSpec {
       (w, 0L, 2L), (w, 1L, 1L), (w, 2L, 2L),
       (w + 1, 0L, 1L))
   }
+
+  test("sequenceMatch: regex over the time-ordered journey, order matters") {
+    val events = Seq(
+      // u1: signup → view → purchase (matches signup.*purchase)
+      (1L, "2024-01-01 10:00:00", 1L, "signup"),
+      (1L, "2024-01-01 11:00:00", 2L, "view"),
+      (1L, "2024-01-01 12:00:00", 3L, "purchase"),
+      // u2: purchase BEFORE signup — must not match
+      (2L, "2024-01-01 10:00:00", 4L, "purchase"),
+      (2L, "2024-01-01 11:00:00", 5L, "signup"),
+      // u3: signup only
+      (3L, "2024-01-01 10:00:00", 6L, "signup"))
+      .toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = Funnel.sequenceMatch(events, "user_id", "ts", "event_type",
+        "event_id", "signup.*purchase")
+      .as[(Long, Long)].collect()
+    got shouldBe Array((1L, 3L))
+  }
+
+  test("sequenceMatch: same-timestamp events ordered by the tie column") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 2L, "purchase"), // tie: id 2 AFTER id 1
+      (1L, "2024-01-01 10:00:00", 1L, "signup"))
+      .toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    Funnel.sequenceMatch(events, "user_id", "ts", "event_type",
+        "event_id", "^signup purchase$")
+      .as[(Long, Long)].collect() shouldBe Array((1L, 2L))
+  }
 }

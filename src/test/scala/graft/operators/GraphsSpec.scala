@@ -120,4 +120,24 @@ class GraphsSpec extends SparkSpec {
     a.keySet shouldBe b.keySet
     a.foreach { case (k, v) => b(k) shouldBe v } // bit-identical
   }
+
+  test("bfsDistances: min hops on an undirected path with a cycle and a stray") {
+    // path 0-1-2-3 plus chord 0-2 (so 3 is 2 hops, not 3) and an
+    // unreachable pair 8-9; edges given directed, traversal undirected
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (2L, 0L), (8L, 9L))
+      .toDF("src", "dst")
+    val got = Graphs.bfsDistances(edges, "src", "dst", 0L, maxHops = 4)
+      .as[(Long, Int)].collect().toMap
+    got shouldBe Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2)
+  }
+
+  test("bfsDistances: maxHops truncates; early exhaustion stops iterating") {
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    Graphs.bfsDistances(chain, "src", "dst", 0L, maxHops = 2)
+      .as[(Long, Int)].collect().toMap shouldBe
+      Map(0L -> 0, 1L -> 1, 2L -> 2)
+    // isolated source: only itself, regardless of budget
+    Graphs.bfsDistances(chain, "src", "dst", 99L, maxHops = 4)
+      .as[(Long, Int)].collect().toMap shouldBe Map(99L -> 0)
+  }
 }

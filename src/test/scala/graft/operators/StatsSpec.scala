@@ -162,6 +162,19 @@ class StatsSpec extends SparkSpec {
     got shouldBe Array(("a", "b"))
   }
 
+  test("anovaF matches the textbook F on three known groups") {
+    // a: 1,2,3 (mean 2); b: 2,3,4 (mean 3); c: 3,4,5 (mean 4); grand 3
+    // SSb = 3*(1+0+1) = 6, SSw = 3 groups * 2 = 6; F = (6/2)/(6/6) = 3
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 3L),
+      ("b", 4L), ("c", 3L), ("c", 4L), ("c", 5L)).toDF("g", "cents")
+    val r = Stats.anovaF(df, col("g"), col("cents")).head()
+    r.getLong(0) shouldBe 3L  // k
+    r.getLong(1) shouldBe 9L  // n
+    r.getLong(2) shouldBe 2L  // df1
+    r.getLong(3) shouldBe 6L  // df2
+    r.getDouble(4) shouldBe 3.0
+  }
+
   test("benford: leading digit from decimal string, shares sum to 1") {
     // cents 1,19,25,999,1000 → digits 1,1,2,9,1
     val df = Seq(1L, 19L, 25L, 999L, 1000L, -5L, 0L).toDF("c")

@@ -117,4 +117,29 @@ class TimeseriesSpec extends SparkSpec {
     // intervals: (10.0, gap 0) and (30.0, gap 10) → 300/10 = 30.0
     got shouldBe Array((1L, 2L, 30.0))
   }
+
+  test("ewma: hand-computed α=0.5 weights, head rows renormalized") {
+    // one key, cents 100, 200, 400 at t=1,2,3
+    val df = Seq((1L, 1L, 1L, 100L), (1L, 2L, 2L, 200L), (1L, 3L, 3L, 400L))
+      .toDF("k", "us", "tie", "cents")
+    val got = Timeseries.ewma(df, "k", col("us"), col("tie"), col("cents"),
+        alpha = 0.5, depth = 8)
+      .orderBy("micros").select("ewma").as[Double].collect()
+    // t1: 100/1.0; t2: (200 + 0.5*100)/1.5; t3: (400 + 0.5*200 + 0.25*100)/1.75
+    got(0) shouldBe 1.0
+    got(1) shouldBe BigDecimal(250.0 / 1.5 / 100.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(2) shouldBe 3.0 // 525/1.75 = 300 cents
+  }
+
+  test("ewma: depth truncation ignores lags beyond the window") {
+    // depth=2: only current + one lag contribute
+    val df = Seq((1L, 1L, 1L, 100L), (1L, 2L, 2L, 100L), (1L, 3L, 3L, 400L))
+      .toDF("k", "us", "tie", "cents")
+    val got = Timeseries.ewma(df, "k", col("us"), col("tie"), col("cents"),
+        alpha = 0.5, depth = 2)
+      .orderBy("micros").select("ewma").as[Double].collect()
+    // t3: (400 + 0.5*100)/1.5 — the t1 value must NOT appear
+    got(2) shouldBe 3.0
+  }
 }
