@@ -1155,6 +1155,26 @@ object SparkEntry {
           "event_type", "event_id", pattern = "signup.*purchase")
         .orderBy(col("user_id"))),
 
+    // Declarative data-quality gate (Deequ shape): row-local checks fold
+    // into ONE conditional-count scan; uniqueness is a key-shuffled
+    // count; referential integrity an anti-join count
+    "q_constraints" -> ((s, dir) =>
+      Profiling.checkConstraints(Tables.lineitem(s, dir),
+          notNull = Seq("l_orderkey", "l_shipdate"),
+          range = Seq(("l_quantity", 1.0, 50.0), ("l_discount", 0.0, 0.05)),
+          pattern = Seq(("l_returnflag", "^[ARN]$")),
+          unique = Seq("l_linenumber"),
+          foreignKey = Seq(("l_orderkey", Tables.orders(s, dir), "o_orderkey")))
+        .orderBy(col("check"), col("col_name"))),
+
+    // Exact substring search through a trigram inverted index (pg_trgm
+    // pattern): posting equi-join prefilter + contains verify on
+    // candidates only — never a full-corpus regex scan
+    "q_substring_search" -> ((s, dir) =>
+      Retrieval.substringSearch(Tables.documents(s, dir), "doc_id", "text",
+          needle = "batch batch")
+        .orderBy(col("doc_id"))),
+
     // Bounded-depth EWMA over per-user cents series: 8 α=0.5 lag terms
     // inside ONE window — exact binary weights, engine-exact arithmetic
     "q_ewma" -> ((s, dir) =>
@@ -3147,6 +3167,44 @@ object SparkEntry {
         |SELECT user_id, n_events FROM s
         |WHERE regexp_matches(seq, 'signup.*purchase')
         |ORDER BY user_id""".stripMargin,
+
+    "q_constraints" ->
+      """WITH rl AS (SELECT
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |    AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |  CAST(sum(CASE WHEN l_discount IS NOT NULL
+        |    AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+        |    AND NOT regexp_matches(l_returnflag, '^[ARN]$') THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        |  FROM lineitem),
+        |u AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) AS v FROM
+        |  (SELECT count(*) AS n FROM lineitem GROUP BY l_linenumber
+        |   HAVING count(*) > 1)),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
+        |  WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT * FROM (
+        |  SELECT 'not_null' AS "check", 'l_orderkey' AS col_name,
+        |         c0 AS n_violations, c0 = 0 AS passed FROM rl
+        |  UNION ALL SELECT 'not_null', 'l_shipdate', c1, c1 = 0 FROM rl
+        |  UNION ALL SELECT 'range', 'l_quantity', c2, c2 = 0 FROM rl
+        |  UNION ALL SELECT 'range', 'l_discount', c3, c3 = 0 FROM rl
+        |  UNION ALL SELECT 'pattern', 'l_returnflag', c4, c4 = 0 FROM rl
+        |  UNION ALL SELECT 'unique', 'l_linenumber', v, v = 0 FROM u
+        |  UNION ALL SELECT 'foreign_key', 'l_orderkey->o_orderkey', v, v = 0 FROM fk)
+        |ORDER BY "check", col_name""".stripMargin,
+
+    // trigram index is a lossless prefilter; the oracle is the direct
+    // normalized contains + non-overlapping replace-count
+    "q_substring_search" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST((length(t) - length(replace(t, 'batch batch', ''))) / 11
+        |    AS BIGINT) AS n_occ
+        |FROM t WHERE contains(t, 'batch batch') ORDER BY doc_id""".stripMargin,
 
     // exact binary α=0.5 weights; CASE chain mirrors the Spark fold order
     "q_ewma" ->

@@ -58,4 +58,69 @@ object Profiling {
           .cast("decimal(38,0)").as("est_output_rows"),
         coalesce(max(col("cl") * col("cr")), lit(0L)).as("max_key_fanout"))
   }
+
+  /** Declarative data-quality constraint suite (the Deequ/great-
+    * expectations shape): one report row per check with its exact
+    * violation count. Row-local checks (not-null, range, regex) fold
+    * into a SINGLE conditional-count aggregate — one scan however many
+    * checks; each uniqueness check is its own key-shuffled count (rows
+    * whose key occurs more than once); each referential check is a
+    * broadcast/hash anti-join count of orphans. Output is the bounded
+    * per-check dimension — the gate a pipeline asserts on before
+    * shipping a snapshot downstream.
+    *
+    * `range` bounds are inclusive; `pattern` counts rows NOT fully
+    * matching the anchored regex (nulls excluded — not-null is its own
+    * check).
+    */
+  def checkConstraints(df: DataFrame,
+                       notNull: Seq[String] = Nil,
+                       range: Seq[(String, Double, Double)] = Nil,
+                       pattern: Seq[(String, String)] = Nil,
+                       unique: Seq[String] = Nil,
+                       foreignKey: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+    require(notNull.nonEmpty || range.nonEmpty || pattern.nonEmpty ||
+      unique.nonEmpty || foreignKey.nonEmpty, "no constraints given")
+    // one pass for every row-local check
+    val rowLocal: Seq[(String, String, org.apache.spark.sql.Column)] =
+      notNull.map(c => ("not_null", c,
+        sum(when(col(c).isNull, 1L).otherwise(0L)))) ++
+      range.map { case (c, lo, hi) => ("range", c,
+        sum(when(col(c).isNotNull &&
+          (col(c) < lo || col(c) > hi), 1L).otherwise(0L))) } ++
+      pattern.map { case (c, re) => ("pattern", c,
+        sum(when(col(c).isNotNull && !regexp_like(col(c), lit(re)), 1L)
+          .otherwise(0L))) }
+    val rowLocalReport: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val agg = df.agg(rowLocal.head._3.as("_c0"),
+          rowLocal.tail.zipWithIndex.map { case ((_, _, e), i) =>
+            e.as(s"_c${i + 1}") }: _*)
+        Some(rowLocal.zipWithIndex.map { case ((check, c, _), i) =>
+          agg.select(lit(check).as("check"), lit(c).as("col_name"),
+            coalesce(col(s"_c$i"), lit(0L)).cast("long").as("n_violations"))
+        }.reduce(_.unionAll(_)))
+      }
+    val uniqueReports = unique.map { c =>
+      df.select(col(c).as("_k")).groupBy(col("_k"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+        .agg(coalesce(sum(col("_n")), lit(0L)).as("_v"))
+        .select(lit("unique").as("check"), lit(c).as("col_name"),
+          col("_v").cast("long").as("n_violations"))
+    }
+    val fkReports = foreignKey.map { case (c, dim, dimCol) =>
+      df.select(col(c).as("_k")).where(col("_k").isNotNull)
+        .join(dim.select(col(dimCol).as("_k")).distinct(), Seq("_k"),
+          "left_anti")
+        .agg(count(lit(1)).as("_v"))
+        .select(lit("foreign_key").as("check"),
+          lit(s"$c->$dimCol").as("col_name"),
+          col("_v").cast("long").as("n_violations"))
+    }
+    (rowLocalReport.toSeq ++ uniqueReports ++ fkReports)
+      .reduce(_.unionAll(_))
+      .select(col("check"), col("col_name"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+  }
 }

@@ -498,4 +498,37 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms_hit"))
       .where(col("n_terms_hit") >= minMatch)
   }
+
+  /** Exact substring search accelerated by a character-trigram inverted
+    * index (the pg_trgm / LIKE-acceleration pattern): a document can
+    * contain `needle` only if it contains EVERY trigram of `needle`, so
+    * candidates come from a trigram posting equi-join — the IN-filter on
+    * the needle's trigrams runs before the shuffle, so cost is the
+    * needle trigrams' posting lists, never a full-corpus regex scan —
+    * and the final `contains` verify touches candidates only. Matching
+    * is over whitespace-normalized lowercase text (the [[TextAnalytics
+    * .charNgrams]] normalization); returns (doc_id, n_occ) with the
+    * exact non-overlapping occurrence count.
+    */
+  def substringSearch(docs: DataFrame, idCol: String, textCol: String,
+                      needle: String): DataFrame = {
+    val norm = needle.toLowerCase.replaceAll("\\s+", " ")
+    require(norm.length >= 3, s"needle must be >= 3 chars, got '$needle'")
+    require(!norm.contains("'"), "needle must not contain quotes")
+    val grams = norm.sliding(3).toSeq.distinct
+    val cand = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalytics.charNgrams(col(textCol), 3)))
+          .as("g"))
+      .where(col("g").isInCollection(grams))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("_hits"))
+      .where(col("_hits") === grams.size)
+      .select(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"),
+        regexp_replace(lower(col(textCol)), "\\s+", " ").as("_t"))
+      .join(cand, Seq("doc_id"))
+      .select(col("doc_id"),
+        ((length(col("_t")) - length(expr(s"replace(_t, '$norm', '')"))) /
+          norm.length).cast("long").as("n_occ"))
+      .where(col("n_occ") >= 1)
+  }
 }

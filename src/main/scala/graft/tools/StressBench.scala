@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 15).toSet
+      else (1 to 16).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -460,6 +460,34 @@ object StressBench {
           .where(col("hamming") === 1).count())
       }
       println(s"""{"metric":"hamming_pairs","keys":$n,"max_hamming":1,"pairs":$nPairs,"planted_found":$planted,"planted":${(n + 8) / 10},"sec":$t,"cpus":$cpus}""")
+    }
+
+    // ---- 16. BFS frontier iteration at scale: a random ~10-out-degree
+    // graph (nNames edges over nNames/5 nodes) plus a deterministic
+    // 0→1→…→999 chain so hop structure exists. The frontier reaches
+    // millions of vertices by hop 3 — stressing exactly the per-round
+    // vertex-keyed join + min-aggregate the operator claims is its
+    // scale shape (per-round cost bounded by edges touched, lineage
+    // truncated every round).
+    section(16) {
+      val nNodes = math.max(nNames / 5, 1000L)
+      val nEdges = nNames
+      val rand = spark.range(nEdges).select(
+        pmod(xxhash64(col("id"), lit(1L)), lit(nNodes)).as("src"),
+        pmod(xxhash64(col("id"), lit(2L)), lit(nNodes)).as("dst"))
+      val chain = spark.range(999).select(col("id").as("src"),
+        (col("id") + 1).as("dst"))
+      val edges = rand.unionAll(chain).localCheckpoint(true)
+      val ((reached, byHop), t) = timed {
+        val d = Graphs.bfsDistances(edges, "src", "dst", 0L, maxHops = 4)
+          .localCheckpoint(true)
+        (d.count(),
+          d.groupBy(col("dist")).agg(count(lit(1)).as("n")).orderBy(col("dist"))
+            .collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(","))
+      }
+      require(reached > nNodes / 2,
+        s"random 10-degree graph should reach most nodes in 4 hops, got $reached/$nNodes")
+      println(s"""{"metric":"bfs","nodes":$nNodes,"edges":${nEdges + 999},"reached":$reached,"by_hop":"$byHop","sec":$t,"cpus":$cpus}""")
     }
     spark.stop()
   }

@@ -45,4 +45,43 @@ class ProfilingSpec extends SparkSpec {
     // ground truth: the actual join
     left.join(right, "k").count() shouldBe 8L
   }
+
+  test("checkConstraints: every check class counts its violations exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), 5.0, "A"),
+      (Some(1L), 99.0, "A"),   // dup id, range violation
+      (None, 10.0, "A"),       // null id
+      (Some(3L), 20.0, "zz"))  // pattern violation, id 3 not in dim
+      .toDF("id", "v", "flag")
+    val dim = Seq(1L, 2L).toDF("k")
+    val got = Profiling.checkConstraints(df,
+        notNull = Seq("id"),
+        range = Seq(("v", 0.0, 50.0)),
+        pattern = Seq(("flag", "^[A-Z]$")),
+        unique = Seq("id"),
+        foreignKey = Seq(("id", dim, "k")))
+      .orderBy("check", "col_name")
+      .as[(String, String, Long, Boolean)].collect()
+    got shouldBe Array(
+      ("foreign_key", "id->k", 1L, false), // id 3 orphan (null excluded)
+      ("not_null", "id", 1L, false),
+      ("pattern", "flag", 1L, false),
+      ("range", "v", 1L, false),
+      ("unique", "id", 2L, false))         // both rows of the dup key
+  }
+
+  test("checkConstraints: a clean table passes every check") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0, "A"), (2L, 6.0, "R")).toDF("id", "v", "flag")
+    val dim = Seq(1L, 2L).toDF("k")
+    val got = Profiling.checkConstraints(df,
+        notNull = Seq("id"), range = Seq(("v", 0.0, 50.0)),
+        pattern = Seq(("flag", "^[A-Z]$")), unique = Seq("id"),
+        foreignKey = Seq(("id", dim, "k")))
+      .as[(String, String, Long, Boolean)].collect()
+    got.length shouldBe 5
+    all(got.map(_._3).toSeq) shouldBe 0L
+    all(got.map(_._4).toSeq) shouldBe true
+  }
 }

@@ -371,6 +371,24 @@ class RetrievalSpec extends SparkSpec {
     or1 shouldBe Array((1L, 3L), (2L, 2L), (3L, 1L))
   }
 
+  test("substringSearch: exact matches with counts, normalization, no false hits") {
+    val docs = Seq(
+      (1L, "the batch batch job"),         // 1 occurrence
+      (2L, "batch  BATCH batch"),          // ws+case normalize → 1 non-overlapping
+      (3L, "batch job batch job"),         // both words, never adjacent — no hit
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val got = Retrieval.substringSearch(docs, "doc_id", "text", "batch batch")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    got shouldBe Array((1L, 1L), (2L, 1L))
+  }
+
+  test("substringSearch counts non-overlapping occurrences left to right") {
+    val docs = Seq((1L, "ab ab ab ab")).toDF("doc_id", "text")
+    // needle "ab ab": occurrences at 0 and 6 (position 3 overlaps the first)
+    Retrieval.substringSearch(docs, "doc_id", "text", "ab ab")
+      .as[(Long, Long)].collect() shouldBe Array((1L, 2L))
+  }
+
   test("booleanRetrieval filters terms before the shuffle (no full-corpus distinct)") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
     val plan = Retrieval.booleanRetrieval(docs, "doc_id", "text",
