@@ -75,13 +75,20 @@ object TextAnalytics {
   /** Character n-grams of the lower-cased, space-normalized text —
     * the profile unit for language ID and shingle dedup.
     */
-  def charNgrams(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
+  def charNgrams(text: Column, n: Int): Column =
+    charNgramsPre(regexp_replace(lower(text), "\\s+", " "), n)
+
+  /** [[charNgrams]] over an ALREADY-normalized column. Pass a
+    * materialized attribute here when the text is wide: higher-order
+    * lambdas evaluate interpreted, so a normalization expression inlined
+    * in the lambda body would re-run its regex once per character
+    * position — O(len²) per row (the [[graft.operators.Curation
+    * .duplicateSpans]] lesson). */
+  def charNgramsPre(norm: Column, n: Int): Column =
     filter(
       transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
         i => norm.substr(i, lit(n))),
       g => length(g) === n)
-  }
 
   /** N-gram-profile language ID: score each candidate language by how many
     * of its marker trigrams appear in the document; pick the argmax

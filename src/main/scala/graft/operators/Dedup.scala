@@ -819,7 +819,10 @@ object Dedup {
   def passageDedup(docs: DataFrame, idCol: String, textCol: String,
                    passageWords: Int = 20): DataFrame = {
     val pw = passageWords
-    val words = split(col(textCol), " ")
+    // split ONCE into an attribute: the slice inside the passage lambda
+    // evaluates interpreted, so an inlined split would re-tokenize the
+    // document once per passage
+    val words = col("__graft_passage_words")
     // ceil(n/pw) passages; sequence is clamped to ≥1 so an empty text
     // contributes its single empty passage rather than a [1,0] range
     val nP = greatest(ceil(size(words) / lit(pw.toDouble)).cast("int"), lit(1))
@@ -828,7 +831,9 @@ object Dedup {
     val rk = "__graft_passage_rk"
     val w = Window.partitionBy(col("passage"))
       .orderBy(col("id").asc, col("pidx").asc)
-    docs.select(col(idCol).as("id"), posexplode(passages).as(Seq("pos", "passage")))
+    docs.select(col(idCol).as("id"),
+        split(col(textCol), " ").as("__graft_passage_words"))
+      .select(col("id"), posexplode(passages).as(Seq("pos", "passage")))
       .select(col("id"), (col("pos") + 1).as("pidx"), col("passage"))
       .withColumn(rk, row_number().over(w))
       .where(col(rk) === 1)

@@ -510,16 +510,42 @@ object Retrieval {
     * .charNgrams]] normalization); returns (doc_id, n_occ) with the
     * exact non-overlapping occurrence count.
     */
+  /** The one-time index build for [[substringSearchIndexed]]: the
+    * distinct (trigram, doc_id) posting table over whitespace-normalized
+    * lowercase text. At 100 TB this is written ONCE (sorted/bucketed by
+    * gram so per-query scans prune to the needle's posting lists) and
+    * probed by every subsequent search — the amortization that makes a
+    * trigram index beat a per-query corpus scan.
+    */
+  def trigramPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // normalize ONCE into an attribute — an expression inlined in the
+    // trigram lambda would re-run the regex per character position
+    val withT = docs.select(col(idCol).as("doc_id"),
+      regexp_replace(lower(col(textCol)), "\\s+", " ").as("_t"))
+    withT.select(col("doc_id"),
+        explode(TextAnalytics.charNgramsPre(col("_t"), 3)).as("g"))
+      .distinct()
+  }
+
   def substringSearch(docs: DataFrame, idCol: String, textCol: String,
-                      needle: String): DataFrame = {
+                      needle: String): DataFrame =
+    substringSearchIndexed(trigramPostings(docs, idCol, textCol),
+      docs, idCol, textCol, needle)
+
+  /** Search against a PREBUILT posting table: the needle-gram IN-filter
+    * reaches the posting scan (pushed to parquet row-group stats when
+    * the index is gram-sorted on disk), postings intersect via one
+    * doc-keyed count, and the exact `contains` verify plus occurrence
+    * count touch candidate documents only.
+    */
+  def substringSearchIndexed(postings: DataFrame, docs: DataFrame,
+                             idCol: String, textCol: String,
+                             needle: String): DataFrame = {
     val norm = needle.toLowerCase.replaceAll("\\s+", " ")
     require(norm.length >= 3, s"needle must be >= 3 chars, got '$needle'")
     require(!norm.contains("'"), "needle must not contain quotes")
     val grams = norm.sliding(3).toSeq.distinct
-    val cand = docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextAnalytics.charNgrams(col(textCol), 3)))
-          .as("g"))
-      .where(col("g").isInCollection(grams))
+    val cand = postings.where(col("g").isInCollection(grams))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("_hits"))
       .where(col("_hits") === grams.size)
       .select(col("doc_id"))
