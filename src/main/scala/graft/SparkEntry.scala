@@ -1171,6 +1171,18 @@ object SparkEntry {
           "event_type", "event_id", pattern = "signup.*purchase")
         .orderBy(col("user_id"))),
 
+    // Exact weighted median (doc length weighted by token count) per
+    // source: one (group,value) reduce + one group-keyed window over the
+    // collapsed dimension — integer-exact end to end
+    "q_weighted_median" -> ((s, dir) =>
+      Stats.weightedMedian(
+          Tables.documents(s, dir).select(col("source"), col("n_chars"),
+            TextAnalytics.tokenCount(col("text")).cast("long").as("_w")),
+          col("source"), col("n_chars"), col("_w"))
+        .select(col("g").as("source"), col("weighted_median"),
+          col("total_weight"))
+        .orderBy(col("source"))),
+
     // Declarative data-quality gate (Deequ shape): row-local checks fold
     // into ONE conditional-count scan; uniqueness is a key-shuffled
     // count; referential integrity an anti-join count
@@ -3186,6 +3198,21 @@ object SparkEntry {
         |SELECT user_id, n_events FROM s
         |WHERE regexp_matches(seq, 'signup.*purchase')
         |ORDER BY user_id""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH t AS (SELECT source AS g, n_chars AS v,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS w FROM documents),
+        |a AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS wv FROM t
+        |      WHERE v IS NOT NULL AND w > 0 GROUP BY 1, 2),
+        |c AS (SELECT g, v,
+        |    CAST(sum(wv) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(wv) OVER (PARTITION BY g) AS BIGINT) AS tot FROM a)
+        |SELECT g AS source, min(v) AS weighted_median,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY g ORDER BY source""".stripMargin,
 
     "q_constraints" ->
       """WITH rl AS (SELECT

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-shape statistics over big columns: equi-width histograms,
@@ -329,6 +330,33 @@ object Stats {
         round(se2 * se2 /
           (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1)), 2)
           .as("df_welch"))
+  }
+
+  /** Exact weighted median per group over integer values with integer
+    * weights: the smallest value whose cumulative weight reaches half
+    * the group total. Values collapse to a (group, value) weight
+    * dimension first, so the windowed cumulative sum runs over distinct
+    * values, not rows — and everything stays integer-exact end to end.
+    *
+    * Scale shape: one (group, value)-keyed aggregate, one group-keyed
+    * window over the collapsed dimension, one final min — shuffles
+    * carry (group, value, weight) triples only.
+    */
+  def weightedMedian(df: DataFrame, groupCol: Column, valueCol: Column,
+                     weightCol: Column): DataFrame = {
+    val agg = df.select(groupCol.as("g"), valueCol.as("v"),
+        weightCol.cast("long").as("w"))
+      .where(col("v").isNotNull && col("w") > 0)
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("wv"))
+    val cumW = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("g"))
+    agg.withColumn("_cum", sum(col("wv")).over(cumW))
+      .withColumn("_tot", sum(col("wv")).over(totW))
+      .where(col("_cum") * 2 >= col("_tot"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("weighted_median"),
+        max(col("_tot")).cast("long").as("total_weight"))
   }
 
   /** One-way ANOVA F statistic across all groups (the k-sample

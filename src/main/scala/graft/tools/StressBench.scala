@@ -478,15 +478,17 @@ object StressBench {
       val chain = spark.range(999).select(col("id").as("src"),
         (col("id") + 1).as("dst"))
       val edges = rand.unionAll(chain).localCheckpoint(true)
+      // frontier grows ~degree^hop (~10× per hop): 7 hops saturate the
+      // giant component of a 2M-node degree-10 graph
       val ((reached, byHop), t) = timed {
-        val d = Graphs.bfsDistances(edges, "src", "dst", 0L, maxHops = 4)
+        val d = Graphs.bfsDistances(edges, "src", "dst", 0L, maxHops = 7)
           .localCheckpoint(true)
         (d.count(),
           d.groupBy(col("dist")).agg(count(lit(1)).as("n")).orderBy(col("dist"))
             .collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(","))
       }
       require(reached > nNodes / 2,
-        s"random 10-degree graph should reach most nodes in 4 hops, got $reached/$nNodes")
+        s"random degree-10 graph should reach most nodes in 7 hops, got $reached/$nNodes")
       println(s"""{"metric":"bfs","nodes":$nNodes,"edges":${nEdges + 999},"reached":$reached,"by_hop":"$byHop","sec":$t,"cpus":$cpus}""")
     }
     spark.stop()

@@ -162,6 +162,26 @@ class StatsSpec extends SparkSpec {
     got shouldBe Array(("a", "b"))
   }
 
+  test("weightedMedian: cumulative weight crossing, ties collapsed, zero weights dropped") {
+    val df = Seq(
+      // group a: v=1 w=1, v=2 w=1, v=3 w=10 → total 12, median v=3
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 10L),
+      // group b: v=5 w=2+2 (tie rows), v=9 w=3 → total 7, cum(5)=4 ≥ 3.5
+      ("b", 5L, 2L), ("b", 5L, 2L), ("b", 9L, 3L),
+      // zero-weight row must not shift anything
+      ("b", 1L, 0L)).toDF("g", "v", "w")
+    val got = Stats.weightedMedian(df, col("g"), col("v"), col("w"))
+      .orderBy("g").as[(String, Long, Long)].collect()
+    got shouldBe Array(("a", 3L, 12L), ("b", 5L, 7L))
+  }
+
+  test("weightedMedian with unit weights equals the exact lower median") {
+    val df = Seq.tabulate(10)(i => ("g", i.toLong, 1L)).toDF("g", "v", "w")
+    // 10 values 0..9: cum(4)=5, 2*5 >= 10 → lower median 4
+    Stats.weightedMedian(df, col("g"), col("v"), col("w"))
+      .as[(String, Long, Long)].collect() shouldBe Array(("g", 4L, 10L))
+  }
+
   test("anovaF matches the textbook F on three known groups") {
     // a: 1,2,3 (mean 2); b: 2,3,4 (mean 3); c: 3,4,5 (mean 4); grand 3
     // SSb = 3*(1+0+1) = 6, SSw = 3 groups * 2 = 6; F = (6/2)/(6/6) = 3
