@@ -1163,6 +1163,14 @@ object SparkEntry {
       Stats.anovaF(Tables.events(s, dir), col("event_type"),
         expr("cast(round(value * 100) as bigint)"))),
 
+    // Greedy ordered-landmark completion (signup → click → purchase):
+    // earliest completing event index per user — the CONSTANT-state
+    // streamable journey query (streaming twin: Streams.landmarkStream)
+    "q_landmark" -> ((s, dir) =>
+      Funnel.landmarkSteps(Tables.events(s, dir), "user_id", "ts",
+          "event_type", "event_id", Seq("signup", "click", "purchase"))
+        .orderBy(col("user_id"))),
+
     // MATCH_RECOGNIZE-lite: users whose full journey (micros, event_id
     // order) matches signup-then-eventually-purchase — one window sort,
     // then a map-only regex over the collapsed type sequence
@@ -3188,6 +3196,22 @@ object SparkEntry {
         |  round(((sbn - bigS * bigS / bigN) / (k - 1)) /
         |        ((sss - sbn) / (bigN - k)), 4) AS f_stat
         |FROM t""".stripMargin,
+
+    // chained min-after-pos greedy — the same first-match scan
+    "q_landmark" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS tu, event_id,
+        |             event_type FROM events),
+        |r AS (SELECT user_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY tu, event_id) AS rn FROM e),
+        |s1 AS (SELECT user_id, min(rn) AS pos FROM r
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT r.user_id, min(rn) AS pos FROM r JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND rn > s1.pos GROUP BY 1),
+        |s3 AS (SELECT r.user_id, min(rn) AS pos FROM r JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND rn > s2.pos GROUP BY 1)
+        |SELECT user_id, CAST(pos AS BIGINT) AS complete_at FROM s3
+        |ORDER BY user_id""".stripMargin,
 
     "q_seq_match" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS tu, event_id,

@@ -130,6 +130,43 @@ object Funnel {
     * by per-entity event counts — skewed entities cost one long string,
     * never a fan-out.
     */
+  /** Greedy ordered-landmark matching: the earliest event index at
+    * which a user completes `steps` in order (anything may intervene) —
+    * landmark k must occur strictly after the event that satisfied
+    * landmark k−1. Returns (user_id, complete_at) for completing users,
+    * where complete_at is the 1-based index (under the (micros, tie)
+    * total order) of the completing event. The greedy first-match scan
+    * is exactly what the CONSTANT-state streaming twin
+    * [[graft.streaming.Streams.landmarkStream]] folds event by event —
+    * the stream ≡ batch pair for journey matching, bounded state where
+    * [[sequenceMatch]]'s full-journey regex cannot be.
+    *
+    * Scale shape: one user-keyed window ranks events; then one bounded
+    * (user, pos) aggregate PER STEP, each reusing the user-key
+    * partitioning — k small joins, never a per-user sequence collect.
+    */
+  def landmarkSteps(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, tieCol: String,
+                    steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one landmark step")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_us"), col("_tie"))
+    val ev = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol)).as("_us"), col(tieCol).as("_tie"),
+        col(typeCol).as("_type"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("user_id"), col("rn"), col("_type"))
+    var cur = ev.select(col("user_id")).distinct()
+      .withColumn("pos", lit(0))
+    for (st <- steps)
+      cur = ev.where(col("_type") === st)
+        .join(cur, Seq("user_id"))
+        .where(col("rn") > col("pos"))
+        .groupBy(col("user_id"))
+        .agg(min(col("rn")).as("pos"))
+    cur.select(col("user_id"), col("pos").cast("long").as("complete_at"))
+  }
+
   def sequenceMatch(events: DataFrame, userCol: String, tsCol: String,
                     typeCol: String, tieCol: String,
                     pattern: String): DataFrame = {

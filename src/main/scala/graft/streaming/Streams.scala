@@ -485,6 +485,59 @@ object Streams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  case class LandmarkMatch(user_id: Long, complete_at: Long)
+  private case class LandmarkState(nSeen: Long, stepIdx: Int)
+
+  /** Continuous ordered-landmark journey matching — the streaming twin
+    * of [[graft.operators.Funnel.landmarkSteps]]: per user, CONSTANT
+    * state (events-seen counter + next-needed-step index) folds the
+    * greedy first-match scan event by event and emits exactly one
+    * [[LandmarkMatch]] the moment the final landmark lands. A full-
+    * journey regex ([[graft.operators.Funnel.sequenceMatch]]) would
+    * need the unbounded sequence; the landmark automaton needs 12
+    * bytes per user forever — the difference between a streamable and
+    * an unstreamable journey query.
+    *
+    * Equivalence contract (the [[TransitionsProcessor]] one): per-user
+    * event-time order across batches; within a batch rows re-sort by
+    * TRUE (micros, event_id). Stream ≡ batch asserted in StreamsSpec.
+    */
+  class LandmarkProcessor(steps: Seq[String])
+    extends StatefulProcessor[Long, Event, LandmarkMatch] {
+    @transient private var st: ValueState[LandmarkState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LandmarkState]("landmark",
+        Encoders.product[LandmarkState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[LandmarkMatch] = {
+      var s = if (st.exists()) st.get() else LandmarkState(0L, 0)
+      val out = Seq.newBuilder[LandmarkMatch]
+      def micros(ts: java.sql.Timestamp): Long =
+        ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        s = s.copy(nSeen = s.nSeen + 1)
+        if (s.stepIdx < steps.length && e.event_type == steps(s.stepIdx)) {
+          s = s.copy(stepIdx = s.stepIdx + 1)
+          if (s.stepIdx == steps.length) // completed NOW — emit once
+            out += LandmarkMatch(userId, s.nSeen)
+        }
+      }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** Continuous landmark-match stream (see [[LandmarkProcessor]]). */
+  def landmarkStream(events: Dataset[Event], steps: Seq[String]): Dataset[LandmarkMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new LandmarkProcessor(steps),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   // -------------------------------------------- streaming heavy hitters
 
   /** One token routed to its state shard. */

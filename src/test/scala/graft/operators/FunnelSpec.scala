@@ -110,6 +110,31 @@ class FunnelSpec extends SparkSpec {
       (w + 1, 0L, 1L))
   }
 
+  test("landmarkSteps: greedy first-match positions, strict after-ordering") {
+    val events = Seq(
+      // u1: signup(1) view(2) click(3) purchase(4) → completes at 4
+      (1L, "2024-01-01 10:00:00", 1L, "signup"),
+      (1L, "2024-01-01 10:01:00", 2L, "view"),
+      (1L, "2024-01-01 10:02:00", 3L, "click"),
+      (1L, "2024-01-01 10:03:00", 4L, "purchase"),
+      // u2: click BEFORE signup, none after → no completion
+      (2L, "2024-01-01 10:00:00", 5L, "click"),
+      (2L, "2024-01-01 10:01:00", 6L, "signup"),
+      (2L, "2024-01-01 10:02:00", 7L, "purchase"),
+      // u3: signup click purchase all same-type reuse NOT allowed:
+      // signup(1) signup(2) click(3) purchase(4) → completes at 4
+      (3L, "2024-01-01 10:00:00", 8L, "signup"),
+      (3L, "2024-01-01 10:01:00", 9L, "signup"),
+      (3L, "2024-01-01 10:02:00", 10L, "click"),
+      (3L, "2024-01-01 10:03:00", 11L, "purchase"))
+      .toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = Funnel.landmarkSteps(events, "user_id", "ts", "event_type",
+        "event_id", Seq("signup", "click", "purchase"))
+      .orderBy("user_id").as[(Long, Long)].collect()
+    got shouldBe Array((1L, 4L), (3L, 4L))
+  }
+
   test("sequenceMatch: regex over the time-ordered journey, order matters") {
     val events = Seq(
       // u1: signup → view → purchase (matches signup.*purchase)

@@ -461,6 +461,54 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("landmarkStream: constant-state journey automaton; completions equal batch landmarkSteps") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val steps = Seq("signup", "purchase")
+      // u10 completes ACROSS batches; u20 purchases before signup (never
+      // completes); u30 completes within one batch then purchases again
+      // (exactly one emission)
+      val b1 = Seq(
+        Event(1L, ts(1), 10L, "signup", 0.0),
+        Event(2L, ts(2), 10L, "view", 0.0),
+        Event(3L, ts(1), 20L, "purchase", 0.0),
+        Event(4L, ts(1), 30L, "signup", 0.0),
+        Event(5L, ts(2), 30L, "purchase", 0.0))
+      val b2 = Seq(
+        Event(6L, ts(5), 10L, "purchase", 0.0), // completes u10 at event 3
+        Event(7L, ts(5), 20L, "signup", 0.0),   // too late, no purchase after
+        Event(8L, ts(6), 30L, "purchase", 0.0)) // already done — no re-emit
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = landmarkStream(stream.toDS(), steps)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      def awaitRows(nRows: Long): Unit = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (spark.table(name).count() < nRows && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        q.exception.foreach(throw _)
+        spark.table(name).count() should be >= nRows
+      }
+      stream.addData(b1: _*); awaitRows(1)
+      stream.addData(b2: _*); awaitRows(2)
+      q.stop()
+      val fromStream = spark.table(name).as[LandmarkMatch].collect()
+        .map(m => (m.user_id, m.complete_at)).sorted
+      fromStream shouldBe Array((10L, 3L), (30L, 2L))
+      val fromBatch = graft.operators.Funnel.landmarkSteps(
+          (b1 ++ b2).toDF(), "user_id", "ts", "event_type", "event_id", steps)
+        .as[(Long, Long)].collect().sorted
+      fromStream shouldBe fromBatch
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("funnelStream crash recovery: step state survives restart; advances stay exactly-once") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
