@@ -1163,6 +1163,27 @@ object SparkEntry {
       Stats.anovaF(Tables.events(s, dir), col("event_type"),
         expr("cast(round(value * 100) as bigint)"))),
 
+    // Train/val/test leakage audit: near-dup pairs (the shared 0.8-
+    // Jaccard pair source) whose endpoints land in DIFFERENT md5-hash
+    // splits — the contamination a random split inflicts on held-out
+    // metrics. Bounded (split, split) output; pair source checkpointed.
+    "q_split_leakage" -> ((s, dir) => {
+      val u16 = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 4), 16, 10).cast("long")
+      val splits = Tables.documents(s, dir).select(col("doc_id"),
+        when(u16 < 52429L, "train").when(u16 < 58982L, "val")
+          .otherwise("test").as("split"))
+      ngramPairs(s, dir)
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+          Seq("id_a"))
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+          Seq("id_b"))
+        .where(col("split_a") =!= col("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_leaked_pairs"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     // Greedy ordered-landmark completion (signup → click → purchase):
     // earliest completing event index per user — the CONSTANT-state
     // streamable journey query (streaming twin: Streams.landmarkStream)
@@ -3196,6 +3217,34 @@ object SparkEntry {
         |  round(((sbn - bigS * bigS / bigN) / (k - 1)) /
         |        ((sss - sbn) / (bigN - k)), 4) AS f_stat
         |FROM t""".stripMargin,
+
+    // the q_ngram_jaccard pair CTE + the q_split hash mapping
+    "q_split_leakage" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < 52429
+        |         THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < 58982
+        |         THEN 'val'
+        |       ELSE 'test' END AS split FROM documents)
+        |SELECT sa.split AS split_a, sb.split AS split_b,
+        |       count(*) AS n_leaked_pairs
+        |FROM p JOIN sp sa ON p.id_a = sa.doc_id
+        |       JOIN sp sb ON p.id_b = sb.doc_id
+        |WHERE sa.split <> sb.split
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // chained min-after-pos greedy — the same first-match scan
     "q_landmark" ->

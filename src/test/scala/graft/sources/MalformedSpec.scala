@@ -67,4 +67,25 @@ class MalformedSpec extends SparkSpec {
       .csv(dir.getAbsolutePath)
     intercept[org.apache.spark.SparkException] { df.collect() }
   }
+
+  test("parquet schema evolution: mergeSchema unions columns, old files read null") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evolve").toFile
+    dir.deleteOnExit()
+    // epoch 1: (id, name); epoch 2 adds a quality column
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(dir.getAbsolutePath + "/e=1")
+    Seq((3L, "c", 0.9)).toDF("id", "name", "quality")
+      .write.parquet(dir.getAbsolutePath + "/e=2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(dir.getAbsolutePath)
+    merged.schema.fieldNames.toSet shouldBe Set("id", "name", "quality", "e")
+    val rows = merged.select("id", "quality").orderBy("id")
+      .as[(Long, Option[Double])].collect()
+    rows shouldBe Array((1L, None), (2L, None), (3L, Some(0.9)))
+    // without mergeSchema the first-listed footer wins — the default the
+    // fixed-schema Tables contract relies on (no surprise columns)
+    val single = spark.read.parquet(dir.getAbsolutePath)
+    single.schema.fieldNames should contain("id")
+  }
 }
