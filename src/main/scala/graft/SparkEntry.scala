@@ -1163,6 +1163,26 @@ object SparkEntry {
       Stats.anovaF(Tables.events(s, dir), col("event_type"),
         expr("cast(round(value * 100) as bigint)"))),
 
+    // Hybrid retrieval: reciprocal-rank fusion of lexical BM25 and
+    // embedding-cosine rankings (query = the terms + vector 0) — ranks
+    // from bounded predecessor-count joins over each top-100, fused by
+    // one id-keyed aggregate; no windows, no score calibration
+    "q_rrf_fusion" -> ((s, dir) => {
+      val bm = Retrieval.bm25(Tables.documents(s, dir), "doc_id", "text",
+          Seq("vector", "hash", "stream"))
+        .select(col("id"), round(col("score"), 4).as("score"))
+      val emb = embeddingsCk(s, dir)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("_qv"))
+      val cos = emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          round(Similarity.cosine(col("embedding"), col("_qv")), 6).as("score"))
+      Retrieval.rrfFusion(
+        Seq(Retrieval.rankFromScores(bm, 100),
+          Retrieval.rankFromScores(cos, 100)), k = 60, topN = 20)
+    }),
+
     // Train/val/test leakage audit: near-dup pairs (the shared 0.8-
     // Jaccard pair source) whose endpoints land in DIFFERENT md5-hash
     // splits — the contamination a random split inflicts on held-out
@@ -3217,6 +3237,40 @@ object SparkEntry {
         |  round(((sbn - bigS * bigS / bigN) / (k - 1)) /
         |        ((sss - sbn) / (bigN - k)), 4) AS f_stat
         |FROM t""".stripMargin,
+
+    // the q_bm25 scoring CTE + list_cosine_similarity, both rounded
+    // BEFORE ranking; row_number == the predecessor-count rank
+    "q_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> length(x) > 0) AS l FROM documents),
+        |dl AS (SELECT doc_id, cast(len(l) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM (
+        |         SELECT doc_id, unnest(l) AS term FROM toks) u
+        |       WHERE term IN ('vector','hash','stream') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |b AS (SELECT tf.doc_id,
+        |  round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |    * tf * (1.2 + 1.0)
+        |    / (tf + ((dl / avgdl) * 0.75 + (1.0 - 0.75)) * 1.2)), 4) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |btop AS (SELECT doc_id, s FROM b ORDER BY s DESC, doc_id LIMIT 100),
+        |brank AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY s DESC, doc_id) AS rank FROM btop),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qv AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS doc_id,
+        |        round(list_cosine_similarity(v, qv), 6) AS s
+        |      FROM emb CROSS JOIN qv WHERE vec_id <> 0),
+        |ctop AS (SELECT doc_id, s FROM c ORDER BY s DESC, doc_id LIMIT 100),
+        |crank AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY s DESC, doc_id) AS rank FROM ctop),
+        |u AS (SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM brank
+        |      UNION ALL SELECT doc_id, 1.0 / (60.0 + rank) FROM crank)
+        |SELECT doc_id AS id, round(sum(c), 6) AS rrf, count(*) AS n_lists
+        |FROM u GROUP BY 1 ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
 
     // the q_ngram_jaccard pair CTE + the q_split hash mapping
     "q_split_leakage" ->

@@ -510,6 +510,51 @@ object Retrieval {
     * .charNgrams]] normalization); returns (doc_id, n_occ) with the
     * exact non-overlapping occurrence count.
     */
+  /** Rank the top `topN` of a (id, score) table under the total order
+    * (score desc, id asc) WITHOUT a single-partition window: the list
+    * is first cut to `topN` rows distributively (TakeOrderedAndProject),
+    * then ranks come from a bounded topN×topN predecessor-count join —
+    * rank = 1 + |rows strictly ahead|. Callers pass ROUNDED scores so
+    * the order (and thus every rank) is engine-reproducible.
+    */
+  def rankFromScores(scored: DataFrame, topN: Int): DataFrame = {
+    require(topN > 0, s"topN $topN")
+    val top = scored.orderBy(col("score").desc, col("id").asc).limit(topN)
+    val a = top.select(col("id").as("_ra_id"), col("score").as("_ra_s"))
+    val b = top.select(col("id").as("_rb_id"), col("score").as("_rb_s"))
+    a.join(b, col("_rb_s") > col("_ra_s") ||
+        (col("_rb_s") === col("_ra_s") && col("_rb_id") < col("_ra_id")),
+        "left")
+      .groupBy(col("_ra_id"))
+      .agg((count(col("_rb_id")) + 1).cast("long").as("rank"))
+      .select(col("_ra_id").as("id"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of several (id, rank) lists:
+    * rrf(d) = Σ_lists 1/(k + rank_list(d)) — the standard hybrid-
+    * retrieval combiner (lexical BM25 ⊕ embedding cosine) that needs no
+    * score calibration between rankers. Missing-from-a-list documents
+    * simply contribute nothing. With two lists the double sum is
+    * order-exact (two-term IEEE addition commutes); for >2 lists ties
+    * at the 6-dp rounding boundary could in principle differ by fold
+    * order. Returns the fused top `topN` by (rrf desc, id asc).
+    *
+    * Scale shape: union of the bounded ranked lists → one id-keyed
+    * aggregate → TakeOrderedAndProject. No windows, no nested loops
+    * beyond the callers' bounded rank joins.
+    */
+  def rrfFusion(rankings: Seq[DataFrame], k: Int, topN: Int): DataFrame = {
+    require(rankings.nonEmpty && k > 0 && topN > 0,
+      s"need rankings, k > 0, topN > 0; got ${rankings.size}, $k, $topN")
+    rankings.map(_.select(col("id"),
+        (lit(1.0) / (lit(k.toDouble) + col("rank"))).as("_c")))
+      .reduce(_.unionAll(_))
+      .groupBy(col("id"))
+      .agg(round(sum(col("_c")), 6).as("rrf"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .orderBy(col("rrf").desc, col("id").asc).limit(topN)
+  }
+
   /** The one-time index build for [[substringSearchIndexed]]: the
     * distinct (trigram, doc_id) posting table over whitespace-normalized
     * lowercase text. At 100 TB this is written ONCE (sorted/bucketed by

@@ -272,4 +272,29 @@ class PlanSpec extends SparkSpec {
     (p should not).include("BroadcastNestedLoopJoin")
     (p should not).include("CartesianProduct")
   }
+
+  test("q_substring_search: needle-gram IN filter pushed into the posting-index scan") {
+    val p = planOf("q_substring_search")
+    // the index probe must prune at the parquet scan, not post-scan:
+    // the posting fixture is gram-sorted so In(g, …) hits row-group stats
+    p should include("PushedFilters: [In(g")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_split_leakage and q_bfs: vertex/doc equi-joins only — no nested loop") {
+    Seq("q_split_leakage", "q_bfs").foreach { q =>
+      val p = planOf(q)
+      (p should not).include("BroadcastNestedLoopJoin")
+      (p should not).include("CartesianProduct")
+    }
+  }
+
+  test("q_welch_ttest: the only nested loops are bounded group-dimension pairs") {
+    val p = planOf("q_welch_ttest")
+    // dim×dim pair join over per-group aggregates (≤k rows a side) plus
+    // its exchange reuse — never a data×data product
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) should be <= 2
+    (p should not).include("SortMergeJoin")
+  }
 }

@@ -371,6 +371,29 @@ class RetrievalSpec extends SparkSpec {
     or1 shouldBe Array((1L, 3L), (2L, 2L), (3L, 1L))
   }
 
+  test("rankFromScores: predecessor-count ranks equal row_number under (score desc, id)") {
+    val scored = Seq((1L, 0.9), (2L, 0.9), (3L, 0.5), (4L, 0.99), (5L, 0.1))
+      .toDF("id", "score")
+    val got = Retrieval.rankFromScores(scored, topN = 4)
+      .orderBy("rank").as[(Long, Long)].collect()
+    // order: 4(0.99), 1(0.9 tie id-first), 2(0.9), 3(0.5); 5 cut by topN
+    got shouldBe Array((4L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+  }
+
+  test("rrfFusion: fused score sums 1/(k+rank); single-list docs score lower") {
+    val l1 = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val l2 = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
+    val got = Retrieval.rrfFusion(Seq(l1, l2), k = 60, topN = 3)
+      .as[(Long, Double, Long)].collect()
+    // 20: 1/62 + 1/61 (two lists); 10: 1/61; 30: 1/62
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got shouldBe Array(
+      (20L, r6(1.0 / 62 + 1.0 / 61), 2L),
+      (10L, r6(1.0 / 61), 1L),
+      (30L, r6(1.0 / 62), 1L))
+  }
+
   test("substringSearch: exact matches with counts, normalization, no false hits") {
     val docs = Seq(
       (1L, "the batch batch job"),         // 1 occurrence
