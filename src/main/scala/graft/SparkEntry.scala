@@ -1095,6 +1095,21 @@ object SparkEntry {
           k = 3, minRun = 3)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // Two-sample KS distribution test (click vs error cents): per-value
+    // count dimension → one sanctioned global cumsum window → max CDF gap
+    "q_ks_test" -> ((s, dir) =>
+      Stats.ksTest(Tables.events(s, dir), col("event_type"),
+        expr("cast(round(value * 100) as bigint)"), "click", "error")),
+
+    // Exact modal weekday per event type (count desc, value asc tie-break)
+    "q_mode" -> ((s, dir) =>
+      Stats.mode(
+          Tables.events(s, dir).select(col("event_type"),
+            expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("weekday")),
+          col("event_type"), col("weekday"))
+        .select(col("g").as("event_type"), col("mode_value"), col("n_occ"))
+        .orderBy(col("event_type"))),
+
     // Pairwise Welch t-tests across event types over integer cents:
     // corpus → one exact (n, Σc, Σc²) row per group, then pure double
     // arithmetic on the bounded dim×dim pair table — engine-exact
@@ -3117,6 +3132,38 @@ object SparkEntry {
         |FROM p GROUP BY doc_id, pos - rn
         |HAVING count(*) >= 3
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // per-value counts, identical cumulative frame, exact-integer ratios
+    "q_ks_test" ->
+      """WITH t AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+        |c AS (SELECT v,
+        |    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY 1),
+        |cum AS (SELECT v,
+        |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS cumb
+        |  FROM c WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb FROM c)
+        |SELECT max(na) AS n_a, max(nb) AS n_b, count(*) AS n_values,
+        |  round(max(abs(cuma / na - cumb / nb)), 6) AS ks_d
+        |FROM cum CROSS JOIN tot""".stripMargin,
+
+    "q_mode" ->
+      """WITH e AS (SELECT event_type,
+        |    ((epoch_ns(ts)//1000) // 86400000000 + 4) % 7 AS weekday
+        |  FROM events),
+        |c AS (SELECT event_type, weekday, count(*) AS n_occ
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT event_type, weekday AS mode_value, n_occ,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY n_occ DESC, weekday ASC) AS rk FROM c)
+        |SELECT event_type, mode_value, n_occ FROM r WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
 
     // exact integer (n, Σc, Σc²) per group, then the identical double
     // expression tree — sums of integers-as-doubles are exact below 2^53

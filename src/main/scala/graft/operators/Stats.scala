@@ -359,6 +359,49 @@ object Stats {
         max(col("_tot")).cast("long").as("total_weight"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic D = max |F_a(x) − F_b(x)|
+    * between two groups' integer-cents distributions — the
+    * distribution-shape drift test that sees what mean tests
+    * ([[welchTTest]]/[[anovaF]]) cannot. The corpus reduces to a
+    * per-value (count_a, count_b) dimension; ONE global cumulative
+    * window over that aggregate (value domain, not rows — the
+    * WindowAudit-sanctioned bounded construction) yields both empirical
+    * CDFs, and D is a max over exact-integer ratios — engine-exact.
+    */
+  def ksTest(df: DataFrame, groupCol: Column, centsCol: Column,
+             groupA: String, groupB: String): DataFrame = {
+    val t = df.select(groupCol.as("g"), centsCol.cast("long").as("v"))
+      .where(col("v").isNotNull && col("g").isin(groupA, groupB))
+    val cnt = t.groupBy(col("v")).agg(
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cnt.withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("na")).cast("long").as("n_a"),
+        max(col("nb")).cast("long").as("n_b"),
+        count(lit(1)).as("n_values"),
+        round(max(abs(col("cuma") / col("na") - col("cumb") / col("nb"))), 6)
+          .as("ks_d"))
+  }
+
+  /** Exact per-group mode with a deterministic tie-break (highest
+    * count, then smallest value): one (group, value) count aggregate,
+    * then a group-keyed rank window over that bounded dimension.
+    */
+  def mode(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val cnt = df.select(groupCol.as("g"), valueCol.as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("n").desc, col("v").asc)
+    cnt.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .select(col("g"), col("v").as("mode_value"), col("n").as("n_occ"))
+  }
+
   /** One-way ANOVA F statistic across all groups (the k-sample
     * generalization of [[welchTTest]]): between/within mean squares
     * from the same exact-integer (n, Σc, Σc²) per-group reduction —

@@ -35,6 +35,9 @@ class WindowAuditSpec extends SparkSpec {
     // and the set of queries that use the construction at all is pinned
     withBare shouldBe Set(
       "q_pack_sequences", "q_shuffle_rank", "q_quality_bins",
-      "q_jaro", "q_gini", "q_pareto_docs")
+      "q_jaro", "q_gini", "q_pareto_docs",
+      // KS: one global cumsum over the per-value COUNT dimension (the
+      // value domain, not corpus rows) — the sanctioned construction
+      "q_ks_test")
   }
 }

@@ -162,6 +162,26 @@ class StatsSpec extends SparkSpec {
     got shouldBe Array(("a", "b"))
   }
 
+  test("ksTest: D equals the hand-computed max CDF gap; identical samples give 0") {
+    // a: 1,2,3,4 ; b: 3,4,5,6 → F gaps at v=1..6: .25,.5,.5,.5,.25,0 → D=0.5
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(3L, 4L, 5L, 6L).map(("b", _))).toDF("g", "v")
+    val r = Stats.ksTest(df, col("g"), col("v"), "a", "b").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) shouldBe
+      ((4L, 4L, 6L, 0.5))
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    Stats.ksTest(same, col("g"), col("v"), "a", "b")
+      .head().getDouble(3) shouldBe 0.0
+  }
+
+  test("mode: highest count wins, ties break to the smallest value") {
+    val df = Seq(("g1", 7L), ("g1", 7L), ("g1", 3L),
+      ("g2", 5L), ("g2", 9L)).toDF("g", "v") // g2 tie 5 vs 9 → 5
+    Stats.mode(df, col("g"), col("v"))
+      .orderBy("g").as[(String, Long, Long)].collect() shouldBe
+      Array(("g1", 7L, 2L), ("g2", 5L, 1L))
+  }
+
   test("weightedMedian: cumulative weight crossing, ties collapsed, zero weights dropped") {
     val df = Seq(
       // group a: v=1 w=1, v=2 w=1, v=3 w=10 → total 12, median v=3
