@@ -59,6 +59,27 @@ object Profiling {
         coalesce(max(col("cl") * col("cr")), lit(0L)).as("max_key_fanout"))
   }
 
+  /** Schema-drift report between two snapshots of "the same" table:
+    * one row per column that was added, removed, or changed type —
+    * the metadata complement of [[graft.operators.Cdc.snapshotDiff]]'s
+    * row-level diff. Pure driver-side schema comparison (no data
+    * touched); emitted as a DataFrame so drift gates compose with the
+    * rest of the reporting pipeline.
+    */
+  def schemaDiff(old: DataFrame, curr: DataFrame): DataFrame = {
+    val spark = old.sparkSession
+    import spark.implicits._
+    val a = old.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val b = curr.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (b.keySet -- a.keySet).toSeq.sorted.map(c => ("added", c, "", b(c))) ++
+      (a.keySet -- b.keySet).toSeq.sorted.map(c => ("removed", c, a(c), "")) ++
+      (a.keySet & b.keySet).toSeq.sorted.collect {
+        case c if a(c) != b(c) => ("type_changed", c, a(c), b(c))
+      }
+    rows.toDF("change", "col_name", "old_type", "new_type")
+  }
+
   /** Declarative data-quality constraint suite (the Deequ/great-
     * expectations shape): one report row per check with its exact
     * violation count. Row-local checks (not-null, range, regex) fold

@@ -46,6 +46,19 @@ class ProfilingSpec extends SparkSpec {
     left.join(right, "k").count() shouldBe 8L
   }
 
+  test("schemaDiff reports added, removed, and type-changed columns") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val curr = Seq((1L, 1, true)).toDF("id", "score", "flag")
+    val got = Profiling.schemaDiff(old, curr)
+      .as[(String, String, String, String)].collect().toSet
+    got shouldBe Set(
+      ("added", "flag", "", "boolean"),
+      ("removed", "name", "string", ""),
+      ("type_changed", "score", "double", "int"))
+    Profiling.schemaDiff(old, old).count() shouldBe 0L
+  }
+
   test("checkConstraints: every check class counts its violations exactly") {
     import spark.implicits._
     val df = Seq(
