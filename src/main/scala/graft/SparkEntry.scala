@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
+import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Intervals, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
 import graft.functions.{DedupExpr, TextAnalytics}
 
 /** Driver contract — declared query surface (SURVEY.md §2) with DuckDB
@@ -2205,6 +2205,68 @@ object SparkEntry {
         .select(col("c_custkey"), col("_m.city").as("nearest"),
           col("_m.d").as("dist_km"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // All point pairs within 200 km via the grid-cell equi-join
+    // (Geo.neighborPairs: 3×3 stamped cells with lon wraparound, exact
+    // haversine verify on candidates only — never a cartesian). The
+    // oracle IS the brute-force all-pairs join, so the hash-match proves
+    // the grid's completeness empirically, antimeridian pairs included.
+    "q_geo_pairs" -> ((s, dir) => {
+      val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+          (pmod(col("c_custkey") * 37, lit(17000)) / 100.0 - 85.0).as("lat"),
+          (pmod(col("c_custkey") * 73, lit(36000)) / 100.0 - 180.0).as("lon"))
+        .where(abs(col("lat")) <= 60.0) // polar caps need cap cells
+      Geo.neighborPairs(pts, col("id"), col("lat"), col("lon"),
+          radiusKm = 200.0, cellDeg = 4.0, maxAbsLat = 60.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Interval-overlap join via the bucketed equi-join
+    // (Intervals.overlapJoin): click sessions × purchase sessions
+    // [ts, ts + value seconds), 1-hour buckets. The oracle is the naive
+    // overlap theta-join DuckDB can afford at test scale — the plan
+    // Spark must NEVER use (no-BNLJ plan-locked in PlanSpec).
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def iv(t: String, suf: String) = ev.where(col("event_type") === t)
+        .select(col("event_id").as(s"id_$suf"),
+          unix_micros(col("ts")).as(s"s_$suf"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 100).cast("long") * 10000L).as(s"e_$suf"))
+      Intervals.overlapJoin(
+          iv("click", "a"), col("s_a"), col("e_a"),
+          iv("purchase", "b"), col("s_b"), col("e_b"),
+          bucketWidth = 3600000000L)
+        .select(col("id_a"), col("id_b"), col("overlap").as("overlap_us"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Rolling z-score anomaly flags: per-user 7-day trailing mean/std
+    // from exact-integer (n, Σc, Σc²) window sums — the double
+    // arithmetic starts only at the final μ/σ/z expressions, spelled
+    // identically in both engines; the threshold compares the ROUNDED z
+    "q_rolling_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rangeBetween(-7L * 86400000000L, 0)
+      val agg = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("user_id"), col("t_us"), col("cents"),
+          count(lit(1)).over(w).as("n_win"),
+          sum(col("cents")).over(w).as("s1"),
+          sum(col("cents") * col("cents")).over(w).as("s2"))
+        .where(col("n_win") >= 8 &&
+          col("n_win") * col("s2") - col("s1") * col("s1") > 0)
+      val mu = col("s1").cast("double") / col("n_win")
+      val sd = sqrt((col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n_win")) /
+        (col("n_win") - 1))
+      agg.select(col("event_id"), col("user_id"), col("n_win"),
+          round((col("cents") - mu) / sd, 4).as("z"))
+        .where(abs(col("z")) >= lit(1.6))
+        .orderBy(col("event_id"))
     }),
 
     // Exact set-similarity join via PREFIX FILTERING (AllPairs/PPJoin):
@@ -4762,6 +4824,58 @@ object SparkEntry {
         |  SELECT c_custkey, city, d, row_number() OVER (
         |    PARTITION BY c_custkey ORDER BY d, city) AS rk FROM d) t
         |WHERE rk = 1 ORDER BY c_custkey""".stripMargin,
+
+    // brute-force all-pairs with the identical rounded haversine: the
+    // grid-cell join must reproduce this bit-for-bit (completeness,
+    // incl. antimeridian wraparound pairs)
+    "q_geo_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id,
+        |    (c_custkey * 37) % 17000 / 100.0 - 85.0 AS lat,
+        |    (c_custkey * 73) % 36000 / 100.0 - 180.0 AS lon
+        |  FROM customer WHERE abs((c_custkey * 37) % 17000 / 100.0 - 85.0) <= 60.0)
+        |SELECT id_a, id_b, dist_km FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    round(12742.0 * asin(sqrt(
+        |      sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+        |      + cos(radians(a.lat)) * cos(radians(b.lat))
+        |        * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2))),
+        |      4) AS dist_km
+        |  FROM c a JOIN c b ON a.id < b.id) t
+        |WHERE dist_km <= 200.0 ORDER BY id_a, id_b""".stripMargin,
+
+    // the naive overlap theta-join the bucketed plan must reproduce
+    "q_interval_join" ->
+      """WITH a AS (SELECT event_id AS id_a, epoch_ns(ts)//1000 AS s,
+        |    epoch_ns(ts)//1000 + CAST(round(value*100) AS BIGINT)*10000 AS e
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT event_id AS id_b, epoch_ns(ts)//1000 AS s,
+        |    epoch_ns(ts)//1000 + CAST(round(value*100) AS BIGINT)*10000 AS e
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT id_a, id_b,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+        |FROM a JOIN b ON a.s < b.e AND b.s < a.e
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact-integer window sums; μ/σ/z double trees spelled identically
+    "q_rolling_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS t_us,
+        |         CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |agg AS (SELECT event_id, user_id, cents,
+        |    count(*) OVER w AS n_win,
+        |    CAST(sum(cents) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(cents * cents) OVER w AS BIGINT) AS s2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT event_id, user_id, n_win,
+        |    round((cents - CAST(s1 AS DOUBLE) / n_win) /
+        |      sqrt((CAST(s2 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_win)
+        |           / (n_win - 1)), 4) AS z
+        |  FROM agg
+        |  WHERE n_win >= 8 AND n_win * s2 - s1 * s1 > 0)
+        |SELECT event_id, user_id, n_win, z FROM z
+        |WHERE abs(z) >= 1.6 ORDER BY event_id""".stripMargin,
 
     // identical to q_ngram_jaccard's oracle: the prefix-filtered join
     // must reproduce the brute-force exact join bit-for-bit

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Geographic primitives. Latitude/longitude are the reference's only
@@ -27,5 +27,69 @@ object Geo {
     val a = sdLat * sdLat +
       cos(radians(lat1)) * cos(radians(lat2)) * sdLon * sdLon
     lit(12742.0) * asin(sqrt(a))
+  }
+
+  /** All point pairs within `radiusKm`, via a grid-cell equi-join — the
+    * spatial sibling of the LSH-band / interval-bucket pattern. A naive
+    * "all pairs within R" is a cartesian O(n²) distance evaluation; at
+    * scale the only viable plan quantizes the sphere into
+    * `cellDeg`-degree cells, stamps each point onto its 3×3 cell
+    * neighborhood (with LONGITUDE WRAPAROUND so antimeridian pairs are
+    * not lost), equi-joins stamped×home on the cell id, and verifies the
+    * exact haversine on candidates only. A hot cell is bounded by local
+    * point density, never by n.
+    *
+    * Each qualifying pair is emitted exactly once without a distinct:
+    * the stamped side must carry the SMALLER id (`id_a < id_b`), and the
+    * home cell of the larger-id point is unique.
+    *
+    * Completeness holds only while adjacent cells cover `radiusKm` in
+    * both axes, which shrinks with latitude for longitude — the
+    * preconditions are `require()`d from the exact haversine bounds
+    * (Δφ ≤ r/R; sin(Δλ/2) ≤ sin(r/2R)/cos(φmax)), and the caller must
+    * pre-filter |lat| ≤ `maxAbsLat` (polar caps need cap cells, not a
+    * lon/lat grid).
+    *
+    * Output: `id_a`, `id_b`, `dist_km` (rounded to 4 dp BEFORE the
+    * radius compare, so an oracle evaluating the identical expression
+    * tree cannot disagree on threshold membership by one ulp).
+    */
+  def neighborPairs(points: DataFrame, idCol: Column,
+                    latCol: Column, lonCol: Column,
+                    radiusKm: Double, cellDeg: Double,
+                    maxAbsLat: Double): DataFrame = {
+    val R = 6371.0
+    val nx = math.round(360.0 / cellDeg)
+    require(nx * cellDeg == 360.0,
+      s"cellDeg $cellDeg must divide 360 exactly (lon wraparound)")
+    val maxDLat = math.toDegrees(radiusKm / R)
+    require(cellDeg >= maxDLat,
+      s"cellDeg $cellDeg < max lat span $maxDLat deg for radius $radiusKm")
+    val sinHalf = math.sin(radiusKm / (2 * R)) /
+      math.cos(math.toRadians(maxAbsLat))
+    require(sinHalf <= 1.0 && cellDeg >= math.toDegrees(2 * math.asin(sinHalf)),
+      s"cellDeg $cellDeg too small for radius $radiusKm at |lat|<=$maxAbsLat" +
+        " — adjacent cells would not cover the radius; widen cellDeg or" +
+        " lower maxAbsLat")
+    val base = points.select(idCol.as("_id"), latCol.as("_lat"),
+      lonCol.as("_lon"),
+      floor((lonCol + 180.0) / cellDeg).cast("long").as("_cx"),
+      floor((latCol + 90.0) / cellDeg).cast("long").as("_cy"))
+    val stamped = base.select(col("_id").as("id_a"), col("_lat").as("_lata"),
+        col("_lon").as("_lona"),
+        explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+          struct(pmod(col("_cx") + dx, lit(nx)).as("x"),
+            (col("_cy") + dy).as("y"))): _*)).as("_cell"))
+      .select(col("id_a"), col("_lata"), col("_lona"),
+        col("_cell.x").as("_cxa"), col("_cell.y").as("_cya"))
+    val home = base.select(col("_id").as("id_b"), col("_lat").as("_latb"),
+      col("_lon").as("_lonb"), col("_cx"), col("_cy"))
+    stamped.join(home,
+        col("_cxa") === col("_cx") && col("_cya") === col("_cy") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(haversineKm(col("_lata"), col("_lona"),
+          col("_latb"), col("_lonb")), 4).as("dist_km"))
+      .where(col("dist_km") <= radiusKm)
   }
 }

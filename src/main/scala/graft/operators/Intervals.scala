@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap joins at scale.
+  *
+  * A naive overlap join — `a.start < b.end AND b.start < a.end` — has no
+  * equality conjunct, so Spark can only plan it as a broadcast
+  * nested-loop / cartesian product: O(|A|·|B|) comparisons regardless of
+  * how few pairs actually overlap. At 100 TB that plan never finishes.
+  *
+  * The standard fix (genomics binning, Sedona/GeoSpark grids, the
+  * DBPlus "bucket join" literature) is to quantize time into fixed-width
+  * buckets, stamp every interval onto each bucket it covers (explode
+  * factor = len/width + 1, bounded when the width is chosen near the
+  * typical interval length), equi-join on the bucket id, and re-verify
+  * the exact overlap predicate on the candidates. Each overlapping pair
+  * is emitted exactly once WITHOUT a distinct: the pair is kept only in
+  * the bucket containing `greatest(a.start, b.start)` — that instant
+  * lies inside both intervals, so exactly one bucket row qualifies.
+  *
+  * Shuffle shape: one equi-join keyed by bucket id; a hot bucket is
+  * bounded by interval density per width, not by |A|·|B|.
+  */
+object Intervals {
+
+  /** All (a, b) pairs whose half-open intervals `[startCol, endCol)`
+    * overlap, via the bucketed equi-join above. `startCol`/`endCol` are
+    * integer instants (e.g. epoch micros); `bucketWidth` is in the same
+    * unit. Output: all `a` columns, all `b` columns (caller must make
+    * the names disjoint), plus `overlap` = width of the intersection.
+    */
+  def overlapJoin(a: DataFrame, aStart: Column, aEnd: Column,
+                  b: DataFrame, bStart: Column, bEnd: Column,
+                  bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth")
+    // `div`, not `/`: Column./ is DOUBLE division, whose ulp at
+    // epoch-micros magnitude can flip a floor at bucket boundaries
+    def stamped(df: DataFrame, s: Column, e: Column, p: String): DataFrame =
+      df.select(col("*"), s.cast("long").as(s"__${p}s"),
+          e.cast("long").as(s"__${p}e"))
+        .where(col(s"__${p}s") < col(s"__${p}e")) // empty intervals never pair
+        .select(col("*"),
+          explode(sequence(expr(s"__${p}s div $bucketWidth"),
+            expr(s"(__${p}e - 1) div $bucketWidth")))
+            .as(s"__${p}bkt"))
+    val sa = stamped(a, aStart, aEnd, "a")
+    val sb = stamped(b, bStart, bEnd, "b")
+    sa.join(sb,
+        col("__abkt") === col("__bbkt") &&
+          col("__as") < col("__be") && col("__bs") < col("__ae") &&
+          // dedup: keep the pair only in the bucket of the later start
+          col("__abkt") === expr(s"greatest(__as, __bs) div $bucketWidth"))
+      .withColumn("overlap",
+        least(col("__ae"), col("__be")) - greatest(col("__as"), col("__bs")))
+      .drop("__as", "__ae", "__abkt", "__bs", "__be", "__bbkt")
+  }
+}

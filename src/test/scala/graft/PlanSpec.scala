@@ -84,6 +84,18 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_geo_pairs: grid-cell spatial join is equi-join only — no nested loop, no cartesian") {
+    val p = planOf("q_geo_pairs")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_interval_join: bucketed interval overlap is equi-join only — no nested loop, no cartesian") {
+    val p = planOf("q_interval_join")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("q_fuzzy_join: sorted-neighborhood blocking is equi-join only — no nested loop, no cartesian") {
     val p = planOf("q_fuzzy_join")
     (p should not).include("BroadcastNestedLoopJoin")

@@ -26,4 +26,41 @@ class GeoSpec extends SparkSpec {
     // antipodal points: half the mean circumference ~ 20015 km
     dist(0.0, 0.0, 0.0, 180.0) shouldBe 20015.0 +- 5.0
   }
+
+  private def gridPairs(pts: Seq[(Long, Double, Double)], r: Double,
+                        cell: Double): Set[(Long, Long)] =
+    Geo.neighborPairs(pts.toDF("id", "lat", "lon"),
+        col("id"), col("lat"), col("lon"), r, cell, maxAbsLat = 60.0)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+
+  test("neighborPairs matches brute force on random points (grid completeness)") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(300) { i =>
+      (i.toLong, rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 360 - 180)
+    }
+    val brute = (for {
+      (ia, lata, lona) <- pts; (ib, latb, lonb) <- pts
+      if ia < ib
+      d = BigDecimal(dist(lata, lona, latb, lonb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if d <= 500.0
+    } yield (ia, ib)).toSet
+    brute should not be empty // the fixture must actually exercise pairs
+    gridPairs(pts, r = 500.0, cell = 10.0) shouldBe brute
+  }
+
+  test("neighborPairs finds antimeridian pairs (lon wraparound)") {
+    // 0.4 deg of longitude apart across the ±180 seam, ~44 km at equator
+    val pts = Seq((1L, 0.0, 179.8), (2L, 0.0, -179.8), (3L, 0.0, 0.0))
+    gridPairs(pts, r = 100.0, cell = 4.0) shouldBe Set((1L, 2L))
+  }
+
+  test("neighborPairs refuses a cell grid too coarse-grained to be complete") {
+    // 500 km needs ~9 deg of lon at |lat|=60; a 4-deg cell cannot cover it
+    an[IllegalArgumentException] should be thrownBy
+      gridPairs(Seq((1L, 0.0, 0.0)), r = 500.0, cell = 4.0)
+    // and cellDeg must divide 360 for the wraparound modulus
+    an[IllegalArgumentException] should be thrownBy
+      gridPairs(Seq((1L, 0.0, 0.0)), r = 100.0, cell = 7.0)
+  }
 }
