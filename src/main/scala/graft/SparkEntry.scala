@@ -100,6 +100,23 @@ object SparkEntry {
       path
     })
 
+  /** Process-lifetime hive-partitioned parquet fixture for q_dpp_prune:
+    * orders laid out as one directory per o_orderpriority. The fact
+    * side's only priority predicate arrives THROUGH the dimension join,
+    * so static partition pruning is impossible — the scan must prune at
+    * runtime via dynamic partition pruning (plan-asserted in PlanSpec).
+    */
+  private val partFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedOrdersFixture(s: SparkSession, dir: String): String =
+    partFixtures.computeIfAbsent(dir, _ => {
+      val tmp = fixtureDir("graft-part")
+      val path = tmp.getAbsolutePath + "/orders_p"
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+      path
+    })
+
   /** Process-lifetime trigram posting index for q_substring_search: the
     * (gram, doc_id) table is built once per corpus (the 100 TB pattern —
     * index amortizes across queries), written gram-sorted so per-query
@@ -984,6 +1001,42 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("seq_from"))
     }),
 
+    // Point-in-time SCD2 enrichment: attach to each fact probe the
+    // dimension version valid AT its time — textbook form is a range
+    // join on [seq_from, valid_to), which Spark would plan as a
+    // nested loop; here it is the single-shuffle as-of union plan
+    // (AsOfJoin), with validity-END semantics preserved because a
+    // tombstone IS the latest version after a delete (probe lands on
+    // the 'D' row → null payload, exactly the SCD2 gap). Time is
+    // doubled (probe 2t+1 vs version 2t) so the as-of's strict
+    // inequality implements the PIT's inclusive seq_from <= t.
+    "q_pit_join" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val versions = orders.select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          lit(0L).as("_seq"), lit("U").as("_op"))
+        .unionByName(orders.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), round(col("o_totalprice") * 2, 2).as("price"),
+            lit(1L).as("_seq"),
+            when(col("o_orderkey") % 3 === 0, "D").otherwise("U").as("_op")))
+        .unionByName(orders.where(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey"), round(col("o_totalprice") * 3, 2).as("price"),
+            lit(2L).as("_seq"), lit("U").as("_op")))
+        .select(col("o_orderkey"), col("price"), col("_op"), col("_seq"),
+          (col("_seq") * 2).as("_vt"))
+      val probes = orders.select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(4)).cast("long").as("probe_seq"),
+        (pmod(col("o_orderkey"), lit(4)) * 2 + 1).cast("long").as("_pt"))
+      AsOfJoin.asOfBackward(probes, versions, Seq("o_orderkey"), "_pt", "_vt",
+          Map("price" -> "_price", "_op" -> "_vop", "_seq" -> "_vseq"))
+        .select(col("o_orderkey"), col("probe_seq"),
+          coalesce(when(col("_vop") === "U", col("_price")), lit(-1.0))
+            .as("price_pit"),
+          coalesce(when(col("_vop") === "U", col("_vseq")), lit(-1L))
+            .as("ver_seq"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Snapshot diff: classify every key across base vs CDC-applied
     // snapshot (full-outer on the key, struct payload compare) — the
     // end-to-end audit of the merge: counts per change class
@@ -1301,6 +1354,24 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag"))),
+
+    // Dynamic partition pruning: the fact scan's only priority
+    // predicate arrives through the broadcast dimension join, so the
+    // hive-partitioned fixture can only prune at RUNTIME — Catalyst
+    // inserts a dynamicpruning subquery into the partition filter
+    // (plan-asserted in PlanSpec). Logically a plain filtered join, so
+    // the raw-orders oracle hash-matches.
+    "q_dpp_prune" -> ((s, dir) => {
+      val fact = s.read.parquet(partitionedOrdersFixture(s, dir))
+      val dim = Tables.orders(s, dir).select(col("o_orderpriority")).distinct()
+        .select(col("o_orderpriority").as("p_priority"),
+          length(col("o_orderpriority")).as("p_len"))
+        .where(col("p_len") >= 8) // selective only through the join
+      fact.join(broadcast(dim), col("o_orderpriority") === col("p_priority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
 
     // Heavy hitters via a mergeable Misra-Gries summary (bounded k-entry
     // state per partial aggregate — the frequent-tokens tool when exact
@@ -3034,6 +3105,37 @@ object SparkEntry {
         |            AND _op = 'U' THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM chg ORDER BY o_orderkey, seq_from""".stripMargin,
 
+    // the textbook PIT form — a validity-range left join against the
+    // lead-window SCD2 table — which the as-of union plan must
+    // reproduce, tombstone gaps included
+    "q_pit_join" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |         CAST(0 AS BIGINT) AS _seq, 'U' AS _op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice*2, 2),
+        |         CAST(1 AS BIGINT),
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice*3, 2),
+        |         CAST(2 AS BIGINT), 'U'
+        |  FROM orders WHERE o_orderkey % 14 = 0),
+        |v AS (SELECT o_orderkey, price, _seq, _op,
+        |    lead(_seq, 1) OVER (PARTITION BY o_orderkey ORDER BY _seq)
+        |      AS valid_to
+        |  FROM chg),
+        |p AS (SELECT o_orderkey, CAST(o_orderkey % 4 AS BIGINT) AS probe_seq
+        |  FROM orders)
+        |SELECT p.o_orderkey, p.probe_seq,
+        |  coalesce(CASE WHEN v._op = 'U' THEN v.price END, -1.0) AS price_pit,
+        |  coalesce(CASE WHEN v._op = 'U' THEN v._seq END,
+        |           CAST(-1 AS BIGINT)) AS ver_seq
+        |FROM p LEFT JOIN v ON p.o_orderkey = v.o_orderkey
+        |  AND v._seq <= p.probe_seq
+        |  AND (v.valid_to IS NULL OR p.probe_seq < v.valid_to)
+        |ORDER BY p.o_orderkey""".stripMargin,
+
     "q_snapshot_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
@@ -3077,6 +3179,16 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 50 AND 99 AND l_suppkey BETWEEN 2 AND 5
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // logically a plain filtered join over orders — the partitioned
+    // fixture layout changes only HOW the scan prunes, never the rows
+    "q_dpp_prune" ->
+      """WITH dim AS (SELECT DISTINCT o_orderpriority AS p FROM orders
+        |             WHERE length(o_orderpriority) >= 8)
+        |SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN dim ON o_orderpriority = p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact oracle is valid because k=64 ≥ the 31-token vocabulary (MG
     // is exact when nothing is ever evicted)

@@ -84,6 +84,16 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_dpp_prune: partition filter prunes at runtime via dynamic partition pruning") {
+    planOf("q_dpp_prune") should include("dynamicpruning")
+  }
+
+  test("q_pit_join: SCD2 point-in-time enrichment is the as-of union plan — no join operator at all") {
+    val p = planOf("q_pit_join")
+    (p should not).include("Join") // union + one keyed window, not a range join
+    p should include("Window")
+  }
+
   test("q_geo_pairs: grid-cell spatial join is equi-join only — no nested loop, no cartesian") {
     val p = planOf("q_geo_pairs")
     (p should not).include("BroadcastNestedLoopJoin")
