@@ -2658,7 +2658,90 @@ object SparkEntry {
       Graphs.pageRank(s.read.parquet(knnEdgesFixture(s, dir)), "src", "dst",
           iters = 3)
         .select(col("id"), round(col("pr"), 6).as("pr"))
-        .orderBy(col("id")))
+        .orderBy(col("id"))),
+
+    // Link prediction over the k-NN graph: common-neighbor count +
+    // resource-allocation index Σ 1/deg(z) for NON-adjacent pairs —
+    // each shared neighbor contributes exact integer pico-units
+    // (1e12 div deg), one float division at the end
+    "q_link_predict" -> ((s, dir) =>
+      Graphs.linkPrediction(s.read.parquet(knnEdgesFixture(s, dir)),
+          "src", "dst", minCommon = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Per-type CUSUM change-point scan on integer cents under the
+    // (micros, event_id) total order: the prefix walk runs on the
+    // N-scaled integer numerator N·cum_i − i·tot (decimal(38,0) /
+    // HUGEINT), exact until the single peak division
+    "q_cusum" -> ((s, dir) =>
+      Timeseries.cusum(Tables.events(s, dir).where(col("value").isNotNull),
+          col("event_type"), unix_micros(col("ts")), col("event_id"),
+          expr("cast(round(value * 100) as bigint)"))
+        .select(col("g").as("event_type"), col("n"), col("peak_stat"),
+          col("peak_i"), col("peak_t"))
+        .orderBy(col("event_type"))),
+
+    // Day-of-week seasonal profile per event type: mean cents per
+    // (type, dow) and its delta vs the type's overall mean — exact
+    // integer sums until two final divisions; dow from pure epoch-day
+    // arithmetic (the q_chisq discipline)
+    "q_seasonal_dow" -> ((s, dir) => {
+      val d = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("dow"),
+          expr("cast(round(value * 100) as bigint)").as("_c"))
+      val per = d.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("_c")).as("_sc"))
+      val tot = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_nt"), sum(col("_c")).as("_st"))
+      per.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n"),
+          round(col("_sc") / col("n") / 100.0, 4).as("mean_val"),
+          round(col("_sc") / col("n") / 100.0
+            - col("_st") / col("_nt") / 100.0, 4).as("dow_delta"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    // Spearman rank correlation per event type between value cents and
+    // time-of-day micros: textbook average-rank ties (exact halves, so
+    // the ranks are engine-bitwise), Pearson corr over ranks rounded
+    "q_spearman" -> ((s, dir) =>
+      Stats.spearman(Tables.events(s, dir).where(col("value").isNotNull),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)"),
+          expr("pmod(unix_micros(ts), 86400000000)"))
+        .select(col("g").as("event_type"), col("n"), col("rho"))
+        .orderBy(col("event_type"))),
+
+    // Exact token-phrase search ("batch batch" consecutively): pure
+    // map-only HOF scan over the bound token array — no join, no index,
+    // whole-stage codegen keeps it inside the scan stage
+    "q_phrase_search" -> ((s, dir) =>
+      Retrieval.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+          Seq("batch", "batch"))
+        .orderBy(col("doc_id"))),
+
+    // BERTopic-style c-TF-IDF: top-10 terms characterizing each source
+    // vs the rest of the corpus — exact (class, term) count dimension,
+    // one ln(1 + A/f)·tf float step, WindowGroupLimit-pruned top-k
+    "q_ctfidf" -> ((s, dir) =>
+      CorpusStats.cTfidf(Tables.documents(s, dir), col("source"), col("text"),
+          topK = 10, minTf = 2)
+        .select(col("class").as("source"), col("term"), col("tf"),
+          col("score"), col("rk"))
+        .orderBy(col("source"), col("rk"))),
+
+    // Autocorrelation of per-type daily totals at lags 1..7 (weekly
+    // seasonality diagnostic): bounded (type, day) dimension, lagged
+    // pairs via one equi-join after a 7-way explode — never a theta
+    // join over raw events
+    "q_acf" -> ((s, dir) =>
+      Timeseries.acf(Tables.events(s, dir).where(col("value").isNotNull),
+          col("event_type"), unix_micros(col("ts")),
+          expr("cast(round(value * 100) as bigint)"), maxLag = 7)
+        .select(col("g").as("event_type"), col("lag").cast("long").as("lag"),
+          col("n_pairs"), col("acf"))
+        .orderBy(col("event_type"), col("lag")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -5212,6 +5295,138 @@ object SparkEntry {
         |  FROM (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings) a
         |  JOIN (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings) b
         |    ON a.vid <> b.vid) t
-        |WHERE rk <= 3 ORDER BY src, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY src, rk""".stripMargin,
+
+    // same k-NN prelude; RA index summed as exact integer pico-units
+    "q_link_predict" ->
+      """WITH emb AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vid AS src, b.vid AS dst,
+        |      row_number() OVER (PARTITION BY a.vid
+        |        ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                 b.vid) AS rk
+        |    FROM emb a JOIN emb b ON a.vid <> b.vid) t
+        |  WHERE rk <= 3),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) u
+        |  WHERE src <> dst),
+        |deg AS (SELECT src AS z, count(*) AS d FROM sym GROUP BY 1),
+        |nbr AS (SELECT s.src AS z, s.dst AS n, deg.d
+        |        FROM sym s JOIN deg ON deg.z = s.src),
+        |wedge AS (
+        |  SELECT a.n AS id_a, b.n AS id_b, a.d AS d
+        |  FROM nbr a JOIN nbr b ON a.z = b.z AND a.n < b.n),
+        |scored AS (
+        |  SELECT id_a, id_b, count(*) AS n_common,
+        |         sum(1000000000000 // d) AS ra
+        |  FROM wedge GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT s.id_a, s.id_b, s.n_common,
+        |       round(s.ra / 1e12, 6) AS ra_score
+        |FROM scored s
+        |LEFT JOIN (SELECT src AS id_a, dst AS id_b FROM sym WHERE src < dst) e
+        |  ON e.id_a = s.id_a AND e.id_b = s.id_b
+        |WHERE e.id_a IS NULL
+        |ORDER BY 1, 2""".stripMargin,
+
+    // identical N-scaled integer prefix walk; peak via (|S| desc, i asc)
+    "q_cusum" ->
+      """WITH b AS (SELECT event_type AS g, epoch_ns(ts)//1000 AS t,
+        |    event_id AS tie,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT g, t,
+        |    sum(c) OVER (PARTITION BY g ORDER BY t, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY t, tie)
+        |      AS BIGINT) AS i,
+        |    count(*) OVER (PARTITION BY g) AS n,
+        |    sum(c) OVER (PARTITION BY g) AS tot
+        |  FROM b),
+        |s AS (SELECT g, t, i, n, abs(cum * n - tot * i) AS a FROM st),
+        |r AS (SELECT g, n, a, i, t,
+        |    row_number() OVER (PARTITION BY g ORDER BY a DESC, i ASC) AS rk
+        |  FROM s)
+        |SELECT g AS event_type, n, round(CAST(a AS DOUBLE) / n, 4) AS peak_stat,
+        |       i AS peak_i, t AS peak_t
+        |FROM r WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    "q_seasonal_dow" ->
+      """WITH d AS (SELECT event_type,
+        |    ((epoch_ns(ts)//1000) // 86400000000 + 4) % 7 AS dow,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (SELECT event_type, dow, count(*) AS n, sum(c) AS sc
+        |        FROM d GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS nt, sum(c) AS st
+        |        FROM d GROUP BY 1)
+        |SELECT p.event_type, p.dow, p.n,
+        |  round(p.sc / p.n / 100.0, 4) AS mean_val,
+        |  round(p.sc / p.n / 100.0 - t.st / t.nt / 100.0, 4) AS dow_delta
+        |FROM per p JOIN tot t USING (event_type)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_spearman" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    (epoch_ns(ts)//1000) % 86400000000 AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT g,
+        |    rank() OVER (PARTITION BY g ORDER BY x)
+        |      + (count(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+        |    rank() OVER (PARTITION BY g ORDER BY y)
+        |      + (count(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry
+        |  FROM b)
+        |SELECT g AS event_type, count(*) AS n, round(corr(rx, ry), 4) AS rho
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 1-based list indexing; same consecutive-token predicate
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(list_filter(
+        |    range(1, greatest(len(toks) - 2, 0) + 2),
+        |    i -> toks[i] = 'batch' AND toks[i+1] = 'batch')) AS BIGINT)
+        |  AS n_occ
+        |FROM t
+        |WHERE len(toks) >= 2 AND len(list_filter(
+        |    range(1, greatest(len(toks) - 2, 0) + 2),
+        |    i -> toks[i] = 'batch' AND toks[i+1] = 'batch')) >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_ctfidf" ->
+      """WITH tok AS (SELECT source AS class,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT class, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |f AS (SELECT term, sum(tf) AS f FROM tf GROUP BY 1),
+        |a AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT class) AS a
+        |      FROM tf),
+        |sc AS (SELECT tf.class, tf.term, tf.tf,
+        |         round(tf.tf * ln(1.0 + a.a / f.f), 4) AS score
+        |       FROM tf JOIN f USING (term) CROSS JOIN a
+        |       WHERE tf.tf >= 2),
+        |r AS (SELECT class, term, tf, score,
+        |    row_number() OVER (PARTITION BY class
+        |      ORDER BY score DESC, term ASC) AS rk FROM sc)
+        |SELECT class AS source, term, tf, score, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    "q_acf" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    (epoch_ns(ts)//1000) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |sh AS (SELECT g, unnest(range(1, 8)) AS lag, day, c FROM daily),
+        |pairs AS (SELECT d.g, sh.lag, sh.c AS c_prev, d.c AS c
+        |  FROM daily d JOIN sh ON sh.g = d.g AND sh.day + sh.lag = d.day)
+        |SELECT g AS event_type, CAST(lag AS BIGINT) AS lag,
+        |       count(*) AS n_pairs, round(corr(c_prev, c), 4) AS acf
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -184,4 +184,44 @@ object CorpusStats {
         (col("_above").isNull || col("cost") < col("_above")))
       .select(col("id"), col("score"), col("cost"))
   }
+
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF formula): the score of
+    * term t for class c is tf_{t,c} · ln(1 + A/f_t) — tf_{t,c} the
+    * term's count inside the class, f_t its corpus-wide count, A the
+    * mean token mass per class — surfacing the terms that CHARACTERIZE
+    * a class against the rest of the corpus (topic labeling, per-source
+    * vocabulary drift). All counts are exact integers; the single
+    * ln(1 + A/f) · tf product is the only float step and is spelled
+    * identically in the oracle. Returns the per-class top-`topK` terms
+    * with their rank (ties on the ROUNDED score break by term asc, so
+    * the ranking is engine-deterministic).
+    *
+    * Scale shape: corpus tokens reduce map-side into the (class, term)
+    * count dimension (one shuffle carrying (class, term, partial));
+    * term totals and the one-row A are aggregates OVER THAT DIMENSION
+    * (checkpointed — three consumers must not re-scan the corpus), and
+    * the top-k is a class-partitioned window over the collapsed
+    * dimension that WindowGroupLimit prunes.
+    */
+  def cTfidf(docs: DataFrame, classCol: Column, textCol: Column,
+             topK: Int, minTf: Long = 2): DataFrame = {
+    require(topK >= 1, s"topK $topK")
+    val tf = docs.select(classCol.as("class"),
+        explode(TextAnalytics.tokens(lower(textCol))).as("term"))
+      .groupBy(col("class"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val f = tf.groupBy(col("term")).agg(sum(col("tf")).as("f"))
+    val a = tf.agg((sum(col("tf")).cast("double") /
+      countDistinct(col("class"))).as("a"))
+    val scored = tf.where(col("tf") >= minTf)
+      .join(f, Seq("term"))
+      .crossJoin(broadcast(a))
+      .select(col("class"), col("term"), col("tf"),
+        round(col("tf") * log(lit(1.0) + col("a") / col("f")), 4).as("score"))
+    val w = Window.partitionBy(col("class"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topK)
+  }
 }

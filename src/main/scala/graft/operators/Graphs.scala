@@ -137,6 +137,52 @@ object Graphs {
       .agg(count(lit(1)).as("n_within_2"))
   }
 
+  /** Link prediction over the undirected graph induced by `edges`: for
+    * every NON-adjacent vertex pair sharing at least `minCommon`
+    * neighbors, the common-neighbor count and the resource-allocation
+    * index Σ_z 1/deg(z) (Zhou–Lü–Zhang 2009 — the degree-punished
+    * cousin of Adamic–Adar that needs no logarithm, so the score is
+    * computable in EXACT integer arithmetic: each shared neighbor z
+    * contributes `1e12 div deg(z)` pico-units, summed as bigint and
+    * divided back out once at the end — no float-sum order dependence
+    * anywhere).
+    *
+    * Scale shape: wedges materialize around the shared neighbor z, so
+    * fan-out is Σ deg(z)² — the [[twoHopCounts]] bound, fine for the
+    * degree-bounded similarity graphs this engine builds (k-NN caps
+    * deg at k; general hubs would need the [[triangleCounts]]
+    * orientation trick). Then ONE pair-keyed count/sum aggregate and a
+    * left-anti join against the edge set keep predicted-only pairs.
+    * Every shuffle carries (id, id, long) triples.
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     minCommon: Long = 2): DataFrame = {
+    require(minCommon >= 1, s"minCommon $minCommon")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("z")).agg(count(lit(1)).as("_d"))
+    val nbr = sym.select(col("dst").as("z"), col("src").as("n"))
+      .join(deg, Seq("z"))
+    // wedge a—z—b materialized once per unordered pair (id_a < id_b);
+    // the center's weight rides along as exact pico-units
+    val wedges = nbr
+      .select(col("z"), col("n").as("id_a"),
+        expr("cast(1000000000000 as bigint) div _d").as("_w"))
+      .join(nbr.select(col("z"), col("n").as("id_b")), Seq("z"))
+      .where(col("id_a") < col("id_b"))
+    val scored = wedges.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("_w")).as("_ra"))
+      .where(col("n_common") >= minCommon)
+    val und = sym.where(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    scored.join(und, Seq("id_a", "id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("_ra") / lit(1.0e12), 6).as("ra_score"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damping: Double = 0.85,
                reliable: Boolean = false, checkpointInterval: Int = 2,

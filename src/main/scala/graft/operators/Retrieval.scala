@@ -602,4 +602,36 @@ object Retrieval {
           norm.length).cast("long").as("n_occ"))
       .where(col("n_occ") >= 1)
   }
+
+  /** Exact token-phrase search: documents where the tokens
+    * `phrase(0) phrase(1) … phrase(m−1)` appear CONSECUTIVELY, with the
+    * occurrence count. Token-exact — "batch batching" does not match
+    * "batch batch" (the substring search above would).
+    *
+    * Scale shape: pure map-only. The token array binds to an attribute
+    * FIRST (the interpreted-HOF discipline from docs/THROUGHPUT.md —
+    * an inlined tokenize would re-run per candidate position), then one
+    * higher-order `filter` over the start-position range does the
+    * O(len·m) consecutive-match scan per document. No shuffle, no
+    * posting index, no join; whole-stage codegen keeps it in the scan
+    * stage. For repeated phrase queries over a standing corpus, build
+    * [[trigramPostings]]-style positional postings instead.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    require(phrase.forall(t => t.nonEmpty && !t.contains("'") &&
+      !t.exists(_.isWhitespace)), s"phrase tokens must be quote-free words: $phrase")
+    val m = phrase.length
+    val cond = phrase.zipWithIndex
+      .map { case (t, j) => s"_toks[i + $j] = '${t.toLowerCase}'" }
+      .mkString(" AND ")
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalytics.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc_id"),
+        when(size(col("_toks")) >= m,
+          expr(s"size(filter(sequence(0, size(_toks) - $m), i -> $cond))"))
+          .otherwise(lit(0)).cast("long").as("n_occ"))
+      .where(col("n_occ") >= 1)
+  }
 }

@@ -453,4 +453,32 @@ object Stats {
         round((col("n") / col("tot") - expShare) * (col("n") / col("tot") - expShare) /
           expShare * col("tot"), 6).as("chi2_term"))
   }
+
+  /** Spearman rank correlation per group between two columns — the
+    * monotone-association complement of the Pearson `corr` in
+    * `q_corr_regr` (robust to the heavy-tailed value distributions this
+    * engine curates on). Ties get textbook AVERAGE ranks:
+    * avgrank = rank + (t − 1)/2 with t the tie-group size — exact
+    * halves, so the rank columns are bit-identical across engines and
+    * only the final Pearson corr over ranks carries float rounding.
+    *
+    * Scale shape: two key-partitioned window sorts (one per variable;
+    * the tie-count windows share their sort prefix so Catalyst fuses
+    * each pair into one WindowExec) and a single corr aggregate —
+    * shuffles carry (group, x, y) rows, nothing driver-side.
+    */
+  def spearman(df: DataFrame, groupCol: Column, xCol: Column, yCol: Column,
+               roundTo: Int = 4): DataFrame = {
+    val base = df.select(groupCol.as("g"), xCol.as("_x"), yCol.as("_y"))
+    val rx = rank().over(Window.partitionBy(col("g")).orderBy(col("_x")))
+    val ry = rank().over(Window.partitionBy(col("g")).orderBy(col("_y")))
+    val tx = count(lit(1)).over(Window.partitionBy(col("g"), col("_x")))
+    val ty = count(lit(1)).over(Window.partitionBy(col("g"), col("_y")))
+    base
+      .withColumn("_rx", rx + (tx - lit(1)) / lit(2.0))
+      .withColumn("_ry", ry + (ty - lit(1)) / lit(2.0))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("_rx"), col("_ry")), roundTo).as("rho"))
+  }
 }

@@ -223,4 +223,75 @@ object Timeseries {
     base.select(col("_e_key").as("key"), col("_e_us").as("micros"),
       col("_e_tie").as("tie"), round(num / den / 100.0, 4).as("ewma"))
   }
+
+  /** Per-key CUSUM change-point statistic in EXACT integer arithmetic:
+    * with the key's observations c_1..c_N in (micros, tie) order, the
+    * centered cumulative sum at step i is classically
+    * Σ_{j≤i} (c_j − mean) = (N·Σ_{j≤i} c_j − i·Σc) / N — so the prefix
+    * walk is computed on the N-scaled numerator S_i = N·cum_i − i·tot,
+    * all decimal(38,0), and the single float division happens once at
+    * the peak. Reports per key: N, the peak deviation |S|/N (the CUSUM
+    * change-point magnitude, in input units), and the step index /
+    * timestamp where it peaks (ties → earliest step).
+    *
+    * Scale shape: ONE key-partitioned window sort produces cum/i/N/tot
+    * in the same WindowExec pass, then one key-keyed argmax aggregate
+    * (struct max with in-struct tie-break — the [[q_minmax_by]]
+    * pattern, no second window). Shuffles carry (key, micros, int128)
+    * rows; a hot key spills through WindowExec's external sorter
+    * instead of buffering in memory.
+    */
+  def cusum(df: DataFrame, keyCol: Column, microsCol: Column, tieCol: Column,
+            unitsCol: Column): DataFrame = {
+    val base = df.select(keyCol.as("g"), microsCol.as("_t"), tieCol.as("_tie"),
+      unitsCol.cast("decimal(38,0)").as("_c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("_t"), col("_tie"))
+    val whole = Window.partitionBy(col("g"))
+    val stepped = base
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(whole))
+      .withColumn("_tot", sum(col("_c")).over(whole))
+    stepped
+      .select(col("g"), col("_t"), col("_i"), col("_n"),
+        abs(col("_cum") * col("_n") - col("_tot") * col("_i")).as("_abs"))
+      .groupBy(col("g"))
+      .agg(max(col("_n")).as("n"),
+        max(struct(col("_abs"), (-col("_i")).as("_negi"),
+          col("_i"), col("_t"))).as("_pk"))
+      .select(col("g"), col("n"),
+        round(col("_pk._abs").cast("double") / col("n"), 4).as("peak_stat"),
+        col("_pk._i").as("peak_i"), col("_pk._t").as("peak_t"))
+  }
+
+  /** Autocorrelation function per key: Pearson corr between the key's
+    * daily totals x_d and x_{d+lag} for lag = 1..`maxLag` — the
+    * seasonality/persistence diagnostic (a weekly cycle shows as an
+    * ACF spike at lag 7). Daily totals are exact integer sums; only
+    * the final corr is float, rounded.
+    *
+    * Scale shape: the corpus reduces map-side to the bounded
+    * (key, day) daily-total dimension; lagged pairs come from ONE
+    * equi-join on (key, day) after a `maxLag`-way explode of the
+    * dimension (never a range/theta join over the raw events), and the
+    * result is a (key, lag) aggregate — every shuffle after the first
+    * reduction is dimension-sized.
+    */
+  def acf(df: DataFrame, keyCol: Column, microsCol: Column,
+          unitsCol: Column, maxLag: Int, roundTo: Int = 4): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, s"maxLag $maxLag out of [1,366]")
+    val daily = df.select(keyCol.as("g"),
+        floorDiv(microsCol, lit(86400000000L)).as("_day"),
+        unitsCol.cast("long").as("_c"))
+      .groupBy(col("g"), col("_day")).agg(sum(col("_c")).as("_c"))
+      .localCheckpoint(true)
+    val shifted = daily
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .select(col("g"), col("lag"), (col("_day") + col("lag")).as("_day"),
+        col("_c").as("_c_prev"))
+    daily.join(shifted, Seq("g", "_day"))
+      .groupBy(col("g"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("_c_prev"), col("_c")), roundTo).as("acf"))
+  }
 }

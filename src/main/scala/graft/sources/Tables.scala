@@ -90,8 +90,20 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** SESSION-WIDE SIDE EFFECT (deliberate, same contract as the
+    * nanosAsLong conf in [[events]]): parquet `timestamp[us]` columns
+    * written WITHOUT the isAdjustedToUTC flag (arrow writes naive
+    * timestamps that way) would otherwise surface as TIMESTAMP_NTZ,
+    * which `unix_micros` / watermarks / window ranges all reject.
+    * Disabling NTZ inference reads them as plain TimestampType in the
+    * session timezone (pinned UTC by every entrypoint) — the exact
+    * micros DuckDB's naive reading sees, with filter pushdown intact
+    * (a per-column cast would block row-group pruning on timestamps).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

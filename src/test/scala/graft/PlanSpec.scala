@@ -319,4 +319,25 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) should be <= 2
     (p should not).include("SortMergeJoin")
   }
+
+  test("q_phrase_search: map-only HOF scan — no join, no exchange before the sort") {
+    val p = planOf("q_phrase_search")
+    (p should not).include("Join")
+    // the only exchange is the final presentation orderBy's range partition
+    p.linesIterator.count(_.contains("Exchange")) should be <= 1
+  }
+
+  test("q_link_predict and q_acf: equi-joins only — no nested loop, no cartesian") {
+    Seq("q_link_predict", "q_acf").foreach { q =>
+      val p = planOf(q)
+      (p should not).include("BroadcastNestedLoopJoin")
+      (p should not).include("CartesianProduct")
+    }
+  }
+
+  test("q_ctfidf: dimension-sized joins — term totals broadcast, one-row A broadcast") {
+    val p = planOf("q_ctfidf")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin") // dimension joins stay broadcast
+  }
 }

@@ -131,4 +131,28 @@ class CorpusStatsSpec extends SparkSpec {
       .orderBy(col("id")).as[(Long, Double, Long)].collect()
     got.map(_._1).toSeq shouldBe want
   }
+
+  test("cTfidf: hand-computed scores pick each class's signature term") {
+    // class A tokens {x,x,z}, class B {y,z}: f(x)=2, f(y)=1, f(z)=2,
+    // A = 5/2 = 2.5 → score(A,x) = 2·ln(1+2.5/2), score(B,y) = ln(3.5)
+    val docs = Seq(("A", "x x z"), ("B", "y z")).toDF("source", "text")
+    val got = CorpusStats.cTfidf(docs, col("source"), col("text"),
+        topK = 1, minTf = 1)
+      .select("class", "term", "tf", "score")
+      .as[(String, String, Long, Double)].collect().sortBy(_._1)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got shouldBe Array(
+      ("A", "x", 2L, r4(2.0 * math.log(1.0 + 2.5 / 2.0))),
+      ("B", "y", 1L, r4(math.log(1.0 + 2.5 / 1.0))))
+  }
+
+  test("cTfidf: rank ties on rounded score break by term ascending") {
+    // both terms appear once in one class only → identical scores
+    val docs = Seq(("A", "beta alpha")).toDF("source", "text")
+    val got = CorpusStats.cTfidf(docs, col("source"), col("text"),
+        topK = 2, minTf = 1)
+      .orderBy("rk").select("term").as[String].collect()
+    got shouldBe Array("alpha", "beta")
+  }
 }

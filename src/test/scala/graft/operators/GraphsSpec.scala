@@ -140,4 +140,27 @@ class GraphsSpec extends SparkSpec {
     Graphs.bfsDistances(chain, "src", "dst", 99L, maxHops = 4)
       .as[(Long, Int)].collect().toMap shouldBe Map(99L -> 0)
   }
+
+  test("linkPrediction: square graph predicts both diagonals exactly") {
+    // cycle 1-2-3-4-1, all degrees 2: non-adjacent pairs (1,3) and
+    // (2,4) share both their neighbors → n_common=2, RA = 2·(1/2) = 1.0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graphs.linkPrediction(edges, "src", "dst", minCommon = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    got shouldBe Array((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0))
+  }
+
+  test("linkPrediction: existing edges are never predicted") {
+    // square plus the 1-3 diagonal: (1,3) is now adjacent → only (2,4)
+    // survives; deg(1)=deg(3)=3 so RA(2,4) = 1/3 + 1/3 (pico-floor)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = Graphs.linkPrediction(edges, "src", "dst", minCommon = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    got.length shouldBe 1
+    val (a, b, n, ra) = got.head
+    (a, b, n) shouldBe ((2L, 4L, 2L))
+    // 2 · (1e12 div 3) / 1e12 = 0.666666 floored at pico-units
+    ra shouldBe 0.666667 +- 1e-6
+  }
 }

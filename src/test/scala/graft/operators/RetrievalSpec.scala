@@ -422,4 +422,30 @@ class RetrievalSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("phraseSearch: consecutive token matches, overlaps counted") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // (a,b) at positions 0 and 2
+      (2L, "a a a"),       // (a,a) overlapping at 0 and 1 — but no (a,b)
+      (3L, "b a"),         // reversed order — no (a,b)
+      (4L, "ab a b")       // "ab" is one token, then (a,b) at 1
+    ).toDF("doc_id", "text")
+    Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .orderBy("doc_id").as[(Long, Long)].collect() shouldBe
+      Array((1L, 2L), (4L, 1L))
+    Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .orderBy("doc_id").as[(Long, Long)].collect() shouldBe
+      Array((2L, 2L))
+  }
+
+  test("phraseSearch: token-exact (no substring matches), short docs safe") {
+    val docs = Seq((1L, "batch batching"), (2L, "batch"), (3L, ""))
+      .toDF("doc_id", "text")
+    Retrieval.phraseSearch(docs, "doc_id", "text", Seq("batch", "batch"))
+      .collect() shouldBe empty
+    // single-token phrase degenerates to a token-count filter
+    Retrieval.phraseSearch(docs, "doc_id", "text", Seq("batch"))
+      .orderBy("doc_id").as[(Long, Long)].collect() shouldBe
+      Array((1L, 1L), (2L, 1L))
+  }
 }

@@ -229,4 +229,24 @@ class StatsSpec extends SparkSpec {
     b1 shouldBe BigDecimal(math.log10(2.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
+
+  test("spearman: monotone relation gives ±1 regardless of shape") {
+    // y = x³ is nonlinear but monotone → rho exactly 1; negate → −1
+    val df = (1L to 8L).map(x => ("g", x, x * x * x)).toDF("g", "x", "y")
+    Stats.spearman(df, col("g"), col("x"), col("y"))
+      .select("rho").as[Double].head() shouldBe 1.0
+    val neg = (1L to 8L).map(x => ("g", x, -x * x * x)).toDF("g", "x", "y")
+    Stats.spearman(neg, col("g"), col("x"), col("y"))
+      .select("rho").as[Double].head() shouldBe -1.0
+  }
+
+  test("spearman: tied x gets average ranks (hand-computed zero case)") {
+    // x=(1,1,2), y=(3,5,4): avg x-ranks (1.5,1.5,3), y-ranks (1,3,2)
+    // → covariance of ranks is exactly 0 → rho = 0
+    val df = Seq(("g", 1L, 3L), ("g", 1L, 5L), ("g", 2L, 4L))
+      .toDF("g", "x", "y")
+    val got = Stats.spearman(df, col("g"), col("x"), col("y"))
+      .select("n", "rho").as[(Long, Double)].head()
+    got shouldBe ((3L, 0.0))
+  }
 }

@@ -142,4 +142,44 @@ class TimeseriesSpec extends SparkSpec {
     // t3: (400 + 0.5*100)/1.5 — the t1 value must NOT appear
     got(2) shouldBe 3.0
   }
+
+  test("cusum: hand-computed N-scaled peak with earliest-step tie-break") {
+    // key a: units 1, 1, 10 → N=3, tot=12, cum=(1,2,12),
+    // S_i = 3·cum − 12·i = (−9, −18, 0) → peak |S|=18 at i=2, stat 6.0
+    val df = Seq(("a", 1L, 1L, 1L), ("a", 2L, 2L, 1L), ("a", 3L, 3L, 10L))
+      .toDF("g", "us", "tie", "c")
+    val got = Timeseries.cusum(df, col("g"), col("us"), col("tie"), col("c"))
+      .select("g", "n", "peak_stat", "peak_i", "peak_t")
+      .as[(String, Long, Double, Long, Long)].collect()
+    got shouldBe Array(("a", 3L, 6.0, 2L, 2L))
+  }
+
+  test("cusum: all-zero deviations tie-break to the earliest step") {
+    val df = Seq(("a", 1L, 1L, 5L), ("a", 2L, 2L, 5L), ("a", 3L, 3L, 5L))
+      .toDF("g", "us", "tie", "c")
+    val got = Timeseries.cusum(df, col("g"), col("us"), col("tie"), col("c"))
+      .select("peak_stat", "peak_i").as[(Double, Long)].collect()
+    got shouldBe Array((0.0, 1L))
+  }
+
+  test("acf: alternating daily series has acf −1 at lag 1, +1 at lag 2") {
+    val day = 86400000000L
+    val rows = (0 until 6).map(d =>
+      ("a", d * day, if (d % 2 == 0) 10L else 20L))
+    val got = Timeseries.acf(rows.toDF("g", "us", "c"),
+        col("g"), col("us"), col("c"), maxLag = 2)
+      .select("lag", "n_pairs", "acf").as[(Int, Long, Double)]
+      .collect().sortBy(_._1)
+    got shouldBe Array((1, 5L, -1.0), (2, 4L, 1.0))
+  }
+
+  test("acf: gaps pair only days that exist at the lag distance") {
+    val day = 86400000000L
+    // days 0, 1, 3 → lag 1 pairs: (0,1); lag 2 pairs: (1,3); lag 3: (0,3)
+    val rows = Seq(("a", 0L * day, 1L), ("a", 1L * day, 2L), ("a", 3L * day, 4L))
+    val got = Timeseries.acf(rows.toDF("g", "us", "c"),
+        col("g"), col("us"), col("c"), maxLag = 3)
+      .select("lag", "n_pairs").as[(Int, Long)].collect().sortBy(_._1)
+    got shouldBe Array((1, 1L), (2, 1L), (3, 1L))
+  }
 }
