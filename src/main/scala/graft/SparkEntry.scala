@@ -2741,7 +2741,68 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)"), maxLag = 7)
         .select(col("g").as("event_type"), col("lag").cast("long").as("lag"),
           col("n_pairs"), col("acf"))
-        .orderBy(col("event_type"), col("lag")))
+        .orderBy(col("event_type"), col("lag"))),
+
+    // Kleinberg HITS over the k-NN graph: 2 unnormalized rounds keep
+    // every score an exact integer (bit-reproducible, CTE-unrollable);
+    // the one normalization divides by the exact integer max at the end
+    "q_hits" -> ((s, dir) =>
+      Graphs.hits(s.read.parquet(knnEdgesFixture(s, dir)), "src", "dst",
+          iters = 2)
+        .orderBy(col("id"))),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent PRECEDING non-purchase event — one user-keyed window with
+    // an IGNORE NULLS last_value over the strict-past frame, then a
+    // channel rollup; no self-join, no sequence reassembly
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("_src",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase" && col("_src").isNotNull)
+        .groupBy(col("_src").as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("revenue_cents"))
+        .orderBy(col("channel"))
+    }),
+
+    // first_value / nth_value / last_value coverage with explicitly
+    // pinned ROWS frames (defaults differ across engines) — pure value
+    // plumbing, no arithmetic, so the hash compare is byte-exact
+    "q_window_firstlast" -> ((s, dir) => {
+      val base = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wUp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDown = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+          first(col("o_totalprice")).over(wUp).as("first_price"),
+          nth_value(col("o_totalprice"), 3).over(wUp).as("third_price"),
+          last(col("o_totalprice")).over(wDown).as("last_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Entity extraction (emails/URLs) — map-only regexp_extract_all
+    // over deterministic synthetic contact lines; [.]-style classes
+    // keep the pattern identical in Java and RE2 dialects
+    "q_extract_entities" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("contact user"), col("doc_id"),
+            lit("@example.com or https://docs.example.com/p/"), col("doc_id"),
+            lit(" plus "), col("text")).as("_t"))
+        .select(col("doc_id"),
+          expr("regexp_extract_all(_t, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}', 0)")
+            .as("_emails"),
+          expr("regexp_extract_all(_t, 'https?://[^ ]+', 0)").as("_urls"))
+        .select(col("doc_id"),
+          size(col("_emails")).cast("long").as("n_emails"),
+          element_at(col("_emails"), 1).as("first_email"),
+          size(col("_urls")).cast("long").as("n_urls"),
+          element_at(col("_urls"), 1).as("first_url"))
+        .orderBy(col("doc_id")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -5427,6 +5488,89 @@ object SparkEntry {
         |  FROM daily d JOIN sh ON sh.g = d.g AND sh.day + sh.lag = d.day)
         |SELECT g AS event_type, CAST(lag AS BIGINT) AS lag,
         |       count(*) AS n_pairs, round(corr(c_prev, c), 4) AS acf
-        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same k-NN prelude; two unrolled integer HITS rounds (a then h)
+    "q_hits" ->
+      """WITH emb AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vid AS src, b.vid AS dst,
+        |      row_number() OVER (PARTITION BY a.vid
+        |        ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                 b.vid) AS rk
+        |    FROM emb a JOIN emb b ON a.vid <> b.vid) t
+        |  WHERE rk <= 3),
+        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+        |                   WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION SELECT dst FROM e) u),
+        |h0 AS (SELECT id, CAST(1 AS HUGEINT) AS h FROM nodes),
+        |a1 AS (SELECT n.id, coalesce(sum(h0.h), 0) AS a FROM nodes n
+        |       LEFT JOIN e ON e.dst = n.id LEFT JOIN h0 ON h0.id = e.src
+        |       GROUP BY 1),
+        |h1 AS (SELECT n.id, coalesce(sum(a1.a), 0) AS h FROM nodes n
+        |       LEFT JOIN e ON e.src = n.id LEFT JOIN a1 ON a1.id = e.dst
+        |       GROUP BY 1),
+        |a2 AS (SELECT n.id, coalesce(sum(h1.h), 0) AS a FROM nodes n
+        |       LEFT JOIN e ON e.dst = n.id LEFT JOIN h1 ON h1.id = e.src
+        |       GROUP BY 1),
+        |h2 AS (SELECT n.id, coalesce(sum(a2.a), 0) AS h FROM nodes n
+        |       LEFT JOIN e ON e.src = n.id LEFT JOIN a2 ON a2.id = e.dst
+        |       GROUP BY 1),
+        |m AS (SELECT (SELECT max(a) FROM a2) AS ma,
+        |             (SELECT max(h) FROM h2) AS mh)
+        |SELECT n.id, CAST(a2.a AS BIGINT) AS auth_raw,
+        |       CAST(h2.h AS BIGINT) AS hub_raw,
+        |       round(CAST(a2.a AS DOUBLE) /
+        |         greatest(CAST(m.ma AS DOUBLE), 1.0), 6) AS auth_norm,
+        |       round(CAST(h2.h AS DOUBLE) /
+        |         greatest(CAST(m.mh AS DOUBLE), 1.0), 6) AS hub_norm
+        |FROM nodes n JOIN a2 ON a2.id = n.id JOIN h2 ON h2.id = n.id
+        |CROSS JOIN m
+        |ORDER BY n.id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH a AS (SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM events)
+        |SELECT channel, count(*) AS n_purchases,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS revenue_cents
+        |FROM a WHERE event_type = 'purchase' AND channel IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  first_value(o_totalprice) OVER w_up AS first_price,
+        |  nth_value(o_totalprice, 3) OVER w_up AS third_price,
+        |  last_value(o_totalprice) OVER w_down AS last_price
+        |FROM orders
+        |WINDOW w_up AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_down AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_extract_entities" ->
+      """WITH t AS (SELECT doc_id,
+        |    'contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or https://docs.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) || ' plus ' || text AS _t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(_t,
+        |    '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  regexp_extract_all(_t,
+        |    '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}')[1] AS first_email,
+        |  CAST(len(regexp_extract_all(_t, 'https?://[^ ]+')) AS BIGINT)
+        |    AS n_urls,
+        |  regexp_extract_all(_t, 'https?://[^ ]+')[1] AS first_url
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

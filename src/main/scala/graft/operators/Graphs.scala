@@ -243,6 +243,62 @@ object Graphs {
     pr
   }
 
+  /** HITS hubs/authorities (Kleinberg) in EXACT integer arithmetic:
+    * the classic iteration with unit initialization and NO per-round
+    * normalization — every score after k rounds is then an integer
+    * (a_1 = in-degree, h_1 = Σ_out a_1, …), so the iteration is
+    * bit-reproducible in any engine and oracle-checkable by unrolled
+    * CTEs; the single normalization (by the exact integer max) happens
+    * once at the end. The require() bounds `iters` ≤ 4 because the
+    * unnormalized integers grow like Δ^(2·iters) (Δ = max degree) —
+    * within long range for the degree-bounded k-NN graphs this engine
+    * builds (Δ ≤ 2k); sums run in decimal(38,0) regardless.
+    *
+    * Scale shape: each half-round is ONE vertex-keyed equi-join of the
+    * edge list to the current scores plus a sum aggregate — the
+    * [[pageRank]] shuffle pattern with decimal(38,0) sums, lineage
+    * truncated per round.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 4,
+      s"iters $iters out of [1,4]: unnormalized HITS integers grow like " +
+        "maxDegree^(2·iters); normalize-and-round variants lose " +
+        "engine-exactness")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    var hub = nodes.select(col("id"), lit(1L).cast("decimal(38,0)").as("h"))
+    var auth = nodes.select(col("id"), lit(1L).cast("decimal(38,0)").as("a"))
+    for (i <- 0 until iters) {
+      // a(v) = Σ_{u→v} h(u): zero seeds fold the no-in-edge vertices
+      // into the aggregate's shuffle (the pageRank discipline)
+      auth = e.join(hub.select(col("id").as("src"), col("h")), Seq("src"))
+        .select(col("dst").as("id"), col("h").as("_c"))
+        .unionAll(nodes.select(col("id"),
+          lit(0L).cast("decimal(38,0)").as("_c")))
+        .groupBy(col("id")).agg(sum(col("_c")).as("a"))
+        .localCheckpoint(true)
+      hub = e.join(auth.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .select(col("src").as("id"), col("a").as("_c"))
+        .unionAll(nodes.select(col("id"),
+          lit(0L).cast("decimal(38,0)").as("_c")))
+        .groupBy(col("id")).agg(sum(col("_c")).as("h"))
+        .localCheckpoint(true)
+    }
+    val maxes = auth.agg(max(col("a")).as("_ma"))
+      .crossJoin(hub.agg(max(col("h")).as("_mh")))
+    nodes.join(auth, Seq("id")).join(hub, Seq("id"))
+      .crossJoin(broadcast(maxes))
+      .select(col("id"), col("a").cast("long").as("auth_raw"),
+        col("h").cast("long").as("hub_raw"),
+        round(col("a").cast("double") /
+          greatest(col("_ma").cast("double"), lit(1.0)), 6).as("auth_norm"),
+        round(col("h").cast("double") /
+          greatest(col("_mh").cast("double"), lit(1.0)), 6).as("hub_norm"))
+  }
+
   /** Single-source BFS hop distances over the UNDIRECTED graph induced
     * by `edges`, bounded to `maxHops` rounds — the reachability /
     * influence-radius primitive. Returns (id, dist) for every vertex

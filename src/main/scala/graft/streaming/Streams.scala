@@ -538,6 +538,62 @@ object Streams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  // ------------------------------------------- streaming attribution
+
+  /** One purchase credited to the buyer's most recent preceding
+    * non-purchase event type. */
+  case class Attributed(user_id: Long, purchase_id: Long, channel: String,
+                        value_cents: Long)
+  private case class LastChannel(t_us: Long, event_id: Long, channel: String)
+
+  /** Continuous last-touch attribution — the streaming twin of the
+    * batch `q_attribution` window (IGNORE NULLS last_value over the
+    * strict-past frame): per user, ONE bounded ValueState holds the
+    * latest non-purchase event under the (micros, event_id) total
+    * order; each purchase emits one [[Attributed]] row crediting that
+    * channel. Downstream `groupBy(channel)` count/sum maintains the
+    * live attribution rollup.
+    *
+    * Equivalence contract (the [[TransitionsProcessor]] one): per-user
+    * event-time order across batches; within a batch rows re-sort by
+    * TRUE (micros, event_id). Stream ≡ batch asserted in StreamsSpec.
+    * State is one 3-field row per user — hard-bounded.
+    */
+  class AttributionProcessor
+    extends StatefulProcessor[Long, Event, Attributed] {
+    @transient private var st: ValueState[LastChannel] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LastChannel]("chan",
+        Encoders.product[LastChannel], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[Attributed] = {
+      var last = if (st.exists()) Option(st.get()) else None
+      val out = Seq.newBuilder[Attributed]
+      def micros(ts: java.sql.Timestamp): Long =
+        ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        if (e.event_type == "purchase")
+          last.foreach(l => out += Attributed(userId, e.event_id, l.channel,
+            math.round(e.value * 100)))
+        else
+          last = Some(LastChannel(micros(e.ts), e.event_id, e.event_type))
+      }
+      last.foreach(st.update)
+      out.result().iterator
+    }
+  }
+
+  /** Continuous attribution stream (see [[AttributionProcessor]]). */
+  def attributionStream(events: Dataset[Event]): Dataset[Attributed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   // -------------------------------------------- streaming heavy hitters
 
   /** One token routed to its state shard. */

@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 16).toSet
+      else (1 to 17).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -490,6 +490,26 @@ object StressBench {
       require(reached > nNodes / 2,
         s"random degree-10 graph should reach most nodes in 7 hops, got $reached/$nNodes")
       println(s"""{"metric":"bfs","nodes":$nNodes,"edges":${nEdges + 999},"reached":$reached,"by_hop":"$byHop","sec":$t,"cpus":$cpus}""")
+    }
+
+    // ---- 17. link prediction + HITS on a degree-bounded random graph
+    // (the k-NN regime both operators are declared for). Wedge fan-out
+    // is Σ deg(z)² ≈ n·E[deg²] — bounded because degrees are, never
+    // because the data is small; HITS is 4 vertex-keyed joins total.
+    section(17) {
+      val nNodes = math.max(nNames / 5, 1000L)
+      val nEdges = nNames
+      val edges = spark.range(nEdges).select(
+          pmod(xxhash64(col("id"), lit(3L)), lit(nNodes)).as("src"),
+          pmod(xxhash64(col("id"), lit(4L)), lit(nNodes)).as("dst"))
+        .localCheckpoint(true)
+      val (nPred, tLp) = timed {
+        Graphs.linkPrediction(edges, "src", "dst", minCommon = 2).count()
+      }
+      val (nHits, tHits) = timed {
+        Graphs.hits(edges, "src", "dst", iters = 2).count()
+      }
+      println(s"""{"metric":"link_predict","nodes":$nNodes,"edges":$nEdges,"predicted_pairs":$nPred,"sec":$tLp,"hits_rows":$nHits,"hits_sec":$tHits,"cpus":$cpus}""")
     }
     spark.stop()
   }

@@ -141,6 +141,26 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap shouldBe Map(99L -> 0)
   }
 
+  test("hits: hand-computed two-round integer scores on a 3-node graph") {
+    // 1→2, 3→2, 2→1: a1=(1,2,0), h1=(2,1,2), a2=(1,4,0), h2=(4,1,4)
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graphs.hits(edges, "src", "dst", iters = 2)
+      .select("id", "auth_raw", "hub_raw", "auth_norm", "hub_norm")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    got shouldBe Array(
+      (1L, 1L, 4L, 0.25, 1.0),
+      (2L, 4L, 1L, 1.0, 0.25),
+      (3L, 0L, 4L, 0.0, 1.0))
+  }
+
+  test("hits: iteration budget is require()-guarded") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.hits(edges, "src", "dst", iters = 5)
+    }
+    e.getMessage should include("iters")
+  }
+
   test("linkPrediction: square graph predicts both diagonals exactly") {
     // cycle 1-2-3-4-1, all degrees 2: non-adjacent pairs (1,3) and
     // (2,4) share both their neighbors → n_common=2, RA = 2·(1/2) = 1.0

@@ -509,6 +509,63 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("attributionStream: last-touch channel survives batches; fold equals batch window") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // u10: view → purchase (credit view), then ANOTHER purchase next
+      // batch with no new touch (state must carry "view" across), then
+      // click → purchase (credit click). u20: purchase with no prior
+      // touch — never attributed.
+      val b1 = Seq(
+        Event(1L, ts(1), 10L, "view", 0.0),
+        Event(2L, ts(2), 10L, "purchase", 5.0),
+        Event(3L, ts(1), 20L, "purchase", 9.0))
+      val b2 = Seq(
+        Event(4L, ts(5), 10L, "purchase", 7.0),
+        Event(5L, ts(6), 10L, "click", 0.0),
+        Event(6L, ts(7), 10L, "purchase", 1.0))
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = attributionStream(stream.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      def awaitRows(nRows: Long): Unit = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (spark.table(name).count() < nRows && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        q.exception.foreach(throw _)
+        spark.table(name).count() should be >= nRows
+      }
+      stream.addData(b1: _*); awaitRows(1)
+      stream.addData(b2: _*); awaitRows(3)
+      q.stop()
+      val fromStream = spark.table(name).as[Attributed].collect()
+        .map(a => (a.user_id, a.purchase_id, a.channel, a.value_cents)).sorted
+      fromStream shouldBe Array(
+        (10L, 2L, "view", 500L), (10L, 4L, "view", 700L),
+        (10L, 6L, "click", 100L))
+      // batch twin: the q_attribution strict-past IGNORE NULLS window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Long.MinValue, -1)
+      val fromBatch = (b1 ++ b2).toDF()
+        .withColumn("_src",
+          last(when($"event_type" =!= "purchase", $"event_type"),
+            ignoreNulls = true).over(w))
+        .where($"event_type" === "purchase" && $"_src".isNotNull)
+        .select($"user_id", $"event_id", $"_src",
+          round($"value" * 100).cast("long"))
+        .as[(Long, Long, String, Long)].collect().sorted
+      fromStream shouldBe fromBatch
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("funnelStream crash recovery: step state survives restart; advances stay exactly-once") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
