@@ -59,6 +59,12 @@ object Bench {
     // 0.35 s ↔ 1.7 s swings on unchanged queries across JVMs); the min is
     // the stable estimator for cross-round comparison.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // optional comma-separated name filter for local iteration on a few
+    // queries (the driver never sets it, so round numbers stay complete)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }.sortBy(_._1)
     // Single-rep mode gets an untimed warm pass over EVERY query first:
     // it builds the process-lifetime fixtures (PNG/WAV corpora, bucketed
     // tables, shared shingle/pair checkpoints) and JITs each plan's
@@ -67,12 +73,12 @@ object Bench {
     // min discards it — either way each query executes exactly twice and
     // the reported number is a warm one, comparable across rounds.
     if (reps == 1)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         try fn(spark, sfDir).queryExecution.toRdd.count()
         catch { case e: Throwable =>
           System.err.println(s"[bench-warm] $name: ${e.getClass.getName}") }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // toRdd executes the query's OWN physical plan (projections, sorts

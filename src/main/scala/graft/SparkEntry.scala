@@ -2772,17 +2772,93 @@ object SparkEntry {
 
     // first_value / nth_value / last_value coverage with explicitly
     // pinned ROWS frames (defaults differ across engines) — pure value
-    // plumbing, no arithmetic, so the hash compare is byte-exact
+    // plumbing, no arithmetic, so the hash compare is byte-exact.
+    // last_price deliberately uses the WHOLE-partition frame, not
+    // (CURRENT ROW, UNBOUNDED FOLLOWING): Spark evaluates a growing
+    // UNBOUNDED PRECEDING frame incrementally but re-scans an UNBOUNDED
+    // FOLLOWING frame from every row — O(n²) per partition (300 s at
+    // sf0.1 vs 0.7 s for this form; same value row-for-row because the
+    // partition's last row is the same either way)
     "q_window_firstlast" -> ((s, dir) => {
       val base = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val wUp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wDown = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wAll = base.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
       Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
           first(col("o_totalprice")).over(wUp).as("first_price"),
           nth_value(col("o_totalprice"), 3).over(wUp).as("third_price"),
-          last(col("o_totalprice")).over(wDown).as("last_price"))
+          last(col("o_totalprice")).over(wAll).as("last_price"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Ordered string aggregation: the LISTAGG/STRING_AGG surface, made
+    // engine-deterministic by sorting the collected set before joining
+    // (plain string_agg order is evaluation-order-dependent)
+    "q_string_agg" -> ((s, dir) =>
+      Tables.orders(s, dir).groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Full linear-regression aggregate family (slope/intercept already
+    // in q_corr_regr): r², the three co-moment sums, means, count
+    "q_regr_full" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(
+          expr("round(regr_r2(l_extendedprice, l_quantity), 4)").as("r2"),
+          expr("round(regr_sxx(l_extendedprice, l_quantity), 2)").as("sxx"),
+          expr("round(regr_syy(l_extendedprice, l_quantity), 2)").as("syy"),
+          expr("round(regr_sxy(l_extendedprice, l_quantity), 2)").as("sxy"),
+          expr("round(regr_avgx(l_extendedprice, l_quantity), 4)").as("avgx"),
+          expr("round(regr_avgy(l_extendedprice, l_quantity), 4)").as("avgy"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // Bitwise and boolean aggregates over exact integers — engine-exact
+    // by construction
+    "q_bit_bool_agg" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(expr("bit_and(user_id)").as("band"),
+          expr("bit_or(user_id)").as("bor"),
+          expr("bit_xor(user_id)").as("bxor"),
+          expr("bool_and(value IS NOT NULL)").as("all_valued"),
+          expr("bool_or(coalesce(value, 0) > 99)").as("any_big"))
+        .orderBy(col("event_type"))),
+
+    // Skewness / excess kurtosis per group from EXACT integer central-
+    // moment sums (Σc..Σc⁴ in decimal(38,0)/HUGEINT): the builtin
+    // skewness/kurtosis aggregates differ across engines (population vs
+    // sample, one-pass update order); moments from exact sums with one
+    // shared double expression tree are engine-bitwise until the final
+    // rounding
+    "q_moments" -> ((s, dir) => {
+      val sums = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("cast(cast(round(value * 100) as bigint) as decimal(38,0))")
+            .as("c"))
+        .withColumn("c2", col("c") * col("c"))
+        .withColumn("c3", col("c2") * col("c"))
+        .withColumn("c4", col("c2") * col("c2"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c2")).as("s2"), sum(col("c3")).as("s3"),
+          sum(col("c4")).as("s4"))
+      val d1 = col("s1").cast("double") / col("n")
+      val d2 = col("s2").cast("double") / col("n")
+      val d3 = col("s3").cast("double") / col("n")
+      val d4 = col("s4").cast("double") / col("n")
+      val m2 = d2 - d1 * d1
+      val m3 = d3 - lit(3.0) * d1 * d2 + lit(2.0) * d1 * d1 * d1
+      val m4 = d4 - lit(4.0) * d1 * d3 + lit(6.0) * d1 * d1 * d2 -
+        lit(3.0) * d1 * d1 * d1 * d1
+      sums.select(col("event_type"), col("n"),
+          round(d1 / 100.0, 4).as("mean_val"),
+          round(m2, 4).as("var_pop"),
+          round(m3 / pow(m2, lit(1.5)), 6).as("skewness"),
+          round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_ex"))
+        .orderBy(col("event_type"))
     }),
 
     // Entity extraction (emails/URLs) — map-only regexp_extract_all
@@ -5554,8 +5630,55 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |  w_down AS (PARTITION BY o_orderstatus
         |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_regr_full" ->
+      """SELECT l_returnflag,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  round(regr_sxx(l_extendedprice, l_quantity), 2) AS sxx,
+        |  round(regr_syy(l_extendedprice, l_quantity), 2) AS syy,
+        |  round(regr_sxy(l_extendedprice, l_quantity), 2) AS sxy,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bit_bool_agg" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS band, bit_or(user_id) AS bor,
+        |  bit_xor(user_id) AS bxor,
+        |  bool_and(value IS NOT NULL) AS all_valued,
+        |  bool_or(coalesce(value, 0) > 99) AS any_big
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical exact-moment reduction and double expression tree
+    "q_moments" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n, sum(c) AS s1,
+        |        sum(c*c) AS s2, sum(c*c*c) AS s3, sum(c*c*c*c) AS s4
+        |      FROM b GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |        CAST(s1 AS DOUBLE)/n AS d1, CAST(s2 AS DOUBLE)/n AS d2,
+        |        CAST(s3 AS DOUBLE)/n AS d3, CAST(s4 AS DOUBLE)/n AS d4
+        |      FROM s)
+        |SELECT event_type, n,
+        |  round(d1 / 100.0, 4) AS mean_val,
+        |  round(d2 - d1*d1, 4) AS var_pop,
+        |  round((d3 - 3.0*d1*d2 + 2.0*d1*d1*d1) /
+        |    pow(d2 - d1*d1, 1.5), 6) AS skewness,
+        |  round((d4 - 4.0*d1*d3 + 6.0*d1*d1*d2 - 3.0*d1*d1*d1*d1) /
+        |    ((d2 - d1*d1) * (d2 - d1*d1)) - 3.0, 6) AS kurtosis_ex
+        |FROM d ORDER BY 1""".stripMargin,
 
     "q_extract_entities" ->
       """WITH t AS (SELECT doc_id,
