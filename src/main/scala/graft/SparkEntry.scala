@@ -2792,6 +2792,81 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Exact DISCRETE percentiles (value actually present in the data,
+    // no interpolation) at p ∈ {.25,.5,.75,.9}: one group-partitioned
+    // rank window over integer cents, rows kept where
+    // rn = ceil(p·n) — both engines evaluate the same double p·n so
+    // the pick is engine-identical even at float ceil boundaries
+    "q_percentile_disc" -> ((s, dir) => {
+      val base = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("_c"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("_c"), col("event_id"))
+      base
+        .withColumn("_rn", row_number().over(w).cast("long"))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .withColumn("p", explode(typedLit(Seq(0.25, 0.5, 0.75, 0.9))))
+        .where(col("_rn") === ceil(col("p") * col("_n")))
+        .select(col("event_type"), col("p"),
+          round(col("_c") / 100.0, 2).as("value_disc"), col("_n").as("n"))
+        .orderBy(col("event_type"), col("p"))
+    }),
+
+    // Pivot with MULTIPLE aggregates per pivot value (count + exact
+    // cents sum per event type across weekday rows) — Spark names the
+    // columns {value}_{alias}; the oracle spells the same table with
+    // portable FILTER aggregates
+    "q_pivot_multi" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .select(
+          expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("dow"),
+          col("event_type"),
+          expr("cast(round(coalesce(value, 0) * 100) as bigint)").as("_c"))
+        .groupBy(col("dow")).pivot("event_type", types)
+        .agg(count(lit(1)).as("n"), sum(col("_c")).as("cents"))
+        .orderBy(col("dow"))
+    }),
+
+    // Incremental aggregate maintenance (materialized-view pattern):
+    // the standing per-type (n, Σcents) state and a delta batch each
+    // reduce to PARTIAL states which merge by summing — no rescan of
+    // the base. The oracle aggregates the full table directly, so the
+    // hash-match PROVES partial-merge ≡ recompute.
+    "q_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        expr("cast(round(coalesce(value, 0) * 100) as bigint)").as("_c"))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("_n"), sum(col("_c")).as("_sc"))
+      val base = partial(ev.where(col("event_id") % 10 =!= 0))
+      val delta = partial(ev.where(col("event_id") % 10 === 0))
+      base.unionAll(delta).groupBy(col("event_type"))
+        .agg(sum(col("_n")).as("n"), sum(col("_sc")).as("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Per-type empirical CDF table over the bounded 10-dollar-bucket
+    // dimension: one dimension reduce, one sanctioned group-partitioned
+    // cumulative window, exact integers until the final fraction
+    "q_cdf" -> ((s, dir) => {
+      val dim = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("cast(round(value * 100) as bigint) div 1000").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dim
+        .withColumn("cum_n", sum(col("n")).over(wCum))
+        .withColumn("_tot",
+          sum(col("n")).over(Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("bucket"), col("n"), col("cum_n"),
+          round(col("cum_n") / col("_tot"), 6).as("cdf"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // Ordered string aggregation: the LISTAGG/STRING_AGG surface, made
     // engine-deterministic by sorting the collected set before joining
     // (plain string_agg order is evaluation-order-dependent)
@@ -5632,6 +5707,60 @@ object SparkEntry {
         |    ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_percentile_disc" ->
+      """WITH b AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, c,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c, event_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM b),
+        |p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p)
+        |SELECT r.event_type, p.p, round(r.c / 100.0, 2) AS value_disc, r.n
+        |FROM r CROSS JOIN p
+        |WHERE r.rn = ceil(p.p * r.n)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // portable FILTER aggregates spell the same pivoted table
+    "q_pivot_multi" ->
+      """SELECT ((epoch_ns(ts)//1000) // 86400000000 + 4) % 7 AS dow,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click_n,
+        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'click') AS click_cents,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error_n,
+        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'error') AS error_cents,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'purchase') AS purchase_cents,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup_n,
+        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'signup') AS signup_cents,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view_n,
+        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'view') AS view_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full recompute — the hash-match proves partial-merge ≡ recompute
+    "q_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cdf" ->
+      """WITH dim AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) // 1000 AS bucket,
+        |    count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        |  sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |  round(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) /
+        |    sum(n) OVER (PARTITION BY event_type), 6) AS cdf
+        |FROM dim ORDER BY 1, 2""".stripMargin,
 
     "q_string_agg" ->
       """SELECT o_orderpriority,
