@@ -2743,6 +2743,96 @@ object SparkEntry {
           col("n_pairs"), col("acf"))
         .orderBy(col("event_type"), col("lag"))),
 
+    // Degree distribution of the undirected k-NN graph — the first
+    // sanity plot of any graph build; one vertex count + one bounded
+    // (degree, n) reduce
+    "q_degree_dist" -> ((s, dir) => {
+      val e0 = s.read.parquet(knnEdgesFixture(s, dir))
+        .select(col("src"), col("dst"))
+      val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+      sym.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
+    // Degree assortativity (Newman): Pearson corr of endpoint degrees
+    // over the symmetric directed edge list — do high-degree vertices
+    // attach to high-degree vertices? Exact integer degrees; only the
+    // final corr rounds
+    "q_assortativity" -> ((s, dir) => {
+      val e0 = s.read.parquet(knnEdgesFixture(s, dir))
+        .select(col("src"), col("dst"))
+      val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+      val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      sym
+        .join(deg.select(col("id").as("src"), col("d").as("_du")), Seq("src"))
+        .join(deg.select(col("id").as("dst"), col("d").as("_dv")), Seq("dst"))
+        .agg(count(lit(1)).as("n_directed_edges"),
+          round(corr(col("_du"), col("_dv")), 4).as("assortativity"))
+    }),
+
+    // Per-edge embeddedness: common-neighbor count + neighborhood
+    // Jaccard for every k-NN edge — the weak-tie pruning signal; same
+    // wedge plan as q_link_predict, integer-exact to one division
+    "q_edge_jaccard" -> ((s, dir) =>
+      Graphs.edgeEmbeddedness(s.read.parquet(knnEdgesFixture(s, dir)),
+          "src", "dst")
+        .orderBy(col("lo"), col("hi"))),
+
+    // Source-concentration indices over documents and token mass:
+    // Herfindahl–Hirschman index Σm²/t², effective source count t²/Σm²,
+    // top share — the "is this corpus one crawl in a trenchcoat" gate.
+    // Integer masses squared and summed EXACTLY (decimal(38,0)/HUGEINT
+    // — a float Σ shares² would be summation-order-dependent); the only
+    // float steps are three final divisions
+    "q_concentration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def conc(dim: DataFrame, basis: String): DataFrame =
+        dim.agg(sum(col("m")).as("_t"), sum(col("m") * col("m")).as("_s2"),
+            max(col("m")).as("_mx"))
+          .select(lit(basis).as("basis"),
+            round(col("_s2").cast("double") /
+              (col("_t").cast("double") * col("_t").cast("double")), 6)
+              .as("hhi"),
+            round(col("_t").cast("double") * col("_t").cast("double") /
+              col("_s2").cast("double"), 4).as("effective_sources"),
+            round(col("_mx").cast("double") / col("_t").cast("double"), 6)
+              .as("top_share"))
+      val byDocs = docs.groupBy(col("source"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("m"))
+      val byTokens = docs.groupBy(col("source"))
+        .agg(sum(TextAnalytics.tokenCount(col("text")).cast("long"))
+          .cast("decimal(38,0)").as("m"))
+      conc(byDocs, "docs").unionAll(conc(byTokens, "tokens"))
+        .orderBy(col("basis"))
+    }),
+
+    // Burstiness of inter-arrival gaps per event type — Goh–Barabási
+    // B = (σ−μ)/(σ+μ) from exact integer (n, Σg, Σg²) gap sums; gaps
+    // from one key-partitioned lead window under the (micros, id)
+    // total order
+    "q_burstiness" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("_us"), col("event_id"))
+      val gaps = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("_us"))
+        .withColumn("_g", (lead(col("_us"), 1).over(w) - col("_us"))
+          .cast("decimal(38,0)"))
+        .where(col("_g").isNotNull)
+      val sums = gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("_g")).as("_s1"),
+          sum(col("_g") * col("_g")).as("_s2"))
+      val mu = sums("_s1").cast("double") / sums("n_gaps")
+      val sig = sqrt(sums("_s2").cast("double") / sums("n_gaps") - mu * mu)
+      sums.select(col("event_type"), col("n_gaps"),
+          round(mu / 1000000.0, 4).as("mean_gap_s"),
+          round((sig - mu) / (sig + mu), 6).as("burstiness"))
+        .orderBy(col("event_type"))
+    }),
+
     // Kleinberg HITS over the k-NN graph: 2 unnormalized rounds keep
     // every score an exact integer (bit-reproducible, CTE-unrollable);
     // the one normalization divides by the exact integer max at the end
@@ -5640,6 +5730,119 @@ object SparkEntry {
         |SELECT g AS event_type, CAST(lag AS BIGINT) AS lag,
         |       count(*) AS n_pairs, round(corr(c_prev, c), 4) AS acf
         |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_degree_dist" ->
+      """WITH emb AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vid AS src, b.vid AS dst,
+        |      row_number() OVER (PARTITION BY a.vid
+        |        ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                 b.vid) AS rk
+        |    FROM emb a JOIN emb b ON a.vid <> b.vid) t
+        |  WHERE rk <= 3),
+        |sym AS (SELECT src, dst FROM (
+        |    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) u
+        |  WHERE src <> dst)
+        |SELECT degree, count(*) AS n_nodes FROM (
+        |  SELECT src, count(*) AS degree FROM sym GROUP BY 1) d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH emb AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vid AS src, b.vid AS dst,
+        |      row_number() OVER (PARTITION BY a.vid
+        |        ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                 b.vid) AS rk
+        |    FROM emb a JOIN emb b ON a.vid <> b.vid) t
+        |  WHERE rk <= 3),
+        |sym AS MATERIALIZED (SELECT src, dst FROM (
+        |    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) u
+        |  WHERE src <> dst),
+        |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1)
+        |SELECT count(*) AS n_directed_edges,
+        |       round(corr(a.d, b.d), 4) AS assortativity
+        |FROM sym JOIN deg a ON a.id = sym.src
+        |         JOIN deg b ON b.id = sym.dst""".stripMargin,
+
+    "q_edge_jaccard" ->
+      """WITH emb AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vid AS src, b.vid AS dst,
+        |      row_number() OVER (PARTITION BY a.vid
+        |        ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                 b.vid) AS rk
+        |    FROM emb a JOIN emb b ON a.vid <> b.vid) t
+        |  WHERE rk <= 3),
+        |sym AS MATERIALIZED (SELECT src, dst FROM (
+        |    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) u
+        |  WHERE src <> dst),
+        |und AS (SELECT src AS lo, dst AS hi FROM sym WHERE src < dst),
+        |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
+        |cn AS (SELECT a.dst AS lo, b.dst AS hi, count(*) AS cn
+        |       FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+        |       GROUP BY 1, 2)
+        |SELECT u.lo, u.hi, coalesce(cn.cn, 0) AS cn,
+        |  round(coalesce(cn.cn, 0) /
+        |    greatest(da.d + db.d - 2 - coalesce(cn.cn, 0), 1), 6) AS jaccard
+        |FROM und u
+        |LEFT JOIN cn ON cn.lo = u.lo AND cn.hi = u.hi
+        |JOIN deg da ON da.id = u.lo
+        |JOIN deg db ON db.id = u.hi
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_concentration" ->
+      """WITH bd AS (SELECT source, CAST(count(*) AS HUGEINT) AS m
+        |            FROM documents GROUP BY 1),
+        |bt AS (SELECT source, CAST(sum(CAST(len(list_filter(
+        |         string_split_regex(text, '\s+'), x -> length(x) > 0))
+        |         AS BIGINT)) AS HUGEINT) AS m
+        |       FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT 'docs' AS basis,
+        |    round(CAST(sum(m*m) AS DOUBLE) /
+        |      (CAST(sum(m) AS DOUBLE) * CAST(sum(m) AS DOUBLE)), 6) AS hhi,
+        |    round(CAST(sum(m) AS DOUBLE) * CAST(sum(m) AS DOUBLE) /
+        |      CAST(sum(m*m) AS DOUBLE), 4) AS effective_sources,
+        |    round(CAST(max(m) AS DOUBLE) / CAST(sum(m) AS DOUBLE), 6)
+        |      AS top_share
+        |  FROM bd
+        |  UNION ALL
+        |  SELECT 'tokens' AS basis,
+        |    round(CAST(sum(m*m) AS DOUBLE) /
+        |      (CAST(sum(m) AS DOUBLE) * CAST(sum(m) AS DOUBLE)), 6) AS hhi,
+        |    round(CAST(sum(m) AS DOUBLE) * CAST(sum(m) AS DOUBLE) /
+        |      CAST(sum(m*m) AS DOUBLE), 4) AS effective_sources,
+        |    round(CAST(max(m) AS DOUBLE) / CAST(sum(m) AS DOUBLE), 6)
+        |      AS top_share
+        |  FROM bt)
+        |SELECT * FROM c ORDER BY basis""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH b AS (SELECT event_type, event_id, epoch_ns(ts)//1000 AS t
+        |           FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id)
+        |      - t AS HUGEINT) AS g
+        |  FROM b),
+        |s AS (SELECT event_type, count(*) AS n_gaps, sum(g) AS s1,
+        |        sum(g*g) AS s2
+        |      FROM g WHERE g IS NOT NULL GROUP BY 1),
+        |d AS (SELECT event_type, n_gaps,
+        |        CAST(s1 AS DOUBLE)/n_gaps AS mu,
+        |        sqrt(CAST(s2 AS DOUBLE)/n_gaps -
+        |          (CAST(s1 AS DOUBLE)/n_gaps)*(CAST(s1 AS DOUBLE)/n_gaps))
+        |          AS sig
+        |      FROM s)
+        |SELECT event_type, n_gaps, round(mu / 1000000.0, 4) AS mean_gap_s,
+        |  round((sig - mu) / (sig + mu), 6) AS burstiness
+        |FROM d ORDER BY 1""".stripMargin,
 
     // same k-NN prelude; two unrolled integer HITS rounds (a then h)
     "q_hits" ->

@@ -183,6 +183,44 @@ object Graphs {
         round(col("_ra") / lit(1.0e12), 6).as("ra_score"))
   }
 
+  /** Per-edge embeddedness: for every undirected edge (lo, hi), the
+    * number of COMMON neighbors and the neighborhood Jaccard
+    * cn / (deg(lo) + deg(hi) − 2 − cn) — the "how much do these two
+    * agree with each other's neighborhoods" strength signal used to
+    * prune weak ties from similarity graphs (a near-dup edge with zero
+    * embeddedness is usually an LSH accident). All counts exact
+    * integers; the single Jaccard division is rounded.
+    *
+    * Scale shape: the same center-keyed wedge join as
+    * [[linkPrediction]] (fan-out Σ deg², fine for degree-bounded
+    * graphs), one pair-keyed count, then an equi-join back to the edge
+    * set (left — zero-common edges keep cn = 0) and two broadcastable
+    * degree lookups.
+    */
+  def edgeEmbeddedness(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val und = sym.where(col("src") < col("dst"))
+      .select(col("src").as("lo"), col("dst").as("hi"))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("_d"))
+    val nbr = sym.select(col("src").as("z"), col("dst").as("n"))
+    val cn = nbr.select(col("z"), col("n").as("lo"))
+      .join(nbr.select(col("z"), col("n").as("hi")), Seq("z"))
+      .where(col("lo") < col("hi"))
+      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("cn"))
+    und.join(cn, Seq("lo", "hi"), "left")
+      .na.fill(0L, Seq("cn"))
+      .join(deg.select(col("id").as("lo"), col("_d").as("_dl")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("_d").as("_dh")), Seq("hi"))
+      .select(col("lo"), col("hi"), col("cn"),
+        round(col("cn") /
+          greatest(col("_dl") + col("_dh") - lit(2) - col("cn"), lit(1)),
+          6).as("jaccard"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damping: Double = 0.85,
                reliable: Boolean = false, checkpointInterval: Int = 2,
