@@ -2743,6 +2743,60 @@ object SparkEntry {
           col("n_pairs"), col("acf"))
         .orderBy(col("event_type"), col("lag"))),
 
+    // Gaps-and-islands interval merge: per user, overlapping event
+    // intervals [t, t + cents·10ms) coalesce into maximal covered
+    // spans — ONE key-partitioned window pass (preceding-max → new-
+    // island flag → running island id) + one island aggregate, exact
+    // integer micros throughout
+    "q_merge_intervals" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            expr("cast(round(coalesce(value, 0) * 100) as bigint)") * 10000L)
+            .as("e"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+      val marked = iv
+        .withColumn("_pmax",
+          max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("_new",
+          when(col("_pmax").isNull || col("s") > col("_pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("_new"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      marked.groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("merged_start"), max(col("e")).as("merged_end"),
+          count(lit(1)).as("n_merged"))
+        .orderBy(col("user_id"), col("island"))
+    }),
+
+    // Nearest-in-time as-of join (backward AND forward candidates, the
+    // closer wins; ties to the earlier side; exact-tie timestamps
+    // excluded by both strict as-ofs): each error finds its nearest
+    // same-user click via TWO single-shuffle as-of passes — never a
+    // per-pair product; the oracle brute-forces min |gap| per error
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_err"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("t_click"))
+      val back = AsOfJoin.asOfBackward(errors, clicks, Seq("user_id"),
+        "t_err", "t_click", Map("t_click" -> "t_back"))
+      val both = AsOfJoin.asOfForward(back, clicks, Seq("user_id"),
+        "t_err", "t_click", Map("t_click" -> "t_fwd"))
+      both.select(col("user_id"), col("event_id"), col("t_err"),
+          when(col("t_back").isNotNull &&
+              (col("t_fwd").isNull ||
+                (col("t_err") - col("t_back")) <= (col("t_fwd") - col("t_err"))),
+            col("t_back")).otherwise(col("t_fwd")).as("t_nearest"))
+        .where(col("t_nearest").isNotNull)
+        .withColumn("gap_us", abs(col("t_err") - col("t_nearest")))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Degree distribution of the undirected k-NN graph — the first
     // sanity plot of any graph build; one vertex count + one bounded
     // (degree, n) reduce
@@ -5730,6 +5784,42 @@ object SparkEntry {
         |SELECT g AS event_type, CAST(lag AS BIGINT) AS lag,
         |       count(*) AS n_pairs, round(corr(c_prev, c), 4) AS acf
         |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_merge_intervals" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS s,
+        |    epoch_ns(ts)//1000 +
+        |      CAST(round(coalesce(value, 0) * 100) AS BIGINT) * 10000 AS e
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |m2 AS (SELECT user_id, event_id, s, e,
+        |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+        |  FROM m),
+        |m3 AS (SELECT user_id, s, e,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m2)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  min(s) AS merged_start, max(e) AS merged_end, count(*) AS n_merged
+        |FROM m3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS t
+        |           FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, epoch_ns(ts)//1000 AS t
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT e.user_id, e.event_id, e.t AS t_err, c.t AS t_click
+        |      FROM e JOIN c ON c.user_id = e.user_id AND c.t <> e.t),
+        |r AS (SELECT user_id, event_id, t_err, t_click,
+        |    row_number() OVER (PARTITION BY user_id, event_id
+        |      ORDER BY abs(t_err - t_click),
+        |               CASE WHEN t_click < t_err THEN 0 ELSE 1 END) AS rk
+        |  FROM p)
+        |SELECT user_id, event_id, t_err, t_click AS t_nearest,
+        |       abs(t_err - t_click) AS gap_us
+        |FROM r WHERE rk = 1 ORDER BY user_id, event_id""".stripMargin,
 
     "q_degree_dist" ->
       """WITH emb AS MATERIALIZED (
