@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Loud-failure hub guard for the wedge-join operators: their fan-out
+    * is Σ deg(z)², so a hub with 10⁶ neighbors turns one vertex into
+    * 10¹² wedges. A 100× input must fail NAMING THE KNOB (the
+    * runtime-cap discipline of Bpe.trainMerges / Pq.train), not melt a
+    * cluster. Cost: one aggregate over the already-reduced degree
+    * dimension. Pass maxDegreeCheck ≤ 0 to skip (callers that already
+    * know the graph is degree-capped, e.g. a k-NN build).
+    */
+  private def guardMaxDegree(deg: DataFrame, degCol: String,
+                             maxDegreeCheck: Long, op: String): Unit =
+    if (maxDegreeCheck > 0) {
+      val row = deg.agg(max(col(degCol))).head()
+      val mx = if (row.isNullAt(0)) 0L else row.getLong(0)
+      require(mx <= maxDegreeCheck,
+        s"$op wedge fan-out is sum(deg^2): max degree $mx exceeds " +
+          s"maxDegreeCheck=$maxDegreeCheck — run on a degree-bounded " +
+          "graph (e.g. a k-NN build) or raise the knob")
+    }
+
   /** PageRank by power iteration (simplified model: dangling mass is not
     * redistributed — nodes without out-edges keep contributing nothing,
     * the same convention the oracle SQL uses).
@@ -156,7 +175,8 @@ object Graphs {
     * Every shuffle carries (id, id, long) triples.
     */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-                     minCommon: Long = 2): DataFrame = {
+                     minCommon: Long = 2,
+                     maxDegreeCheck: Long = 100000L): DataFrame = {
     require(minCommon >= 1, s"minCommon $minCommon")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val sym = e0
@@ -164,6 +184,7 @@ object Graphs {
       .where(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
     val deg = sym.groupBy(col("src").as("z")).agg(count(lit(1)).as("_d"))
+    guardMaxDegree(deg, "_d", maxDegreeCheck, "linkPrediction")
     val nbr = sym.select(col("dst").as("z"), col("src").as("n"))
       .join(deg, Seq("z"))
     // wedge a—z—b materialized once per unordered pair (id_a < id_b);
@@ -197,7 +218,8 @@ object Graphs {
     * set (left — zero-common edges keep cn = 0) and two broadcastable
     * degree lookups.
     */
-  def edgeEmbeddedness(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def edgeEmbeddedness(edges: DataFrame, srcCol: String, dstCol: String,
+                       maxDegreeCheck: Long = 100000L): DataFrame = {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val sym = e0
       .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -206,6 +228,7 @@ object Graphs {
     val und = sym.where(col("src") < col("dst"))
       .select(col("src").as("lo"), col("dst").as("hi"))
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("_d"))
+    guardMaxDegree(deg, "_d", maxDegreeCheck, "edgeEmbeddedness")
     val nbr = sym.select(col("src").as("z"), col("dst").as("n"))
     val cn = nbr.select(col("z"), col("n").as("lo"))
       .join(nbr.select(col("z"), col("n").as("hi")), Seq("z"))

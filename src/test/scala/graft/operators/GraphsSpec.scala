@@ -161,6 +161,47 @@ class GraphsSpec extends SparkSpec {
     e.getMessage should include("iters")
   }
 
+  test("edgeEmbeddedness: hand-computed cn and Jaccard on square + diagonal") {
+    // square 1-2-3-4-1 plus diagonal 1-3:
+    //   edge (1,3): N(1)\{3}={2,4} ≡ N(3)\{1} → cn=2, denom 3+3−2−2=2 → 1.0
+    //   edge (1,2): common {3}, denom 3+2−2−1=2 → 0.5
+    //   edge (2,3): common {1}, denom 2+3−2−1=2 → 0.5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = Graphs.edgeEmbeddedness(edges, "src", "dst")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    got((1L, 3L)) shouldBe ((2L, 1.0))
+    got((1L, 2L)) shouldBe ((1L, 0.5))
+    got((2L, 3L)) shouldBe ((1L, 0.5))
+    got.size shouldBe 5
+  }
+
+  test("wedge operators fail loudly on hub graphs, naming the knob") {
+    // a 10-leaf star: hub degree 10 > maxDegreeCheck=5
+    val star = (1L to 10L).map(i => (0L, i)).toDF("src", "dst")
+    val e1 = intercept[IllegalArgumentException] {
+      Graphs.linkPrediction(star, "src", "dst", maxDegreeCheck = 5)
+    }
+    e1.getMessage should include("maxDegreeCheck")
+    val e2 = intercept[IllegalArgumentException] {
+      Graphs.edgeEmbeddedness(star, "src", "dst", maxDegreeCheck = 5)
+    }
+    e2.getMessage should include("maxDegreeCheck")
+    // ≤ the knob passes; 0 disables the check entirely
+    Graphs.linkPrediction(star, "src", "dst", maxDegreeCheck = 10)
+      .collect()
+    Graphs.edgeEmbeddedness(star, "src", "dst", maxDegreeCheck = 0)
+      .collect().length shouldBe 10
+  }
+
+  test("edgeEmbeddedness: isolated edge has zero common neighbors, zero Jaccard") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    Graphs.edgeEmbeddedness(edges, "src", "dst")
+      .as[(Long, Long, Long, Double)].collect() shouldBe
+      Array((1L, 2L, 0L, 0.0))
+  }
+
   test("linkPrediction: square graph predicts both diagonals exactly") {
     // cycle 1-2-3-4-1, all degrees 2: non-adjacent pairs (1,3) and
     // (2,4) share both their neighbors → n_common=2, RA = 2·(1/2) = 1.0
