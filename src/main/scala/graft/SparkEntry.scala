@@ -2743,6 +2743,41 @@ object SparkEntry {
           col("n_pairs"), col("acf"))
         .orderBy(col("event_type"), col("lag"))),
 
+    // Feature-store lag features over the gap-filled per-user daily
+    // grid (q_resample's operator): lag-1/lag-7 cents and trailing
+    // 7-day mean — two key-partitioned windows sharing one sort, exact
+    // integers until the mean's single division
+    "q_lag_features" -> ((s, dir) => {
+      val grid = Timeseries.resample(Tables.events(s, dir), "user_id", "ts",
+          round(col("value") * 100).cast("long"), bucketMicros = 86400000000L)
+        .select(col("key").as("user_id"), col("bucket").as("day_num"),
+          coalesce(col("filled_sum"), lit(0L)).as("c"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      val w7 = w.rowsBetween(-6, 0)
+      grid.select(col("user_id"), col("day_num"), col("c"),
+          lag(col("c"), 1).over(w).as("lag1"),
+          lag(col("c"), 7).over(w).as("lag7"),
+          sum(col("c")).over(w7).as("_s7"),
+          count(lit(1)).over(w7).as("_n7"))
+        .select(col("user_id"), col("day_num"), col("c"), col("lag1"),
+          col("lag7"), round(col("_s7") / col("_n7"), 4).as("mean7"))
+        .orderBy(col("user_id"), col("day_num"))
+    }),
+
+    // k-anonymity audit (k=5) on the quasi-identifier combination
+    // (event_type, weekday, $20 value band): combinations observed
+    // fewer than k times — the re-identification risk surface a
+    // training-data release must review. One bounded-dimension reduce.
+    "q_kanon" -> ((s, dir) =>
+      Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("dow"),
+          expr("cast(round(value * 100) as bigint) div 2000").as("band"))
+        .groupBy(col("event_type"), col("dow"), col("band"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") < 5)
+        .orderBy(col("event_type"), col("dow"), col("band"))),
+
     // Gaps-and-islands interval merge: per user, overlapping event
     // intervals [t, t + cents·10ms) coalesce into maximal covered
     // spans — ONE key-partitioned window pass (preceding-max → new-
@@ -5784,6 +5819,45 @@ object SparkEntry {
         |SELECT g AS event_type, CAST(lag AS BIGINT) AS lag,
         |       count(*) AS n_pairs, round(corr(c_prev, c), 4) AS acf
         |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same spine/ffill construction as q_resample, then the lag windows
+    "q_lag_features" ->
+      """WITH b AS (
+        |  SELECT user_id, (epoch_ns(ts)//1000) // 86400000000 AS day_num,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day_num) AS b0, max(day_num) AS b1
+        |         FROM b GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(b0, b1)) AS day_num
+        |          FROM span),
+        |g AS (SELECT s.user_id, s.day_num,
+        |    last_value(b.cents IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.day_num
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+        |  FROM spine s LEFT JOIN b
+        |    ON b.user_id = s.user_id AND b.day_num = s.day_num),
+        |f AS (SELECT user_id, day_num,
+        |    CAST(coalesce(cf, 0) AS BIGINT) AS c FROM g),
+        |w AS (SELECT user_id, day_num, c,
+        |    lag(c, 1) OVER (PARTITION BY user_id ORDER BY day_num) AS lag1,
+        |    lag(c, 7) OVER (PARTITION BY user_id ORDER BY day_num) AS lag7,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY day_num
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY day_num
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+        |  FROM f)
+        |SELECT user_id, day_num, c, lag1, lag7, round(s7 / n7, 4) AS mean7
+        |FROM w ORDER BY 1, 2""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT event_type,
+        |  ((epoch_ns(ts)//1000) // 86400000000 + 4) % 7 AS dow,
+        |  CAST(round(value * 100) AS BIGINT) // 2000 AS band,
+        |  count(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING count(*) < 5
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_merge_intervals" ->
       """WITH iv AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS s,
