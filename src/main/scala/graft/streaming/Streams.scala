@@ -594,6 +594,69 @@ object Streams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  // --------------------------------------- streaming interval merge
+
+  /** A CLOSED maximal covered span of one user's interval stream. */
+  case class MergedInterval(user_id: Long, merged_start: Long,
+                            merged_end: Long, n_merged: Long)
+  private case class OpenIsland(start: Long, maxEnd: Long, n: Long)
+
+  /** Continuous gaps-and-islands interval merge — the streaming twin
+    * of the batch `q_merge_intervals` window: per user, ONE 3-field
+    * ValueState holds the currently-open island (start, running max
+    * end, source count); an interval starting past the open island's
+    * end CLOSES it (one emitted [[MergedInterval]]) and opens the
+    * next. The final island per user stays open forever (a stream has
+    * no end) — the documented delta vs batch, which emits it.
+    *
+    * Equivalence contract (the [[TransitionsProcessor]] one): per-user
+    * start-time order across batches; within a batch rows re-sort by
+    * (micros, event_id). Stream ≡ batch-minus-last-island asserted in
+    * StreamsSpec. Interval end = micros + round(value·100)·10ms, the
+    * q_merge_intervals construction.
+    */
+  class IntervalMergeProcessor
+    extends StatefulProcessor[Long, Event, MergedInterval] {
+    @transient private var st: ValueState[OpenIsland] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[OpenIsland]("island",
+        Encoders.product[OpenIsland], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[MergedInterval] = {
+      var open = if (st.exists()) Option(st.get()) else None
+      val out = Seq.newBuilder[MergedInterval]
+      def micros(ts: java.sql.Timestamp): Long =
+        ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val s = micros(e.ts)
+        val en = s + math.round(e.value * 100) * 10000L
+        open match {
+          case Some(isl) if s <= isl.maxEnd =>
+            open = Some(OpenIsland(isl.start, math.max(isl.maxEnd, en),
+              isl.n + 1))
+          case Some(isl) =>
+            out += MergedInterval(userId, isl.start, isl.maxEnd, isl.n)
+            open = Some(OpenIsland(s, en, 1L))
+          case None =>
+            open = Some(OpenIsland(s, en, 1L))
+        }
+      }
+      open.foreach(st.update)
+      out.result().iterator
+    }
+  }
+
+  /** Continuous interval-merge stream (see [[IntervalMergeProcessor]]). */
+  def intervalMergeStream(events: Dataset[Event]): Dataset[MergedInterval] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new IntervalMergeProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   // -------------------------------------------- streaming heavy hitters
 
   /** One token routed to its state shard. */

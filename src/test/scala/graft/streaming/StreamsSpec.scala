@@ -566,6 +566,68 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("intervalMergeStream: islands close across batches; fold equals batch minus open islands") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // u10: [1m,3m) absorbs [2m,2.5m); [10m,11m) closes it, then [20m,·)
+      // closes that one next batch and stays open. u20: one interval,
+      // never closed, never emitted.
+      val b1 = Seq(
+        Event(1L, ts(1), 10L, "view", 120.0),
+        Event(2L, ts(2), 10L, "view", 30.0),
+        Event(3L, ts(10), 10L, "view", 60.0),
+        Event(4L, ts(1), 20L, "view", 60.0))
+      val b2 = Seq(Event(5L, ts(20), 10L, "view", 60.0))
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = intervalMergeStream(stream.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      def awaitRows(nRows: Long): Unit = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (spark.table(name).count() < nRows && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        q.exception.foreach(throw _)
+        spark.table(name).count() should be >= nRows
+      }
+      stream.addData(b1: _*); awaitRows(1)
+      stream.addData(b2: _*); awaitRows(2)
+      q.stop()
+      val fromStream = spark.table(name).as[MergedInterval].collect()
+        .map(m => (m.user_id, m.merged_start, m.merged_end, m.n_merged)).sorted
+      fromStream shouldBe Array(
+        (10L, 60000000L, 180000000L, 2L),
+        (10L, 600000000L, 660000000L, 1L))
+      // batch twin: the q_merge_intervals islands window, minus each
+      // user's final (still-open) island
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"s", $"event_id")
+      val iv = (b1 ++ b2).toDF()
+        .select($"user_id", $"event_id", unix_micros($"ts").as("s"),
+          (unix_micros($"ts") +
+            expr("cast(round(value * 100) as bigint)") * 10000L).as("e"))
+      val marked = iv
+        .withColumn("_pmax", max($"e").over(w.rowsBetween(Long.MinValue, -1)))
+        .withColumn("_new",
+          when($"_pmax".isNull || $"s" > $"_pmax", 1L).otherwise(0L))
+        .withColumn("island", sum($"_new").over(w.rowsBetween(Long.MinValue, 0)))
+      val islands = marked.groupBy($"user_id", $"island")
+        .agg(min($"s").as("ms"), max($"e").as("me"), count(lit(1)).as("n"))
+        .withColumn("_last", max($"island").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"user_id")))
+      val fromBatch = islands.where($"island" =!= $"_last")
+        .select($"user_id", $"ms", $"me", $"n")
+        .as[(Long, Long, Long, Long)].collect().sorted
+      fromStream shouldBe fromBatch
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("funnelStream crash recovery: step state survives restart; advances stay exactly-once") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
