@@ -2922,6 +2922,17 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Personalized PageRank from vec 0 over the k-NN graph: restart
+    // vector 𝟙[v=0], 3 ordered-sum power iterations — the graph-
+    // expanded "related to THIS document" retrieval primitive; oracle
+    // unrolls the same float-structurally-identical CTEs as q_pagerank
+    "q_ppr" -> ((s, dir) =>
+      Graphs.personalizedPageRank(s.read.parquet(knnEdgesFixture(s, dir)),
+          "src", "dst", sourceId = 0L, iters = 3)
+        .select(col("id"), round(col("pr"), 6).as("ppr"))
+        .where(col("ppr") > 0)
+        .orderBy(col("id"))),
+
     // Kleinberg HITS over the k-NN graph: 2 unnormalized rounds keep
     // every score an exact integer (bit-reproducible, CTE-unrollable);
     // the one normalization divides by the exact integer max at the end
@@ -6007,6 +6018,53 @@ object SparkEntry {
         |SELECT event_type, n_gaps, round(mu / 1000000.0, 4) AS mean_gap_s,
         |  round((sig - mu) / (sig + mu), 6) AS burstiness
         |FROM d ORDER BY 1""".stripMargin,
+
+    // q_pagerank's unrolled CTEs with the restart base CASE WHEN id=0
+    "q_ppr" ->
+      """WITH emb AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vid AS src, b.vid AS dst,
+        |      row_number() OVER (PARTITION BY a.vid
+        |        ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                 b.vid) AS rk
+        |    FROM emb a JOIN emb b ON a.vid <> b.vid) t
+        |  WHERE rk <= 3),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        |p0 AS (SELECT id, CASE WHEN id = 0 THEN 1.0 ELSE 0.0 END AS pr
+        |       FROM nodes),
+        |c1 AS (SELECT e.dst AS id,
+        |       list_reduce(list(p.pr / deg.d ORDER BY p.pr / deg.d),
+        |                   (a, b) -> a + b) AS cin FROM edges e
+        |       JOIN deg ON deg.src = e.src JOIN p0 p ON p.id = e.src
+        |       GROUP BY e.dst),
+        |p1 AS (SELECT nodes.id,
+        |         CASE WHEN nodes.id = 0 THEN 1.0 - 0.85 ELSE 0.0 END
+        |           + coalesce(cin, 0.0) * 0.85 AS pr
+        |       FROM nodes LEFT JOIN c1 ON c1.id = nodes.id),
+        |c2 AS (SELECT e.dst AS id,
+        |       list_reduce(list(p.pr / deg.d ORDER BY p.pr / deg.d),
+        |                   (a, b) -> a + b) AS cin FROM edges e
+        |       JOIN deg ON deg.src = e.src JOIN p1 p ON p.id = e.src
+        |       GROUP BY e.dst),
+        |p2 AS (SELECT nodes.id,
+        |         CASE WHEN nodes.id = 0 THEN 1.0 - 0.85 ELSE 0.0 END
+        |           + coalesce(cin, 0.0) * 0.85 AS pr
+        |       FROM nodes LEFT JOIN c2 ON c2.id = nodes.id),
+        |c3 AS (SELECT e.dst AS id,
+        |       list_reduce(list(p.pr / deg.d ORDER BY p.pr / deg.d),
+        |                   (a, b) -> a + b) AS cin FROM edges e
+        |       JOIN deg ON deg.src = e.src JOIN p2 p ON p.id = e.src
+        |       GROUP BY e.dst),
+        |p3 AS (SELECT nodes.id,
+        |         CASE WHEN nodes.id = 0 THEN 1.0 - 0.85 ELSE 0.0 END
+        |           + coalesce(cin, 0.0) * 0.85 AS pr
+        |       FROM nodes LEFT JOIN c3 ON c3.id = nodes.id)
+        |SELECT id, round(pr, 6) AS ppr FROM p3
+        |WHERE round(pr, 6) > 0 ORDER BY id""".stripMargin,
 
     // same k-NN prelude; two unrolled integer HITS rounds (a then h)
     "q_hits" ->

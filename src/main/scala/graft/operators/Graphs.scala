@@ -12,6 +12,52 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Personalized PageRank: the random walk RESTARTS at `sourceId`
+    * instead of teleporting uniformly — pr₀ = 𝟙[v=s],
+    * pr_{t+1}(v) = (1−d)·𝟙[v=s] + d·Σ_{u→v} pr_t(u)/outdeg(u). The
+    * similarity-graph retrieval primitive ("documents related to THIS
+    * one, weighted by walk probability") behind graph-expanded recall.
+    * Same bit-reproducible ordered-sum machinery, per-round shuffle
+    * shape, and lineage discipline as [[pageRank]]; oracle-checkable by
+    * the same unrolled float-structurally-identical CTEs.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           sourceId: Long, iters: Int = 3,
+                           damping: Double = 0.85,
+                           checkpointInterval: Int = 2): DataFrame = {
+    require(iters >= 0, s"iters $iters")
+    require(checkpointInterval >= 1, s"checkpointInterval $checkpointInterval")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+    val withDeg = e.join(deg, Seq("src")).localCheckpoint(true)
+    val base = when(col("id") === sourceId, lit(1.0) - lit(damping))
+      .otherwise(lit(0.0))
+    var pr = nodes.select(col("id"),
+      when(col("id") === sourceId, lit(1.0)).otherwise(lit(0.0)).as("pr"))
+    for (i <- 0 until iters) {
+      val raw = withDeg
+        .join(pr, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("pr") / col("_d")).as("c"))
+        .unionAll(nodes.select(col("id"), lit(0.0).as("c")))
+      // ordered-sum fold (see pageRank): bit-reproducible contributions
+      val w = Window.partitionBy(col("id")).orderBy(col("c"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val contribs = raw.select(col("id"), sum(col("c")).over(wAll).as("_in"),
+          row_number().over(w).as("_rn"))
+        .where(col("_rn") === 1)
+        .select(col("id"), col("_in"))
+      pr = contribs.select(col("id"),
+        (base + col("_in") * lit(damping)).as("pr"))
+      if ((i + 1) % checkpointInterval == 0 && i + 1 < iters)
+        pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
+
   /** Loud-failure hub guard for the wedge-join operators: their fan-out
     * is Σ deg(z)², so a hub with 10⁶ neighbors turns one vertex into
     * 10¹² wedges. A 100× input must fail NAMING THE KNOB (the

@@ -141,6 +141,21 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap shouldBe Map(99L -> 0)
   }
 
+  test("personalizedPageRank: hand-iterated restart walk on a 3-node graph") {
+    // 0→1, 1→0, 1→2; restart at 0, d = 0.85, two iterations:
+    //   pr1 = (0.15, 0.85, 0)
+    //   pr2 = (0.15 + 0.85·0.425, 0.85·0.15, 0.85·0.425)
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L)).toDF("src", "dst")
+    val got = Graphs.personalizedPageRank(edges, "src", "dst",
+        sourceId = 0L, iters = 2)
+      .as[(Long, Double)].collect().toMap
+    got(0L) shouldBe 0.51125 +- 1e-12
+    got(1L) shouldBe 0.1275 +- 1e-12
+    got(2L) shouldBe 0.36125 +- 1e-12
+    // mass stays ≤ 1: walk probability leaks only at dangling node 2
+    got.values.sum should be <= 1.0 + 1e-12
+  }
+
   test("hits: hand-computed two-round integer scores on a 3-node graph") {
     // 1→2, 3→2, 2→1: a1=(1,2,0), h1=(2,1,2), a2=(1,4,0), h2=(4,1,4)
     val edges = Seq((1L, 2L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
