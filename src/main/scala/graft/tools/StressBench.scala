@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 17).toSet
+      else (1 to 18).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -510,6 +510,39 @@ object StressBench {
         Graphs.hits(edges, "src", "dst", iters = 2).count()
       }
       println(s"""{"metric":"link_predict","nodes":$nNodes,"edges":$nEdges,"predicted_pairs":$nPred,"sec":$tLp,"hits_rows":$nHits,"hits_sec":$tHits,"cpus":$cpus}""")
+    }
+
+    // ---- 18. stateful-streaming throughput: the rate-micro-batch
+    // source (rows generated executor-side — no driver materialization)
+    // mapped to Events and folded through the transformWithState
+    // interval-merge processor over RocksDB state, noop sink. Reports
+    // sustained rows/sec over a fixed wall window — the per-batch cost
+    // of one ValueState get/update per user per batch.
+    section(18) {
+      import spark.implicits._
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val nUsers = 100000L
+      val src = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 2000000L).load()
+      val ev = src.select(
+          col("value").as("event_id"),
+          timestamp_micros(lit(1700000000000000L) + col("value") * 1000L)
+            .as("ts"),
+          pmod(col("value"), lit(nUsers)).as("user_id"),
+          lit("view").as("event_type"),
+          (pmod(col("value"), lit(500L)) + 1).cast("double").as("value"))
+        .as[graft.streaming.Streams.Event]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-stress-stream").toString
+      val q = graft.streaming.Streams.intervalMergeStream(ev)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      val windowSec = 30
+      Thread.sleep(windowSec * 1000L)
+      val inRows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      println(s"""{"metric":"stream_interval_merge","users":$nUsers,"rows":$inRows,"window_sec":$windowSec,"rows_per_sec":${inRows / windowSec},"cpus":$cpus}""")
     }
     spark.stop()
   }
