@@ -2743,6 +2743,50 @@ object SparkEntry {
           col("n_pairs"), col("acf"))
         .orderBy(col("event_type"), col("lag"))),
 
+    // Daily p50/p95 bands per event type — exact interpolated
+    // percentiles over the bounded (type, day) grouping; the SLO-band
+    // monitoring query
+    "q_daily_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_num"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        .orderBy(col("event_type"), col("day_num"))),
+
+    // Freshness/staleness: per-type last event time and its lag behind
+    // the newest event anywhere — the pipeline-liveness gate; two
+    // bounded aggregates, integer micros
+    "q_freshness" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("n"))
+      val glob = per.agg(max(col("last_us")).as("_g"))
+      per.crossJoin(broadcast(glob))
+        .withColumn("staleness_s", expr("(_g - last_us) div 1000000"))
+        .select(col("event_type"), col("n"), col("last_us"),
+          col("staleness_s"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Zipf rank-frequency fit over the top-200 vocabulary: global rank
+    // by (freq desc, term) via the two-level globalOrderIndex (never a
+    // corpus-wide single-partition window), then ln-ln regression slope
+    // — the "is this natural language" corpus diagnostic (~ -1 for
+    // Zipfian text)
+    "q_zipf_fit" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(explode(TextAnalytics.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      Packing.globalOrderIndex(tf, -col("f"), Seq(col("term").asc))
+        .where(col("rank") <= 200)
+        .agg(count(lit(1)).as("n_terms"),
+          round(expr("regr_slope(ln(f), ln(rank))"), 4).as("zipf_slope"),
+          round(expr("regr_r2(ln(f), ln(rank))"), 4).as("r2"))
+    }),
+
     // Feature-store lag features over the gap-filled per-user daily
     // grid (q_resample's operator): lag-1/lag-7 cents and trailing
     // 7-day mean — two key-partitioned windows sharing one sort, exact
@@ -5830,6 +5874,36 @@ object SparkEntry {
         |SELECT g AS event_type, CAST(lag AS BIGINT) AS lag,
         |       count(*) AS n_pairs, round(corr(c_prev, c), 4) AS acf
         |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_daily_percentiles" ->
+      """SELECT event_type,
+        |  (epoch_ns(ts)//1000) // 86400000000 AS day_num,
+        |  count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_freshness" ->
+      """WITH per AS (SELECT event_type,
+        |    max(epoch_ns(ts)//1000) AS last_us, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT max(last_us) AS g FROM per)
+        |SELECT event_type, n, last_us,
+        |       (g.g - last_us) // 1000000 AS staleness_s
+        |FROM per CROSS JOIN g ORDER BY 1""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH tf AS (SELECT term, count(*) AS f FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> length(x) > 0)) AS term
+        |    FROM documents) t GROUP BY 1),
+        |r AS (SELECT term, f,
+        |    row_number() OVER (ORDER BY f DESC, term) AS rank FROM tf)
+        |SELECT count(*) AS n_terms,
+        |  round(regr_slope(ln(f), ln(rank)), 4) AS zipf_slope,
+        |  round(regr_r2(ln(f), ln(rank)), 4) AS r2
+        |FROM r WHERE rank <= 200""".stripMargin,
 
     // same spine/ffill construction as q_resample, then the lag windows
     "q_lag_features" ->

@@ -38,6 +38,10 @@ class WindowAuditSpec extends SparkSpec {
       "q_jaro", "q_gini", "q_pareto_docs",
       // KS: one global cumsum over the per-value COUNT dimension (the
       // value domain, not corpus rows) — the sanctioned construction
-      "q_ks_test")
+      "q_ks_test",
+      // Zipf: globalOrderIndex over the (term, freq) VOCABULARY
+      // dimension — the offsets window ranks distinct-frequency blocks,
+      // never corpus rows
+      "q_zipf_fit")
   }
 }
