@@ -2743,6 +2743,37 @@ object SparkEntry {
           col("n_pairs"), col("acf"))
         .orderBy(col("event_type"), col("lag"))),
 
+    // Cumulative-gains table by quality-score decile (lift-curve
+    // companion to q_auc/q_calibration): deciles via the exact
+    // two-level ntile (never a corpus-wide single-partition window),
+    // label = lang='en', cumulative positives over the 10-row decile
+    // dimension — integer-exact until the final gain fraction
+    "q_gains" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalytics.qualityScore(col("text"), Seq("the", "a", "of", "and"))
+          .as("quality"))
+      val ranked = Packing.globalOrderIndex(scored,
+        (-floor(col("quality") * 10)).cast("int"),
+        Seq(col("quality").desc, col("doc_id").asc))
+      val n = ranked.agg(count(lit(1)).as("_n"))
+      val agg = ranked.crossJoin(broadcast(n))
+        .select(Packing.ntileFromRank(col("rank"), col("_n"), 10).as("decile"),
+          (col("lang") === "en").cast("long").as("_pos"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_pos")).as("n_pos"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      agg
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          sum(col("n_pos")).over(wCum).as("cum_pos"),
+          sum(col("n_pos")).over(wTot).as("_tot"))
+        .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_pos"),
+          round(col("cum_pos").cast("double") / col("_tot"), 6).as("gain"))
+        .orderBy(col("decile"))
+    }),
+
     // Daily p50/p95 bands per event type — exact interpolated
     // percentiles over the bounded (type, day) grouping; the SLO-band
     // monitoring query
@@ -5874,6 +5905,40 @@ object SparkEntry {
         |SELECT g AS event_type, CAST(lag AS BIGINT) AS lag,
         |       count(*) AS n_pairs, round(corr(c_prev, c), 4) AS acf
         |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same quality expression as q_quality_bins; ntile(10) descending
+    "q_gains" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  round((least(length(text) / 500.0, 1.0)
+        |   + 1.0 - least(
+        |       (CASE WHEN length(text) = 0 THEN 0.0
+        |             ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |        END) * 5.0, 1.0)
+        |   + 1.0 - abs(
+        |       (CASE WHEN len(toks) = 0 THEN 0.0
+        |             ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |        END) - 0.4)) / 3.0, 4) AS quality
+        |FROM (SELECT doc_id, lang,
+        |        list_filter(string_split_regex(lower(text), '\s+'),
+        |          t -> length(t) > 0) AS toks,
+        |        text
+        |      FROM documents) a),
+        |b AS (SELECT lang,
+        |        ntile(10) OVER (ORDER BY quality DESC, doc_id) AS decile
+        |      FROM q),
+        |a2 AS (SELECT decile, count(*) AS n_docs,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos
+        |       FROM b GROUP BY 1),
+        |c AS (SELECT decile, n_docs, n_pos,
+        |        sum(n_pos) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |        sum(n_pos) OVER () AS tot_pos
+        |      FROM a2)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_docs,
+        |       CAST(n_pos AS BIGINT) AS n_pos,
+        |       CAST(cum_pos AS BIGINT) AS cum_pos,
+        |       round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS gain
+        |FROM c ORDER BY decile""".stripMargin,
 
     "q_daily_percentiles" ->
       """SELECT event_type,

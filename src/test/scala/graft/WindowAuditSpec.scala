@@ -42,6 +42,9 @@ class WindowAuditSpec extends SparkSpec {
       // Zipf: globalOrderIndex over the (term, freq) VOCABULARY
       // dimension — the offsets window ranks distinct-frequency blocks,
       // never corpus rows
-      "q_zipf_fit")
+      "q_zipf_fit",
+      // gains: globalOrderIndex block offsets + the cumulative windows
+      // over the 10-row DECILE aggregate
+      "q_gains")
   }
 }
