@@ -3842,7 +3842,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_both,
         |  CAST(sum(CASE WHEN cr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_left_only,
         |  CAST(sum(CASE WHEN cl IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_right_only,
-        |  coalesce(sum(cl * cr), 0) AS est_output_rows,
+        |  CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS est_output_rows,
         |  CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_key_fanout
         |FROM a FULL OUTER JOIN b USING (k)""".stripMargin,
 
@@ -6254,7 +6254,8 @@ object SparkEntry {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
         |  FROM events)
         |SELECT channel, count(*) AS n_purchases,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS revenue_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
         |FROM a WHERE event_type = 'purchase' AND channel IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -6281,7 +6282,7 @@ object SparkEntry {
         |      ORDER BY c, event_id) AS BIGINT) AS rn,
         |    count(*) OVER (PARTITION BY event_type) AS n
         |  FROM b),
-        |p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p)
+        |p AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS p)
         |SELECT r.event_type, p.p, round(r.c / 100.0, 2) AS value_disc, r.n
         |FROM r CROSS JOIN p
         |WHERE r.rn = ceil(p.p * r.n)
@@ -6291,26 +6292,28 @@ object SparkEntry {
     "q_pivot_multi" ->
       """SELECT ((epoch_ns(ts)//1000) // 86400000000 + 4) % 7 AS dow,
         |  count(*) FILTER (WHERE event_type = 'click') AS click_n,
-        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
-        |    FILTER (WHERE event_type = 'click') AS click_cents,
+        |  CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'click') AS BIGINT) AS click_cents,
         |  count(*) FILTER (WHERE event_type = 'error') AS error_n,
-        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
-        |    FILTER (WHERE event_type = 'error') AS error_cents,
+        |  CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'error') AS BIGINT) AS error_cents,
         |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
-        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
-        |    FILTER (WHERE event_type = 'purchase') AS purchase_cents,
+        |  CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |    AS purchase_cents,
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup_n,
-        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
-        |    FILTER (WHERE event_type = 'signup') AS signup_cents,
+        |  CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_cents,
         |  count(*) FILTER (WHERE event_type = 'view') AS view_n,
-        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
-        |    FILTER (WHERE event_type = 'view') AS view_cents
+        |  CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'view') AS BIGINT) AS view_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // full recompute — the hash-match proves partial-merge ≡ recompute
     "q_incremental_agg" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cdf" ->
@@ -6319,8 +6322,9 @@ object SparkEntry {
         |    count(*) AS n
         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
         |SELECT event_type, bucket, n,
-        |  sum(n) OVER (PARTITION BY event_type ORDER BY bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_n,
         |  round(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) /
         |    sum(n) OVER (PARTITION BY event_type), 6) AS cdf
@@ -6341,7 +6345,7 @@ object SparkEntry {
         |  round(regr_sxy(l_extendedprice, l_quantity), 2) AS sxy,
         |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
         |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy,
-        |  regr_count(l_extendedprice, l_quantity) AS n
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bit_bool_agg" ->

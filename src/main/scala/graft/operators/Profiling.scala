@@ -39,8 +39,9 @@ object Profiling {
     * join would do — matched/only-left/only-right key counts, the
     * EXACT output cardinality Σ c_l·c_r, and the hottest key's fan-out
     * (the salting decision input). Two count-aggregates instead of one
-    * melted cluster; the decimal(38,0) sum cannot overflow at any
-    * realistic corpus size.
+    * melted cluster; the sum accumulates in decimal(38,0) so it cannot
+    * overflow mid-reduction, then lands as bigint (the report's output
+    * type contract — counts are long everywhere else in the engine).
     */
   def joinCardinality(left: DataFrame, leftKey: org.apache.spark.sql.Column,
                       right: DataFrame, rightKey: org.apache.spark.sql.Column): DataFrame = {
@@ -55,7 +56,7 @@ object Profiling {
         sum(when(col("cr").isNull, 1L).otherwise(0L)).as("n_keys_left_only"),
         sum(when(col("cl").isNull, 1L).otherwise(0L)).as("n_keys_right_only"),
         coalesce(sum((col("cl") * col("cr")).cast("decimal(38,0)")), lit(0))
-          .cast("decimal(38,0)").as("est_output_rows"),
+          .cast("long").as("est_output_rows"),
         coalesce(max(col("cl") * col("cr")), lit(0L)).as("max_key_fanout"))
   }
 

@@ -40,7 +40,7 @@ class ProfilingSpec extends SparkSpec {
     r.getLong(0) shouldBe 2L            // keys 1 and 3 on both sides
     r.getLong(1) shouldBe 1L            // key 2
     r.getLong(2) shouldBe 1L            // key 9
-    r.getDecimal(3).longValueExact() shouldBe (3L * 2 + 2L * 1) // 1:6 + 3:2
+    r.getLong(3) shouldBe (3L * 2 + 2L * 1) // 1:6 + 3:2
     r.getLong(4) shouldBe 6L            // key 1: 3×2
     // ground truth: the actual join
     left.join(right, "k").count() shouldBe 8L
