@@ -77,6 +77,7 @@ object Bench {
         try fn(spark, sfDir).queryExecution.toRdd.count()
         catch { case e: Throwable =>
           System.err.println(s"[bench-warm] $name: ${e.getClass.getName}") }
+        SparkEntry.releaseDeadCheckpoints(spark)
       }
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
@@ -93,6 +94,12 @@ object Bench {
           None
         }
       }
+      // Dead-block hygiene between queries: every persisted RDD at this
+      // point is a per-query internal localCheckpoint (shared fixtures
+      // are parquet files) — dropping them now keeps block storage flat
+      // across the 230-query run instead of accumulating until late
+      // queries pay eviction/GC pressure (the r6 driver-total artifact).
+      SparkEntry.releaseDeadCheckpoints(spark)
       name -> times
     }
     val ok = results.collect { case (k, ts) if ts.nonEmpty => (k, ts.min, ts.head) }

@@ -333,9 +333,9 @@ object SparkEntry {
     */
   private val MaxExactPairRows = 100000L
 
-  private val embPairFixtures = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def embeddingPairs(s: SparkSession, dir: String): DataFrame =
-    embPairFixtures.computeIfAbsent(dir, _ => {
+  private val embPairFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = embPairFixtures.computeIfAbsent(dir, _ => {
       val emb = Tables.embeddings(s, dir)
       val nEmb = emb.count()
       require(nEmb <= MaxExactPairRows,
@@ -344,51 +344,88 @@ object SparkEntry {
           "q_embedding_neardup_lsh / q_semantic_dedup scale paths")
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      // process-lifetime PARQUET fixture (not a localCheckpoint): four
+      // declared queries (neardup / clusters / clusters_star / keepers)
+      // consume this pair set and CC re-reads it every iteration — the
+      // O(n²) join must run ONCE per fixture dir, not once per consumer
+      // scan. A file (vs checkpointed blocks) keeps the 230-query bench
+      // process free of accumulating storage memory, and is what a real
+      // pipeline would do with a shared intermediate anyway.
+      val p = fixtureDir("graft-embpairs").getAbsolutePath + "/pairs"
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("_cos", Similarity.cosine(col("va"), col("vb")))
         .where(col("_cos") >= 0.3999995)
         .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
-        // process-lifetime checkpoint: four declared queries (neardup /
-        // clusters / clusters_star / keepers) consume this pair set, and
-        // connected-components re-reads it every iteration — the O(n²)
-        // join must run ONCE per fixture dir, not once per consumer scan
-        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(p)
+      p
     })
+    s.read.parquet(path)
+  }
 
-  /** Process-lifetime checkpointed embeddings table shared by the PQ
+  /** Process-lifetime embeddings-table parquet fixture shared by the PQ
     * family (codebook training samples it, encode and probe each scan
     * it) — one materialization per fixture dir instead of one per query.
     */
-  private val embCkFixtures = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def embeddingsCk(s: SparkSession, dir: String): DataFrame =
-    embCkFixtures.computeIfAbsent(dir, _ =>
-      Tables.embeddings(s, dir).localCheckpoint(true))
+  private val embCkFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def embeddingsCk(s: SparkSession, dir: String): DataFrame = {
+    val path = embCkFixtures.computeIfAbsent(dir, _ => {
+      val p = fixtureDir("graft-embck").getAbsolutePath + "/embeddings"
+      Tables.embeddings(s, dir).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   /** Process-lifetime shared document-shingle table (id, source, sh):
     * the tokenize→shingle→hash kernel runs ONCE per fixture dir and the
-    * checkpointed array column feeds the whole n-gram family (Jaccard,
+    * materialized array column feeds the whole n-gram family (Jaccard,
     * containment, PPJoin, decontamination, cross-source, clusters/keepers)
     * — each consumer explodes/filters it map-side instead of re-scanning
     * the full text corpus through the kernel.
     */
-  private val shingleFixtures = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    shingleFixtures.computeIfAbsent(dir, _ =>
+  private val shingleFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+    val path = shingleFixtures.computeIfAbsent(dir, _ => {
+      val p = fixtureDir("graft-shingles").getAbsolutePath + "/shingles"
       Tables.documents(s, dir).select(col("doc_id").as("id"), col("source"),
           DedupExpr.shingleHashes(TextAnalytics.tokens(col("text")), 3).as("sh"))
-        .localCheckpoint(true))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   /** Scale-safe near-dup pair source shared by the _ngram cluster/keeper
     * queries AND q_ngram_jaccard: exact n-gram Jaccard over the shared
     * shingle table (shuffles only 64-bit shingle hashes; no nested-loop
-    * join). Checkpointed once per dir — three consumers, and the CC
+    * join). Materialized once per dir — three consumers, and the CC
     * iteration re-reads pairs per round.
     */
-  private val ngramPairFixtures = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
-    ngramPairFixtures.computeIfAbsent(dir, _ =>
+  private val ngramPairFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = ngramPairFixtures.computeIfAbsent(dir, _ => {
+      val p = fixtureDir("graft-ngrampairs").getAbsolutePath + "/pairs"
       Dedup.ngramJaccardPairsPre(docShingles(s, dir), threshold = 0.8)
-        .localCheckpoint(true))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Drop every persisted RDD still registered with the context —
+    * Bench calls this between queries. After the parquet-fixture
+    * conversion above, NO cross-query state lives in block storage:
+    * anything in `getPersistentRDDs` is a dead per-query internal
+    * `localCheckpoint` (Dedup/Curation/CC intermediates) whose blocks
+    * would otherwise accumulate across 230 queries × 2 reps until late
+    * queries pay eviction/GC pressure that the same queries don't pay
+    * in isolation (the r6 driver-total artifact). Spark's own
+    * ContextCleaner frees these only after a full GC, which an 8 GiB
+    * heap may never run in a 4-minute bench.
+    */
+  def releaseDeadCheckpoints(s: SparkSession): Unit =
+    s.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
 
   // ------------------------------------------------------------ queries
 
