@@ -209,12 +209,16 @@ object Curation {
     * blind to. Mean log-prob per document; documents with < 2 tokens
     * are absent (no bigram evidence — the [[unigramLogProb]] contract).
     *
-    * Scale shape: the bigram table is the only super-vocabulary
-    * aggregate — it joins back to the exploded pairs by its (a, b) key
-    * (AQE broadcasts when it fits; at open-vocabulary scale cap it with
+    * Scale shape: the raw occurrence stream is reduced to per-document
+    * distinct bigrams (id, a, b, cnt) FIRST — a corpus-keyed shuffle a
+    * hot bigram cannot skew (the key includes id) — and every later join
+    * touches only that reduced dimension, weighting each log term by
+    * cnt. The global bigram table is then the only super-vocabulary
+    * aggregate — it joins back by its (a, b) key (AQE broadcasts when it
+    * fits; at open-vocabulary scale cap it with
     * [[HeavyHitters.misraGries]] and floor the tail); the prefix/suffix
-    * tables are vocabulary-bounded broadcasts, and the only corpus-keyed
-    * shuffle is the final per-document mean.
+    * tables are vocabulary-bounded broadcasts, and the final
+    * per-document mean re-shuffles only distinct-bigram rows.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.7): DataFrame = {
@@ -222,19 +226,25 @@ object Curation {
     val pairs = docs.select(col(idCol).as("id"),
         explode(TextAnalytics.tokenPairs(col(textCol))).as("p"))
       .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
-    val big = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("_cab"))
+    // reduce-before-join: collapse repeats within a document so the
+    // (a, b)-keyed join below never carries the occurrence stream —
+    // repeated bigrams contribute cnt·log(p), not cnt joined rows
+    val docBig = pairs.groupBy(col("id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("_cnt"))
+    val big = docBig.groupBy(col("a"), col("b"))
+      .agg(sum(col("_cnt")).as("_cab"))
     val pre = big.groupBy(col("a")).agg(sum(col("_cab")).as("_ca"))
     val suf = big.groupBy(col("b")).agg(sum(col("_cab")).as("_cb"))
     val tot = big.agg(sum(col("_cab")).as("_tot"))
-    pairs.join(big, Seq("a", "b"))
+    docBig.join(big, Seq("a", "b"))
       .join(broadcast(pre), Seq("a"))
       .join(broadcast(suf), Seq("b"))
       .crossJoin(broadcast(tot))
-      .select(col("id"),
-        log(lit(lambda) * col("_cab") / col("_ca")
-          + lit(1 - lambda) * col("_cb") / col("_tot")).as("_lp"))
+      .select(col("id"), col("_cnt"),
+        (col("_cnt") * log(lit(lambda) * col("_cab") / col("_ca")
+          + lit(1 - lambda) * col("_cb") / col("_tot"))).as("_lp"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("_slp"))
+      .agg(sum(col("_cnt")).as("n_bigrams"), sum(col("_lp")).as("_slp"))
       .select(col("id"), col("n_bigrams"),
         (col("_slp") / col("n_bigrams")).as("avg_logp"))
   }
