@@ -376,6 +376,24 @@ object Graphs {
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    // Overflow guard: scores grow like Δ^(2·iters) (Δ = max degree), so
+    // a graph with Δ above ⌊2^(63/(2·iters))⌋ (≈234 at iters=4) would
+    // silently NULL the long casts below (and, far enough, overflow even
+    // the decimal(38,0) accumulators mid-iteration, which max() would
+    // then skip) — fail loudly up front instead. The degree dimension is
+    // one count-aggregate over (id); in+out combined upper-bounds both
+    // directed degrees.
+    val degBound = math.pow(Long.MaxValue.toDouble, 1.0 / (2.0 * iters)).toLong
+    val degRow = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("_d"))
+      .agg(max(col("_d"))).head()
+    val maxDeg = if (degRow.isNullAt(0)) 0L else degRow.getLong(0)
+    require(maxDeg <= degBound,
+      s"hits: max degree $maxDeg exceeds $degBound = " +
+        s"Long.MaxValue^(1/(2*iters=$iters)) — unnormalized integer HITS " +
+        "scores would overflow the exact-arithmetic contract; lower " +
+        "iters or run on a degree-bounded graph (e.g. a k-NN build)")
     var hub = nodes.select(col("id"), lit(1L).cast("decimal(38,0)").as("h"))
     var auth = nodes.select(col("id"), lit(1L).cast("decimal(38,0)").as("a"))
     for (i <- 0 until iters) {
