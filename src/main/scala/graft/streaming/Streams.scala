@@ -180,8 +180,31 @@ object Streams {
 
   // ----------------------------------------------- arbitrary state (FMGWS)
 
+  // `value` is boxed (nullable): the batch `events` table allows NULL
+  // value, and a primitive Double field would fail deserialization on
+  // the first null row — the processors fold nulls exactly as their
+  // batch twins do (see nz/cents below).
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
-                   event_type: String, value: Double)
+                   event_type: String, value: java.lang.Double)
+
+  /** Null-safe value fold: the batch twins either skip a NULL value
+    * (sum() semantics) or coalesce(value, 0) — both identical to adding
+    * 0 in a running total.
+    */
+  private[graft] def nz(v: java.lang.Double): Double =
+    if (v == null) 0.0 else v.doubleValue
+
+  /** round(value·100) exactly as the batch twins' SQL round() computes
+    * it: decimal HALF_UP via the double's shortest decimal form (Spark's
+    * Round on DoubleType) — away from zero on .5, where
+    * `math.round` (= floor(x+0.5)) disagrees for negative values.
+    * NULL folds to 0 (q_merge_intervals' coalesce; q_attribution's
+    * sum() skips the null term, which adding 0 reproduces).
+    */
+  private[graft] def cents(v: java.lang.Double): Long =
+    if (v == null) 0L
+    else scala.math.BigDecimal(v.doubleValue * 100)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
   case class SessionState(nEvents: Long, total: Double, startMs: Long, lastMs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total: Double,
                         start_ms: Long, end_ms: Long)
@@ -219,12 +242,12 @@ object Streams {
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
                   cur = Some(s.copy(nEvents = s.nEvents + 1,
-                    total = s.total + e.value, lastMs = t))
+                    total = s.total + nz(e.value), lastMs = t))
                 case Some(s) => // gap exceeded: close previous, open new
                   out += SessionOut(userId, s.nEvents, s.total, s.startMs, s.lastMs)
-                  cur = Some(SessionState(1, e.value, t, t))
+                  cur = Some(SessionState(1, nz(e.value), t, t))
                 case None =>
-                  cur = Some(SessionState(1, e.value, t, t))
+                  cur = Some(SessionState(1, nz(e.value), t, t))
               }
             }
             cur.foreach { s =>
@@ -271,12 +294,12 @@ object Streams {
         cur match {
           case Some(s) if t - s.lastMs <= gapMs =>
             cur = Some(s.copy(nEvents = s.nEvents + 1,
-              total = s.total + e.value, lastMs = t))
+              total = s.total + nz(e.value), lastMs = t))
           case Some(s) => // gap exceeded within the batch: close, reopen
             out += SessionOut(userId, s.nEvents, s.total, s.startMs, s.lastMs)
-            cur = Some(SessionState(1, e.value, t, t))
+            cur = Some(SessionState(1, nz(e.value), t, t))
           case None =>
-            cur = Some(SessionState(1, e.value, t, t))
+            cur = Some(SessionState(1, nz(e.value), t, t))
         }
       }
       cur.foreach { s =>
@@ -576,7 +599,7 @@ object Streams {
       rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
         if (e.event_type == "purchase")
           last.foreach(l => out += Attributed(userId, e.event_id, l.channel,
-            math.round(e.value * 100)))
+            cents(e.value)))
         else
           last = Some(LastChannel(micros(e.ts), e.event_id, e.event_type))
       }
@@ -631,7 +654,7 @@ object Streams {
         ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
       rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
         val s = micros(e.ts)
-        val en = s + math.round(e.value * 100) * 10000L
+        val en = s + cents(e.value) * 10000L
         open match {
           case Some(isl) if s <= isl.maxEnd =>
             open = Some(OpenIsland(isl.start, math.max(isl.maxEnd, en),

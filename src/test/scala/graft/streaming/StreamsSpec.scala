@@ -566,6 +566,55 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("cents/nz: SQL HALF_UP rounding and null folding match the batch twins") {
+    // negative halves round AWAY from zero like SQL round() — math.round
+    // (= floor(x+0.5)) would give -12 and 0 here
+    Streams.cents(-0.125) shouldBe -13L // -12.5 cents
+    Streams.cents(-0.005) shouldBe -1L  // -0.5 cents
+    Streams.cents(0.125) shouldBe 13L
+    Streams.cents(null) shouldBe 0L     // q_merge_intervals' coalesce(value,0)
+    Streams.nz(null) shouldBe 0.0
+    Streams.nz(2.5) shouldBe 2.5
+    // engine equivalence: the same doubles through Spark SQL's round()
+    val vals = Seq(-0.125, -0.005, 0.125, 2.675, -2.675, 99.995)
+    val sql = vals.toDF("v").select(round($"v" * 100).cast("long"))
+      .as[Long].collect().toSeq
+    sql shouldBe vals.map(v => Streams.cents(v))
+  }
+
+  test("attributionStream: null and negative purchase values fold like batch sum/round") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // a NULL-valued purchase still counts as a purchase (batch count(*))
+      // but contributes 0 cents (batch sum() skips the null term); a
+      // negative value rounds HALF_UP away from zero like SQL round()
+      val b1 = Seq(
+        Event(1L, ts(1), 10L, "view", 0.0),
+        Event(2L, ts(2), 10L, "purchase", null),
+        Event(3L, ts(3), 10L, "purchase", -0.125))
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = attributionStream(stream.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData(b1: _*)
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (spark.table(name).count() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      q.exception.foreach(throw _)
+      q.stop()
+      val got = spark.table(name).as[Attributed].collect()
+        .map(a => (a.user_id, a.purchase_id, a.channel, a.value_cents)).sorted
+      got shouldBe Array((10L, 2L, "view", 0L), (10L, 3L, "view", -13L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("intervalMergeStream: islands close across batches; fold equals batch minus open islands") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
