@@ -47,6 +47,13 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // The between-query dead-checkpoint sweep (releaseDeadCheckpoints)
+    // makes every RDD class log "locally checkpointed ... cannot be
+    // recomputed after unpersisting" — true and intended (the RDDs are
+    // dead); silence the rdd package so hundreds of them don't flood
+    // the driver-captured tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // Untimed warmup: JVM/codegen/parquet-reader spin-up should not be
     // attributed to whichever query happens to run first.
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -2447,9 +2447,13 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      // ONE exact-percentile buffer per group yielding both fences
+      // (two scalar percentile aggs would each hold the group's full
+      // value multiset — same answer, twice the aggregation state)
       val fences = li.groupBy(col("l_returnflag"))
-        .agg(percentile(col("v"), lit(0.05)).as("_lo"),
-          percentile(col("v"), lit(0.95)).as("_hi"))
+        .agg(percentile(col("v"), array(lit(0.05), lit(0.95))).as("_f"))
+        .select(col("l_returnflag"), col("_f").getItem(0).as("_lo"),
+          col("_f").getItem(1).as("_hi"))
       li.join(broadcast(fences), "l_returnflag")
         .select(col("l_returnflag"), col("v"),
           least(greatest(col("v"), col("_lo")), col("_hi")).as("_w"),
@@ -2585,9 +2589,13 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rk"))),
 
     // Exact k-NN graph (all-pairs oracle anchor at test scale — the
-    // 100 TB build is q_knn_graph_lsh below)
+    // 100 TB build is q_knn_graph_lsh below). The anchor input is a
+    // FIXED 500-vector slice: an O(n²) exactness witness doesn't grow
+    // with SF (it covers every vector at the correctness SFs and stops
+    // quadrupling the bench at sf0.1) — the scale twin carries scaling.
     "q_knn_graph" -> ((s, dir) =>
-      Retrieval.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding", k = 3)
+      Retrieval.knnGraph(Tables.embeddings(s, dir).where(col("vec_id") < 500),
+          "vec_id", "embedding", k = 3)
         .select(col("src"), col("dst"), col("sim"), col("rk").cast("long").as("rk"))
         .orderBy(col("src"), col("rk"))),
 
@@ -5806,8 +5814,10 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY a.vid
         |      ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
         |               b.vid) AS rk
-        |  FROM (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings) a
-        |  JOIN (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings) b
+        |  FROM (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+        |        WHERE vec_id < 500) a
+        |  JOIN (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+        |        WHERE vec_id < 500) b
         |    ON a.vid <> b.vid) t
         |WHERE rk <= 3 ORDER BY src, rk""".stripMargin,
 

@@ -23,11 +23,15 @@ object Baskets {
     * orders, sessions), never by item popularity. `minCount` prunes
     * before the support joins; supports are an item-keyed dimension and
     * the basket total is one broadcast row. Everything is integer until
-    * the final lift division, so the lift is engine-exact.
+    * the final lift division, so the lift is engine-exact. The distinct
+    * item table is materialized once (localCheckpoint) — four consumers
+    * (basket total, supports, both self-join sides) would otherwise
+    * each redo the dedup shuffle.
     */
   def cooccurrence(df: DataFrame, basketCol: Column, itemCol: Column,
                    minCount: Long): DataFrame = {
     val items = df.select(basketCol.as("_b"), itemCol.as("_i")).distinct()
+      .localCheckpoint(true)
     val nBaskets = items.agg(countDistinct(col("_b")).as("_n"))
     val support = items.groupBy(col("_i")).agg(count(lit(1)).as("_s"))
     val pairs = items.select(col("_b"), col("_i").as("item_a"))
