@@ -528,6 +528,24 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram jaccard
 
+  /** Exploded (id, n_sh, h) shingle stream pruned to shingles that can
+    * actually FORM a pair: an occurrence-count pass drops every shingle
+    * seen once in the corpus before the self-join. Under a Zipf shingle
+    * distribution singletons are the majority of the stream, so the
+    * prune removes most of both self-join shuffle sides for one cheap
+    * count-aggregate — and it cannot change results (a df-1 shingle
+    * only ever meets itself, which `id_a < id_b` drops; occurrence
+    * count over-approximates document frequency, so nothing pairable
+    * is lost).
+    */
+  private def pairableShingles(shingled: DataFrame): DataFrame = {
+    val sh = shingled.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("h"))
+    val pairable = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("_df")).where(col("_df") >= 2).select(col("h"))
+    sh.join(pairable, Seq("h"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs: explode shingles
     * to (shingle_hash, id), self-join on the hash to count intersections,
     * then |A∩B| / (|A|+|B|−|A∩B|). Shuffles only 64-bit hashes.
@@ -550,8 +568,7 @@ object Dedup {
     * the full corpus.
     */
   def ngramJaccardPairsPre(shingled: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingled.select(col("id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("h"))
+    val sh = pairableShingles(shingled)
     val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
@@ -692,8 +709,7 @@ object Dedup {
     * caller-owns-materialization contract as [[ngramJaccardPairsPre]]).
     */
   def ngramContainmentPairsPre(shingled: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingled.select(col("id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("h"))
+    val sh = pairableShingles(shingled)
     val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
