@@ -528,22 +528,31 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram jaccard
 
-  /** Exploded (id, n_sh, h) shingle stream pruned to shingles that can
-    * actually FORM a pair: an occurrence-count pass drops every shingle
-    * seen once in the corpus before the self-join. Under a Zipf shingle
-    * distribution singletons are the majority of the stream, so the
-    * prune removes most of both self-join shuffle sides for one cheap
-    * count-aggregate — and it cannot change results (a df-1 shingle
-    * only ever meets itself, which `id_a < id_b` drops; occurrence
-    * count over-approximates document frequency, so nothing pairable
-    * is lost).
+  /** Exploded (id, n_sh, h) shingle stream, optionally pruned to
+    * shingles that can actually FORM a pair: with `minDf >= 2` an
+    * occurrence-count pass drops every shingle seen once in the corpus
+    * before the self-join. This CANNOT change results (a df-1 shingle
+    * only ever meets itself, which `id_a < id_b` drops; occurrence count
+    * over-approximates document frequency, so nothing pairable is lost
+    * — DedupSpec asserts the equality), but whether it PAYS is
+    * data-dependent: a natural-language corpus is Zipf — singletons are
+    * the majority of the exploded stream, and shedding them before the
+    * self-join removes most of both shuffle sides for one extra
+    * count-aggregate. A small-vocabulary corpus (like the synthetic
+    * test tables: 0.1% singleton occurrences at sf0.1) pays the extra
+    * aggregate for nothing, so the default is off; turn it on
+    * (`minShingleDf = 2`) for open-vocabulary corpora at scale.
     */
-  private def pairableShingles(shingled: DataFrame): DataFrame = {
+  private def pairableShingles(shingled: DataFrame, minDf: Int): DataFrame = {
     val sh = shingled.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("h"))
-    val pairable = sh.groupBy(col("h"))
-      .agg(count(lit(1)).as("_df")).where(col("_df") >= 2).select(col("h"))
-    sh.join(pairable, Seq("h"))
+    if (minDf <= 1) sh
+    else {
+      val pairable = sh.groupBy(col("h"))
+        .agg(count(lit(1)).as("_df")).where(col("_df") >= minDf)
+        .select(col("h"))
+      sh.join(pairable, Seq("h"))
+    }
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: explode shingles
@@ -567,8 +576,9 @@ object Dedup {
     * instead of each query re-running the tokenize+shingle kernel over
     * the full corpus.
     */
-  def ngramJaccardPairsPre(shingled: DataFrame, threshold: Double): DataFrame = {
-    val sh = pairableShingles(shingled)
+  def ngramJaccardPairsPre(shingled: DataFrame, threshold: Double,
+                           minShingleDf: Int = 1): DataFrame = {
+    val sh = pairableShingles(shingled, minShingleDf)
     val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
@@ -708,8 +718,9 @@ object Dedup {
   /** [[ngramContainmentPairs]] over a pre-shingled (id, sh) corpus (same
     * caller-owns-materialization contract as [[ngramJaccardPairsPre]]).
     */
-  def ngramContainmentPairsPre(shingled: DataFrame, threshold: Double): DataFrame = {
-    val sh = pairableShingles(shingled)
+  def ngramContainmentPairsPre(shingled: DataFrame, threshold: Double,
+                               minShingleDf: Int = 1): DataFrame = {
+    val sh = pairableShingles(shingled, minShingleDf)
     val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
