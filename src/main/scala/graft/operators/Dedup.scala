@@ -528,32 +528,24 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram jaccard
 
-  /** Exploded (id, n_sh, h) shingle stream, optionally pruned to
-    * shingles that can actually FORM a pair: with `minDf >= 2` an
-    * occurrence-count pass drops every shingle seen once in the corpus
-    * before the self-join. This CANNOT change results (a df-1 shingle
-    * only ever meets itself, which `id_a < id_b` drops; occurrence count
-    * over-approximates document frequency, so nothing pairable is lost
-    * — DedupSpec asserts the equality), but whether it PAYS is
-    * data-dependent: a natural-language corpus is Zipf — singletons are
-    * the majority of the exploded stream, and shedding them before the
-    * self-join removes most of both shuffle sides for one extra
-    * count-aggregate. A small-vocabulary corpus (like the synthetic
-    * test tables: 0.1% singleton occurrences at sf0.1) pays the extra
-    * aggregate for nothing, so the default is off; turn it on
-    * (`minShingleDf = 2`) for open-vocabulary corpora at scale.
+  /** Exploded (id, n_sh, h) shingle stream for the pair self-joins.
+    *
+    * Measured non-lever (kept as a record): pre-pruning df-1 shingles
+    * before the self-join — as a dimension join OR a broadcast-Bloom
+    * map-side filter — does NOT pay, even on an open-vocabulary corpus
+    * where 95%+ of shingle occurrences are singletons (DedupBench,
+    * 220k docs: join-prune 0.56×, bloom-prune 0.94× vs no prune).
+    * Reason: a singleton hash produces no fan-out in the hash-keyed
+    * self-join — it costs one shuffled row per side and emits only its
+    * self-match, which `id_a < id_b` drops — so the join is already
+    * LINEAR in singletons, and any counting pre-pass adds a shuffle of
+    * the same stream it hopes to shrink. Skew from HOT shingles is the
+    * real scale risk, and that is what [[prefixFilterPairs]] (PPJoin)
+    * and the banded-LSH paths are for.
     */
-  private def pairableShingles(shingled: DataFrame, minDf: Int): DataFrame = {
-    val sh = shingled.select(col("id"), size(col("sh")).as("n_sh"),
+  private def pairableShingles(shingled: DataFrame): DataFrame =
+    shingled.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("h"))
-    if (minDf <= 1) sh
-    else {
-      val pairable = sh.groupBy(col("h"))
-        .agg(count(lit(1)).as("_df")).where(col("_df") >= minDf)
-        .select(col("h"))
-      sh.join(pairable, Seq("h"))
-    }
-  }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: explode shingles
     * to (shingle_hash, id), self-join on the hash to count intersections,
@@ -576,9 +568,8 @@ object Dedup {
     * instead of each query re-running the tokenize+shingle kernel over
     * the full corpus.
     */
-  def ngramJaccardPairsPre(shingled: DataFrame, threshold: Double,
-                           minShingleDf: Int = 1): DataFrame = {
-    val sh = pairableShingles(shingled, minShingleDf)
+  def ngramJaccardPairsPre(shingled: DataFrame, threshold: Double): DataFrame = {
+    val sh = pairableShingles(shingled)
     val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
@@ -718,9 +709,8 @@ object Dedup {
   /** [[ngramContainmentPairs]] over a pre-shingled (id, sh) corpus (same
     * caller-owns-materialization contract as [[ngramJaccardPairsPre]]).
     */
-  def ngramContainmentPairsPre(shingled: DataFrame, threshold: Double,
-                               minShingleDf: Int = 1): DataFrame = {
-    val sh = pairableShingles(shingled, minShingleDf)
+  def ngramContainmentPairsPre(shingled: DataFrame, threshold: Double): DataFrame = {
+    val sh = pairableShingles(shingled)
     val a = sh.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = sh.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("h")).where(col("id_a") < col("id_b"))

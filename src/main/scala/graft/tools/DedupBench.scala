@@ -63,6 +63,7 @@ object DedupBench {
     val t6 = System.nanoTime()
     println(s"""{"metric":"ngram_dedup","docs":${n + n / 10},"planted_found":$ngPlanted,"planted_total":${n / 10},"sec":${(t6 - t5) / 1e9},"cpus":$cpus}""")
 
+
     // Decontamination at scale: every 1000th base doc plays the held-out
     // benchmark (n/1000 docs, shingle universe broadcast); ground truth =
     // the planted near-duplicates of benchmark members (id % 1000 == 0,

@@ -197,27 +197,6 @@ class DedupSpec extends SparkSpec {
     m.keySet should not contain ((1L, 4L))
   }
 
-  test("minShingleDf=2 singleton prune changes nothing on a singleton-rich corpus") {
-    // `docs` has plenty of df-1 shingles (doc 4 shares nothing; doc 5's
-    // tail is unique) — the pruned plan must emit the exact same pairs,
-    // because a df-1 shingle only ever meets itself in the self-join
-    val shingled = docs.select(col("doc_id").as("id"),
-      graft.functions.DedupExpr.shingleHashes(
-        graft.functions.TextAnalytics.tokens(col("text")), 2).as("sh"))
-    for (threshold <- Seq(0.1, 0.4, 0.8)) {
-      val plain = Dedup.ngramJaccardPairsPre(shingled, threshold)
-        .as[(Long, Long, Double)].collect().toSet
-      val pruned = Dedup.ngramJaccardPairsPre(shingled, threshold, minShingleDf = 2)
-        .as[(Long, Long, Double)].collect().toSet
-      pruned shouldBe plain
-      val cPlain = Dedup.ngramContainmentPairsPre(shingled, threshold)
-        .as[(Long, Long, Double, Double)].collect().toSet
-      val cPruned = Dedup.ngramContainmentPairsPre(shingled, threshold, minShingleDf = 2)
-        .as[(Long, Long, Double, Double)].collect().toSet
-      cPruned shouldBe cPlain
-    }
-  }
-
   test("prefixFilterPairs reproduces the brute-force exact join (completeness)") {
     // mixed corpus: exact dup, one-word edit, unrelated docs — the
     // prefix-filtered join must equal ngramJaccardPairs exactly at the
