@@ -991,6 +991,30 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("dedup_text"), col("n_kept"))
         .orderBy(col("doc_id"))),
 
+    // Corpus-frequency boilerplate removal (CCNet/RefinedWeb line-dedup
+    // analog at passage granularity): passages in ≥2 distinct documents
+    // are dropped from EVERY document — unlike q_passage_dedup's
+    // first-occurrence-wins (see Curation.boilerplatePassages scale notes)
+    "q_boilerplate" -> ((s, dir) =>
+      Curation.boilerplatePassages(Tables.documents(s, dir), "doc_id", "text",
+          passageWords = 10, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_passages"), col("n_kept"),
+          col("clean_text"))
+        .orderBy(col("doc_id"))),
+
+    // Wide→long melt: each lineitem measure column becomes a
+    // (measure, value) row — pure map-side row generation, no shuffle
+    // before the output sort (Spark's native unpivot operator)
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_linenumber") === 1)
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy(col("l_orderkey"), col("measure"))),
+
     // CDC apply / MERGE: highest-sequence change per key wins, deletes
     // drop the key, unchanged base rows pass through, unseen keys insert.
     // The change stream is derived deterministically from orders so both
@@ -3664,6 +3688,39 @@ object SparkEntry {
         |       array_to_string(list(passage ORDER BY pidx), ' ') AS dedup_text,
         |       count(*) AS n_kept
         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // passage construction identical to q_passage_dedup's; the verdict is
+    // a doc-frequency threshold instead of first-occurrence rank
+    "q_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (
+        |  SELECT doc_id, i AS pidx,
+        |         array_to_string(ws[(i-1)*10+1 : i*10], ' ') AS passage
+        |  FROM w, UNNEST(generate_series(1,
+        |    greatest(CAST(ceil(len(ws)/10.0) AS BIGINT), 1))) AS t(i)),
+        |df AS (SELECT passage, count(DISTINCT doc_id) AS _df
+        |       FROM p GROUP BY 1)
+        |SELECT p.doc_id, count(*) AS n_passages,
+        |       count(CASE WHEN _df < 2 THEN 1 END) AS n_kept,
+        |       coalesce(array_to_string(
+        |         list(passage ORDER BY pidx) FILTER (WHERE _df < 2), ' '),
+        |         '') AS clean_text
+        |FROM p JOIN df USING (passage)
+        |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+        |  FROM lineitem WHERE l_linenumber = 1)
+        |SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value
+        |FROM src
+        |UNION ALL
+        |SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM src
+        |UNION ALL
+        |SELECT l_orderkey, 'l_discount', l_discount FROM src
+        |UNION ALL
+        |SELECT l_orderkey, 'l_tax', l_tax FROM src
+        |ORDER BY l_orderkey, measure""".stripMargin,
 
     "q_cdc_upsert" ->
       """WITH base AS (

@@ -410,4 +410,62 @@ object Curation {
       .select(col("doc_id"), col("span_start"), col("n_grams"),
         (col("n_grams") + (k - 1)).as("span_tokens"))
   }
+
+  /** Corpus-frequency boilerplate removal at passage granularity — the
+    * CCNet/RefinedWeb-style "drop lines duplicated across many pages"
+    * filter, over fixed `passageWords`-word passages (the corpus has no
+    * line structure; the mechanics are identical). A passage occurring
+    * in ≥ `minDocs` DISTINCT documents is boilerplate (navigation,
+    * footers, license blurbs, templated text) and is removed from EVERY
+    * document — unlike [[Dedup.passageDedup]], which keeps the first
+    * occurrence, a frequency-threshold filter keeps none: text that
+    * common carries no signal anywhere.
+    *
+    * Plan shape: passages explode map-side from ONE scan; document
+    * frequency comes from the same passage-keyed exchange that a
+    * count-distinct-and-rejoin would need, but WITHOUT the second text
+    * scan or the join — within each passage's window (ordered by
+    * (id, pidx)) a `lag` flags each document's first occurrence, and the
+    * whole-partition sum of those flags IS the distinct-doc count
+    * (the [[duplicateSpans]] corpus-occurrence window, upgraded from
+    * row count to distinct-id count; hot boilerplate passages make big
+    * window partitions, which WindowExec sorts externally — the same
+    * accepted skew profile). Per-document reassembly is then one
+    * id-keyed aggregate. At 100 TB, key the window by xxhash64(passage)
+    * so the exchange carries 8-byte keys (text keys kept here for exact
+    * DuckDB-oracle parity, as in passageDedup).
+    *
+    * Returns one row per input document:
+    * (id, n_passages, n_kept, clean_text) — clean_text is the document
+    * with boilerplate passages deleted, "" if everything was boilerplate.
+    */
+  def boilerplatePassages(docs: DataFrame, idCol: String, textCol: String,
+                          passageWords: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(passageWords >= 1, s"passageWords $passageWords")
+    require(minDocs >= 2, s"minDocs $minDocs (1 would drop every passage)")
+    val pw = passageWords
+    val words = col("__graft_bp_words")
+    val nP = greatest(ceil(size(words) / lit(pw.toDouble)).cast("int"), lit(1))
+    val passages = transform(sequence(lit(1), nP),
+      i => array_join(slice(words, (i - lit(1)) * pw + lit(1), lit(pw)), " "))
+    val p = docs.select(col(idCol).as("id"),
+        split(col(textCol), " ").as("__graft_bp_words"))
+      .select(col("id"), posexplode(passages).as(Seq("pos", "passage")))
+      .select(col("id"), (col("pos") + 1).as("pidx"), col("passage"))
+    val wSeq = Window.partitionBy(col("passage")).orderBy(col("id"), col("pidx"))
+    val wAll = Window.partitionBy(col("passage"))
+    p.withColumn("_first_in_doc",
+        when(lag(col("id"), 1).over(wSeq).isNull ||
+          lag(col("id"), 1).over(wSeq) =!= col("id"), 1L).otherwise(0L))
+      .withColumn("_df", sum(col("_first_in_doc")).over(wAll))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        count(when(col("_df") < minDocs, lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_df") < minDocs,
+              struct(col("pidx"), col("passage"))))),
+            s => s.getField("passage")), " ").as("clean_text"))
+  }
 }

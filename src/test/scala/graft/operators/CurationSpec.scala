@@ -314,4 +314,41 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     got shouldBe Seq((1L, 0L, 3L, 5L))
   }
+
+  // ------------------------------------------------- boilerplatePassages
+
+  test("boilerplatePassages drops cross-document passages from every doc, keeps unique text") {
+    // pw=2 passages. "nav bar" opens docs 1,2,3 (df=3 → boilerplate —
+    // removed from ALL, including its first occurrence); each doc's tail
+    // is unique (df=1 → kept). Doc 4 is entirely boilerplate ("nav bar"
+    // twice → one distinct passage with df 3... no: doc 4 contributes to
+    // the same passage) → clean_text "".
+    val docs = Seq(
+      (1L, "nav bar alpha beta"),
+      (2L, "nav bar gamma delta"),
+      (3L, "nav bar epsilon zeta"),
+      (4L, "nav bar nav bar")).toDF("doc_id", "text")
+    val got = Curation.boilerplatePassages(docs, "doc_id", "text",
+        passageWords = 2, minDocs = 2)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 2L, 1L, "alpha beta"),
+      (2L, 2L, 1L, "gamma delta"),
+      (3L, 2L, 1L, "epsilon zeta"),
+      (4L, 2L, 0L, ""))
+  }
+
+  test("boilerplatePassages: within-one-doc repetition alone is not boilerplate") {
+    // "tick tock" repeats inside doc 1 only → df counts DISTINCT docs =
+    // 1 → kept everywhere; reassembly preserves original passage order.
+    val docs = Seq(
+      (1L, "tick tock tick tock end cap"),
+      (2L, "other words here too")).toDF("doc_id", "text")
+    val got = Curation.boilerplatePassages(docs, "doc_id", "text",
+        passageWords = 2, minDocs = 2)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 3L, 3L, "tick tock tick tock end cap"),
+      (2L, 2L, 2L, "other words here too"))
+  }
 }
