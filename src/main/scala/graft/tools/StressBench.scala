@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Funnel, Graphs, Ivf, Packing, Retrieval, Skew, Stats, Timeseries}
+import graft.operators.{Curation, Dedup, Funnel, Graphs, Ivf, Packing, Retrieval, Skew, Stats, Timeseries}
 
 /** Adversarial-shape scale evidence for the three paths the round-4
   * review flagged as needing proof past the sf dirs:
@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 18).toSet
+      else (1 to 19).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -543,6 +543,36 @@ object StressBench {
       val inRows = q.recentProgress.map(_.numInputRows).sum
       q.stop()
       println(s"""{"metric":"stream_interval_merge","users":$nUsers,"rows":$inRows,"window_sec":$windowSec,"rows_per_sec":${inRows / windowSec},"cpus":$cpus}""")
+    }
+
+    // ---- 19. corpus-frequency boilerplate removal at hot-passage skew:
+    // every document opens with one of 20 shared header passages
+    // (df ≈ nDocs/20 each — the hot window partitions the operator's
+    // passage-keyed lag/sum windows must sort externally) followed by
+    // 3 globally-unique body passages (id baked into every token). The
+    // exact expected outcome (header dropped, body kept, everywhere) is
+    // asserted, not sampled.
+    section(19) {
+      val nDocs = 2000000L
+      val hdr = concat_ws(" ", (0 until 10).map(j =>
+        concat(lit("h"), pmod(col("id"), lit(20L)), lit(s"w$j"))): _*)
+      val body = array_join(transform(sequence(lit(0), lit(29)),
+        j => concat(lit("b"), col("id"), lit("x"), j)), " ")
+      val docs = spark.range(nDocs)
+        .select(col("id").as("doc_id"), concat(hdr, lit(" "), body).as("text"))
+        .localCheckpoint(true)
+      val (res: org.apache.spark.sql.Row, tBp) = timed {
+        Curation.boilerplatePassages(docs, "doc_id", "text",
+            passageWords = 10, minDocs = 2)
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_passages")).as("min_p"), max(col("n_passages")).as("max_p"),
+            min(col("n_kept")).as("min_k"), max(col("n_kept")).as("max_k"))
+          .collect()(0)
+      }
+      require(res.getLong(0) == nDocs && res.getLong(1) == 4 &&
+        res.getLong(2) == 4 && res.getLong(3) == 3 && res.getLong(4) == 3,
+        s"boilerplate expectation violated: $res")
+      println(s"""{"metric":"boilerplate_passages","docs":$nDocs,"passages":${nDocs * 4},"hot_df":${nDocs / 20},"sec":$tBp,"docs_per_sec":${(nDocs / tBp).toLong},"cpus":$cpus}""")
     }
     spark.stop()
   }
