@@ -431,9 +431,13 @@ object Curation {
     * row count to distinct-id count; hot boilerplate passages make big
     * window partitions, which WindowExec sorts externally — the same
     * accepted skew profile). Per-document reassembly is then one
-    * id-keyed aggregate. At 100 TB, key the window by xxhash64(passage)
-    * so the exchange carries 8-byte keys (text keys kept here for exact
-    * DuckDB-oracle parity, as in passageDedup).
+    * id-keyed aggregate. At 100 TB, partition/sort the window by
+    * xxhash64(passage) so the shuffle comparator works on 8-byte keys
+    * instead of passage strings, and if exchange width dominates, drop
+    * the text from the window input entirely and rejoin it by
+    * (id, pidx) — trading one narrow join for a text-free df pass
+    * (text keys kept here for exact DuckDB-oracle parity, as in
+    * passageDedup).
     *
     * Returns one row per input document:
     * (id, n_passages, n_kept, clean_text) — clean_text is the document
