@@ -177,4 +177,31 @@ class PropertySpec extends SparkSpec {
       mad should be >= 0.0
     }
   }
+
+  test("boilerplatePassages == plain-Scala reference on random seeded corpora") {
+    // tiny alphabet + short passages force cross-document passage
+    // collisions, so the df threshold actually fires
+    val docGen = Gen.listOfN(9, Gen.chooseNum(0, 3)).map(_.map(i => s"w$i").mkString(" "))
+    val corpusGen = Gen.listOfN(25, docGen)
+    val pw = 3
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val corpus = sample(corpusGen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      // independent reference: split → fixed-size passages → df over
+      // distinct (passage, doc) → filter + reassemble, in plain Scala
+      val split = corpus.map { case (id, t) =>
+        id -> t.split(" ").grouped(pw).map(_.mkString(" ")).toVector }
+      val dfm = split.flatMap { case (id, ps) => ps.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.size }
+      val expected = split.map { case (id, ps) =>
+        val kept = ps.filter(p => dfm(p) < 2)
+        (id, ps.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }.sortBy(_._1)
+      val got = Curation.boilerplatePassages(
+          corpus.toDF("doc_id", "text"), "doc_id", "text",
+          passageWords = pw, minDocs = 2)
+        .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+      got shouldBe expected
+    }
+  }
 }
