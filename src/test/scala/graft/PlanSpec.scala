@@ -340,4 +340,21 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
     (p should not).include("SortMergeJoin") // dimension joins stay broadcast
   }
+
+  test("q_boilerplate: one text scan, df from windows — no rejoin, no second explode") {
+    // document frequency comes from the lag-flag window pair inside the
+    // single passage-keyed exchange; a count-distinct-and-rejoin design
+    // would show two parquet scans and a join
+    val p = planOf("q_boilerplate")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+    (p should not).include("Join")
+  }
+
+  test("q_unpivot: pure map-side expand — no exchange before the output sort") {
+    val p = planOf("q_unpivot")
+    p should include("Expand")
+    // the only exchange is the presentation sort's range partitioning
+    "Exchange".r.findAllIn(p).size shouldBe 1
+    p should include("rangepartitioning")
+  }
 }
