@@ -883,6 +883,17 @@ object SparkEntry {
           TextAnalytics.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-rule battery: per-rule measured values + boolean verdicts +
+    // conjunctive keep — the named-rule filter that diagnoses WHY a doc
+    // drops, where q_quality_score only ranks (map-only; integer counts
+    // until the final divisions so every threshold compare is engine-exact)
+    "q_gopher_rules" -> ((s, dir) =>
+      Curation.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+          stopwords = Seq("the", "a", "of", "and"),
+          minWords = 45L, maxWords = 100000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Per-language character-class mix — the script/charset profile run
     // before choosing tokenizers and language filters (a CJK corpus
     // labeled 'en' shows up as a nonascii_frac spike). Exact integer
@@ -3598,6 +3609,47 @@ object SparkEntry {
         |              list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
         |            FROM documents) a) b
         |ORDER BY doc_id""".stripMargin,
+
+    // same integer counts and double divisions as the Spark side, so the
+    // rule verdicts (threshold compares on those doubles) cannot diverge
+    "q_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, t -> length(t)))
+        |      AS BIGINT) AS sum_wl,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stopwords,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |       + (length(text) - length(replace(text, '…', '')))
+        |      AS BIGINT) AS n_sym
+        |  FROM d)
+        |SELECT doc_id, n_words,
+        |  round(CAST(sum_wl AS DOUBLE) / n_words, 4) AS mean_word_len,
+        |  round(CAST(n_alpha AS DOUBLE) / n_words, 4) AS alpha_frac,
+        |  n_stopwords,
+        |  round(CAST(n_sym AS DOUBLE) / n_words, 4) AS symbol_ratio,
+        |  n_words >= 45 AND n_words <= 100000 AS r_words,
+        |  CAST(sum_wl AS DOUBLE) / n_words >= 3.0 AND
+        |    CAST(sum_wl AS DOUBLE) / n_words <= 10.0 AS r_mean_wl,
+        |  CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS r_alpha,
+        |  n_stopwords >= 2 AS r_stop,
+        |  CAST(n_sym AS DOUBLE) / n_words <= 0.1 AS r_symbol,
+        |  (n_words >= 45 AND n_words <= 100000) AND
+        |    (CAST(sum_wl AS DOUBLE) / n_words >= 3.0 AND
+        |     CAST(sum_wl AS DOUBLE) / n_words <= 10.0) AND
+        |    CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AND
+        |    n_stopwords >= 2 AND
+        |    CAST(n_sym AS DOUBLE) / n_words <= 0.1 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang, n_chars FROM (

@@ -411,6 +411,56 @@ object Curation {
         (col("n_grams") + (k - 1)).as("span_tokens"))
   }
 
+  /** Gopher-style named-rule quality filter (Rae et al. 2021, §A1.1 —
+    * the published heuristic battery behind most web-corpus cleaning):
+    * per document, each rule's measured value AND its boolean verdict,
+    * plus the conjunctive `keep` — the deployable filter artifact, with
+    * per-rule diagnosis of WHY a document drops (a bare score can't say).
+    *
+    *   - r_words:   word count in [minWords, maxWords]
+    *   - r_mean_wl: mean word length in [3, 10]
+    *   - r_alpha:   ≥ 80% of words contain an alphabetic character
+    *   - r_stop:    ≥ 2 distinct words from `stopwords` present
+    *   - r_symbol:  symbol-to-word ratio ('#' and '…') ≤ 0.1
+    *
+    * Entirely map-side: one scan, token array bound to an attribute
+    * once (the interpreted-HOF rule — an inlined split would re-tokenize
+    * per rule), integer counts until the final divisions so both the
+    * measured values and every threshold comparison are engine-exact.
+    * The only exchange a caller adds is their presentation sort.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String] = Seq("the", "a", "of", "and"),
+                  minWords: Long = 45L, maxWords: Long = 100000L): DataFrame = {
+    val toks = col("__graft_gr_toks")
+    val nW = col("n_words")
+    val nSym = (length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))) +
+      (length(col("__t")) - length(regexp_replace(col("__t"), "…", "")))
+    docs.select(col(idCol).as("id"), col(textCol).as("__t"),
+        split(col(textCol), " ").as("__graft_gr_toks"))
+      .select(col("id"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("_sum_wl"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("_n_alpha"),
+        stopwords.map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_stopwords"),
+        nSym.cast("long").as("_n_sym"))
+      .select(col("id"), nW,
+        round(col("_sum_wl").cast("double") / nW, 4).as("mean_word_len"),
+        round(col("_n_alpha").cast("double") / nW, 4).as("alpha_frac"),
+        col("n_stopwords"),
+        round(col("_n_sym").cast("double") / nW, 4).as("symbol_ratio"),
+        (nW >= minWords && nW <= maxWords).as("r_words"),
+        (col("_sum_wl").cast("double") / nW >= 3.0 &&
+          col("_sum_wl").cast("double") / nW <= 10.0).as("r_mean_wl"),
+        (col("_n_alpha").cast("double") / nW >= 0.8).as("r_alpha"),
+        (col("n_stopwords") >= 2L).as("r_stop"),
+        (col("_n_sym").cast("double") / nW <= 0.1).as("r_symbol"))
+      .withColumn("keep",
+        col("r_words") && col("r_mean_wl") && col("r_alpha") &&
+          col("r_stop") && col("r_symbol"))
+  }
+
   /** Corpus-frequency boilerplate removal at passage granularity — the
     * CCNet/RefinedWeb-style "drop lines duplicated across many pages"
     * filter, over fixed `passageWords`-word passages (the corpus has no

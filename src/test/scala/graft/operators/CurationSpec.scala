@@ -315,6 +315,41 @@ class CurationSpec extends SparkSpec {
     got shouldBe Seq((1L, 0L, 3L, 5L))
   }
 
+  // ------------------------------------------------------- gopherRules
+
+  test("gopherRules: each rule fails on its crafted offender, passes elsewhere") {
+    val good = (1 to 50).map(i => s"word$i").mkString(" ") + " the a of"
+    val docs = Seq(
+      (1L, good),                                       // passes everything
+      (2L, "the a of and too short"),                   // r_words (6 < 45)
+      (4L, (1 to 50).map(_ => "12345").mkString(" ") + " the a of"),  // r_alpha (digits)
+      (5L, (1 to 50).map(i => s"w$i").mkString(" ")),   // r_stop (no stopwords)
+      (6L, (1 to 50).map(_ => "####").mkString(" ") + " the a of")    // r_symbol + r_alpha
+    ).toDF("doc_id", "text")
+    val got = Curation.gopherRules(docs, "doc_id", "text")
+      .orderBy("id")
+      .select("id", "r_words", "r_mean_wl", "r_alpha", "r_stop", "r_symbol", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    val byId = got.map(t => t._1 -> t).toMap
+    byId(1L) shouldBe ((1L, true, true, true, true, true, true))
+    byId(2L)._2 shouldBe false; byId(2L)._7 shouldBe false // word count
+    byId(4L)._4 shouldBe false; byId(4L)._7 shouldBe false // alpha
+    byId(5L)._5 shouldBe false; byId(5L)._7 shouldBe false // stopwords
+    byId(6L)._6 shouldBe false; byId(6L)._7 shouldBe false // symbols
+  }
+
+  test("gopherRules: mean word length bounds catch gibberish runs") {
+    // 50 one-char words → mean 1 < 3; 50 twenty-char words → mean 20 > 10
+    val tiny = (1 to 50).map(_ => "x").mkString(" ") + " the a of"
+    val huge = (1 to 50).map(_ => "y" * 20).mkString(" ") + " the a of"
+    val got = Curation.gopherRules(
+        Seq((1L, tiny), (2L, huge)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("id").select("r_mean_wl", "keep")
+      .as[(Boolean, Boolean)].collect().toSeq
+    got shouldBe Seq((false, false), (false, false))
+  }
+
   // ------------------------------------------------- boilerplatePassages
 
   test("boilerplatePassages drops cross-document passages from every doc, keeps unique text") {
