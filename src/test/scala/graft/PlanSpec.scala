@@ -357,4 +357,11 @@ class PlanSpec extends SparkSpec {
     "Exchange".r.findAllIn(p).size shouldBe 1
     p should include("rangepartitioning")
   }
+
+  test("q_gopher_rules: map-only rule battery — no join, no aggregate, one exchange") {
+    val p = planOf("q_gopher_rules")
+    (p should not).include("Join")
+    (p should not).include("HashAggregate")
+    "Exchange".r.findAllIn(p).size shouldBe 1 // the presentation sort only
+  }
 }
