@@ -1243,6 +1243,26 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)"))
         .orderBy(col("g_a"), col("g_b"))),
 
+    // CUPED variance reduction: per-user pre/post cents split at the
+    // global time midpoint (one-row bounds aggregate, broadcast), arms
+    // from user parity, adjusted mean/variance as identities on exact
+    // per-arm sums — no per-row adjusted metric ever materializes
+    "q_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("cast(round(coalesce(value, 0) * 100) as bigint)").as("cents"))
+      val bounds = ev.agg(
+        floor((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid"))
+      val units = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+        .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+      Stats.cuped(units, col("arm"), col("x"), col("y"))
+        .withColumnRenamed("g", "arm")
+        .orderBy(col("arm"))
+    }),
+
     // Benford leading-digit audit of the value column (fraud/synthetic-
     // data signal): digit from the integer's decimal string, one 9-row
     // aggregate
@@ -4080,6 +4100,50 @@ object SparkEntry {
         |    AS df_welch
         |FROM g a JOIN g b ON a.g < b.g
         |ORDER BY g_a, g_b""".stripMargin,
+
+    // the same exact-integer-sum discipline: unit (x, y) cents are exact,
+    // every pooled/arm sum of their products stays below 2^53, and the
+    // theta/mean/variance identities are spelled as ONE expression tree
+    "q_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS us,
+        |    CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT CAST(floor((min(us) + max(us)) / 2) AS BIGINT) AS mid
+        |      FROM e),
+        |u AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN us < mid THEN cents ELSE 0 END)
+        |      AS DOUBLE) AS x,
+        |    CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END)
+        |      AS DOUBLE) AS y
+        |  FROM e CROSS JOIN b GROUP BY user_id),
+        |g AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |        sum(y * y) AS syy, sum(x * y) AS sxy
+        |      FROM u GROUP BY 1 HAVING count(*) > 1),
+        |p AS (SELECT CAST(count(*) AS DOUBLE) AS pn, sum(x) AS psx,
+        |        sum(y) AS psy, sum(x * x) AS psxx, sum(x * y) AS psxy
+        |      FROM u)
+        |SELECT arm, CAST(n AS BIGINT) AS n_units,
+        |  round(sy / n / 100.0, 4) AS mean_post,
+        |  round((sy / n - (psxy - psx * psy / pn) / (psxx - psx * psx / pn)
+        |      * (sx / n - psx / pn)) / 100.0, 4) AS mean_adj,
+        |  round((syy - sy * sy / n) / (n - 1), 2) AS var_post,
+        |  round((syy - sy * sy / n) / (n - 1)
+        |    + (psxy - psx * psy / pn) / (psxx - psx * psx / pn)
+        |      * ((psxy - psx * psy / pn) / (psxx - psx * psx / pn))
+        |      * ((sxx - sx * sx / n) / (n - 1))
+        |    - 2.0 * ((psxy - psx * psy / pn) / (psxx - psx * psx / pn))
+        |      * ((sxy - sx * sy / n) / (n - 1)), 2) AS var_adj,
+        |  round(1.0 - ((syy - sy * sy / n) / (n - 1)
+        |    + (psxy - psx * psy / pn) / (psxx - psx * psx / pn)
+        |      * ((psxy - psx * psy / pn) / (psxx - psx * psx / pn))
+        |      * ((sxx - sx * sx / n) / (n - 1))
+        |    - 2.0 * ((psxy - psx * psy / pn) / (psxx - psx * psx / pn))
+        |      * ((sxy - sx * sy / n) / (n - 1)))
+        |    / ((syy - sy * sy / n) / (n - 1)), 6) AS var_reduction
+        |FROM g CROSS JOIN p ORDER BY arm""".stripMargin,
 
     // leading digit from the integer's decimal string — exact at every
     // power-of-ten boundary; n/tot is double division in both engines

@@ -481,4 +481,59 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         round(corr(col("_rx"), col("_ry")), roundTo).as("rho"))
   }
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013 — the standard
+    * A/B-test sensitivity trick): adjust each unit's experiment-period
+    * metric Y by its pre-period covariate X, Y' = Y − θ·(X − X̄) with
+    * θ = cov(X,Y)/var(X) estimated pooled across arms, which shrinks
+    * metric variance by the covariate's explained fraction without
+    * biasing the arm contrast.
+    *
+    * Input is one row per (unit, arm) with exact integer-cents x
+    * (pre-period) and y (experiment-period). Everything downstream is
+    * IDENTITIES on exact per-arm sums (n, Σx, Σy, Σxx, Σyy, Σxy):
+    *   mean'  = ȳ_g − θ·(x̄_g − x̄)
+    *   var'   = var(Y)_g + θ²·var(X)_g − 2θ·cov(X,Y)_g
+    * so no per-row adjusted value is ever materialized — the plan is
+    * one unit-keyed aggregate (caller side), one arm-keyed aggregate,
+    * and a broadcast one-row pooled θ. Sums accumulate in double:
+    * exact below 2^53, the BIGINT-overflow-free twin of HUGEINT (the
+    * [[welchTTest]] convention), and every double expression is spelled
+    * identically in the SQL oracle.
+    *
+    * Returns per arm: n_units, mean_post, mean_adj (currency units),
+    * var_post, var_adj (cents²), var_reduction = 1 − var'/var.
+    */
+  def cuped(units: DataFrame, armCol: Column, xCentsCol: Column,
+            yCentsCol: Column): DataFrame = {
+    val u = units.select(armCol.as("g"),
+      xCentsCol.cast("double").as("x"), yCentsCol.cast("double").as("y"))
+    val g = u.groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .where(col("n") > 1)
+    val pooled = u.agg(count(lit(1)).cast("double").as("pn"),
+      sum(col("x")).as("psx"), sum(col("y")).as("psy"),
+      sum(col("x") * col("x")).as("psxx"),
+      sum(col("x") * col("y")).as("psxy"))
+    val theta = (col("psxy") - col("psx") * col("psy") / col("pn")) /
+      (col("psxx") - col("psx") * col("psx") / col("pn"))
+    val xbar = col("psx") / col("pn")
+    val varY = (col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)
+    val varX = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+    val covXY = (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)
+    val varAdj = varY + theta * theta * varX - lit(2.0) * theta * covXY
+    g.crossJoin(broadcast(pooled)) // one pooled row — never data × data
+      .select(col("g"),
+        col("n").cast("long").as("n_units"),
+        round(col("sy") / col("n") / 100.0, 4).as("mean_post"),
+        round((col("sy") / col("n") - theta * (col("sx") / col("n") - xbar))
+          / 100.0, 4).as("mean_adj"),
+        round(varY, 2).as("var_post"),
+        round(varAdj, 2).as("var_adj"),
+        round(lit(1.0) - varAdj / varY, 6).as("var_reduction"))
+  }
 }

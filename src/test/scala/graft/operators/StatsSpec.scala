@@ -249,4 +249,46 @@ class StatsSpec extends SparkSpec {
       .select("n", "rho").as[(Long, Double)].head()
     got shouldBe ((3L, 0.0))
   }
+
+  test("cuped matches the per-row adjusted metric computed in plain Scala") {
+    // y strongly driven by the pre-period covariate (y = 3x + id-noise)
+    // → large variance reduction; the operator's sum-identities must
+    // equal the naive per-row Y' = y − θ(x − x̄) mean/variance exactly
+    val units = (1 to 40).map { i =>
+      val arm = i % 2L
+      val x = (i * 37 % 100 + 10).toLong * 100
+      val y = 3 * x + (i * 13 % 7) * 100
+      (arm, x, y)
+    }
+    val got = Stats.cuped(units.toDF("arm", "x", "y"),
+        col("arm"), col("x"), col("y"))
+      .orderBy("g")
+      .select("g", "n_units", "mean_adj", "var_post", "var_adj", "var_reduction")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+
+    // plain-Scala reference
+    val xs = units.map(_._2.toDouble); val ys = units.map(_._3.toDouble)
+    val n = xs.size.toDouble
+    val xbar = xs.sum / n
+    val theta = (xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum / n) /
+      (xs.map(a => a * a).sum - xs.sum * xs.sum / n)
+    def stats(arm: Long) = {
+      val g = units.filter(_._1 == arm)
+      val adj = g.map { case (_, x, y) => y - theta * (x - xbar) }
+      val m = adj.sum / g.size
+      val v = adj.map(a => (a - m) * (a - m)).sum / (g.size - 1)
+      val ysG = g.map(_._3.toDouble)
+      val my = ysG.sum / g.size
+      val vy = ysG.map(a => (a - my) * (a - my)).sum / (g.size - 1)
+      (g.size.toLong, m / 100.0, vy, v)
+    }
+    got.foreach { case (arm, nu, meanAdj, varPost, varAdj, vr) =>
+      val (rn, rMean, rVarPost, rVarAdj) = stats(arm)
+      nu shouldBe rn
+      meanAdj shouldBe rMean +- 1e-3
+      varPost shouldBe rVarPost +- math.abs(rVarPost) * 1e-9
+      varAdj shouldBe rVarAdj +- math.abs(rVarPost) * 1e-9
+      vr should be > 0.9 // the covariate explains almost everything
+    }
+  }
 }
