@@ -886,10 +886,10 @@ object SparkEntry {
     // Gopher-rule battery: per-rule measured values + boolean verdicts +
     // conjunctive keep — the named-rule filter that diagnoses WHY a doc
     // drops, where q_quality_score only ranks (map-only; integer counts
-    // until the final divisions so every threshold compare is engine-exact)
+    // until the final divisions so every threshold compare is engine-exact;
+    // \s+ tokenization, the paper's 8 stopwords, and '#'/'…'/'...' symbols)
     "q_gopher_rules" -> ((s, dir) =>
       Curation.gopherRules(Tables.documents(s, dir), "doc_id", "text",
-          stopwords = Seq("the", "a", "of", "and"),
           minWords = 45L, maxWords = 100000L)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
@@ -3632,9 +3632,12 @@ object SparkEntry {
 
     // same integer counts and double divisions as the Spark side, so the
     // rule verdicts (threshold compares on those doubles) cannot diverge
+    // \s+ tokenization after trim, the paper's 8 stopwords, and the
+    // symbol count including ASCII '...' — mirroring Curation.gopherRules
     "q_gopher_rules" ->
       """WITH d AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks
         |  FROM documents),
         |m AS (
         |  SELECT doc_id,
@@ -3644,12 +3647,17 @@ object SparkEntry {
         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
         |      AS BIGINT) AS n_alpha,
         |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
-        |       + (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
         |       + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
         |       + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_stopwords,
         |    CAST((length(text) - length(replace(text, '#', '')))
         |       + (length(text) - length(replace(text, '…', '')))
+        |       + len(regexp_extract_all(text, '\.\.\.'))
         |      AS BIGINT) AS n_sym
         |  FROM d)
         |SELECT doc_id, n_words,
@@ -4104,6 +4112,10 @@ object SparkEntry {
     // the same exact-integer-sum discipline: unit (x, y) cents are exact,
     // every pooled/arm sum of their products stays below 2^53, and the
     // theta/mean/variance identities are spelled as ONE expression tree
+    // exact HUGEINT unit/arm sums (the q_moments convention) cast to
+    // double ONCE; theta falls back to 0 when pooled var(X)=0 and a
+    // zero-variance arm reports var_reduction 0.0 — both matching the
+    // Spark operator's guards exactly
     "q_cuped" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts)//1000 AS us,
@@ -4114,36 +4126,43 @@ object SparkEntry {
         |u AS (
         |  SELECT user_id % 2 AS arm,
         |    CAST(sum(CASE WHEN us < mid THEN cents ELSE 0 END)
-        |      AS DOUBLE) AS x,
+        |      AS HUGEINT) AS x,
         |    CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END)
-        |      AS DOUBLE) AS y
+        |      AS HUGEINT) AS y
         |  FROM e CROSS JOIN b GROUP BY user_id),
         |g AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n,
-        |        sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
-        |        sum(y * y) AS syy, sum(x * y) AS sxy
+        |        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |        CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |        CAST(sum(y * y) AS DOUBLE) AS syy,
+        |        CAST(sum(x * y) AS DOUBLE) AS sxy
         |      FROM u GROUP BY 1 HAVING count(*) > 1),
-        |p AS (SELECT CAST(count(*) AS DOUBLE) AS pn, sum(x) AS psx,
-        |        sum(y) AS psy, sum(x * x) AS psxx, sum(x * y) AS psxy
-        |      FROM u)
+        |p AS (SELECT CAST(count(*) AS DOUBLE) AS pn,
+        |        CAST(sum(x) AS DOUBLE) AS psx,
+        |        CAST(sum(y) AS DOUBLE) AS psy,
+        |        CAST(sum(x * x) AS DOUBLE) AS psxx,
+        |        CAST(sum(x * y) AS DOUBLE) AS psxy
+        |      FROM u),
+        |t AS (SELECT *,
+        |        CASE WHEN psxx - psx * psx / pn = 0 THEN 0.0
+        |             ELSE (psxy - psx * psy / pn) / (psxx - psx * psx / pn)
+        |        END AS theta
+        |      FROM g CROSS JOIN p),
+        |v AS (SELECT arm, n, sx, sy, pn, psx, theta,
+        |        (syy - sy * sy / n) / (n - 1) AS var_y,
+        |        (sxx - sx * sx / n) / (n - 1) AS var_x,
+        |        (sxy - sx * sy / n) / (n - 1) AS cov_xy
+        |      FROM t)
         |SELECT arm, CAST(n AS BIGINT) AS n_units,
         |  round(sy / n / 100.0, 4) AS mean_post,
-        |  round((sy / n - (psxy - psx * psy / pn) / (psxx - psx * psx / pn)
-        |      * (sx / n - psx / pn)) / 100.0, 4) AS mean_adj,
-        |  round((syy - sy * sy / n) / (n - 1), 2) AS var_post,
-        |  round((syy - sy * sy / n) / (n - 1)
-        |    + (psxy - psx * psy / pn) / (psxx - psx * psx / pn)
-        |      * ((psxy - psx * psy / pn) / (psxx - psx * psx / pn))
-        |      * ((sxx - sx * sx / n) / (n - 1))
-        |    - 2.0 * ((psxy - psx * psy / pn) / (psxx - psx * psx / pn))
-        |      * ((sxy - sx * sy / n) / (n - 1)), 2) AS var_adj,
-        |  round(1.0 - ((syy - sy * sy / n) / (n - 1)
-        |    + (psxy - psx * psy / pn) / (psxx - psx * psx / pn)
-        |      * ((psxy - psx * psy / pn) / (psxx - psx * psx / pn))
-        |      * ((sxx - sx * sx / n) / (n - 1))
-        |    - 2.0 * ((psxy - psx * psy / pn) / (psxx - psx * psx / pn))
-        |      * ((sxy - sx * sy / n) / (n - 1)))
-        |    / ((syy - sy * sy / n) / (n - 1)), 6) AS var_reduction
-        |FROM g CROSS JOIN p ORDER BY arm""".stripMargin,
+        |  round((sy / n - theta * (sx / n - psx / pn)) / 100.0, 4) AS mean_adj,
+        |  round(var_y, 2) AS var_post,
+        |  round(var_y + theta * theta * var_x - 2.0 * theta * cov_xy, 2)
+        |    AS var_adj,
+        |  CASE WHEN var_y = 0 THEN 0.0
+        |       ELSE round(1.0 - (var_y + theta * theta * var_x
+        |                         - 2.0 * theta * cov_xy) / var_y, 6)
+        |  END AS var_reduction
+        |FROM v ORDER BY arm""".stripMargin,
 
     // leading digit from the integer's decimal string — exact at every
     // power-of-ten boundary; n/tot is double division in both engines

@@ -420,8 +420,19 @@ object Curation {
     *   - r_words:   word count in [minWords, maxWords]
     *   - r_mean_wl: mean word length in [3, 10]
     *   - r_alpha:   ≥ 80% of words contain an alphabetic character
-    *   - r_stop:    ≥ 2 distinct words from `stopwords` present
-    *   - r_symbol:  symbol-to-word ratio ('#' and '…') ≤ 0.1
+    *   - r_stop:    ≥ 2 distinct words from `stopwords` present (the
+    *                paper's 8-word default: the, be, to, of, and, that,
+    *                have, with)
+    *   - r_symbol:  symbol-to-word ratio ≤ 0.1, where symbols are '#',
+    *                the Unicode ellipsis '…', AND the ASCII spelling
+    *                "..." (non-overlapping matches — real web text
+    *                overwhelmingly writes ellipsis as three dots, so
+    *                counting only U+2026 lets boilerplate through)
+    *
+    * Words come from whitespace tokenization (split on \s+ after trim —
+    * runs of spaces/newlines/tabs are one delimiter, matching the
+    * paper; a single-space split would count empty tokens as words and
+    * deflate mean_word_len/alpha_frac on real web text).
     *
     * Entirely map-side: one scan, token array bound to an attribute
     * once (the interpreted-HOF rule — an inlined split would re-tokenize
@@ -430,14 +441,16 @@ object Curation {
     * The only exchange a caller adds is their presentation sort.
     */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
-                  stopwords: Seq[String] = Seq("the", "a", "of", "and"),
+                  stopwords: Seq[String] = Seq("the", "be", "to", "of",
+                    "and", "that", "have", "with"),
                   minWords: Long = 45L, maxWords: Long = 100000L): DataFrame = {
     val toks = col("__graft_gr_toks")
     val nW = col("n_words")
     val nSym = (length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))) +
-      (length(col("__t")) - length(regexp_replace(col("__t"), "…", "")))
+      (length(col("__t")) - length(regexp_replace(col("__t"), "…", ""))) +
+      regexp_count(col("__t"), lit("\\.\\.\\."))
     docs.select(col(idCol).as("id"), col(textCol).as("__t"),
-        split(col(textCol), " ").as("__graft_gr_toks"))
+        split(trim(col(textCol)), "\\s+").as("__graft_gr_toks"))
       .select(col("id"),
         size(toks).cast("long").as("n_words"),
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("_sum_wl"),
@@ -471,27 +484,35 @@ object Curation {
     * occurrence, a frequency-threshold filter keeps none: text that
     * common carries no signal anywhere.
     *
-    * Plan shape: passages explode map-side from ONE scan; document
-    * frequency comes from the same passage-keyed exchange that a
-    * count-distinct-and-rejoin would need, but WITHOUT the second text
-    * scan or the join — within each passage's window (ordered by
-    * (id, pidx)) a `lag` flags each document's first occurrence, and the
-    * whole-partition sum of those flags IS the distinct-doc count
+    * Plan shape: passages explode map-side; the document-frequency pass
+    * runs over a TEXT-FREE projection (id, pidx, xxhash64(passage)) —
+    * the df window partitions AND sorts by the 8-byte hash, so the
+    * shuffle comparator never touches passage strings and the exchange
+    * carries 24-byte rows where the string-keyed form carried the whole
+    * corpus text (at ~70 bytes/passage that exchange dominates at
+    * 100 TB; hot boilerplate passages additionally made its sort keys
+    * maximally skewed). Within each hash's window (ordered by
+    * (id, pidx)) a `lag` flags each document's first occurrence, and
+    * the whole-partition sum of those flags IS the distinct-doc count
     * (the [[duplicateSpans]] corpus-occurrence window, upgraded from
-    * row count to distinct-id count; hot boilerplate passages make big
-    * window partitions, which WindowExec sorts externally — the same
-    * accepted skew profile). Per-document reassembly is then one
-    * id-keyed aggregate. At 100 TB, partition/sort the window by
-    * xxhash64(passage) so the shuffle comparator works on 8-byte keys
-    * instead of passage strings, and if exchange width dominates, drop
-    * the text from the window input entirely and rejoin it by
-    * (id, pidx) — trading one narrow join for a text-free df pass
-    * (text keys kept here for exact DuckDB-oracle parity, as in
-    * passageDedup).
+    * row count to distinct-id count; hot passages still make big window
+    * partitions, which WindowExec sorts externally — the same accepted
+    * skew profile, now over narrow rows). The per-passage verdict then
+    * rejoins the text by the (id, pidx) equi-key — one narrow join and
+    * a second pass over the source text traded for the text-free df
+    * exchange — and per-document reassembly is one id-keyed aggregate.
+    * Keying by hash instead of string merges xxhash64-colliding
+    * passages (probability ~n²/2⁶⁴ — negligible; a collision can only
+    * over-count df, i.e. err toward dropping).
     *
     * Returns one row per input document:
     * (id, n_passages, n_kept, clean_text) — clean_text is the document
-    * with boilerplate passages deleted, "" if everything was boilerplate.
+    * with boilerplate passages deleted, "" if everything was
+    * boilerplate. Kept passages are re-joined with single spaces, so
+    * any original whitespace runs inside or between passages are
+    * normalized (and trailing partial-passage boundaries are not
+    * restored) — clean_text is the curation-ready token stream, not a
+    * byte-identical excerpt of the input.
     */
   def boilerplatePassages(docs: DataFrame, idCol: String, textCol: String,
                           passageWords: Int = 10, minDocs: Int = 2): DataFrame = {
@@ -506,12 +527,18 @@ object Curation {
         split(col(textCol), " ").as("__graft_bp_words"))
       .select(col("id"), posexplode(passages).as(Seq("pos", "passage")))
       .select(col("id"), (col("pos") + 1).as("pidx"), col("passage"))
-    val wSeq = Window.partitionBy(col("passage")).orderBy(col("id"), col("pidx"))
-    val wAll = Window.partitionBy(col("passage"))
-    p.withColumn("_first_in_doc",
+    // text-free df pass: the window exchange carries (id, pidx, hash) only
+    val narrow = p.select(col("id"), col("pidx"),
+      xxhash64(col("passage")).as("_ph"))
+    val wSeq = Window.partitionBy(col("_ph")).orderBy(col("id"), col("pidx"))
+    val wAll = Window.partitionBy(col("_ph"))
+    val verdicts = narrow
+      .withColumn("_first_in_doc",
         when(lag(col("id"), 1).over(wSeq).isNull ||
           lag(col("id"), 1).over(wSeq) =!= col("id"), 1L).otherwise(0L))
       .withColumn("_df", sum(col("_first_in_doc")).over(wAll))
+      .select(col("id"), col("pidx"), col("_df"))
+    p.join(verdicts, Seq("id", "pidx"))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_passages"),

@@ -496,10 +496,19 @@ object Stats {
     *   var'   = var(Y)_g + θ²·var(X)_g − 2θ·cov(X,Y)_g
     * so no per-row adjusted value is ever materialized — the plan is
     * one unit-keyed aggregate (caller side), one arm-keyed aggregate,
-    * and a broadcast one-row pooled θ. Sums accumulate in double:
-    * exact below 2^53, the BIGINT-overflow-free twin of HUGEINT (the
-    * [[welchTTest]] convention), and every double expression is spelled
-    * identically in the SQL oracle.
+    * and a broadcast one-row pooled θ. Sums accumulate as EXACT
+    * integers — decimal(38,0), the HUGEINT twin, the q_moments
+    * convention — and are cast to double exactly once at the aggregate
+    * output, so one shared double expression tree follows and nothing
+    * is summation-order-dependent at any scale (a double Σx² over cents
+    * silently loses ulps past 2^53 ≈ 9·10¹⁵, which 10⁹ rows of ~10⁸
+    * cents² reach; the moments family exists to rule that out).
+    *
+    * Degenerate inputs are defined, not NaN: var(X)=0 pooled (every
+    * unit shares one pre-period value) ⇒ θ = 0 — no adjustment — and
+    * an arm with var(Y)=0 reports var_reduction 0.0, both mirrored in
+    * the SQL oracle so IEEE-vs-engine division-by-zero semantics never
+    * meet the hash.
     *
     * Returns per arm: n_units, mean_post, mean_adj (currency units),
     * var_post, var_adj (cents²), var_reduction = 1 − var'/var.
@@ -507,20 +516,26 @@ object Stats {
   def cuped(units: DataFrame, armCol: Column, xCentsCol: Column,
             yCentsCol: Column): DataFrame = {
     val u = units.select(armCol.as("g"),
-      xCentsCol.cast("double").as("x"), yCentsCol.cast("double").as("y"))
+      xCentsCol.cast("decimal(38,0)").as("x"),
+      yCentsCol.cast("decimal(38,0)").as("y"))
+    // exact integer sums; the .cast("double") on each aggregate output
+    // is the single decimal→double step in the whole operator
     val g = u.groupBy(col("g"))
       .agg(count(lit(1)).cast("double").as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
       .where(col("n") > 1)
     val pooled = u.agg(count(lit(1)).cast("double").as("pn"),
-      sum(col("x")).as("psx"), sum(col("y")).as("psy"),
-      sum(col("x") * col("x")).as("psxx"),
-      sum(col("x") * col("y")).as("psxy"))
-    val theta = (col("psxy") - col("psx") * col("psy") / col("pn")) /
-      (col("psxx") - col("psx") * col("psx") / col("pn"))
+      sum(col("x")).cast("double").as("psx"),
+      sum(col("y")).cast("double").as("psy"),
+      sum(col("x") * col("x")).cast("double").as("psxx"),
+      sum(col("x") * col("y")).cast("double").as("psxy"))
+    val thetaDen = col("psxx") - col("psx") * col("psx") / col("pn")
+    val theta = when(thetaDen === 0.0, lit(0.0))
+      .otherwise((col("psxy") - col("psx") * col("psy") / col("pn")) / thetaDen)
     val xbar = col("psx") / col("pn")
     val varY = (col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)
     val varX = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
@@ -534,6 +549,7 @@ object Stats {
           / 100.0, 4).as("mean_adj"),
         round(varY, 2).as("var_post"),
         round(varAdj, 2).as("var_adj"),
-        round(lit(1.0) - varAdj / varY, 6).as("var_reduction"))
+        when(varY === 0.0, lit(0.0))
+          .otherwise(round(lit(1.0) - varAdj / varY, 6)).as("var_reduction"))
   }
 }

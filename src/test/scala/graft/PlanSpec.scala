@@ -341,13 +341,19 @@ class PlanSpec extends SparkSpec {
     (p should not).include("SortMergeJoin") // dimension joins stay broadcast
   }
 
-  test("q_boilerplate: one text scan, df from windows — no rejoin, no second explode") {
-    // document frequency comes from the lag-flag window pair inside the
-    // single passage-keyed exchange; a count-distinct-and-rejoin design
-    // would show two parquet scans and a join
+  test("q_boilerplate: df window keyed by xxhash64 — text never rides the window exchange") {
+    // the document-frequency pass partitions/sorts by the 8-byte
+    // xxhash64(passage), not the passage string, and its input carries
+    // only (id, pidx, hash); the text rejoins by the (id, pidx)
+    // equi-key afterwards — so the plan must show the hash window, an
+    // equi join (never a nested loop), and NO passage-string window key
     val p = planOf("q_boilerplate")
-    "Scan parquet".r.findAllIn(p).size shouldBe 1
-    (p should not).include("Join")
+    p should include("xxhash64")
+    // both window operators (lag + partition sum) key on _ph
+    "windowspecdefinition\\(_ph".r.findAllIn(p).size should be >= 2
+    (p should not).include("windowspecdefinition(passage")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
   }
 
   test("q_unpivot: pure map-side expand — no exchange before the output sort") {

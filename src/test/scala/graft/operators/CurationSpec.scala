@@ -350,6 +350,47 @@ class CurationSpec extends SparkSpec {
     got shouldBe Seq((false, false), (false, false))
   }
 
+  test("gopherRules: ASCII '...' counts as a symbol — dot-ellipsis boilerplate flips keep→drop") {
+    // 50 words each trailed by "..." → 50 non-overlapping '...' matches
+    // over 53 words ≈ 0.94 ≫ 0.1; under the old unicode-only rule the
+    // symbol_ratio would be 0 and this boilerplate would survive. The
+    // identical doc without the dots keeps.
+    val dotty = (1 to 50).map(i => s"item$i...").mkString(" ") + " the of and"
+    val clean = (1 to 50).map(i => s"item$i").mkString(" ") + " the of and"
+    val got = Curation.gopherRules(
+        Seq((1L, dotty), (2L, clean)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("id").select("symbol_ratio", "r_symbol", "keep")
+      .as[(Double, Boolean, Boolean)].collect().toSeq
+    got(0)._1 should be > 0.1
+    got(0)._2 shouldBe false
+    got(0)._3 shouldBe false // the '...' fixture flips from keep to drop
+    got(1) shouldBe ((0.0, true, true))
+  }
+
+  test("gopherRules: whitespace runs are ONE delimiter — no empty-token words") {
+    // 47 words separated by mixed space/tab/newline runs + "the of":
+    // a single-space split would count the extra runs as empty words
+    // (deflating mean_word_len); \s+ after trim must count exactly 49
+    val text = " " + (1 to 47).map(i => s"word$i").mkString("  \t") +
+      "\n\n the \t of  "
+    val got = Curation.gopherRules(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n_words", "r_words", "r_stop")
+      .as[(Long, Boolean, Boolean)].head()
+    got shouldBe ((49L, true, true))
+  }
+
+  test("gopherRules: the paper's 8-word stopword set is the default") {
+    // "be that have with" hits 4 of the 8 defaults — none of which were
+    // in the old 4-word list except none; a doc carrying only these must
+    // pass r_stop
+    val text = (1 to 50).map(i => s"w$i").mkString(" ") + " be that have with"
+    val got = Curation.gopherRules(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n_stopwords", "r_stop").as[(Long, Boolean)].head()
+    got shouldBe ((4L, true))
+  }
+
   // ------------------------------------------------- boilerplatePassages
 
   test("boilerplatePassages drops cross-document passages from every doc, keeps unique text") {

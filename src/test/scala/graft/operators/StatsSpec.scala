@@ -291,4 +291,82 @@ class StatsSpec extends SparkSpec {
       vr should be > 0.9 // the covariate explains almost everything
     }
   }
+
+  test("cuped sums stay exact past 2^53 (adversarial magnitudes)") {
+    // x ≈ 1.1e9 cents per unit over 20 units → Σx² ≈ 2.4e19 >> 2^53:
+    // a double accumulator here is summation-order-dependent (losing
+    // ~thousands of ulps per add), so the operator must agree with a
+    // BigInt-exact reference that only converts to double at the end —
+    // exactly the decimal(38,0) contract.
+    val units = (1 to 20).map { i =>
+      val arm = i % 2L
+      val x = 1100000000L + i * 7919L // ~1.1e9 cents, low bits exercised
+      val y = 2L * x + (i * 104729L % 9973L)
+      (arm, x, y)
+    }
+    val got = Stats.cuped(units.toDF("arm", "x", "y"),
+        col("arm"), col("x"), col("y"))
+      .orderBy("g")
+      .select("g", "mean_adj", "var_post", "var_adj")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+
+    // BigInt-exact reference: integer sums, ONE double conversion, same
+    // expression tree as the operator
+    val all = units
+    def bi(l: Long) = BigInt(l)
+    val pn = all.size.toDouble
+    val psx = all.map(u => bi(u._2)).sum.toDouble
+    val psy = all.map(u => bi(u._3)).sum.toDouble
+    val psxx = all.map(u => bi(u._2) * bi(u._2)).sum.toDouble
+    val psxy = all.map(u => bi(u._2) * bi(u._3)).sum.toDouble
+    val theta = (psxy - psx * psy / pn) / (psxx - psx * psx / pn)
+    val xbar = psx / pn
+    all.map(_._1).distinct.sorted.foreach { arm =>
+      val g = all.filter(_._1 == arm)
+      val n = g.size.toDouble
+      val sx = g.map(u => bi(u._2)).sum.toDouble
+      val sy = g.map(u => bi(u._3)).sum.toDouble
+      val sxx = g.map(u => bi(u._2) * bi(u._2)).sum.toDouble
+      val syy = g.map(u => bi(u._3) * bi(u._3)).sum.toDouble
+      val sxy = g.map(u => bi(u._2) * bi(u._3)).sum.toDouble
+      val varY = (syy - sy * sy / n) / (n - 1)
+      val varX = (sxx - sx * sx / n) / (n - 1)
+      val covXY = (sxy - sx * sy / n) / (n - 1)
+      val varAdj = varY + theta * theta * varX - 2.0 * theta * covXY
+      val meanAdj = (sy / n - theta * (sx / n - xbar)) / 100.0
+      val (_, gMeanAdj, gVarPost, gVarAdj) = got.find(_._1 == arm).get
+      // operator output is rounded (4 dp / 2 dp); the reference rounds
+      // identically — bitwise equality, not tolerance
+      gMeanAdj shouldBe BigDecimal(meanAdj)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      gVarPost shouldBe BigDecimal(varY)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      gVarAdj shouldBe BigDecimal(varAdj)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  test("cuped degenerate inputs: var(X)=0 → θ=0 (no adjustment); constant-y arm → var_reduction 0") {
+    // every unit shares x=500 → pooled var(X)=0 → theta must fall back
+    // to 0 instead of NaN, making mean_adj = mean_post and
+    // var_adj = var_post; arm 1's y is constant → var_post = 0 must
+    // report var_reduction 0.0, not NaN
+    val units = Seq(
+      (0L, 500L, 100L), (0L, 500L, 200L), (0L, 500L, 300L),
+      (1L, 500L, 42L), (1L, 500L, 42L), (1L, 500L, 42L))
+    val got = Stats.cuped(units.toDF("arm", "x", "y"),
+        col("arm"), col("x"), col("y"))
+      .orderBy("g")
+      .select("g", "mean_post", "mean_adj", "var_post", "var_adj",
+        "var_reduction")
+      .as[(Long, Double, Double, Double, Double, Double)].collect().toSeq
+    got.foreach { case (_, meanPost, meanAdj, varPost, varAdj, vr) =>
+      meanAdj shouldBe meanPost
+      varAdj shouldBe varPost
+      assert(!vr.isNaN, "var_reduction must never be NaN")
+    }
+    val arm1 = got.find(_._1 == 1L).get
+    arm1._4 shouldBe 0.0 // var_post
+    arm1._6 shouldBe 0.0 // var_reduction — guarded, not NaN
+  }
 }
