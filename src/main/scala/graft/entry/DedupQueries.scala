@@ -1,0 +1,630 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Intervals, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
+import graft.functions.{DedupExpr, TextAnalytics}
+import graft.EntryContext._
+
+/** Deduplication: exact, MinHash/SimHash/n-gram/embedding near-dup, clustering and keepers, prefix-filtered and sorted-neighborhood joins, fuzzy entity resolution.
+  *
+  * Declarations (query lambda + DuckDB oracle SQL) are
+  * merged into [[SparkEntry]]'s registry; see SURVEY.md
+  * §2/§8 and docs/QUERIES.md for the full index.
+  */
+private[graft] object DedupQueries {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // -- dedup (LLM-pipeline extensions) -------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper_id"))),
+
+    "q_dedup_hash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper_id"))),
+
+    // Exact sub-document dedup at passage granularity: every distinct
+    // 20-word passage keeps only its corpus-wide first occurrence and
+    // documents are reassembled from the survivors (text-level exact
+    // suffix-dedup analog; see Dedup.passageDedup scale notes)
+    "q_passage_dedup" -> ((s, dir) =>
+      Dedup.passageDedup(Tables.documents(s, dir), "doc_id", "text", 20)
+        .select(col("id").as("doc_id"), col("dedup_text"), col("n_kept"))
+        .orderBy(col("doc_id"))),
+
+    // Directed n-gram containment (quote/subset detection): pairs where
+    // either direction's |A∩B|/|A| clears the threshold — catches
+    // wholesale inclusion that symmetric Jaccard dilutes away
+    "q_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairsPre(docShingles(s, dir), threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("cont_ab"), 6).as("cont_ab"),
+          round(col("cont_ba"), 6).as("cont_ba"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact duplicate-SPAN report (Lee et al. substring-level dedup):
+    // maximal runs of corpus-duplicated positional 3-grams per doc.
+    // Spark counts 64-bit positional shingle hashes; DuckDB counts the
+    // shingle strings — identical barring a ~2^-64 collision.
+    "q_dup_spans" -> ((s, dir) =>
+      Curation.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, minRun = 3)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      ngramPairs(s, dir)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Incremental dedup: the docs with id % 10 == 0 play the "new
+    // crawl batch"; only their shingles probe the (shared, persisted-
+    // index-shaped) corpus shingle table — candidate cost O(|new|·df),
+    // output = the full self-join's pairs restricted to new-touching
+    // ones (the oracle states it exactly that way).
+    "q_incremental_dedup" -> ((s, dir) =>
+      Dedup.incrementalNgramPairs(docShingles(s, dir),
+          col("id") % 10 === 0, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // The same exact n-gram Jaccard, expressed ENTIRELY in SQL against
+    // the registered kernel functions (GraftExtensions) — the SQL-surface
+    // parity check, hash-matched against the same DuckDB oracle. Reads
+    // the parquet path directly (no temp view: Verify dumps queries from
+    // concurrent threads sharing one session). The composed operator
+    // (q_ngram_jaccard) is the scale path — it materializes shingles
+    // once; this plan recomputes them per join branch.
+    "q_ngram_jaccard_sql" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      // raw interpolator: the s-interpolator processes \\ escapes even in
+      // triple quotes, which would hand Spark '\s+' (unescaped to regex
+      // "s+" — splitting on the letter s)
+      s.sql(
+        raw"""WITH ex AS (
+           |  SELECT doc_id, size(sh) AS n_sh, explode(sh) AS h FROM (
+           |    SELECT doc_id,
+           |      shingle_hashes(filter(split(text, '\\s+'), t -> length(t) > 0), 3) AS sh
+           |    FROM parquet.`$dir/documents.parquet`))
+           |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    cast(count(*) AS DOUBLE) /
+           |      (min(a.n_sh) + min(b.n_sh) - count(*)) AS jaccard
+           |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |WHERE jaccard >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin)
+    }),
+
+    // Exact embedding near-dup: all-pairs kernel cosine (nested-loop
+    // broadcast; correct but O(n²) — the oracle anchor at test scale, NOT
+    // the scale path)
+    "q_embedding_neardup" -> ((s, dir) =>
+      embeddingPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
+
+    // The 100 TB path for the same operator: banded sign-LSH candidates +
+    // exact cosine verification — always a subset of q_embedding_neardup
+    // (recall measured in SimilaritySpec; no BNLJ, plan-asserted). The
+    // hash-derived LSH planes are not expressible in DuckDB → rows-only.
+    "q_embedding_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.3999995, planesPerBand = 3, bands = 16)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Connected-components clustering over the (oracle-stable) embedding
+    // near-dup pairs: Spark hash-min label propagation vs a DuckDB
+    // recursive CTE computing min-reachable-id.
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(embeddingPairs(s, dir)).orderBy(col("id"))),
+
+    // The DISTRIBUTED clustering path, forced (driverEdgeLimit = 0):
+    // alternating large-star/small-star rounds — O(log n) rounds on any
+    // graph shape — hash-verified against the same recursive-CTE
+    // component oracle as q_dedup_clusters
+    "q_dedup_clusters_star" -> ((s, dir) =>
+      Dedup.clusters(embeddingPairs(s, dir), driverEdgeLimit = 0L)
+        .orderBy(col("id"))),
+
+    // End-to-end dedup decision: pairs → components → keeper per doc
+    "q_dedup_keepers" -> ((s, dir) =>
+      Dedup.keepers(Tables.embeddings(s, dir), "vec_id", embeddingPairs(s, dir))
+        .select(col("id"), col("keeper_id"), col("keep"))
+        .orderBy(col("id"))),
+
+    // Clusters/keepers over a SCALE-SAFE pair source: exact n-gram
+    // Jaccard pairs (equi-join on 64-bit shingle hashes — no nested-loop
+    // join anywhere in the plan) → connected components. Oracle: DuckDB
+    // recursive CTE over the identical string-shingle pair set.
+    "q_dedup_clusters_ngram" -> ((s, dir) =>
+      Dedup.clusters(ngramPairs(s, dir)).orderBy(col("id"))),
+
+    "q_dedup_keepers_ngram" -> ((s, dir) =>
+      Dedup.keepers(Tables.documents(s, dir), "doc_id", ngramPairs(s, dir))
+        .select(col("id"), col("keeper_id"), col("keep"))
+        .orderBy(col("id"))),
+
+    // Quality-aware keeper policy over the same scale-safe pair source:
+    // each cluster keeps its BEST-quality member (ties → min id), the
+    // production alternative to min-id keepers. Priority compares in
+    // integer score units (the q_calibration discipline) so the pick
+    // cannot flip on a last-ulp double difference between engines.
+    "q_dedup_keepers_quality" -> ((s, dir) =>
+      Dedup.keepersBy(
+          Tables.documents(s, dir).select(col("doc_id"),
+            round(TextAnalytics.qualityScore(col("text"),
+              Seq("the", "a", "of", "and")) * 10000, 0).cast("long").as("_qu")),
+          "doc_id", col("_qu"), ngramPairs(s, dir))
+        .orderBy(col("id"))),
+
+    // Group-level corpus similarity via MinHash-union sketches: one pass
+    // sketches each source (sig(A ∪ B) = min(sig(A), sig(B)) — the
+    // custom Aggregator A7), then all source-pair similarities come from
+    // the fixed-size sketches alone; the documents are never re-read.
+    // The pair join is over the bounded group dimension (20 sources),
+    // not the corpus. Hash-based estimate → rows-only.
+    "q_source_similarity" -> ((s, dir) => {
+      val sigs = Tables.documents(s, dir).select(col("source"),
+        graft.functions.DedupExpr.minhashSig(
+          TextAnalytics.tokens(col("text")), 3, 64).as("sig"))
+      val sk = sigs.groupBy(col("source")).agg(Dedup.minhashUnion(col("sig")).as("sk"))
+      val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(Dedup.estJaccard(col("sk_a"), col("sk_b")), 4).as("est_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // SemDeDup-style semantic dedup decision: k-means buckets (Lloyd via
+    // Ivf.build), exact cosine only within a bucket, CC + keeper pick
+    // over the surviving pairs. Same threshold boundary as
+    // q_embedding_neardup, so the pair set is provably a subset of the
+    // exact anchor (asserted in SimilaritySpec); Lloyd isn't SQL →
+    // rows-only with count AND content hash pinned in EntrySpec.
+    "q_semantic_dedup" -> ((s, dir) =>
+      Dedup.keepers(Tables.embeddings(s, dir), "vec_id",
+          Dedup.semanticNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+            "embedding", numCentroids = 8, threshold = 0.3999995))
+        .select(col("id"), col("keeper_id"), col("keep"))
+        .orderBy(col("id"))),
+
+    // Jaro-Winkler fuzzy matching over sorted-neighborhood candidates:
+    // the native codegen kernel (classic p=0.1/cap-4/0.7-boost — the
+    // same conventions as DuckDB's jaro_winkler_similarity, which IS
+    // the oracle) scores successor-rank pairs; both sides compare the
+    // ROUNDED score so a last-ulp difference cannot flip the threshold
+    "q_jaro" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      val ranked = Packing.globalOrderIndex(names,
+        substring(col("p_name"), 1, 1), Seq(col("p_name")))
+      val cand = ranked
+        .select(col("p_name").as("name_a"),
+          explode(sequence(col("rank") + 1, col("rank") + 5)).as("rank"))
+        .join(ranked.select(col("p_name").as("name_b"), col("rank")), Seq("rank"))
+      cand.select(col("name_a"), col("name_b"),
+          round(graft.functions.TextExpr.jaroWinkler(
+            col("name_a"), col("name_b")), 6).as("jw"))
+        .where(col("jw") >= 0.9)
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
+    // Exact set-similarity join via PREFIX FILTERING (AllPairs/PPJoin):
+    // candidates share a rarest-prefix shingle + pass the length filter;
+    // the oracle is the SAME brute-force exact join as q_ngram_jaccard,
+    // so the hash-match proves the filter's completeness empirically
+    "q_ppjoin" -> ((s, dir) =>
+      Dedup.prefixFilterPairsPre(docShingles(s, dir), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Fuzzy join (edit-distance ER matching) with DICTIONARY-SCALING
+    // blocking: two sorted-neighborhood passes (name + reversed name)
+    // give O(n·window) candidates that grow with the dictionary — an
+    // equality block on a bounded-cardinality key (e.g. the last token:
+    // TPC-H names end in ~92 color words) goes O(n²/92) at scale.
+    // Candidates verified with levenshtein ≤ 3; integer distances →
+    // engine-exact oracle mirroring the same two rank passes.
+    "q_fuzzy_join" -> ((s, dir) =>
+      Dedup.fuzzyPairs(Tables.part(s, dir).select(col("p_name")), "p_name",
+          window = 10, maxDist = 3)
+        .orderBy(col("name_a"), col("name_b"))),
+
+    // Sorted-neighborhood blocking (the ER-classic complement to LSH
+    // banding): two-level global rank on a normalized key, equi-join on
+    // successor ranks (O(n·w) candidates), n-gram-Jaccard exact verify
+    "q_sorted_neighbors" -> ((s, dir) =>
+      Dedup.sortedNeighborPairs(Tables.documents(s, dir), "doc_id", "text",
+          window = 5, k = 3, threshold = 0.1)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+
+    "q_dedup_hash" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    "q_passage_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (
+        |  SELECT doc_id, i AS pidx,
+        |         array_to_string(ws[(i-1)*20+1 : i*20], ' ') AS passage
+        |  FROM w, UNNEST(generate_series(1,
+        |    greatest(CAST(ceil(len(ws)/20.0) AS BIGINT), 1))) AS t(i)),
+        |k AS (
+        |  SELECT doc_id, pidx, passage,
+        |         row_number() OVER (PARTITION BY passage
+        |                            ORDER BY doc_id, pidx) AS rn
+        |  FROM p)
+        |SELECT doc_id,
+        |       array_to_string(list(passage ORDER BY pidx), ' ') AS dedup_text,
+        |       count(*) AS n_kept
+        |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // shingle construction identical to the q_ngram_jaccard oracle;
+    // containment = |A∩B|/|A| per direction
+    "q_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6) AS cont_ab,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 / len(b.s), 6) AS cont_ba
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.5
+        |   OR len(list_intersect(a.s, b.s)) * 1.0 / len(b.s) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // strict positional 3-grams (docs shorter than k emit none — NOT
+    // the whole-doc fallback the set-shingle oracles use); duplicated =
+    // corpus occurrence count >= 2; islands by pos - row_number
+    "q_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |           x -> length(x) > 0) AS toks FROM documents),
+        |g0 AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS pos
+        |       FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT doc_id, pos,
+        |        array_to_string(toks[pos+1:pos+3], ' ') AS sh FROM g0),
+        |d AS (SELECT sh FROM g GROUP BY sh HAVING count(*) >= 2),
+        |p AS (SELECT g.doc_id, g.pos,
+        |        row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS rn
+        |      FROM g JOIN d ON g.sh = d.sh)
+        |SELECT doc_id, min(pos) AS span_start,
+        |  count(*) AS n_grams, count(*) + 2 AS span_tokens
+        |FROM p GROUP BY doc_id, pos - rn
+        |HAVING count(*) >= 3
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Exact n-gram Jaccard: Spark computes over 64-bit shingle hashes,
+    // DuckDB over string shingle sets — identical values barring a
+    // ~2^-64-probability hash collision.
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the full self-join restricted to new-touching pairs — the
+    // incremental operator must reproduce this exactly
+    "q_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+        |  AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical oracle shape to q_ngram_jaccard (the SQL-surface variant
+    // computes the same pairs)
+    "q_ngram_jaccard_sql" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_dedup_clusters_star" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_dedup_keepers" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT e.vec_id AS id, coalesce(c.cluster_id, e.vec_id) AS keeper_id,
+        |       e.vec_id = coalesce(c.cluster_id, e.vec_id) AS keep
+        |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+        |ORDER BY id""".stripMargin,
+
+    // Same recursive-CTE component oracle as q_dedup_clusters, but over
+    // the n-gram-Jaccard pair set (string-shingle sets mirror Spark's
+    // 64-bit shingle hashes — identical pairs barring a ~2^-64 collision).
+    "q_dedup_clusters_ngram" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_dedup_keepers_ngram" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS keeper_id,
+        |       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |ORDER BY id""".stripMargin,
+
+    // same component CTE as q_dedup_keepers_ngram; keeper = max integer
+    // quality units (q_calibration subtree), ties broken by min id
+    "q_dedup_keepers_quality" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST(round(round((len_score + punct_score + sw_score) / 3.0, 4) * 10000, 0) AS BIGINT) AS qu
+        |  FROM (SELECT doc_id,
+        |          least(length(text) / 500.0, 1.0) AS len_score,
+        |          1.0 - least(
+        |            (CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |             END) * 5.0, 1.0) AS punct_score,
+        |          1.0 - abs(
+        |            (CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |             END) - 0.4) AS sw_score
+        |        FROM (SELECT doc_id, text,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |              FROM documents) a) b),
+        |m AS (
+        |  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cid, q.qu
+        |  FROM documents d
+        |  LEFT JOIN comp c ON d.doc_id = c.id
+        |  JOIN qual q ON q.doc_id = d.doc_id),
+        |k AS (
+        |  SELECT id, cid,
+        |    row_number() OVER (PARTITION BY cid ORDER BY qu DESC, id ASC) AS rn
+        |  FROM m)
+        |SELECT m.id, kk.id AS keeper_id, m.id = kk.id AS keep
+        |FROM m JOIN (SELECT cid, id FROM k WHERE rn = 1) kk ON m.cid = kk.cid
+        |ORDER BY m.id""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name AS name FROM part),
+        |rf AS (SELECT name, row_number() OVER (ORDER BY name) AS rnk FROM names),
+        |rr AS (SELECT name,
+        |       row_number() OVER (ORDER BY reverse(name), name) AS rnk FROM names),
+        |cand AS (
+        |  SELECT least(a.name, b.name) AS name_a,
+        |         greatest(a.name, b.name) AS name_b
+        |  FROM rf a JOIN rf b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 10
+        |  UNION
+        |  SELECT least(a.name, b.name), greatest(a.name, b.name)
+        |  FROM rr a JOIN rr b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 10)
+        |SELECT name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_sorted_neighbors" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk
+        |  FROM documents),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rnk FROM keyed),
+        |cand AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |         greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |  FROM cand JOIN sh a ON a.doc_id = cand.id_a
+        |            JOIN sh b ON b.doc_id = cand.id_b) t
+        |WHERE j >= 0.1 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_jaro" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |r AS (SELECT name, row_number() OVER (ORDER BY name) AS rnk FROM names),
+        |cand AS (SELECT a.name AS name_a, b.name AS name_b
+        |         FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5)
+        |SELECT name_a, name_b,
+        |       round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+        |FROM cand
+        |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.9
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // identical to q_ngram_jaccard's oracle: the prefix-filtered join
+    // must reproduce the brute-force exact join bit-for-bit
+    "q_ppjoin" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' ')),
+        |      s -> length(s) > 0)) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,798 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Intervals, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
+import graft.functions.{DedupExpr, TextAnalytics}
+import graft.EntryContext._
+
+/** Statistics: experiment stats (Welch/ANOVA/KS/CUPED), distribution diagnostics, score-eval tables, sketch aggregates.
+  *
+  * Declarations (query lambda + DuckDB oracle SQL) are
+  * merged into [[SparkEntry]]'s registry; see SURVEY.md
+  * §2/§8 and docs/QUERIES.md for the full index.
+  */
+private[graft] object StatsQueries {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // Two-sample KS distribution test (click vs error cents): per-value
+    // count dimension → one sanctioned global cumsum window → max CDF gap
+    "q_ks_test" -> ((s, dir) =>
+      Stats.ksTest(Tables.events(s, dir), col("event_type"),
+        expr("cast(round(value * 100) as bigint)"), "click", "error")),
+
+    // Exact modal weekday per event type (count desc, value asc tie-break)
+    "q_mode" -> ((s, dir) =>
+      Stats.mode(
+          Tables.events(s, dir).select(col("event_type"),
+            expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("weekday")),
+          col("event_type"), col("weekday"))
+        .select(col("g").as("event_type"), col("mode_value"), col("n_occ"))
+        .orderBy(col("event_type"))),
+
+    // Pairwise Welch t-tests across event types over integer cents:
+    // corpus → one exact (n, Σc, Σc²) row per group, then pure double
+    // arithmetic on the bounded dim×dim pair table — engine-exact
+    "q_welch_ttest" -> ((s, dir) =>
+      Stats.welchTTest(Tables.events(s, dir), col("event_type"),
+          expr("cast(round(value * 100) as bigint)"))
+        .orderBy(col("g_a"), col("g_b"))),
+
+    // CUPED variance reduction: per-user pre/post cents split at the
+    // global time midpoint (one-row bounds aggregate, broadcast), arms
+    // from user parity, adjusted mean/variance as identities on exact
+    // per-arm sums — no per-row adjusted metric ever materializes
+    "q_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("cast(round(coalesce(value, 0) * 100) as bigint)").as("cents"))
+      val bounds = ev.agg(
+        floor((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid"))
+      val units = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+        .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+      Stats.cuped(units, col("arm"), col("x"), col("y"))
+        .withColumnRenamed("g", "arm")
+        .orderBy(col("arm"))
+    }),
+
+    // Benford leading-digit audit of the value column (fraud/synthetic-
+    // data signal): digit from the integer's decimal string, one 9-row
+    // aggregate
+    "q_benford" -> ((s, dir) =>
+      Stats.benford(Tables.events(s, dir),
+          expr("cast(round(value * 100) as bigint)"))
+        .orderBy(col("digit"))),
+
+    // One-way ANOVA F across event types on integer cents — the
+    // k-sample experiment gate, exact (n, Σc, Σc²) reduction per group
+    "q_anova" -> ((s, dir) =>
+      Stats.anovaF(Tables.events(s, dir), col("event_type"),
+        expr("cast(round(value * 100) as bigint)"))),
+
+    // Exact weighted median (doc length weighted by token count) per
+    // source: one (group,value) reduce + one group-keyed window over the
+    // collapsed dimension — integer-exact end to end
+    "q_weighted_median" -> ((s, dir) =>
+      Stats.weightedMedian(
+          Tables.documents(s, dir).select(col("source"), col("n_chars"),
+            TextAnalytics.tokenCount(col("text")).cast("long").as("_w")),
+          col("source"), col("n_chars"), col("_w"))
+        .select(col("g").as("source"), col("weighted_median"),
+          col("total_weight"))
+        .orderBy(col("source"))),
+
+    // Heavy hitters via a mergeable Misra-Gries summary (bounded k-entry
+    // state per partial aggregate — the frequent-tokens tool when exact
+    // groupBy would shuffle billions of distinct keys). k=64 exceeds this
+    // corpus's vocabulary, so the summary is provably exact and the
+    // DuckDB exact GROUP BY oracle hash-matches; the lossy regime's
+    // error bounds are property-tested in HeavyHittersSpec
+    "q_heavy_hitters" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalytics.tokens(col("text"))).as("tok"))
+        .agg(HeavyHitters.misraGries(col("tok"), 64).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e._1").as("token"), col("e._2").as("est_count"))
+        .orderBy(col("est_count").desc, col("token"))),
+
+    // Mergeable-sketch quantiles (GK summaries): the percentile surface
+    // for cardinalities where exact sort-based percentile is the wrong
+    // plan (no oracle: sketch merge order is engine-specific; the exact
+    // variant q_percentile IS hash-verified against DuckDB). Flattened to
+    // scalar columns — the driver's rows-only path sorts the dump with
+    // pandas, which cannot hash an array<double> cell (r03 err).
+    "q_approx_quantile" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+          .as("q"))
+        .select(col("l_returnflag"), col("q")(0).as("p25"),
+          col("q")(1).as("p50"), col("q")(2).as("p75"))
+        .orderBy(col("l_returnflag"))),
+
+    // Per-source ROC-AUC of the quality heuristic predicting lang='en' —
+    // the Mann–Whitney gate run before trusting a score as a filter.
+    // Integer 2U until the single final division (see Stats.auc).
+    "q_auc" -> ((s, dir) =>
+      Stats.auc(
+          Tables.documents(s, dir).select(col("source"),
+            TextAnalytics.qualityScore(col("text"),
+              Seq("the", "a", "of", "and")).as("q"),
+            (col("lang") === "en").as("l")),
+          col("source"), col("q"), col("l"))
+        .select(col("group").as("source"), col("n_pos"), col("n_neg"),
+          col("auc"))
+        .orderBy(col("source"))),
+
+    // Reliability table of the quality score against lang='en' — the
+    // calibration check run before using a score as a sampling
+    // probability. Integer score units until the final divisions.
+    "q_calibration" -> ((s, dir) =>
+      Stats.calibration(
+          Tables.documents(s, dir).select(
+            TextAnalytics.qualityScore(col("text"),
+              Seq("the", "a", "of", "and")).as("q"),
+            (col("lang") === "en").as("l")),
+          col("q"), col("l"), bins = 10)
+        .orderBy(col("bin"))),
+
+    // Population Stability Index between English and non-English docs'
+    // quality-score distributions — the drift alarm between a reference
+    // and a current window, Laplace-smoothed identically on both sides.
+    "q_psi" -> ((s, dir) =>
+      Stats.psi(
+          Tables.documents(s, dir).select(
+            least(floor(TextAnalytics.qualityScore(col("text"),
+              Seq("the", "a", "of", "and")) * 10), lit(9)).as("b"),
+            (col("lang") === "en").as("base")),
+          col("b"), col("base"), bins = 10)),
+
+    // Equi-width histogram: 2-value min/max aggregate broadcast back,
+    // then a map-only bucket expression — the bin formula is the same
+    // IEEE arithmetic on both engines, so buckets match exactly
+    "q_histogram" -> ((s, dir) =>
+      Stats.histogram(Tables.lineitem(s, dir), col("l_extendedprice"), 20)
+        .orderBy(col("bucket"))),
+
+    // Bivariate statistics per group: Pearson correlation, sample
+    // covariance and OLS slope/intercept (regr_*) in one aggregate pass
+    "q_corr_regr" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // Tukey-fence outliers per event type over the heavy-tailed value
+    // column: exact per-group quartiles (bounded, broadcast back) fence
+    // a map-side filter — the robust-statistics curation primitive
+    "q_outlier_iqr" -> ((s, dir) =>
+      Stats.iqrOutliers(Tables.events(s, dir), "event_type", col("value"))
+        .select(col("group").as("event_type"), col("n_outliers"),
+          round(col("out_min"), 4).as("out_min"),
+          round(col("out_max"), 4).as("out_max"))
+        .orderBy(col("event_type"))),
+
+    // Median absolute deviation per group: the robust scale estimate —
+    // two exact-percentile passes, the median table broadcast back
+    "q_mad" -> ((s, dir) =>
+      Stats.mad(Tables.events(s, dir), "event_type", col("value"))
+        .select(col("group").as("event_type"),
+          round(col("median"), 4).as("median"),
+          round(col("mad"), 4).as("mad"), col("n"))
+        .orderBy(col("event_type"))),
+
+    // Chi-square independence of event type × weekday (weekday from
+    // pure epoch-day arithmetic — 1970-01-01 + 4 ≡ Thursday; no
+    // calendar). The statistic is computed on the contingency dimension
+    // via Σ o²/e − n, so unobserved cells need never be generated
+    "q_chisq" -> ((s, dir) =>
+      Stats.chiSquare(
+          Tables.events(s, dir).select(col("event_type"),
+            expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("weekday")),
+          col("event_type"), col("weekday"))
+        .select(round(col("chi2"), 6).as("chi2"), col("dof"), col("n"))),
+
+    // Key-skew profile: Gini coefficient of the per-supplier lineitem
+    // mass — integer rank arithmetic up to the two final divisions
+    "q_gini" -> ((s, dir) =>
+      Stats.giniOfCounts(Tables.lineitem(s, dir), col("l_suppkey"))
+        .select(round(col("gini"), 6).as("gini"), col("n_keys"), col("total"))),
+
+    // Mutual information of event type × weekday — chi-square's
+    // feature-relevance sibling on the same contingency dimension
+    "q_mutual_info" -> ((s, dir) =>
+      Stats.mutualInfo(
+          Tables.events(s, dir).select(col("event_type"),
+            expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("weekday")),
+          col("event_type"), col("weekday"))
+        .select(round(col("mi"), 6).as("mi"), col("n"))),
+
+    // Winsorization: clip each group's values at its exact p05/p95
+    // fences (broadcast back, map-side least/greatest) and report the
+    // mean before/after plus how many rows were clipped
+    "q_winsorize" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      // ONE exact-percentile buffer per group yielding both fences
+      // (two scalar percentile aggs would each hold the group's full
+      // value multiset — same answer, twice the aggregation state)
+      val fences = li.groupBy(col("l_returnflag"))
+        .agg(percentile(col("v"), array(lit(0.05), lit(0.95))).as("_f"))
+        .select(col("l_returnflag"), col("_f").getItem(0).as("_lo"),
+          col("_f").getItem(1).as("_hi"))
+      li.join(broadcast(fences), "l_returnflag")
+        .select(col("l_returnflag"), col("v"),
+          least(greatest(col("v"), col("_lo")), col("_hi")).as("_w"),
+          (col("v") < col("_lo") || col("v") > col("_hi")).cast("long").as("_c"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(avg(col("v")), 4).as("mean_raw"),
+          round(avg(col("_w")), 4).as("mean_winsorized"),
+          sum(col("_c")).as("n_clipped"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Count-Min point-frequency estimates for every distinct token: the
+    // d×w sketch aggregates with map-side combine (state is d·w longs,
+    // never the items) and is probed by the codegen twin of the
+    // aggregator's bucketing. CMS only over-counts on collisions; with
+    // this corpus's vocabulary no token collides in all d rows (a
+    // deterministic property of the fixed xxhash64 seeds, asserted in
+    // CountMinSpec), so the exact GROUP BY oracle hash-matches — the
+    // same exact-regime argument as q_heavy_hitters; the lossy regime
+    // is property-tested
+    "q_cms_counts" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalytics.tokens(col("text"))).as("tok"))
+      val sk = toks.agg(CountMin.countMin(col("tok"), 4, 512).as("sk"))
+      toks.distinct().crossJoin(broadcast(sk))
+        .select(col("tok"),
+          CountMin.estimateCol(col("sk"), col("tok"), 4, 512).as("est_count"))
+        .orderBy(col("tok"))
+    }),
+
+    // Spearman rank correlation per event type between value cents and
+    // time-of-day micros: textbook average-rank ties (exact halves, so
+    // the ranks are engine-bitwise), Pearson corr over ranks rounded
+    "q_spearman" -> ((s, dir) =>
+      Stats.spearman(Tables.events(s, dir).where(col("value").isNotNull),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)"),
+          expr("pmod(unix_micros(ts), 86400000000)"))
+        .select(col("g").as("event_type"), col("n"), col("rho"))
+        .orderBy(col("event_type"))),
+
+    // Cumulative-gains table by quality-score decile (lift-curve
+    // companion to q_auc/q_calibration): deciles via the exact
+    // two-level ntile (never a corpus-wide single-partition window),
+    // label = lang='en', cumulative positives over the 10-row decile
+    // dimension — integer-exact until the final gain fraction
+    "q_gains" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalytics.qualityScore(col("text"), Seq("the", "a", "of", "and"))
+          .as("quality"))
+      val ranked = Packing.globalOrderIndex(scored,
+        (-floor(col("quality") * 10)).cast("int"),
+        Seq(col("quality").desc, col("doc_id").asc))
+      val n = ranked.agg(count(lit(1)).as("_n"))
+      val agg = ranked.crossJoin(broadcast(n))
+        .select(Packing.ntileFromRank(col("rank"), col("_n"), 10).as("decile"),
+          (col("lang") === "en").cast("long").as("_pos"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_pos")).as("n_pos"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      agg
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          sum(col("n_pos")).over(wCum).as("cum_pos"),
+          sum(col("n_pos")).over(wTot).as("_tot"))
+        .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_pos"),
+          round(col("cum_pos").cast("double") / col("_tot"), 6).as("gain"))
+        .orderBy(col("decile"))
+    }),
+
+    // Per-type empirical CDF table over the bounded 10-dollar-bucket
+    // dimension: one dimension reduce, one sanctioned group-partitioned
+    // cumulative window, exact integers until the final fraction
+    "q_cdf" -> ((s, dir) => {
+      val dim = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("cast(round(value * 100) as bigint) div 1000").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dim
+        .withColumn("cum_n", sum(col("n")).over(wCum))
+        .withColumn("_tot",
+          sum(col("n")).over(Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("bucket"), col("n"), col("cum_n"),
+          round(col("cum_n") / col("_tot"), 6).as("cdf"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // Skewness / excess kurtosis per group from EXACT integer central-
+    // moment sums (Σc..Σc⁴ in decimal(38,0)/HUGEINT): the builtin
+    // skewness/kurtosis aggregates differ across engines (population vs
+    // sample, one-pass update order); moments from exact sums with one
+    // shared double expression tree are engine-bitwise until the final
+    // rounding
+    "q_moments" -> ((s, dir) => {
+      val sums = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("cast(cast(round(value * 100) as bigint) as decimal(38,0))")
+            .as("c"))
+        .withColumn("c2", col("c") * col("c"))
+        .withColumn("c3", col("c2") * col("c"))
+        .withColumn("c4", col("c2") * col("c2"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c2")).as("s2"), sum(col("c3")).as("s3"),
+          sum(col("c4")).as("s4"))
+      val d1 = col("s1").cast("double") / col("n")
+      val d2 = col("s2").cast("double") / col("n")
+      val d3 = col("s3").cast("double") / col("n")
+      val d4 = col("s4").cast("double") / col("n")
+      val m2 = d2 - d1 * d1
+      val m3 = d3 - lit(3.0) * d1 * d2 + lit(2.0) * d1 * d1 * d1
+      val m4 = d4 - lit(4.0) * d1 * d3 + lit(6.0) * d1 * d1 * d2 -
+        lit(3.0) * d1 * d1 * d1 * d1
+      sums.select(col("event_type"), col("n"),
+          round(d1 / 100.0, 4).as("mean_val"),
+          round(m2, 4).as("var_pop"),
+          round(m3 / pow(m2, lit(1.5)), 6).as("skewness"),
+          round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_ex"))
+        .orderBy(col("event_type"))
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    // exact oracle is valid because k=64 ≥ the 31-token vocabulary (MG
+    // is exact when nothing is ever evicted)
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS est_count
+        |FROM t GROUP BY token ORDER BY est_count DESC, token""".stripMargin,
+
+    // per-value counts, identical cumulative frame, exact-integer ratios
+    "q_ks_test" ->
+      """WITH t AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+        |c AS (SELECT v,
+        |    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY 1),
+        |cum AS (SELECT v,
+        |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS cumb
+        |  FROM c WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb FROM c)
+        |SELECT max(na) AS n_a, max(nb) AS n_b, count(*) AS n_values,
+        |  round(max(abs(cuma / na - cumb / nb)), 6) AS ks_d
+        |FROM cum CROSS JOIN tot""".stripMargin,
+
+    "q_mode" ->
+      """WITH e AS (SELECT event_type,
+        |    ((epoch_ns(ts)//1000) // 86400000000 + 4) % 7 AS weekday
+        |  FROM events),
+        |c AS (SELECT event_type, weekday, count(*) AS n_occ
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT event_type, weekday AS mode_value, n_occ,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY n_occ DESC, weekday ASC) AS rk FROM c)
+        |SELECT event_type, mode_value, n_occ FROM r WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // exact integer (n, Σc, Σc²) per group, then the identical double
+    // expression tree — sums of integers-as-doubles are exact below 2^53
+    "q_welch_ttest" ->
+      """WITH c0 AS (SELECT event_type AS g,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, sum(c) AS s,
+        |        sum(c * c) AS ss
+        |      FROM c0 GROUP BY 1 HAVING count(*) > 1)
+        |SELECT a.g AS g_a, b.g AS g_b,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  round(a.s / a.n / 100.0, 4) AS mean_a,
+        |  round(b.s / b.n / 100.0, 4) AS mean_b,
+        |  round((a.s / a.n - b.s / b.n) /
+        |    sqrt((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n +
+        |         (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n), 4) AS t_stat,
+        |  round(((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n +
+        |         (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) *
+        |        ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n +
+        |         (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) /
+        |    ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n *
+        |       ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n) / (a.n - 1) +
+        |     (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n *
+        |       ((b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) / (b.n - 1)), 2)
+        |    AS df_welch
+        |FROM g a JOIN g b ON a.g < b.g
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    // the same exact-integer-sum discipline: unit (x, y) cents are exact,
+    // every pooled/arm sum of their products stays below 2^53, and the
+    // theta/mean/variance identities are spelled as ONE expression tree
+    // exact HUGEINT unit/arm sums (the q_moments convention) cast to
+    // double ONCE; theta falls back to 0 when pooled var(X)=0 and a
+    // zero-variance arm reports var_reduction 0.0 — both matching the
+    // Spark operator's guards exactly
+    "q_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS us,
+        |    CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT CAST(floor((min(us) + max(us)) / 2) AS BIGINT) AS mid
+        |      FROM e),
+        |u AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN us < mid THEN cents ELSE 0 END)
+        |      AS HUGEINT) AS x,
+        |    CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END)
+        |      AS HUGEINT) AS y
+        |  FROM e CROSS JOIN b GROUP BY user_id),
+        |g AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |        CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |        CAST(sum(y * y) AS DOUBLE) AS syy,
+        |        CAST(sum(x * y) AS DOUBLE) AS sxy
+        |      FROM u GROUP BY 1 HAVING count(*) > 1),
+        |p AS (SELECT CAST(count(*) AS DOUBLE) AS pn,
+        |        CAST(sum(x) AS DOUBLE) AS psx,
+        |        CAST(sum(y) AS DOUBLE) AS psy,
+        |        CAST(sum(x * x) AS DOUBLE) AS psxx,
+        |        CAST(sum(x * y) AS DOUBLE) AS psxy
+        |      FROM u),
+        |t AS (SELECT *,
+        |        CASE WHEN psxx - psx * psx / pn = 0 THEN 0.0
+        |             ELSE (psxy - psx * psy / pn) / (psxx - psx * psx / pn)
+        |        END AS theta
+        |      FROM g CROSS JOIN p),
+        |v AS (SELECT arm, n, sx, sy, pn, psx, theta,
+        |        (syy - sy * sy / n) / (n - 1) AS var_y,
+        |        (sxx - sx * sx / n) / (n - 1) AS var_x,
+        |        (sxy - sx * sy / n) / (n - 1) AS cov_xy
+        |      FROM t)
+        |SELECT arm, CAST(n AS BIGINT) AS n_units,
+        |  round(sy / n / 100.0, 4) AS mean_post,
+        |  round((sy / n - theta * (sx / n - psx / pn)) / 100.0, 4) AS mean_adj,
+        |  round(var_y, 2) AS var_post,
+        |  round(var_y + theta * theta * var_x - 2.0 * theta * cov_xy, 2)
+        |    AS var_adj,
+        |  CASE WHEN var_y = 0 THEN 0.0
+        |       ELSE round(1.0 - (var_y + theta * theta * var_x
+        |                         - 2.0 * theta * cov_xy) / var_y, 6)
+        |  END AS var_reduction
+        |FROM v ORDER BY arm""".stripMargin,
+
+    // leading digit from the integer's decimal string — exact at every
+    // power-of-ten boundary; n/tot is double division in both engines
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |  WHERE c > 0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+        |SELECT digit, n, round(n / tot, 6) AS share,
+        |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share,
+        |  round((n / tot - ln(1.0 + 1.0 / digit) / ln(10.0)) *
+        |        (n / tot - ln(1.0 + 1.0 / digit) / ln(10.0)) /
+        |        (ln(1.0 + 1.0 / digit) / ln(10.0)) * tot, 6) AS chi2_term
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // identical exact-sum reduction and double expression tree
+    "q_anova" ->
+      """WITH c0 AS (SELECT event_type AS g,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, sum(c) AS s,
+        |        sum(c * c) AS ss FROM c0 GROUP BY 1),
+        |t AS (SELECT count(*) AS k, sum(n) AS bigN, sum(s) AS bigS,
+        |        sum(s * s / n) AS sbn, sum(ss) AS sss FROM g)
+        |SELECT k, CAST(bigN AS BIGINT) AS n,
+        |  CAST(k - 1 AS BIGINT) AS df1, CAST(bigN - k AS BIGINT) AS df2,
+        |  round(((sbn - bigS * bigS / bigN) / (k - 1)) /
+        |        ((sss - sbn) / (bigN - k)), 4) AS f_stat
+        |FROM t""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH t AS (SELECT source AS g, n_chars AS v,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS w FROM documents),
+        |a AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS wv FROM t
+        |      WHERE v IS NOT NULL AND w > 0 GROUP BY 1, 2),
+        |c AS (SELECT g, v,
+        |    CAST(sum(wv) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(wv) OVER (PARTITION BY g) AS BIGINT) AS tot FROM a)
+        |SELECT g AS source, min(v) AS weighted_median,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY g ORDER BY source""".stripMargin,
+
+    // quality subtree copied verbatim from q_source_cap; 2U stays
+    // integer (HUGEINT) until the one final division, like Spark
+    "q_auc" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    round((len_score + punct_score + sw_score) / 3.0, 4) AS score,
+        |    (lang = 'en') AS lbl
+        |  FROM (SELECT source, lang,
+        |          least(length(text) / 500.0, 1.0) AS len_score,
+        |          1.0 - least(
+        |            (CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |             END) * 5.0, 1.0) AS punct_score,
+        |          1.0 - abs(
+        |            (CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |             END) - 0.4) AS sw_score
+        |        FROM (SELECT source, lang, text,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |              FROM documents) a) b),
+        |ps AS (SELECT source, score,
+        |         CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |         CAST(sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |       FROM d GROUP BY 1, 2),
+        |c AS (SELECT *, coalesce(sum(nn) OVER (PARTITION BY source
+        |        ORDER BY score ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
+        |      FROM ps)
+        |SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(np * (2 * cumnn + nn)) AS DOUBLE) /
+        |        (2.0 * sum(np) * sum(nn)), 4) AS auc
+        |FROM c GROUP BY source
+        |HAVING sum(np) > 0 AND sum(nn) > 0
+        |ORDER BY source""".stripMargin,
+
+    // quality subtree verbatim from q_auc; integer score units until
+    // the two final divisions
+    "q_calibration" ->
+      """WITH d AS (
+        |  SELECT round((len_score + punct_score + sw_score) / 3.0, 4) AS score,
+        |    (lang = 'en') AS lbl
+        |  FROM (SELECT lang,
+        |          least(length(text) / 500.0, 1.0) AS len_score,
+        |          1.0 - least(
+        |            (CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |             END) * 5.0, 1.0) AS punct_score,
+        |          1.0 - abs(
+        |            (CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |             END) - 0.4) AS sw_score
+        |        FROM (SELECT lang, text,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |              FROM documents) a) b),
+        |bn AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+        |         CAST(round(score * 10000, 0) AS BIGINT) AS u, lbl FROM d)
+        |SELECT bin, count(*) AS n,
+        |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(u) AS DOUBLE) / count(*) / 10000.0, 6) AS mean_score,
+        |  round(CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pos_rate
+        |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // same quality/bin subtree; (p−q)·ln(p/q) tree written identically,
+    // Laplace +1 per observed bin, denominators +10
+    "q_psi" ->
+      """WITH d AS (
+        |  SELECT CAST(least(floor(round((len_score + punct_score + sw_score) / 3.0, 4) * 10), 9) AS BIGINT) AS bin,
+        |    (lang = 'en') AS base
+        |  FROM (SELECT lang,
+        |          least(length(text) / 500.0, 1.0) AS len_score,
+        |          1.0 - least(
+        |            (CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |             END) * 5.0, 1.0) AS punct_score,
+        |          1.0 - abs(
+        |            (CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |             END) - 0.4) AS sw_score
+        |        FROM (SELECT lang, text,
+        |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
+        |              FROM documents) a) b),
+        |c AS (SELECT bin,
+        |        CAST(sum(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+        |        CAST(sum(CASE WHEN base THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |      FROM d GROUP BY bin),
+        |t AS (SELECT CAST(sum(cb) AS BIGINT) AS tb,
+        |        CAST(sum(cc) AS BIGINT) AS tc FROM c)
+        |SELECT count(*) AS n_bins,
+        |  round(sum(((cb + 1)::DOUBLE / (tb + 10) - (cc + 1)::DOUBLE / (tc + 10)) *
+        |        ln(((cb + 1)::DOUBLE / (tb + 10)) / ((cc + 1)::DOUBLE / (tc + 10)))), 6) AS psi
+        |FROM c, t""".stripMargin,
+
+    "q_cms_counts" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS tok FROM documents)
+        |SELECT tok, count(*) AS est_count FROM t
+        |GROUP BY tok ORDER BY tok""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |           FROM lineitem)
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |            ELSE least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19)
+        |       END AS BIGINT) AS bucket, count(*) AS n
+        |FROM lineitem CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_corr_regr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |  round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_outlier_iqr" ->
+      """WITH q AS (SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |                  quantile_cont(value, 0.75) AS q3
+        |           FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS flo,
+        |             q3 + (q3 - q1) * 1.5 AS fhi FROM q)
+        |SELECT e.event_type, count(*) AS n_outliers,
+        |       round(min(value), 4) AS out_min, round(max(value), 4) AS out_max
+        |FROM events e JOIN f USING (event_type)
+        |WHERE value < flo OR value > fhi
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type, round(max(med), 4) AS median,
+        |       round(quantile_cont(abs(value - med), 0.5), 4) AS mad,
+        |       count(*) AS n
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_chisq" ->
+      """WITH e AS (SELECT event_type AS a,
+        |    ((epoch_ns(ts)//1000) // 86400000000 + 4) % 7 AS b FROM events),
+        |c AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM c GROUP BY 1),
+        |cc AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |             count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM c)
+        |SELECT round(sum(o * o / (ra * cb / n)) - max(n), 6) AS chi2,
+        |       CAST((max(ka) - 1) * (max(kb) - 1) AS BIGINT) AS dof,
+        |       max(n) AS n
+        |FROM c JOIN r USING (a) JOIN cc USING (b) CROSS JOIN t""".stripMargin,
+
+    "q_gini" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, l_suppkey) AS rnk FROM c)
+        |SELECT round((2.0 * sum(rnk * c)) / (count(*) * sum(c))
+        |         - (count(*) + 1) / count(*), 6) AS gini,
+        |       count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total
+        |FROM r""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH e AS (SELECT event_type AS a,
+        |    ((epoch_ns(ts)//1000) // 86400000000 + 4) % 7 AS b FROM events),
+        |c AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM c GROUP BY 1),
+        |cc AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c)
+        |SELECT round(sum((o / n) * ln((o * n) / (ra * cb))), 6) AS mi,
+        |       max(n) AS n
+        |FROM c JOIN r USING (a) JOIN cc USING (b) CROSS JOIN t""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH f AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(avg(l_extendedprice), 4) AS mean_raw,
+        |  round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS mean_winsorized,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  count(*) AS n
+        |FROM lineitem l JOIN f USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_spearman" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    (epoch_ns(ts)//1000) % 86400000000 AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT g,
+        |    rank() OVER (PARTITION BY g ORDER BY x)
+        |      + (count(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+        |    rank() OVER (PARTITION BY g ORDER BY y)
+        |      + (count(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry
+        |  FROM b)
+        |SELECT g AS event_type, count(*) AS n, round(corr(rx, ry), 4) AS rho
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same quality expression as q_quality_bins; ntile(10) descending
+    "q_gains" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  round((least(length(text) / 500.0, 1.0)
+        |   + 1.0 - least(
+        |       (CASE WHEN length(text) = 0 THEN 0.0
+        |             ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
+        |        END) * 5.0, 1.0)
+        |   + 1.0 - abs(
+        |       (CASE WHEN len(toks) = 0 THEN 0.0
+        |             ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
+        |        END) - 0.4)) / 3.0, 4) AS quality
+        |FROM (SELECT doc_id, lang,
+        |        list_filter(string_split_regex(lower(text), '\s+'),
+        |          t -> length(t) > 0) AS toks,
+        |        text
+        |      FROM documents) a),
+        |b AS (SELECT lang,
+        |        ntile(10) OVER (ORDER BY quality DESC, doc_id) AS decile
+        |      FROM q),
+        |a2 AS (SELECT decile, count(*) AS n_docs,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos
+        |       FROM b GROUP BY 1),
+        |c AS (SELECT decile, n_docs, n_pos,
+        |        sum(n_pos) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |        sum(n_pos) OVER () AS tot_pos
+        |      FROM a2)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_docs,
+        |       CAST(n_pos AS BIGINT) AS n_pos,
+        |       CAST(cum_pos AS BIGINT) AS cum_pos,
+        |       round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS gain
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "q_cdf" ->
+      """WITH dim AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) // 1000 AS bucket,
+        |    count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_n,
+        |  round(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) /
+        |    sum(n) OVER (PARTITION BY event_type), 6) AS cdf
+        |FROM dim ORDER BY 1, 2""".stripMargin,
+
+    // identical exact-moment reduction and double expression tree
+    "q_moments" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n, sum(c) AS s1,
+        |        sum(c*c) AS s2, sum(c*c*c) AS s3, sum(c*c*c*c) AS s4
+        |      FROM b GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |        CAST(s1 AS DOUBLE)/n AS d1, CAST(s2 AS DOUBLE)/n AS d2,
+        |        CAST(s3 AS DOUBLE)/n AS d3, CAST(s4 AS DOUBLE)/n AS d4
+        |      FROM s)
+        |SELECT event_type, n,
+        |  round(d1 / 100.0, 4) AS mean_val,
+        |  round(d2 - d1*d1, 4) AS var_pop,
+        |  round((d3 - 3.0*d1*d2 + 2.0*d1*d1*d1) /
+        |    pow(d2 - d1*d1, 1.5), 6) AS skewness,
+        |  round((d4 - 4.0*d1*d3 + 6.0*d1*d1*d2 - 3.0*d1*d1*d1*d1) /
+        |    ((d2 - d1*d1) * (d2 - d1*d1)) - 3.0, 6) AS kurtosis_ex
+        |FROM d ORDER BY 1""".stripMargin,
+  )
+}

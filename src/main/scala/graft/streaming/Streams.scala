@@ -115,6 +115,23 @@ object Streams {
     else gated.dropDuplicates("content_hash")
   }
 
+  /** Streaming Gopher-rule quality battery — the streaming twin of
+    * [[graft.operators.Curation.gopherRules]]. The rule battery is
+    * map-only (one projection: integer counts + threshold verdicts, no
+    * aggregate, no join), so it lifts to a stream with ZERO state: the
+    * identical named-verdict projection applies per micro-batch and
+    * emits in append mode — every batch curation op that can stream,
+    * streams. StreamsSpec runs the same documents through this on a
+    * MemoryStream and through the batch operator and asserts the
+    * verdict tables are equal row-for-row.
+    */
+  def gopherStream(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = Seq("the", "be", "to", "of",
+                     "and", "that", "have", "with"),
+                   minWords: Long = 45L, maxWords: Long = 100000L): DataFrame =
+    graft.operators.Curation.gopherRules(docs, idCol, textCol, stopwords,
+      minWords, maxWords)
+
   /** Continuous incremental dedup — the streaming twin of
     * [[graft.operators.Dedup.incrementalNgramPairs]]: each arriving
     * document's n-gram shingles probe a STATIC standing-corpus shingle

@@ -16,12 +16,16 @@ object HashCalc {
       case r: org.apache.spark.sql.Row => r.toSeq.map(cell).mkString("(", ",", ")")
       case x => x.toString
     }
-    for (q <- a) {
-      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+    // optional leading arg: an absolute sf dir (default sf0.001)
+    val (dir, qs) =
+      if (a.nonEmpty && a.head.startsWith("/")) (a.head, a.tail)
+      else ("/root/testdata/sf0.001", a)
+    for (q <- qs) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
       val lines = df.collect().map(_.toSeq.map(cell).mkString("|")).sorted
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(lines.mkString("\n").getBytes("UTF-8"))
-      println(s"HASH $q ${md.digest().map("%02x".format(_)).mkString}")
+      println(s"HASH $q ${lines.length} ${md.digest().map("%02x".format(_)).mkString}")
     }
     spark.stop()
   }

@@ -182,6 +182,26 @@ class StreamsSpec extends SparkSpec {
     got shouldBe batch
   }
 
+  test("gopherStream: map-only rule battery, stream equals batch row-for-row") {
+    import StreamsSpec.Doc
+    val wordy = (1 to 50).map(i => s"word$i").mkString(" ") + " the of and"
+    val docs = Seq(
+      Doc(ts(1), 1L, wordy),                              // keeps
+      Doc(ts(2), 2L, "too short to pass the word rule"),  // r_words fails
+      Doc(ts(3), 3L, (1 to 50).map(i => s"w$i...").mkString(" ")))  // symbols
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      gopherStream(df, "doc_id", "text")
+        .select(col("id"), col("n_words"), col("n_stopwords"),
+          col("symbol_ratio"), col("keep"))
+    val batch = run(docs.toDF())
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    batch.map(r => (r._1, r._5)) shouldBe Seq((1L, true), (2L, false), (3L, false))
+    val stream = MemoryStream[Doc]
+    val got = runStream(stream, run, docs, complete = false)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    got shouldBe batch
+  }
+
   test("incrementalDedupStream: stream equals batch plan AND the batch operator's new-vs-corpus pairs") {
     import StreamsSpec.Doc
     import graft.functions.{DedupExpr, TextAnalytics}

@@ -29,8 +29,11 @@ repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 failures = []
 
 # -- 1. bench-detail coverage ------------------------------------------
-src = open(os.path.join(repo, "src/main/scala/graft/SparkEntry.scala")).read()
-declared = set(re.findall(r'"(q_[a-z_0-9]+)" -> \(\(s', src))
+# declarations live in the per-family objects under graft/entry/
+import glob as _glob
+declared = set()
+for p in _glob.glob(os.path.join(repo, "src/main/scala/graft/entry/*Queries.scala")):
+    declared |= set(re.findall(r'"(q_[a-z_0-9]+)" -> \(\(s', open(p).read()))
 detail_path = os.path.join(repo, f"BENCHDETAIL_r{rnd:02d}.json")
 if not os.path.exists(detail_path):
     failures.append(f"missing {detail_path} — run Bench at sf0.1 and copy "
