@@ -121,11 +121,17 @@ private[graft] object DedupQueries {
     // exact cosine verification — always a subset of q_embedding_neardup
     // (recall measured in SimilaritySpec; no BNLJ, plan-asserted). The
     // hash-derived LSH planes are not expressible in DuckDB → rows-only.
-    "q_embedding_neardup_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.3999995, planesPerBand = 3, bands = 16)
+    // Band geometry scales with the corpus (Dedup.scaledBandGeometry —
+    // identity at test SFs so the pins hold; the fixed (3,16) geometry
+    // measured 30x super-linear at 10x sf0.1).
+    "q_embedding_neardup_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (planes, bands) = Dedup.scaledBandGeometry(emb.count(), 3, 16)
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.3999995, planesPerBand = planes, bands = bands)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
-        .orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // Connected-components clustering over the (oracle-stable) embedding
     // near-dup pairs: Spark hash-min label propagation vs a DuckDB

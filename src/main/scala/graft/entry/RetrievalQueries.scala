@@ -297,14 +297,21 @@ private[graft] object RetrievalQueries {
 
     // The scale path: k-NN graph over banded sign-LSH candidate pairs —
     // the corpus is never self-joined; recall vs the exact graph is
-    // measured in RetrievalSpec (hash-derived planes → rows-only)
-    "q_knn_graph_lsh" -> ((s, dir) =>
+    // measured in RetrievalSpec (hash-derived planes → rows-only). Band
+    // geometry scales with the corpus (Dedup.scaledBandGeometry —
+    // identity at test SFs, so pins are untouched): the fixed (2,16)
+    // geometry measured 47x super-linear at 10x sf0.1 because candidate
+    // mass is n²·bands/2^planes.
+    "q_knn_graph_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (planes, bands) = Dedup.scaledBandGeometry(emb.count(), 2, 16)
       Retrieval.knnGraphFromPairs(
-          Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-            threshold = 0.2, planesPerBand = 2, bands = 16), k = 3)
+          Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+            threshold = 0.2, planesPerBand = planes, bands = bands), k = 3)
         .select(col("src"), col("dst"), round(col("cos_sim"), 6).as("sim"),
           col("rk").cast("long").as("rk"))
-        .orderBy(col("src"), col("rk"))),
+        .orderBy(col("src"), col("rk"))
+    }),
 
     // Exact token-phrase search ("batch batch" consecutively): pure
     // map-only HOF scan over the bound token array — no join, no index,

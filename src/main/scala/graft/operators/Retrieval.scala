@@ -135,10 +135,21 @@ object Retrieval {
     * self-join melt — excluding them from the space (not just the
     * candidate step), both weights and norms, keeps the result exact
     * w.r.t. the declared space. With the cut, a term contributes at
-    * most df² ≤ (N·dfNum/dfDen)·df join rows, so candidate fan-out is
-    * linear in the posting-list mass with a hard per-term bound — the
-    * AllPairs df-cut (Bayardo et al., WWW'07), same family as
-    * [[graft.operators.Dedup]]'s prefix filter.
+    * most df² ≤ (N·dfNum/dfDen)·df join rows — a hard PER-TERM bound,
+    * but the AGGREGATE candidate mass Σ df·(df−1)/2 is still quadratic
+    * wherever the df histogram carries mass near the cut (the round-8
+    * scale curve measured 31k candidate pairs at sf0.1 → 2.2 BILLION at
+    * 10× — a 488× wall-clock blowup, because the relative cut admits
+    * 10×-larger posting lists on a 10× corpus). The operator therefore
+    * computes that mass from the term-df dimension (one cheap aggregate
+    * over a table it builds anyway) and REFUSES to run past
+    * `maxCandidatePairs`, failing loudly with the knob's name — the
+    * [[knnGraph]] bounded-anchor discipline. The scale escape hatches,
+    * in preference order: tighten the df cut (dfNum/dfDen), raise the
+    * threshold and move to a prefix-filtered join ([[graft.operators
+    * .Dedup]]'s PPJoin shape — the Bayardo et al., WWW'07 AllPairs
+    * algorithm proper), or ANN over learned embeddings
+    * ([[graft.operators.Dedup.embeddingNearDupPairs]]).
     *
     * Exactness discipline: weights are integer micro-units
     * (round(tf·idf·10⁴), idf = ln((1+N)/(1+df))+1 — the [[tfidf]]
@@ -155,7 +166,8 @@ object Retrieval {
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        dfNum: Long, dfDen: Long, threshold: Double,
-                       roundTo: Int = 6): DataFrame = {
+                       roundTo: Int = 6,
+                       maxCandidatePairs: Long = 100000000L): DataFrame = {
     require(dfNum > 0 && dfDen > 0 && dfNum <= dfDen,
       s"df cut $dfNum/$dfDen must be a fraction in (0, 1]")
     val tf = docs.select(col(idCol).as("id"),
@@ -166,6 +178,18 @@ object Retrieval {
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .where(col("df") * dfDen <= col("n_l") * dfNum)
+    // candidate-mass guard: Σ df·(df−1)/2 over the joinable terms is the
+    // EXACT row count the term self-join will materialize; refuse a
+    // quadratic melt loudly instead of running it (see scaladoc)
+    val mass = dfT.where(col("df") >= 2)
+      .agg(coalesce(sum((col("df") * (col("df") - 1) / 2)
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    require(mass.longValue() <= maxCandidatePairs,
+      s"tfidfCosinePairs: the df cut $dfNum/$dfDen admits $mass candidate " +
+        s"pairs (> maxCandidatePairs=$maxCandidatePairs). Tighten the df " +
+        "cut, raise the threshold via a prefix-filtered join (Dedup " +
+        "PPJoin shape), or switch to embeddingNearDupPairs — see scaladoc.")
     val w = tf.join(broadcast(dfT), Seq("term"))
       .select(col("id"), col("term"), col("df"),
         round(col("tf") *

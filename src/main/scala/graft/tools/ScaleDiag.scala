@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextAnalytics
+
+/** Scale-curve diagnostics for the queries BENCHSCALE flags as
+  * super-linear: separates "the OUTPUT grows quadratically with density
+  * (operator is output-bound — justified)" from "the CANDIDATE mass
+  * grows quadratically (geometry/cut must scale — fix)". One JSON line
+  * per (sfDir, probe).
+  *
+  * Usage: ScaleDiag <sfDir> [sfDir2 ...]
+  */
+object ScaleDiag {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    args.foreach { dir =>
+      // ---- q_tfidf_cosine: candidate mass under the relative df-cut --
+      val docs = Tables.documents(spark, dir)
+      val tf = docs.select(col("doc_id").as("id"),
+          explode(TextAnalytics.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      val n = docs.count()
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .where(col("df") * 10 <= n)
+      val m = dfT.agg(count(lit(1)).as("n_terms"),
+          sum((col("df") * (col("df") - 1) / 2).cast("decimal(38,0)"))
+            .as("pair_mass"),
+          max(col("df")).as("max_df")).head()
+      println(s"""{"probe":"tfidf_df_cut","dir":"$dir","n_docs":$n,"n_terms":${m.getLong(0)},"candidate_pairs":${m.getDecimal(1)},"max_df":${m.getLong(2)}}""")
+
+      // ---- LSH band-bucket mass for the two banded queries -----------
+      def lshMass(planes: Int, bands: Int, tag: String): Unit = {
+        val emb = Tables.embeddings(spark, dir)
+        val keys = emb.select(col("vec_id"),
+          explode(graft.functions.VectorExpr.signLshBands(
+            col("embedding"), planes, bands)).as("bk"))
+        val mass = keys.groupBy(col("bk"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum((col("c") * (col("c") - 1) / 2).cast("decimal(38,0)"))
+            .as("pairs"), max(col("c")).as("max_bucket")).head()
+        println(s"""{"probe":"$tag","dir":"$dir","planes":$planes,"bands":$bands,"candidate_pairs":${mass.getDecimal(0)},"max_bucket":${mass.getLong(1)}}""")
+      }
+      lshMass(2, 16, "knn_graph_lsh_mass")
+      lshMass(3, 16, "embedding_neardup_lsh_mass")
+      // candidate geometries for the auto-scaled band design
+      lshMass(4, 16, "lsh_mass_p4b16")
+      lshMass(5, 24, "lsh_mass_p5b24")
+      lshMass(6, 32, "lsh_mass_p6b32")
+      lshMass(7, 48, "lsh_mass_p7b48")
+      lshMass(8, 64, "lsh_mass_p8b64")
+
+      // ---- q_geo_pairs: output cardinality --------------------------
+      val pts = Tables.customer(spark, dir).select(col("c_custkey").as("id"),
+          (pmod(col("c_custkey") * 37, lit(17000)) / 100.0 - 85.0).as("lat"),
+          (pmod(col("c_custkey") * 73, lit(36000)) / 100.0 - 180.0).as("lon"))
+        .where(abs(col("lat")) <= 60.0)
+      val geoOut = graft.operators.Geo.neighborPairs(pts, col("id"),
+        col("lat"), col("lon"), radiusKm = 200.0, cellDeg = 4.0,
+        maxAbsLat = 60.0).count()
+      println(s"""{"probe":"geo_pairs_output","dir":"$dir","n_points":${pts.count()},"pairs":$geoOut}""")
+    }
+    spark.stop()
+  }
+}

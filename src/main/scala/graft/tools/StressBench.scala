@@ -561,6 +561,21 @@ object StressBench {
       val docs = spark.range(nDocs)
         .select(col("id").as("doc_id"), concat(hdr, lit(" "), body).as("text"))
         .localCheckpoint(true)
+      // total shuffle-write bytes across the whole job: the evidence
+      // that the hash-keyed text-free df window shrinks the skew-prone
+      // exchange (the verdict rejoin still shuffles text once — the
+      // reported figure is the whole job, so the window exchange's
+      // saving must show through it)
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
       val (res: org.apache.spark.sql.Row, tBp) = timed {
         Curation.boilerplatePassages(docs, "doc_id", "text",
             passageWords = 10, minDocs = 2)
@@ -569,10 +584,12 @@ object StressBench {
             min(col("n_kept")).as("min_k"), max(col("n_kept")).as("max_k"))
           .collect()(0)
       }
+      Thread.sleep(2000) // listener bus drain (async delivery)
+      spark.sparkContext.removeSparkListener(listener)
       require(res.getLong(0) == nDocs && res.getLong(1) == 4 &&
         res.getLong(2) == 4 && res.getLong(3) == 3 && res.getLong(4) == 3,
         s"boilerplate expectation violated: $res")
-      println(s"""{"metric":"boilerplate_passages","docs":$nDocs,"passages":${nDocs * 4},"hot_df":${nDocs / 20},"sec":$tBp,"docs_per_sec":${(nDocs / tBp).toLong},"cpus":$cpus}""")
+      println(s"""{"metric":"boilerplate_passages","docs":$nDocs,"passages":${nDocs * 4},"hot_df":${nDocs / 20},"sec":$tBp,"docs_per_sec":${(nDocs / tBp).toLong},"shuffle_mb":${shuffleBytes.get / 1000000},"cpus":$cpus}""")
     }
     spark.stop()
   }

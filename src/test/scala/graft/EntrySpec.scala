@@ -77,6 +77,41 @@ class EntrySpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("rows-only queries return their pinned sf0.01 row counts AND content hashes") {
+    // a second scale factor makes the pins SCALE-SENSITIVE: an operator
+    // whose semantics drift only when the data grows (a cap silently
+    // truncating, a sketch width saturating, a sample bound biting)
+    // passes a single-SF pin and fails here. Recompute with
+    // `graft.tools.HashCalc /root/testdata/sf0.01 <queries>`.
+    val expected = Map(
+      "q_minhash_pairs" -> (25L, "ea735cf0452abbfbe97e8a092ff88ab7"),
+      "q_simhash_pairs" -> (17L, "96810f568606f678ea66991cdc5fa924"),
+      "q_lsh_topk" -> (12L, "029051c46009699ccf8d0752b918f460"),
+      "q_ivf_topk" -> (25L, "274e6ab8fe6007517885938236f92a7a"),
+      "q_pq_topk" -> (25L, "5871dc21f2d09eb4a2ad2ad4af72373b"),
+      "q_ivfpq_topk" -> (25L, "a4dc1a299f9857b7d106a7f6d287ae2f"),
+      "q_ivfpq_rerank" -> (25L, "dd4e94a5c51289ceb4f3320855f06573"),
+      "q_fingerprint" -> (500L, "596f04f342b101a42457a4ffc206a99e"),
+      "q_approx_distinct" -> (3L, "e8b4336fa102de6b4a18f3f2f96fa2f9"),
+      "q_embedding_neardup_lsh" -> (59L, "7d25878262f3dca05bef8a6f0079fe7f"),
+      "q_source_similarity" -> (190L, "63107b752ae18b95bcf83ee7c6096f21"),
+      "q_kmeans_sizes" -> (8L, "2ac7f212341c483e07b3e9ae6b9e5ffc"),
+      "q_approx_quantile" -> (3L, "50963b35ee982b5272f55cd493f185e1"),
+      "q_knn_graph_lsh" -> (1500L, "3a17865950ed49ac2f3da0075ee87bf8"),
+      "q_bpe_encode" -> (500L, "ead3c2b2d6f0749f0bae736279175319"),
+      "q_semantic_dedup" -> (500L, "81bd77c8729e71631b8df0c66f2d1deb"),
+      "q_mmr_rerank" -> (50L, "82bd06d1b8576aff0815bf1cb3015639"),
+      "q_quality_classifier" -> (500L, "66998e25d787d0a792de3f5a4f8e7f02"),
+      "q_image_dhash" -> (500L, "dd01792d261fdb29559ae3f1c592084b"),
+      "q_image_neardup" -> (50L, "0922d00369a357d524819734727c29ec"))
+    val dir = "/root/testdata/sf0.01"
+    val got = expected.keys.toSeq.sorted.map { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      q -> ((df.count(), contentHash(df)))
+    }.toMap
+    got shouldBe expected
+  }
+
   test("rows-only queries match their pinned sf0.001 content hashes") {
     // counts alone would pass a wrong-but-same-cardinality result; the
     // hash pins the VALUES (all entries are deterministic by construction —

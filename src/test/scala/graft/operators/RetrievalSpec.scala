@@ -339,6 +339,23 @@ class RetrievalSpec extends SparkSpec {
     got.head._3 shouldBe 1.0
   }
 
+  test("tfidfCosinePairs refuses a quadratic candidate mass, naming the knob") {
+    // 12 docs all sharing the same 3 tokens → with a full df cut every
+    // term has df=12 → mass = 3·(12·11/2) = 198 candidate pairs; a cap
+    // of 100 must refuse BEFORE running the join, and say which knob
+    val docs = (1L to 12L).map(i => (i, "tok1 tok2 tok3")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.tfidfCosinePairs(docs, "doc_id", "text",
+        dfNum = 1L, dfDen = 1L, threshold = 0.0, maxCandidatePairs = 100L)
+    }
+    e.getMessage should include("maxCandidatePairs")
+    e.getMessage should include("198")
+    // under the cap the same corpus runs fine
+    Retrieval.tfidfCosinePairs(docs, "doc_id", "text",
+        dfNum = 1L, dfDen = 1L, threshold = 0.0, maxCandidatePairs = 200L)
+      .count() shouldBe 66L // all 12·11/2 identical-doc pairs
+  }
+
   test("tfidfCosinePairs plan: equi-joins only beyond the scalar corpus count") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     val plan = Retrieval.tfidfCosinePairs(docs, "doc_id", "text",
