@@ -331,6 +331,30 @@ private[graft] object CurationQueries {
       conc(byDocs, "docs").unionAll(conc(byTokens, "tokens"))
         .orderBy(col("basis"))
     }),
+
+    // DSIR importance scores (Xie et al. 2023): hashed unigram+bigram
+    // bucket distributions, target = the first four sources as the
+    // "high-quality" slice; grams reduce to (id, bucket, count) before
+    // any join, both distributions are bounded broadcast dimensions
+    "q_dsir" -> ((s, dir) =>
+      Curation.dsirScores(Tables.documents(s, dir), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2", "src3"), buckets = 256)
+        .select(col("id").as("doc_id"), col("n_grams"), col("dsir_score"))
+        .orderBy(col("doc_id"))),
+
+    // l-diversity audit (Machanavajjhala et al. 2007) — the k-anonymity
+    // upgrade q_kanon feeds into: a quasi-identifier cell is unsafe if
+    // its SENSITIVE values are homogeneous even when the cell is large;
+    // report each (type, dow) cell's distinct sensitive-band count
+    "q_ldiversity" -> ((s, dir) =>
+      Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("dow"),
+          expr("cast(round(value * 100) as bigint) div 2000").as("band"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(countDistinct(col("band")).as("l_div"), count(lit(1)).as("n"))
+        .withColumn("risky", col("l_div") < 3)
+        .orderBy(col("event_type"), col("dow"))),
   )
 
   // q_decontaminate_sql computes the identical audit table to
@@ -740,5 +764,49 @@ private[graft] object CurationQueries {
         |      AS top_share
         |  FROM bt)
         |SELECT * FROM c ORDER BY basis""".stripMargin,
+
+    // same md5-bucketed feature hash, add-1 smoothing, and ln ratio;
+    // bigrams via the q_cross_source list_transform precedent
+    "q_dsir" ->
+      """WITH t AS (SELECT doc_id, source,
+        |        list_filter(string_split_regex(text, '\s+'),
+        |          x -> length(x) > 0) AS l
+        |      FROM documents),
+        |g AS (SELECT doc_id, source, unnest(l) AS gram FROM t
+        |      UNION ALL
+        |      SELECT doc_id, source,
+        |        unnest(list_transform(range(0, greatest(len(l) - 1, 0)),
+        |          i -> l[i + 1] || ' ' || l[i + 2])) AS gram
+        |      FROM t),
+        |b AS (SELECT doc_id, source,
+        |        (('0x' || substr(md5(gram), 1, 8))::BIGINT) % 256 AS b,
+        |        count(*) AS c
+        |      FROM g GROUP BY 1, 2, 3),
+        |raw AS (SELECT b, sum(c) AS cr FROM b GROUP BY 1),
+        |tgt AS (SELECT b, sum(c) AS ct FROM b
+        |        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        |        GROUP BY 1),
+        |dim AS (SELECT raw.b AS b, cr, coalesce(ct, 0) AS ct
+        |        FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+        |tot AS (SELECT sum(cr) AS totr, sum(ct) AS tott FROM dim),
+        |llr AS (SELECT b,
+        |          ln(CAST(ct + 1 AS DOUBLE) / (tott + 256)) -
+        |          ln(CAST(cr + 1 AS DOUBLE) / (totr + 256)) AS llr
+        |        FROM dim CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  round(sum(c * llr), 4) AS dsir_score
+        |FROM b JOIN llr USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ldiversity" ->
+      """SELECT event_type,
+        |  ((epoch_ns(ts)//1000) // 86400000000 + 4) % 7 AS dow,
+        |  count(DISTINCT CAST(round(value * 100) AS BIGINT) // 2000)
+        |    AS l_div,
+        |  count(*) AS n,
+        |  count(DISTINCT CAST(round(value * 100) AS BIGINT) // 2000) < 3
+        |    AS risky
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

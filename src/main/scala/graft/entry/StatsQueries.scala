@@ -355,9 +355,160 @@ private[graft] object StatsQueries {
           round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_ex"))
         .orderBy(col("event_type"))
     }),
+
+    // Poisson-bootstrap CI on per-type mean cents (Chamandy et al.
+    // 2012): 200 deterministic md5-seeded Poisson(1) weights per row,
+    // map-only ×R expansion, one (type, replicate)-keyed shuffle, exact
+    // percentile over the bounded replicate-mean table
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Stats.poissonBootstrap(
+          Tables.events(s, dir).where(col("value").isNotNull),
+          col("event_type"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)"), replicates = 200)
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"))),
+
+    // Delta-method ratio metric (Deng et al. 2018): per-user cents over
+    // event count, arms by user parity; exact decimal unit moments,
+    // double arithmetic on the 2-row arm table
+    "q_ratio_metric" -> ((s, dir) => {
+      val units = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(expr("cast(round(coalesce(value, 0) * 100) as bigint)"))
+            .as("y"),
+          count(lit(1)).as("d"))
+        .select((col("user_id") % 2).as("arm"), col("y"), col("d"))
+      Stats.ratioMetric(units, col("arm"), col("y"), col("d"))
+        .withColumnRenamed("g", "arm")
+        .orderBy(col("arm"))
+    }),
+
+    // Always-valid sequential test (Johari et al., "Peeking at A/B
+    // Tests"): daily looks at the arm mean-cents difference, mSPRT
+    // normal-mixture p tightened by a running min — both unpartitioned
+    // windows run over the bounded day dimension, never corpus rows
+    "q_sequential_test" -> ((s, dir) =>
+      Stats.msprt(
+          Tables.events(s, dir).where(col("value").isNotNull)
+            .select((col("user_id") % 2).as("arm"),
+              expr("unix_micros(ts) div 86400000000").as("day_num"),
+              expr("cast(round(value * 100) as bigint)").as("cents")),
+          col("arm"), col("day_num"), col("cents"), tauSq = 10000.0)
+        .withColumnRenamed("day", "day_num")
+        .orderBy(col("day_num"))),
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // identical md5-uniform → Poisson inverse-CDF draw (shared literal
+    // thresholds), exact HUGEINT weighted sums, one double division per
+    // replicate, quantile_cont over the same replicate means
+    "q_bootstrap_ci" ->
+      """WITH r0 AS (SELECT event_type, CAST(event_id AS VARCHAR) AS id,
+        |        CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
+        |      FROM events WHERE value IS NOT NULL),
+        |rep AS (SELECT event_type, id, c, t.range AS r
+        |        FROM r0 CROSS JOIN range(0, 200) t),
+        |u AS (SELECT event_type, r, c,
+        |        (('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)),
+        |          1, 12))::BIGINT + 1) / 281474976710656.0 AS u
+        |      FROM rep),
+        |w AS (SELECT event_type, r, c,
+        |        CAST(CASE WHEN u <= 0.36787944117144233 THEN 0
+        |             WHEN u <= 0.7357588823428847 THEN 1
+        |             WHEN u <= 0.9196986029286058 THEN 2
+        |             WHEN u <= 0.9810118431238463 THEN 3
+        |             WHEN u <= 0.9963401531726563 THEN 4
+        |             WHEN u <= 0.9994058151824183 THEN 5
+        |             WHEN u <= 0.999916758850712 THEN 6
+        |             ELSE 7 END AS HUGEINT) AS w
+        |      FROM u),
+        |pr AS (SELECT event_type, r,
+        |        CAST(sum(w * c) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+        |      FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+        |pt AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(c) AS DOUBLE) / count(*) AS mean
+        |      FROM r0 GROUP BY 1)
+        |SELECT p.event_type, pt.n, round(pt.mean / 100.0, 4) AS mean,
+        |  round(quantile_cont(m, 0.025) / 100.0, 4) AS ci_lo,
+        |  round(quantile_cont(m, 0.975) / 100.0, 4) AS ci_hi,
+        |  round(stddev_samp(m) / 100.0, 4) AS se_boot
+        |FROM pr p JOIN pt ON p.event_type = pt.event_type
+        |GROUP BY p.event_type, pt.n, pt.mean ORDER BY 1""".stripMargin,
+
+    // same exact-integer unit moments and double expression tree
+    "q_ratio_metric" ->
+      """WITH un AS (SELECT user_id % 2 AS arm,
+        |        CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+        |          AS HUGEINT) AS y,
+        |        CAST(count(*) AS HUGEINT) AS d
+        |      FROM events GROUP BY user_id),
+        |s AS (SELECT arm, CAST(count(*) AS DOUBLE) AS k,
+        |        CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(d) AS DOUBLE) AS sd,
+        |        CAST(sum(y * y) AS DOUBLE) AS syy,
+        |        CAST(sum(d * d) AS DOUBLE) AS sdd,
+        |        CAST(sum(y * d) AS DOUBLE) AS syd
+        |      FROM un GROUP BY 1 HAVING count(*) > 1 AND sum(d) > 0),
+        |e AS (SELECT arm, k, sy / sd AS r, sd / k AS dbar,
+        |        (syy - sy * sy / k) / (k - 1) AS vy,
+        |        (sdd - sd * sd / k) / (k - 1) AS vd,
+        |        (syd - sy * sd / k) / (k - 1) AS cyd
+        |      FROM s),
+        |f AS (SELECT arm, k, r,
+        |        sqrt(greatest(
+        |          (vy - 2.0 * r * cyd + r * r * vd) / (k * dbar * dbar),
+        |          0.0)) AS se
+        |      FROM e)
+        |SELECT arm, CAST(k AS BIGINT) AS n_units, round(r, 6) AS ratio,
+        |  round(se, 6) AS se_delta,
+        |  round(r - 1.959963984540054 * se, 6) AS ci_lo,
+        |  round(r + 1.959963984540054 * se, 6) AS ci_hi
+        |FROM f ORDER BY arm""".stripMargin,
+
+    // identical cumulative exact sums over the day dimension and the
+    // same mSPRT double tree; running-min window after both filters
+    "q_sequential_test" ->
+      """WITH e AS (SELECT user_id % 2 AS a,
+        |        (epoch_ns(ts)//1000) // 86400000000 AS day_num,
+        |        CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
+        |      FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT day_num,
+        |        sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS na,
+        |        sum(CASE WHEN a = 0 THEN c ELSE 0 END) AS sa,
+        |        sum(CASE WHEN a = 0 THEN c * c ELSE 0 END) AS saa,
+        |        sum(CASE WHEN a <> 0 THEN 1 ELSE 0 END) AS nb,
+        |        sum(CASE WHEN a <> 0 THEN c ELSE 0 END) AS sb,
+        |        sum(CASE WHEN a <> 0 THEN c * c ELSE 0 END) AS sbb
+        |      FROM e GROUP BY 1),
+        |cm AS (SELECT day_num,
+        |        CAST(sum(na) OVER w AS DOUBLE) AS cna,
+        |        CAST(sum(sa) OVER w AS DOUBLE) AS csa,
+        |        CAST(sum(saa) OVER w AS DOUBLE) AS csaa,
+        |        CAST(sum(nb) OVER w AS DOUBLE) AS cnb,
+        |        CAST(sum(sb) OVER w AS DOUBLE) AS csb,
+        |        CAST(sum(sbb) OVER w AS DOUBLE) AS csbb
+        |      FROM d WINDOW w AS (ORDER BY day_num
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT day_num, cna, cnb,
+        |        csa / cna - csb / cnb AS delta_,
+        |        ((csaa - csa * csa / cna) + (csbb - csb * csb / cnb)) /
+        |          (cna + cnb - 2) AS s2
+        |      FROM cm WHERE cna > 1 AND cnb > 1),
+        |l AS (SELECT day_num, cna, cnb, delta_,
+        |        s2 * (1.0 / cna + 1.0 / cnb) AS v
+        |      FROM s WHERE s2 > 0),
+        |p AS (SELECT day_num, cna, cnb, delta_,
+        |        least(1.0, 1.0 / (sqrt(v / (v + 10000.0)) *
+        |          exp(delta_ * delta_ * 10000.0 /
+        |            (2.0 * v * (v + 10000.0))))) AS p_
+        |      FROM l)
+        |SELECT day_num, CAST(cna AS BIGINT) AS n_a,
+        |  CAST(cnb AS BIGINT) AS n_b,
+        |  round(delta_ / 100.0, 4) AS delta,
+        |  round(min(p_) OVER (ORDER BY day_num
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS p_always_valid
+        |FROM p ORDER BY day_num""".stripMargin,
+
     // exact oracle is valid because k=64 ≥ the 31-token vocabulary (MG
     // is exact when nothing is ever evicted)
     "q_heavy_hitters" ->

@@ -549,4 +549,62 @@ object Curation {
               struct(col("pidx"), col("passage"))))),
             s => s.getField("passage")), " ").as("clean_text"))
   }
+
+  /** DSIR importance scores — Data Selection via Importance Resampling
+    * (Xie et al. 2023): score every raw document by how much more likely
+    * its hashed n-gram features are under a target distribution (the
+    * high-quality slice you want more of) than under the raw corpus.
+    * Features are unigrams + bigrams hashed into `buckets` bins; both
+    * distributions are add-1-smoothed bucket frequencies; a document's
+    * log importance weight is Σ_b c_b·(ln p̂_target(b) − ln p̂_raw(b)).
+    * Selecting the top-scored documents approximates sampling the raw
+    * corpus to match the target — the cheap classifier-free alternative
+    * to quality-model filtering.
+    *
+    * Determinism contract: the bucket of a gram is its md5's first 8 hex
+    * chars mod `buckets` (the engine-portable [[Sampling.md5Sample]]
+    * hash contract), so Spark and any SQL engine bin identically.
+    *
+    * Scale shape: grams reduce to (id, bucket, count) FIRST — the only
+    * corpus-keyed shuffle, and its key includes id so one hot bucket
+    * cannot skew it. Both distributions are `buckets`-row aggregates of
+    * that table (bounded dimensions, integer counts), joined back by
+    * broadcast; the per-doc score is one more (id)-keyed sum. Raw counts
+    * stay integers until the two ln() calls per bucket.
+    *
+    * Returns (id, n_grams, dsir_score); documents with no tokens carry
+    * no feature evidence and are absent. Scores round 4dp (the
+    * [[unigramLogProb]] cross-engine ln parity discipline).
+    */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int): DataFrame = {
+    require(buckets > 1, s"buckets $buckets")
+    val toks = docs.select(col(idCol).as("id"), isTarget.as("_t"),
+      TextAnalytics.tokens(col(textCol)).as("_l"))
+    val grams = toks.select(col("id"), col("_t"),
+      explode(concat(col("_l"),
+        expr("transform(slice(_l, 1, greatest(size(_l) - 1, 0))," +
+          " (x, i) -> concat(x, ' ', _l[i + 1]))"))).as("gram"))
+    val bucketed = grams.select(col("id"), col("_t"),
+      pmod(conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(buckets.toLong)).as("b"))
+      .groupBy(col("id"), col("_t"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    // bounded bucket dimensions: raw = every doc, target = the slice
+    val rawDim = bucketed.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val tgtDim = bucketed.where(col("_t")).groupBy(col("b"))
+      .agg(sum(col("c")).as("ct"))
+    val dim = rawDim.join(tgtDim, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val tot = dim.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
+    val llr = dim.crossJoin(broadcast(tot)) // one-row totals
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("tott") + buckets)) -
+          log((col("cr") + 1).cast("double") / (col("totr") + buckets)))
+          .as("_llr"))
+    bucketed.join(broadcast(llr), Seq("b")) // buckets-row dimension
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_grams"),
+        round(sum(col("c") * col("_llr")), 4).as("dsir_score"))
+  }
 }

@@ -552,4 +552,184 @@ object Stats {
         when(varY === 0.0, lit(0.0))
           .otherwise(round(lit(1.0) - varAdj / varY, 6)).as("var_reduction"))
   }
+
+  /** Poisson(1) CDF thresholds, truncated at 7 — exact double literals
+    * shared verbatim with every SQL oracle that mirrors the draw
+    * (P[w > 6] ≈ 8.3e-5; the tail mass folds into the last weight).
+    */
+  private[graft] val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712)
+
+  /** Poisson-bootstrap confidence interval for per-group means — the
+    * resampling scheme that survives distribution (Chamandy et al. 2012,
+    * "Estimating Uncertainty for Massive Data Streams", Google): drawing
+    * n rows with replacement needs global coordination, but giving every
+    * row an independent Poisson(1) weight per replicate approximates the
+    * same multinomial and is one map-side expression. The whole R-way
+    * bootstrap is a single corpus pass.
+    *
+    * Determinism contract: the weight of (row, replicate) is the
+    * Poisson(1) inverse CDF applied to the uniform u ∈ (0, 1] derived
+    * from md5(id ":" r) — the [[Sampling.md5Sample]] engine-portable
+    * hash contract; no RNG state, so re-runs and engines agree bit-wise
+    * (u = (hx + 1)/2^48 is exact in a double, and the CDF thresholds
+    * [[PoissonCdf]] are shared literals).
+    *
+    * Scale shape: map-only ×R expansion (R bounded) partial-aggregates
+    * into (group, replicate) keys — |G|·R rows after the ONLY
+    * corpus-keyed shuffle — then an exact percentile over each group's R
+    * replicate means (a bounded aggregate). Weighted sums accumulate as
+    * decimal(38,0) (weights ≤ 7 keep Σw·c within 3 bits of Σc), one
+    * double division per replicate.
+    *
+    * Returns per group: n, point mean, bootstrap [2.5%, 97.5%] interval
+    * and standard error, in currency units (cents/100), rounded 4dp.
+    */
+  def poissonBootstrap(df: DataFrame, groupCol: Column, idCol: Column,
+                       centsCol: Column, replicates: Int): DataFrame = {
+    require(replicates > 1, s"replicates $replicates")
+    val rows = df.select(groupCol.as("g"), idCol.cast("string").as("_id"),
+      centsCol.cast("decimal(38,0)").as("_c"))
+    val rep = rows.select(col("g"), col("_id"), col("_c"),
+      explode(sequence(lit(0), lit(replicates - 1))).as("r"))
+    val hx = conv(substring(md5(
+      concat(col("_id"), lit(":"), col("r").cast("string")).cast("binary")),
+      1, 12), 16, 10).cast("long")
+    val u = (hx + 1).cast("double") / lit(281474976710656.0) // 2^48
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(7): Column) {
+      case ((t, k), els) => when(u <= t, lit(k)).otherwise(els)
+    }.cast("decimal(38,0)")
+    val perRep = rep
+      .select(col("g"), col("r"), (w * col("_c")).as("_wc"), w.as("_w"))
+      .groupBy(col("g"), col("r"))
+      .agg(sum(col("_wc")).cast("double").as("swc"),
+        sum(col("_w")).cast("double").as("sw"))
+      .where(col("sw") > 0) // a replicate that drew all-zero weights
+      .select(col("g"), (col("swc") / col("sw")).as("m"))
+    val point = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("_c")).cast("double") / count(lit(1))).as("_mean"))
+    perRep.groupBy(col("g"))
+      .agg(percentile(col("m"), lit(0.025)).as("_lo"),
+        percentile(col("m"), lit(0.975)).as("_hi"),
+        stddev_samp(col("m")).as("_se"))
+      .join(broadcast(point), Seq("g")) // both bounded; point is |G| rows
+      .select(col("g"), col("n"),
+        round(col("_mean") / 100.0, 4).as("mean"),
+        round(col("_lo") / 100.0, 4).as("ci_lo"),
+        round(col("_hi") / 100.0, 4).as("ci_hi"),
+        round(col("_se") / 100.0, 4).as("se_boot"))
+  }
+
+  /** Delta-method variance for a ratio-of-sums metric — the
+    * experimentation workhorse for per-user ratio metrics (revenue per
+    * session, clicks per view), where the naive per-row variance is
+    * wrong because the unit of randomization (user) contributes to both
+    * numerator and denominator (Deng et al. 2018, "Applying the Delta
+    * Method in Metric Analytics"). Per arm with K units,
+    * R̂ = Σy/Σd and Var(R̂) ≈ (s²_y − 2R̂·s_yd + R̂²·s²_d)/(K·d̄²) from
+    * the units' sample (co)variances.
+    *
+    * Scale shape: one keyed aggregate over units into exact
+    * decimal(38,0) sums (y, d, y², d², yd — the [[cuped]] integer-moment
+    * discipline), then pure double arithmetic on the |arms|-row result.
+    * Arms with K ≤ 1 units or Σd = 0 are undefined and absent.
+    *
+    * Returns per arm: n_units, ratio, delta-method SE, and the normal
+    * 95% interval, rounded 6dp.
+    */
+  def ratioMetric(units: DataFrame, armCol: Column, numCol: Column,
+                  denCol: Column): DataFrame = {
+    val u = units.select(armCol.as("g"),
+      numCol.cast("decimal(38,0)").as("y"),
+      denCol.cast("decimal(38,0)").as("d"))
+    val g = u.groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("d")).cast("double").as("sd"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("d") * col("d")).cast("double").as("sdd"),
+        sum(col("y") * col("d")).cast("double").as("syd"))
+      .where(col("k") > 1 && col("sd") > 0)
+    val r = col("sy") / col("sd")
+    val dbar = col("sd") / col("k")
+    val vy = (col("syy") - col("sy") * col("sy") / col("k")) / (col("k") - 1)
+    val vd = (col("sdd") - col("sd") * col("sd") / col("k")) / (col("k") - 1)
+    val cyd = (col("syd") - col("sy") * col("sd") / col("k")) / (col("k") - 1)
+    val varR = (vy - lit(2.0) * r * cyd + r * r * vd) /
+      (col("k") * dbar * dbar)
+    val se = sqrt(greatest(varR, lit(0.0)))
+    g.select(col("g"),
+      col("k").cast("long").as("n_units"),
+      round(r, 6).as("ratio"),
+      round(se, 6).as("se_delta"),
+      round(r - lit(1.959963984540054) * se, 6).as("ci_lo"),
+      round(r + lit(1.959963984540054) * se, 6).as("ci_hi"))
+  }
+
+  /** Always-valid sequential test (mSPRT with a normal mixture) — the
+    * fix for the A/B "peeking problem" (Johari, Koomen, Pekelis &
+    * Walsh 2017, "Peeking at A/B Tests"): a fixed-horizon p-value read
+    * daily inflates false positives, while the mixture sequential
+    * probability ratio over the running estimator is valid at EVERY
+    * look. For the two-arm mean difference δ̂ with estimated variance
+    * V = s²(1/n_a + 1/n_b) and mixture variance τ²:
+    * Λ = sqrt(V/(V+τ²))·exp(δ̂²τ²/(2V(V+τ²))), p_t = min(1, 1/Λ)
+    * monotonically tightened over looks (running min).
+    *
+    * Scale shape: the corpus aggregates once into per-day exact
+    * decimal(38,0) arm sums (the only corpus-keyed shuffle), then two
+    * sanctioned unpartitioned windows run over that bounded DAY
+    * dimension — cumulative sums and the running min — never over rows
+    * (the WindowAuditSpec block-aggregate contract).
+    *
+    * Days where either arm has < 2 cumulative observations or the
+    * pooled variance is 0 carry no test evidence and are absent.
+    *
+    * Returns per day: cumulative n_a/n_b, δ̂ in currency units, and the
+    * always-valid p-value, rounded for engine parity.
+    */
+  def msprt(df: DataFrame, armCol: Column, dayCol: Column,
+            centsCol: Column, tauSq: Double): DataFrame = {
+    require(tauSq > 0, s"tauSq $tauSq")
+    val d = df.select(armCol.as("_a"), dayCol.as("day"),
+      centsCol.cast("decimal(38,0)").as("_c"))
+    val one = lit(1).cast("decimal(38,0)")
+    val zero = lit(0).cast("decimal(38,0)")
+    val daily = d.groupBy(col("day")).agg(
+      sum(when(col("_a") === 0, one).otherwise(zero)).as("na"),
+      sum(when(col("_a") === 0, col("_c")).otherwise(zero)).as("sa"),
+      sum(when(col("_a") === 0, col("_c") * col("_c")).otherwise(zero)).as("saa"),
+      sum(when(col("_a") =!= 0, one).otherwise(zero)).as("nb"),
+      sum(when(col("_a") =!= 0, col("_c")).otherwise(zero)).as("sb"),
+      sum(when(col("_a") =!= 0, col("_c") * col("_c")).otherwise(zero)).as("sbb"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("day"),
+      sum(col("na")).over(wCum).cast("double").as("cna"),
+      sum(col("sa")).over(wCum).cast("double").as("csa"),
+      sum(col("saa")).over(wCum).cast("double").as("csaa"),
+      sum(col("nb")).over(wCum).cast("double").as("cnb"),
+      sum(col("sb")).over(wCum).cast("double").as("csb"),
+      sum(col("sbb")).over(wCum).cast("double").as("csbb"))
+    val delta = col("csa") / col("cna") - col("csb") / col("cnb")
+    val s2 = ((col("csaa") - col("csa") * col("csa") / col("cna")) +
+      (col("csbb") - col("csb") * col("csb") / col("cnb"))) /
+      (col("cna") + col("cnb") - 2)
+    val v = s2 * (lit(1.0) / col("cna") + lit(1.0) / col("cnb"))
+    val lam = sqrt(v / (v + tauSq)) *
+      exp(delta * delta * tauSq / (lit(2.0) * v * (v + tauSq)))
+    val scored = cum
+      .where(col("cna") > 1 && col("cnb") > 1)
+      .select(col("day"), col("cna"), col("cnb"), delta.as("_delta"),
+        s2.as("_s2"), least(lit(1.0), lit(1.0) / lam).as("_p"))
+      .where(col("_s2") > 0)
+    scored.select(col("day"),
+      col("cna").cast("long").as("n_a"),
+      col("cnb").cast("long").as("n_b"),
+      round(col("_delta") / 100.0, 4).as("delta"),
+      round(min(col("_p")).over(wCum), 6).as("p_always_valid"))
+  }
 }

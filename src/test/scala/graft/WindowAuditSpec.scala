@@ -45,6 +45,9 @@ class WindowAuditSpec extends SparkSpec {
       "q_zipf_fit",
       // gains: globalOrderIndex block offsets + the cumulative windows
       // over the 10-row DECILE aggregate
-      "q_gains")
+      "q_gains",
+      // mSPRT: cumulative sums + running-min p over the per-day arm
+      // aggregate — the DAY dimension, never corpus rows
+      "q_sequential_test")
   }
 }

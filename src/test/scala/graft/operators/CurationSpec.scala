@@ -427,4 +427,62 @@ class CurationSpec extends SparkSpec {
       (1L, 3L, 3L, "tick tock tick tock end cap"),
       (2L, 2L, 2L, "other words here too"))
   }
+
+  test("dsirScores: target-like documents score above raw-like ones") {
+    // targets speak "aa bb", the raw bulk speaks "zz yy": a fresh doc in
+    // the target dialect must out-score one in the bulk dialect, and
+    // n_grams must be unigrams + bigrams = 2·tokens − 1
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "aa bb aa bb aa", true)) ++
+      (6 to 20).map(i => (i.toLong, "zz yy zz yy zz", false)) ++
+      Seq((21L, "aa bb aa", false), (22L, "zz yy zz", false))
+    ).toDF("doc_id", "text", "is_t")
+    val got = Curation.dsirScores(docs, "doc_id", "text", col("is_t"), 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    got(21L)._1 shouldBe 5L // 3 unigrams + 2 bigrams
+    got(21L)._2 should be > got(22L)._2
+    got(1L)._2 should be > 0.0
+    got(6L)._2 should be < 0.0
+  }
+
+  test("dsirScores matches the plain-Scala hashed-bucket reference") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val buckets = 32
+    def bucket(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).take(8), 16) % buckets
+    val corpus = Seq(
+      (1L, "the cat sat", true), (2L, "the dog ran", true),
+      (3L, "lorem ipsum dolor sit", false), (4L, "the cat ran fast", false),
+      (5L, "ipsum the cat", false))
+    def grams(t: String): Seq[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    // reference: per-doc bucket counts, smoothed corpus distributions
+    val perDoc = corpus.map { case (id, t, tg) =>
+      (id, tg, grams(t).groupBy(bucket).view.mapValues(_.size.toLong).toMap)
+    }
+    val raw = perDoc.flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val tgt = perDoc.filter(_._2).flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val totR = raw.values.sum.toDouble; val totT = tgt.values.sum.toDouble
+    def llr(b: Long): Double =
+      math.log((tgt.getOrElse(b, 0L) + 1) / (totT + buckets)) -
+        math.log((raw(b) + 1) / (totR + buckets))
+    val expected = perDoc.map { case (id, _, cs) =>
+      id -> cs.map { case (b, c) => c * llr(b) }.sum
+    }.toMap
+
+    val got = Curation.dsirScores(corpus.toDF("doc_id", "text", "is_t"),
+        "doc_id", "text", col("is_t"), buckets)
+      .as[(Long, Long, Double)].collect()
+    got.length shouldBe 5
+    got.foreach { case (id, n, score) =>
+      n shouldBe grams(corpus.find(_._1 == id).get._2).size.toLong
+      score shouldBe expected(id) +- 1e-4
+    }
+  }
 }

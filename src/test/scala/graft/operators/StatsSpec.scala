@@ -369,4 +369,159 @@ class StatsSpec extends SparkSpec {
     arm1._4 shouldBe 0.0 // var_post
     arm1._6 shouldBe 0.0 // var_reduction — guarded, not NaN
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("poissonBootstrap replicate means match the plain-Scala md5 draw") {
+    // tiny corpus, 5 replicates: recompute every (row, replicate)
+    // Poisson weight from the same md5 contract in plain Scala and
+    // compare each group's point mean + bootstrap bounds exactly
+    val rows = (1 to 30).map(i => (s"g${i % 2}", i.toLong, (100 + i * 7).toLong))
+    val got = Stats.poissonBootstrap(rows.toDF("g", "id", "c"),
+        col("g"), col("id"), col("c"), replicates = 5)
+      .orderBy("g")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+
+    def weight(id: Long, r: Int): Long = {
+      val u = (java.lang.Long.parseLong(md5hex(s"$id:$r").take(12), 16) + 1)
+        .toDouble / 281474976710656.0
+      val k = Stats.PoissonCdf.indexWhere(u <= _)
+      if (k < 0) 7L else k.toLong
+    }
+    def pct(sorted: Seq[Double], p: Double): Double = {
+      val pos = p * (sorted.size - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+    }
+    got.foreach { case (g, n, mean, lo, hi, _) =>
+      val grp = rows.filter(_._1 == g)
+      n shouldBe grp.size.toLong
+      mean shouldBe grp.map(_._3).sum.toDouble / grp.size / 100.0 +- 1e-4
+      val ms = (0 until 5).flatMap { r =>
+        val ws = grp.map { case (_, id, c) => (weight(id, r), c) }
+        val sw = ws.map(_._1).sum
+        if (sw == 0) None
+        else Some(ws.map { case (w, c) => w * c }.sum.toDouble / sw / 100.0)
+      }.sorted
+      lo shouldBe pct(ms, 0.025) +- 1e-4
+      hi shouldBe pct(ms, 0.975) +- 1e-4
+    }
+  }
+
+  test("poissonBootstrap CI brackets the point mean on iid data") {
+    val rows = (1 to 500).map(i => ("a", i.toLong, (1000 + i % 97).toLong))
+    val Array((_, n, mean, lo, hi, se)) =
+      Stats.poissonBootstrap(rows.toDF("g", "id", "c"),
+        col("g"), col("id"), col("c"), replicates = 100)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    n shouldBe 500L
+    lo should be < mean
+    hi should be > mean
+    se should be > 0.0
+    // Poisson(1) weights ~ an n-out-of-n resample: the bootstrap SE of a
+    // mean over ~uniform values must be near sd/sqrt(n) (loose band)
+    val vals = rows.map(_._3.toDouble)
+    val m = vals.sum / vals.size
+    val sd = math.sqrt(vals.map(v => (v - m) * (v - m)).sum / (vals.size - 1))
+    val sem = sd / math.sqrt(vals.size) / 100.0
+    se should be > sem * 0.5
+    se should be < sem * 2.0
+  }
+
+  test("ratioMetric with unit denominators reduces to the classic mean ± SEM") {
+    val units = (1 to 25).map(i => (0L, (200 + i * 11 % 50).toLong, 1L))
+    val Array((_, n, ratio, se, lo, hi)) =
+      Stats.ratioMetric(units.toDF("arm", "y", "d"),
+        col("arm"), col("y"), col("d"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    n shouldBe 25L
+    val ys = units.map(_._2.toDouble)
+    val m = ys.sum / ys.size
+    val v = ys.map(a => (a - m) * (a - m)).sum / (ys.size - 1)
+    ratio shouldBe m +- 1e-6
+    se shouldBe math.sqrt(v / ys.size) +- 1e-6
+    lo shouldBe ratio - 1.959963984540054 * se +- 1e-5
+    hi shouldBe ratio + 1.959963984540054 * se +- 1e-5
+  }
+
+  test("ratioMetric matches the plain-Scala delta method on correlated units") {
+    val units = (1 to 40).map { i =>
+      val y = (i * 31 % 200 + 50).toLong; val d = (i % 9 + 1).toLong
+      (i % 2L, y, d)
+    }
+    val got = Stats.ratioMetric(units.toDF("arm", "y", "d"),
+        col("arm"), col("y"), col("d"))
+      .orderBy("g").as[(Long, Long, Double, Double, Double, Double)].collect()
+    got.foreach { case (arm, k, ratio, se, _, _) =>
+      val g = units.filter(_._1 == arm)
+      val ys = g.map(_._2.toDouble); val ds = g.map(_._3.toDouble)
+      val kk = g.size.toDouble
+      val r = ys.sum / ds.sum; val dbar = ds.sum / kk
+      def sv(a: Seq[Double]) = {
+        val m = a.sum / kk; a.map(x => (x - m) * (x - m)).sum / (kk - 1)
+      }
+      val cyd = {
+        val my = ys.sum / kk; val md = ds.sum / kk
+        ys.zip(ds).map { case (a, b) => (a - my) * (b - md) }.sum / (kk - 1)
+      }
+      val varR = (sv(ys) - 2 * r * cyd + r * r * sv(ds)) / (kk * dbar * dbar)
+      k shouldBe g.size.toLong
+      ratio shouldBe r +- 1e-6
+      se shouldBe math.sqrt(varR) +- 1e-5
+    }
+  }
+
+  test("msprt: p is monotone non-increasing and a real effect drives it down") {
+    // arm 0 centered at 1000 cents, arm 1 at 1300 — a 3-dollar lift the
+    // mixture test must eventually flag; 20 days × 30 obs per arm per day
+    val rows = for {
+      day <- 0 until 20; i <- 0 until 30; a <- Seq(0L, 1L)
+    } yield {
+      val noise = (day * 31 + i * 7 + a * 13) % 201 - 100
+      (a, day.toLong, (if (a == 0) 1000L else 1300L) + noise)
+    }
+    val got = Stats.msprt(rows.toDF("a", "day", "c"),
+        col("a"), col("day"), col("c"), tauSq = 10000.0)
+      .orderBy("day")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    got.length shouldBe 20
+    val ps = got.map(_._5)
+    ps.sliding(2).foreach { case Array(a, b) => b should be <= a; case _ => }
+    ps.last should be < 0.01 // the lift is ~5 noise-SDs: decisive
+    got.map(_._4).last shouldBe -3.0 +- 0.2 // delta in currency units
+  }
+
+  test("msprt matches the plain-Scala mixture formula day by day") {
+    val rows = for {
+      day <- 0 until 6; i <- 0 until 10; a <- Seq(0L, 1L)
+    } yield (a, day.toLong, 500L + ((day * 17 + i * 3 + a * 29) % 41))
+    val got = Stats.msprt(rows.toDF("a", "day", "c"),
+        col("a"), col("day"), col("c"), tauSq = 2500.0)
+      .orderBy("day")
+      .as[(Long, Long, Long, Double, Double)].collect()
+
+    var runMin = 1.0
+    (0 until 6).foreach { day =>
+      val cum = rows.filter(_._2 <= day)
+      val A = cum.filter(_._1 == 0L).map(_._3.toDouble)
+      val B = cum.filter(_._1 == 1L).map(_._3.toDouble)
+      val delta = A.sum / A.size - B.sum / B.size
+      def ss(a: Seq[Double]) = {
+        val m = a.sum / a.size; a.map(x => (x - m) * (x - m)).sum
+      }
+      val s2 = (ss(A) + ss(B)) / (A.size + B.size - 2)
+      val v = s2 * (1.0 / A.size + 1.0 / B.size)
+      val tau2 = 2500.0
+      val lam = math.sqrt(v / (v + tau2)) *
+        math.exp(delta * delta * tau2 / (2 * v * (v + tau2)))
+      runMin = math.min(runMin, math.min(1.0, 1.0 / lam))
+      val row = got(day)
+      row._2 shouldBe A.size.toLong
+      row._3 shouldBe B.size.toLong
+      row._4 shouldBe delta / 100.0 +- 1e-4
+      row._5 shouldBe runMin +- 1e-5
+    }
+  }
 }
