@@ -355,13 +355,52 @@ private[graft] object CurationQueries {
         .agg(countDistinct(col("band")).as("l_div"), count(lit(1)).as("n"))
         .withColumn("risky", col("l_div") < 3)
         .orderBy(col("event_type"), col("dow"))),
+
+    // the DSIR pipeline expressed purely in spark.sql — same md5 bucket
+    // contract, smoothing, and ln ratio as q_dsir (whose oracle it
+    // shares verbatim): the SQL surface tracks the DataFrame surface
+    "q_dsir_sql" -> ((s, dir) =>
+      s.sql(
+        raw"""WITH t AS (
+           |  SELECT doc_id, source,
+           |    filter(split(text, '\\s+'), x -> length(x) > 0) AS l
+           |  FROM parquet.`$dir/documents.parquet`),
+           |g AS (
+           |  SELECT doc_id, source,
+           |    explode(concat(l, transform(
+           |      slice(l, 1, greatest(size(l) - 1, 0)),
+           |      (x, i) -> concat(x, ' ', l[i + 1])))) AS gram
+           |  FROM t),
+           |bk AS (
+           |  SELECT doc_id, source,
+           |    pmod(CAST(conv(substring(md5(CAST(gram AS BINARY)), 1, 8),
+           |      16, 10) AS BIGINT), 256) AS b,
+           |    count(*) AS c
+           |  FROM g GROUP BY 1, 2, 3),
+           |raw AS (SELECT b, sum(c) AS cr FROM bk GROUP BY b),
+           |tgt AS (SELECT b, sum(c) AS ct FROM bk
+           |        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+           |        GROUP BY b),
+           |dim AS (SELECT raw.b AS b, cr, coalesce(ct, CAST(0 AS BIGINT)) AS ct
+           |        FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+           |tot AS (SELECT sum(cr) AS totr, sum(ct) AS tott FROM dim),
+           |llr AS (SELECT /*+ BROADCAST(tot) */ b,
+           |          ln(CAST(ct + 1 AS DOUBLE) / (tott + 256)) -
+           |          ln(CAST(cr + 1 AS DOUBLE) / (totr + 256)) AS llr
+           |        FROM dim CROSS JOIN tot)
+           |SELECT /*+ BROADCAST(llr) */ doc_id, sum(c) AS n_grams,
+           |  round(sum(c * llr), 4) AS dsir_score
+           |FROM bk JOIN llr USING (b)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 
-  // q_decontaminate_sql computes the identical audit table to
-  // q_decontaminate, so it shares that oracle verbatim.
+  // q_decontaminate_sql / q_dsir_sql compute tables identical to their
+  // DataFrame twins, so they share those oracles verbatim.
   val oracles: Seq[(String, String)] = {
     val base = declaredOracles
-    base ++ Seq("q_decontaminate_sql" -> base.toMap.apply("q_decontaminate"))
+    base ++ Seq(
+      "q_decontaminate_sql" -> base.toMap.apply("q_decontaminate"),
+      "q_dsir_sql" -> base.toMap.apply("q_dsir"))
   }
 
   private def declaredOracles: Seq[(String, String)] = Seq(

@@ -578,18 +578,43 @@ object Curation {
     */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
                  isTarget: Column, buckets: Int): DataFrame = {
+    val bucketed = dsirBucketed(docs, idCol, textCol, isTarget, buckets)
+    bucketed.join(broadcast(dsirDimPre(bucketed, buckets)), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_grams"),
+        round(sum(col("c") * col("_llr")), 4).as("dsir_score"))
+  }
+
+  /** The (id, target?, bucket, count) feature table both DSIR stages
+    * consume: unigrams + bigrams hashed into `buckets` md5 bins,
+    * reduced per document before anything joins.
+    */
+  private def dsirBucketed(docs: DataFrame, idCol: String, textCol: String,
+                           isTarget: Column, buckets: Int): DataFrame = {
     require(buckets > 1, s"buckets $buckets")
     val toks = docs.select(col(idCol).as("id"), isTarget.as("_t"),
       TextAnalytics.tokens(col(textCol)).as("_l"))
-    val grams = toks.select(col("id"), col("_t"),
-      explode(concat(col("_l"),
-        expr("transform(slice(_l, 1, greatest(size(_l) - 1, 0))," +
-          " (x, i) -> concat(x, ' ', _l[i + 1]))"))).as("gram"))
-    val bucketed = grams.select(col("id"), col("_t"),
-      pmod(conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10)
-        .cast("long"), lit(buckets.toLong)).as("b"))
+    toks.select(col("id"), col("_t"),
+        explode(concat(col("_l"),
+          expr("transform(slice(_l, 1, greatest(size(_l) - 1, 0))," +
+            " (x, i) -> concat(x, ' ', _l[i + 1]))"))).as("gram"))
+      .select(col("id"), col("_t"),
+        pmod(conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("b"))
       .groupBy(col("id"), col("_t"), col("b"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** The trained DSIR dimension: one (bucket, log-likelihood-ratio) row
+    * per bucket seen in the corpus — the `buckets`-bounded model the
+    * scoring join (and the streaming scorer) consumes.
+    */
+  def dsirDim(docs: DataFrame, idCol: String, textCol: String,
+              isTarget: Column, buckets: Int): DataFrame =
+    dsirDimPre(dsirBucketed(docs, idCol, textCol, isTarget, buckets),
+      buckets).withColumnRenamed("_llr", "llr")
+
+  private def dsirDimPre(bucketed: DataFrame, buckets: Int): DataFrame = {
     // bounded bucket dimensions: raw = every doc, target = the slice
     val rawDim = bucketed.groupBy(col("b")).agg(sum(col("c")).as("cr"))
     val tgtDim = bucketed.where(col("_t")).groupBy(col("b"))
@@ -597,14 +622,46 @@ object Curation {
     val dim = rawDim.join(tgtDim, Seq("b"), "left")
       .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
     val tot = dim.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
-    val llr = dim.crossJoin(broadcast(tot)) // one-row totals
+    dim.crossJoin(broadcast(tot)) // one-row totals
       .select(col("b"),
         (log((col("ct") + 1).cast("double") / (col("tott") + buckets)) -
           log((col("cr") + 1).cast("double") / (col("totr") + buckets)))
           .as("_llr"))
-    bucketed.join(broadcast(llr), Seq("b")) // buckets-row dimension
-      .groupBy(col("id"))
-      .agg(sum(col("c")).as("n_grams"),
-        round(sum(col("c") * col("_llr")), 4).as("dsir_score"))
+  }
+
+  /** Map-only DSIR scoring against a TRAINED model — the deployment
+    * shape: the `buckets`-bounded (bucket → llr) map rides the closure
+    * (it is codebook-sized, the [[Pq]] driver-side precedent), every
+    * arriving document folds its gram buckets through one `aggregate`
+    * expression, and nothing shuffles — which is what lets scoring lift
+    * to a zero-state stream ([[graft.streaming.Streams.dsirStream]]).
+    * Buckets never seen in training score `defaultLlr` (the add-1 floor
+    * ln((totr+B)/(tott+B)) of the training corpus).
+    *
+    * Returns (score, n_grams) columns as a 2-field struct.
+    */
+  def dsirScoreExpr(llr: Map[Long, Double], defaultLlr: Double,
+                    buckets: Int, textCol: Column): Column = {
+    require(buckets > 1, s"buckets $buckets")
+    require(llr.size <= buckets, s"llr has ${llr.size} entries > $buckets")
+    val m = typedLit(llr)
+    val toks = TextAnalytics.tokens(textCol)
+    // zip_with pads the shorter side with null, so the trailing
+    // (last-token, null) pair concats to null — filter drops it.
+    // (slice length must be the real tail size: an Int.MaxValue length
+    // overflows Slice's int end-index arithmetic into an empty array.)
+    val bigrams = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      g => g.isNotNull)
+    def scoreOf(arr: Column): Column = aggregate(
+      transform(arr, g => pmod(
+        conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))),
+      lit(0.0),
+      (acc, b) => acc + coalesce(element_at(m, b), lit(defaultLlr)))
+    struct(
+      round(scoreOf(toks) + scoreOf(bigrams), 4).as("score"),
+      (size(toks) + size(bigrams)).cast("long").as("n_grams"))
   }
 }

@@ -132,6 +132,24 @@ object Streams {
     graft.operators.Curation.gopherRules(docs, idCol, textCol, stopwords,
       minWords, maxWords)
 
+  /** DSIR scoring stream — the deployment shape of
+    * [[graft.operators.Curation.dsirScores]]: training happens in batch
+    * ([[graft.operators.Curation.dsirDim]], a buckets-bounded dimension
+    * collected driver-side like the PQ codebooks), and every arriving
+    * document is scored map-only against that model via one `aggregate`
+    * expression — zero state, no join, no shuffle, append mode. Batch
+    * scoring and this expression agree (StreamsSpec stream ≡ batch).
+    */
+  def dsirStream(docs: DataFrame, idCol: String, textCol: String,
+                 llr: Map[Long, Double], defaultLlr: Double,
+                 buckets: Int): DataFrame = {
+    val s = graft.operators.Curation.dsirScoreExpr(llr, defaultLlr,
+      buckets, col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      s.getField("n_grams").as("n_grams"),
+      s.getField("score").as("dsir_score"))
+  }
+
   /** Continuous incremental dedup — the streaming twin of
     * [[graft.operators.Dedup.incrementalNgramPairs]]: each arriving
     * document's n-gram shingles probe a STATIC standing-corpus shingle

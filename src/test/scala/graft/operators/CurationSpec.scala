@@ -485,4 +485,54 @@ class CurationSpec extends SparkSpec {
       score shouldBe expected(id) +- 1e-4
     }
   }
+
+  test("dsirScoreExpr (map-only model scoring) agrees with the scoring join and floors unseen buckets") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the rug", true),
+      (3L, "lorem ipsum dolor sit amet", false),
+      (4L, "ipsum lorem sit dolor blob", false))
+    val buckets = 64
+    val df = corpus.toDF("doc_id", "text", "is_t")
+    val dim = Curation.dsirDim(df, "doc_id", "text", col("is_t"), buckets)
+      .as[(Long, Double)].collect().toMap
+    def gramsOf(t: String): Seq[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val totR = corpus.map(c => gramsOf(c._2).size).sum
+    val totT = corpus.filter(_._3).map(c => gramsOf(c._2).size).sum
+    val default = math.log(totR + buckets.toDouble) -
+      math.log(totT + buckets.toDouble)
+
+    // on the training corpus every bucket is seen: expression ≡ join
+    val exprScored = df.select(col("doc_id"),
+        Curation.dsirScoreExpr(dim, default, buckets, col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_grams"), col("s.score"))
+      .as[(Long, Long, Double)].collect()
+    val joined = Curation.dsirScores(df, "doc_id", "text", col("is_t"), buckets)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    exprScored.foreach { case (id, n, score) =>
+      n shouldBe joined(id)._1
+      score shouldBe joined(id)._2 +- 2e-4
+    }
+
+    // a fresh doc scores via the model: seen buckets use the trained
+    // llr, unseen ones the add-1 floor — checked gram by gram
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).take(8), 16) % buckets
+    val freshText = "qqq www eee the cat"
+    val expected = gramsOf(freshText)
+      .map(g => dim.getOrElse(bucket(g), default)).sum
+    val Array((n, score)) = Seq((9L, freshText)).toDF("doc_id", "text")
+      .select(Curation.dsirScoreExpr(dim, default, buckets, col("text")).as("s"))
+      .select(col("s.n_grams"), col("s.score"))
+      .as[(Long, Double)].collect()
+    n shouldBe gramsOf(freshText).size.toLong
+    score shouldBe expected +- 1e-3
+  }
 }

@@ -202,6 +202,37 @@ class StreamsSpec extends SparkSpec {
     got shouldBe batch
   }
 
+  test("dsirStream: map-only scoring against a batch-trained model, stream equals batch") {
+    import StreamsSpec.Doc
+    import graft.operators.Curation
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the rug", true),
+      (3L, "lorem ipsum dolor sit amet", false),
+      (4L, "ipsum lorem sit dolor blob", false)).toDF("doc_id", "text", "is_t")
+    val buckets = 64
+    val dim = Curation.dsirDim(corpus, "doc_id", "text", col("is_t"), buckets)
+      .as[(Long, Double)].collect().toMap
+    // add-1 floor for buckets never seen in training: 40 raw grams
+    // (11 + 11 + 9 + 9 per-doc unigrams+bigrams), 22 of them target
+    val default = math.log(40 + buckets.toDouble) -
+      math.log(22 + buckets.toDouble)
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      dsirStream(df, "doc_id", "text", dim, default, buckets)
+    val docs = Seq(
+      Doc(ts(1), 10L, "the cat sat"),            // target dialect
+      Doc(ts(2), 11L, "zzz unseen words here"),  // floors to default
+      Doc(ts(3), 12L, ""))                       // no grams: score 0
+    val batch = run(docs.toDF())
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    batch.find(_._1 == 12L).get shouldBe ((12L, 0L, 0.0))
+    batch.find(_._1 == 10L).get._3 should be > batch.find(_._1 == 11L).get._3
+    val stream = MemoryStream[Doc]
+    val got = runStream(stream, run, docs, complete = false)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    got shouldBe batch
+  }
+
   test("incrementalDedupStream: stream equals batch plan AND the batch operator's new-vs-corpus pairs") {
     import StreamsSpec.Doc
     import graft.functions.{DedupExpr, TextAnalytics}
