@@ -396,6 +396,35 @@ private[graft] object StatsQueries {
           col("arm"), col("day_num"), col("cents"), tauSq = 10000.0)
         .withColumnRenamed("day", "day_num")
         .orderBy(col("day_num"))),
+
+    // Benjamini–Hochberg FDR over the pairwise Welch family: p from
+    // the ROUNDED t via the engine-portable A-S erf polynomial (both
+    // engines adjust identical 8-dp doubles), rank + reverse running
+    // min over the bounded pair table
+    "q_fdr_adjust" -> ((s, dir) => {
+      val welch = Stats.welchTTest(Tables.events(s, dir), col("event_type"),
+        expr("cast(round(value * 100) as bigint)"))
+      Stats.bhAdjust(
+          welch.select(col("g_a"), col("g_b"),
+            Stats.twoSidedNormP(col("t_stat")).as("p_raw")),
+          col("p_raw"), Seq(col("g_a"), col("g_b")))
+        .withColumn("significant", col("p_adj") < 0.05)
+        .select(col("g_a"), col("g_b"), col("p_raw"), col("rank"),
+          col("p_adj"), col("significant"))
+        .orderBy(col("g_a"), col("g_b"))
+    }),
+
+    // Kaplan–Meier retention curve over per-user HIGH-VALUE lifetimes
+    // (first to last ≥$80 event; 7-day censor margin): one user-keyed
+    // aggregate, then risk-set and log-survival windows over the
+    // bounded lifetime dimension
+    "q_survival" -> ((s, dir) =>
+      Stats.kaplanMeier(
+          Tables.events(s, dir).where(col("value").isNotNull &&
+            expr("cast(round(value * 100) as bigint)") >= 8000),
+          col("user_id"), expr("unix_micros(ts) div 86400000000"),
+          censorMarginDays = 7)
+        .orderBy(col("lifetime"))),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -508,6 +537,77 @@ private[graft] object StatsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
         |    AS p_always_valid
         |FROM p ORDER BY day_num""".stripMargin,
+
+    // p from the identical rounded t via the same A-S erf polynomial;
+    // BH rank + reverse running min over the bounded pair family
+    "q_fdr_adjust" ->
+      """WITH c0 AS (SELECT event_type AS g,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, sum(c) AS s,
+        |        sum(c * c) AS ss
+        |      FROM c0 GROUP BY 1 HAVING count(*) > 1),
+        |w AS (SELECT a.g AS g_a, b.g AS g_b,
+        |  round((a.s / a.n - b.s / b.n) /
+        |    sqrt((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n +
+        |         (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n), 4) AS t_stat
+        |  FROM g a JOIN g b ON a.g < b.g),
+        |px AS (SELECT g_a, g_b, abs(t_stat) / sqrt(2.0) AS x FROM w),
+        |pu AS (SELECT g_a, g_b, x, 1.0 / (1.0 + 0.3275911 * x) AS u
+        |       FROM px),
+        |pr AS (SELECT g_a, g_b,
+        |        round(((((1.061405429 * u - 1.453152027) * u +
+        |          1.421413741) * u - 0.284496736) * u + 0.254829592) * u *
+        |          exp(-(x * x)), 8) AS p_raw
+        |       FROM pu),
+        |rk AS (SELECT g_a, g_b, p_raw,
+        |        row_number() OVER (ORDER BY p_raw, g_a, g_b) AS rk,
+        |        CAST(count(*) OVER () AS DOUBLE) AS m
+        |       FROM pr),
+        |adj AS (SELECT g_a, g_b, p_raw, rk,
+        |        round(min(least(1.0, m * p_raw / rk)) OVER (
+        |          ORDER BY rk DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |          AS p_adj
+        |        FROM rk)
+        |SELECT g_a, g_b, p_raw, CAST(rk AS BIGINT) AS rank, p_adj,
+        |  p_adj < 0.05 AS significant
+        |FROM adj ORDER BY g_a, g_b""".stripMargin,
+
+    // identical lifetime dimension, reverse-cumulative risk set, and
+    // guarded log-survival tree
+    "q_survival" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |        (epoch_ns(ts)//1000) // 86400000000 AS d FROM events
+        |      WHERE value IS NOT NULL
+        |        AND CAST(round(value * 100) AS BIGINT) >= 8000),
+        |us AS (SELECT u, min(d) AS f, max(d) AS l FROM ev GROUP BY 1),
+        |h AS (SELECT max(d) AS hmax FROM ev),
+        |lt AS (SELECT l - f AS lifetime, (l <= hmax - 7) AS churned
+        |       FROM us CROSS JOIN h),
+        |dim AS (SELECT lifetime, count(*) AS n,
+        |        sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_churn
+        |        FROM lt GROUP BY 1),
+        |r AS (SELECT lifetime, n_churn,
+        |        sum(n) OVER (ORDER BY lifetime DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS n_risk
+        |      FROM dim),
+        |t AS (SELECT lifetime, n_churn, n_risk,
+        |        CASE WHEN n_churn >= n_risk THEN 0.0
+        |             ELSE ln(1.0 - CAST(n_churn AS DOUBLE) / n_risk)
+        |        END AS term,
+        |        CASE WHEN n_churn >= n_risk THEN 1 ELSE 0 END AS wipe
+        |      FROM r)
+        |SELECT lifetime, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_churn AS BIGINT) AS n_churn,
+        |  CASE WHEN max(wipe) OVER (ORDER BY lifetime
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |       THEN 0.0
+        |       ELSE round(exp(sum(term) OVER (ORDER BY lifetime
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |  END AS survival
+        |FROM t ORDER BY lifetime""".stripMargin,
 
     // exact oracle is valid because k=64 ≥ the 31-token vocabulary (MG
     // is exact when nothing is ever evicted)

@@ -732,4 +732,104 @@ object Stats {
       round(col("_delta") / 100.0, 4).as("delta"),
       round(min(col("_p")).over(wCum), 6).as("p_always_valid"))
   }
+
+  /** Two-sided normal-tail p-value 2·(1 − Φ(|z|)) via the
+    * Abramowitz–Stegun 7.1.26 erf polynomial (|err| < 1.5e-7): pure
+    * exp/multiply arithmetic, so ANY engine given the same literals
+    * computes the same doubles — the engine-portable route to p-values
+    * where neither Spark nor a SQL oracle has erf/Φ builtins. Rounded
+    * to 8 dp so downstream rank-based procedures ([[bhAdjust]]) order
+    * identically across engines.
+    */
+  def twoSidedNormP(zCol: Column): Column = {
+    val x = abs(zCol) / sqrt(lit(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * u - lit(1.453152027)) * u +
+      lit(1.421413741)) * u - lit(0.284496736)) * u + lit(0.254829592)) * u
+    round(poly * exp(-(x * x)), 8)
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a family of m tests
+    * (Benjamini & Hochberg 1995): rank the p-values ascending, raw
+    * candidate m·p/i, adjusted p = the running minimum of the
+    * candidates from the largest rank down (capped at 1) — the standard
+    * step-up procedure that controls the expected false-discovery rate
+    * when whole families of pairwise tests ([[welchTTest]]) are read at
+    * once.
+    *
+    * Scale shape: the input is a TEST table — a bounded family (pairs
+    * of groups, metrics × segments), never corpus rows — so the two
+    * unpartitioned windows (rank, reverse running min) run over a
+    * dimension; m comes from a one-row broadcast aggregate. Ties in p
+    * order by `tieCols` for determinism; tied p-values receive the same
+    * adjusted value under either order (they share the tail minimum).
+    *
+    * Returns the input columns plus rank and `p_adj` (round 6).
+    */
+  def bhAdjust(tests: DataFrame, pCol: Column,
+               tieCols: Seq[Column]): DataFrame = {
+    val m = tests.agg(count(lit(1)).cast("double").as("_m"))
+    val ranked = tests.crossJoin(broadcast(m)) // one-row family size
+      .withColumn("_rk",
+        row_number().over(Window.orderBy(pCol.asc +: tieCols.map(_.asc): _*)))
+    val wTail = Window.orderBy(col("_rk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("p_adj", round(
+        min(least(lit(1.0), col("_m") * pCol / col("_rk"))).over(wTail), 6))
+      .drop("_m")
+      .withColumnRenamed("_rk", "rank")
+  }
+
+  /** Kaplan–Meier survival curve over per-user lifetimes (Kaplan &
+    * Meier 1958) — the retention-analysis estimator that handles
+    * right-censoring correctly: users still active at the observation
+    * horizon leave the risk set without counting as churn. For each
+    * observed lifetime t: n_risk = users with lifetime ≥ t, d = churn
+    * events at t, S(t) = Π_{u ≤ t} (1 − d_u/n_u).
+    *
+    * Censoring rule: the global last observed day M is a one-row
+    * broadcast aggregate; a user whose last event is within
+    * `censorMarginDays` of M is censored (still alive as far as the
+    * data can tell), otherwise their lifetime ended in churn.
+    *
+    * Scale shape: one user-keyed aggregate (the only corpus-keyed
+    * shuffle), then a bounded LIFETIME dimension (≤ #days rows) carries
+    * the reverse-cumulative risk set and the cumulative log-survival —
+    * two sanctioned unpartitioned windows over an aggregate. The
+    * product is exp(Σ ln(1 − d/n)): identical double trees in any
+    * engine, and a level where d = n_risk sends survival to exactly 0.
+    *
+    * Returns per lifetime: n_risk, n_churn, survival (round 6).
+    */
+  def kaplanMeier(df: DataFrame, userCol: Column, dayCol: Column,
+                  censorMarginDays: Int): DataFrame = {
+    val ev = df.select(userCol.as("_u"), dayCol.cast("long").as("_d"))
+    val users = ev.groupBy(col("_u"))
+      .agg(min(col("_d")).as("_first"), max(col("_d")).as("_last"))
+    val horizon = ev.agg(max(col("_d")).as("_hmax"))
+    val lifetimes = users.crossJoin(broadcast(horizon)) // one-row bound
+      .select((col("_last") - col("_first")).as("lifetime"),
+        (col("_last") <= col("_hmax") - censorMarginDays).as("_churned"))
+      .groupBy(col("lifetime"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_churned"), 1L).otherwise(0L)).as("n_churn"))
+    val wRisk = Window.orderBy(col("lifetime").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSurv = Window.orderBy(col("lifetime").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a level where everyone at risk churns (only possible at the last
+    // level) zeroes survival via an explicit flag — ln(0) is an error
+    // in some engines, so it never reaches a log call
+    val wipeout = col("n_churn") >= col("n_risk")
+    val term = when(wipeout, lit(0.0)).otherwise(
+      log(lit(1.0) - col("n_churn").cast("double") / col("n_risk")))
+    lifetimes
+      .withColumn("n_risk", sum(col("_n")).over(wRisk))
+      .withColumn("survival",
+        when(max(when(wipeout, 1).otherwise(0)).over(wSurv) === 1, lit(0.0))
+          .otherwise(round(exp(sum(term).over(wSurv)), 6)))
+      .select(col("lifetime"), col("n_risk"), col("n_churn"),
+        col("survival"))
+  }
 }

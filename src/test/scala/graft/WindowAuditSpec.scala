@@ -48,6 +48,12 @@ class WindowAuditSpec extends SparkSpec {
       "q_gains",
       // mSPRT: cumulative sums + running-min p over the per-day arm
       // aggregate — the DAY dimension, never corpus rows
-      "q_sequential_test")
+      "q_sequential_test",
+      // BH: rank + reverse running min over the bounded pairwise-test
+      // family (welch's group-pair aggregate)
+      "q_fdr_adjust",
+      // Kaplan–Meier: risk-set and log-survival windows over the
+      // bounded per-lifetime aggregate
+      "q_survival")
   }
 }

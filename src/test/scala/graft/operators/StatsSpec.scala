@@ -524,4 +524,68 @@ class StatsSpec extends SparkSpec {
       row._5 shouldBe runMin +- 1e-5
     }
   }
+
+  test("twoSidedNormP matches known normal-tail values") {
+    val got = Seq(0.0, 1.959963984540054, 2.5758293035489004, 5.0)
+      .toDF("z")
+      .select(col("z"), Stats.twoSidedNormP(col("z")).as("p"))
+      .as[(Double, Double)].collect().toMap
+    got(0.0) shouldBe 1.0 +- 1e-6
+    got(1.959963984540054) shouldBe 0.05 +- 1e-6   // 95% two-sided
+    got(2.5758293035489004) shouldBe 0.01 +- 1e-6  // 99% two-sided
+    got(5.0) shouldBe 5.7e-7 +- 1e-7
+  }
+
+  test("bhAdjust implements the step-up running minimum") {
+    val tests = Seq(("a", 0.005), ("b", 0.011), ("c", 0.02),
+      ("d", 0.04), ("e", 0.05)).toDF("id", "p")
+    val got = Stats.bhAdjust(tests, col("p"), Seq(col("id")))
+      .select(col("id"), col("rank"), col("p_adj"))
+      .as[(String, Int, Double)].collect().sortBy(_._2).toSeq
+    // candidates m·p/i = .025, .0275, .0333…, .05, .05 → reverse min
+    got.map(_._1) shouldBe Seq("a", "b", "c", "d", "e")
+    got.map(_._3) shouldBe Seq(0.025, 0.0275, 0.033333, 0.05, 0.05)
+  }
+
+  test("bhAdjust: tied p-values share the tail minimum under either order") {
+    val tests = Seq(("a", 0.01), ("b", 0.01), ("c", 0.5)).toDF("id", "p")
+    val got = Stats.bhAdjust(tests, col("p"), Seq(col("id")))
+      .select(col("id"), col("p_adj")).as[(String, Double)].collect().toMap
+    got("a") shouldBe got("b") // m·p/2 = .015 flows back to rank 1
+    got("a") shouldBe 0.015 +- 1e-9
+  }
+
+  test("kaplanMeier matches the hand-computed curve with censoring") {
+    // users: churn at 10 (1), churn at 12 (2), censored at 28/30/30;
+    // horizon 30, margin 5 → churned iff last ≤ 25
+    val spans = Seq((1L, 0L, 10L), (2L, 0L, 12L), (3L, 0L, 12L),
+      (4L, 2L, 30L), (5L, 0L, 30L), (6L, 1L, 29L))
+    val ev = spans.flatMap { case (u, f, l) => Seq((u, f), (u, l)) }
+      .toDF("u", "d")
+    val got = Stats.kaplanMeier(ev, col("u"), col("d"), 5)
+      .orderBy("lifetime")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    got shouldBe Seq(
+      (10L, 6L, 1L, 0.833333),            // 5/6
+      (12L, 5L, 2L, 0.5),                 // 5/6 · 3/5
+      (28L, 3L, 0L, 0.5),                 // two censored users: no drop
+      (30L, 1L, 0L, 0.5))
+  }
+
+  test("kaplanMeier: a level where everyone at risk churns zeroes survival without ln(0)") {
+    // horizon 40 via a censored single-event straggler (lifetime 0);
+    // at lifetime 20 the whole remaining risk set churns → survival
+    // exactly 0 there, with no ln(0) evaluated on the way
+    val spans = Seq((1L, 0L, 10L), (2L, 0L, 10L), (3L, 0L, 20L),
+      (4L, 40L, 40L))
+    val ev = spans.flatMap { case (u, f, l) => Seq((u, f), (u, l)) }
+      .toDF("u", "d")
+    val got = Stats.kaplanMeier(ev, col("u"), col("d"), 5)
+      .orderBy("lifetime")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    got shouldBe Seq(
+      (0L, 4L, 0L, 1.0),
+      (10L, 3L, 2L, 0.333333),
+      (20L, 1L, 1L, 0.0))
+  }
 }
