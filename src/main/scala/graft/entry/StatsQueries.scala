@@ -428,18 +428,21 @@ private[graft] object StatsQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
-    // identical md5-uniform → Poisson inverse-CDF draw (shared literal
-    // thresholds), exact HUGEINT weighted sums, one double division per
-    // replicate, quantile_cont over the same replicate means
+    // identical per-row md5 seed → odd-multiplier 48-bit stream →
+    // Poisson inverse-CDF draw (shared literal thresholds), exact
+    // HUGEINT weighted sums, one double division per replicate,
+    // quantile_cont over the same replicate means
     "q_bootstrap_ci" ->
-      """WITH r0 AS (SELECT event_type, CAST(event_id AS VARCHAR) AS id,
+      """WITH r0 AS (SELECT event_type,
+        |        ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+        |          ::BIGINT AS h,
         |        CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
         |      FROM events WHERE value IS NOT NULL),
-        |rep AS (SELECT event_type, id, c, t.range AS r
+        |rep AS (SELECT event_type, h, c, t.range AS r
         |        FROM r0 CROSS JOIN range(0, 200) t),
         |u AS (SELECT event_type, r, c,
-        |        (('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)),
-        |          1, 12))::BIGINT + 1) / 281474976710656.0 AS u
+        |        ((h * (2 * r + 1)) % 281474976710656 + 1)
+        |          / 281474976710656.0 AS u
         |      FROM rep),
         |w AS (SELECT event_type, r, c,
         |        CAST(CASE WHEN u <= 0.36787944117144233 THEN 0

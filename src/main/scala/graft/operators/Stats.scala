@@ -570,12 +570,17 @@ object Stats {
     * same multinomial and is one map-side expression. The whole R-way
     * bootstrap is a single corpus pass.
     *
-    * Determinism contract: the weight of (row, replicate) is the
-    * Poisson(1) inverse CDF applied to the uniform u ∈ (0, 1] derived
-    * from md5(id ":" r) — the [[Sampling.md5Sample]] engine-portable
-    * hash contract; no RNG state, so re-runs and engines agree bit-wise
-    * (u = (hx + 1)/2^48 is exact in a double, and the CDF thresholds
-    * [[PoissonCdf]] are shared literals).
+    * Determinism contract: ONE md5 per row seeds a 48-bit value h (the
+    * [[Sampling.md5Sample]] engine-portable hash contract); replicate
+    * r's uniform is u = ((h·(2r+1)) mod 2^48 + 1)/2^48 — an odd
+    * multiplier is a bijection mod 2^48, so each replicate sees a
+    * uniform re-permutation of the row hashes. All arithmetic is exact
+    * int64 (h < 2^48, 2r+1 < 2^9 ⇒ products < 2^57), so any engine
+    * reproduces the draw bit-for-bit; the Poisson(1) inverse CDF
+    * thresholds [[PoissonCdf]] are shared literals. (Hashing (id, r)
+    * pairs directly costs R md5s per row — measured 45 s at sf0.1; the
+    * per-row seed + integer stream is the same map-only shape at ~one
+    * md5 per row.)
     *
     * Scale shape: map-only ×R expansion (R bounded) partial-aggregates
     * into (group, replicate) keys — |G|·R rows after the ONLY
@@ -590,19 +595,25 @@ object Stats {
   def poissonBootstrap(df: DataFrame, groupCol: Column, idCol: Column,
                        centsCol: Column, replicates: Int): DataFrame = {
     require(replicates > 1, s"replicates $replicates")
-    val rows = df.select(groupCol.as("g"), idCol.cast("string").as("_id"),
-      centsCol.cast("decimal(38,0)").as("_c"))
-    val rep = rows.select(col("g"), col("_id"), col("_c"),
+    require(replicates <= 256, s"replicates $replicates (2r+1 must stay " +
+      "small enough that h·(2r+1) is exact int64: r < 2^15)")
+    val rows = df.select(groupCol.as("g"),
+      conv(substring(md5(idCol.cast("string").cast("binary")), 1, 12),
+        16, 10).cast("long").as("_h"), // one md5 per ROW, 48 bits
+      centsCol.cast("long").as("_c"))
+    val rep = rows.select(col("g"), col("_h"), col("_c"),
       explode(sequence(lit(0), lit(replicates - 1))).as("r"))
-    val hx = conv(substring(md5(
-      concat(col("_id"), lit(":"), col("r").cast("string")).cast("binary")),
-      1, 12), 16, 10).cast("long")
-    val u = (hx + 1).cast("double") / lit(281474976710656.0) // 2^48
-    val w = PoissonCdf.zipWithIndex.foldRight(lit(7): Column) {
-      case ((t, k), els) => when(u <= t, lit(k)).otherwise(els)
-    }.cast("decimal(38,0)")
+    val u = ((col("_h") * (col("r") * 2 + 1)) % lit(281474976710656L) + 1)
+      .cast("double") / lit(281474976710656.0) // 2^48
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(7L): Column) {
+      case ((t, k), els) => when(u <= t, lit(k.toLong)).otherwise(els)
+    }
+    // per-row products stay long (w ≤ 7 adds 3 bits to cents); only the
+    // cross-row SUM needs decimal(38,0) exactness
     val perRep = rep
-      .select(col("g"), col("r"), (w * col("_c")).as("_wc"), w.as("_w"))
+      .select(col("g"), col("r"),
+        (w * col("_c")).cast("decimal(38,0)").as("_wc"),
+        w.cast("decimal(38,0)").as("_w"))
       .groupBy(col("g"), col("r"))
       .agg(sum(col("_wc")).cast("double").as("swc"),
         sum(col("_w")).cast("double").as("sw"))
@@ -610,7 +621,8 @@ object Stats {
       .select(col("g"), (col("swc") / col("sw")).as("m"))
     val point = rows.groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
-        (sum(col("_c")).cast("double") / count(lit(1))).as("_mean"))
+        (sum(col("_c").cast("decimal(38,0)")).cast("double") /
+          count(lit(1))).as("_mean"))
     perRep.groupBy(col("g"))
       .agg(percentile(col("m"), lit(0.025)).as("_lo"),
         percentile(col("m"), lit(0.975)).as("_hi"),

@@ -385,7 +385,8 @@ class StatsSpec extends SparkSpec {
       .as[(String, Long, Double, Double, Double, Double)].collect()
 
     def weight(id: Long, r: Int): Long = {
-      val u = (java.lang.Long.parseLong(md5hex(s"$id:$r").take(12), 16) + 1)
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(12), 16)
+      val u = ((h * (2L * r + 1)) % 281474976710656L + 1)
         .toDouble / 281474976710656.0
       val k = Stats.PoissonCdf.indexWhere(u <= _)
       if (k < 0) 7L else k.toLong
