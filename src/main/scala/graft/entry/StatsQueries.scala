@@ -364,7 +364,7 @@ private[graft] object StatsQueries {
       Stats.poissonBootstrap(
           Tables.events(s, dir).where(col("value").isNotNull),
           col("event_type"), col("event_id"),
-          expr("cast(round(value * 100) as bigint)"), replicates = 200)
+          expr("cast(round(value * 100) as bigint)"), replicates = 100)
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"))),
 
@@ -439,7 +439,7 @@ private[graft] object StatsQueries {
         |        CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
         |      FROM events WHERE value IS NOT NULL),
         |rep AS (SELECT event_type, h, c, t.range AS r
-        |        FROM r0 CROSS JOIN range(0, 200) t),
+        |        FROM r0 CROSS JOIN range(0, 100) t),
         |u AS (SELECT event_type, r, c,
         |        ((h * (2 * r + 1)) % 281474976710656 + 1)
         |          / 281474976710656.0 AS u
