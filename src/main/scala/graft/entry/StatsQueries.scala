@@ -414,6 +414,26 @@ private[graft] object StatsQueries {
         .orderBy(col("g_a"), col("g_b"))
     }),
 
+    // Mann–Whitney U rank-sum (click vs error cents): value-dimension
+    // reduction, one sanctioned below-count window, exact integer
+    // 2·R_A / tie sums, tie-corrected normal z + A-S p
+    "q_mann_whitney" -> ((s, dir) =>
+      Stats.mannWhitney(Tables.events(s, dir), col("event_type"),
+        expr("cast(round(value * 100) as bigint)"), "click", "error")),
+
+    // Two-proportion z + Wilson intervals: unit = user, conversion =
+    // any HIGH-VALUE (≥$90) purchase, arms by user parity; 1×1
+    // broadcast join
+    "q_proportion_test" -> ((s, dir) => {
+      val units = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            expr("cast(round(value * 100) as bigint)") >= 9000, 1L)
+          .otherwise(0L)).as("_conv"))
+        .select((col("user_id") % 2).as("arm"), (col("_conv") === 1L).as("converted"))
+      Stats.proportionTest(units, col("arm"), col("converted"))
+    }),
+
     // Kaplan–Meier retention curve over per-user HIGH-VALUE lifetimes
     // (first to last ≥$80 event; 7-day censor margin): one user-keyed
     // aggregate, then risk-set and log-survival windows over the
@@ -576,6 +596,101 @@ private[graft] object StatsQueries {
         |SELECT g_a, g_b, p_raw, CAST(rk AS BIGINT) AS rank, p_adj,
         |  p_adj < 0.05 AS significant
         |FROM adj ORDER BY g_a, g_b""".stripMargin,
+
+    // identical value-dimension rank reduction (integer 2·R_A and tie
+    // sums in HUGEINT), the same z tree, and the shared A-S polynomial
+    "q_mann_whitney" ->
+      """WITH v AS (SELECT event_type AS g,
+        |        CAST(round(value * 100) AS BIGINT) AS v
+        |      FROM events WHERE value IS NOT NULL
+        |        AND event_type IN ('click', 'error')),
+        |dim AS (SELECT v, count(*) AS ct,
+        |        sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca
+        |      FROM v GROUP BY 1),
+        |c AS (SELECT v, ct, ca,
+        |        sum(ct) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct
+        |          AS below
+        |      FROM dim),
+        |a AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+        |        CAST(sum(ct - ca) AS DOUBLE) AS nb,
+        |        CAST(sum(CAST(ca AS HUGEINT) *
+        |          (CAST(below AS HUGEINT) * 2 + ct + 1)) AS DOUBLE) AS r2a,
+        |        CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS DOUBLE)
+        |          AS ties
+        |      FROM c HAVING sum(ca) > 0 AND sum(ct - ca) > 0),
+        |f AS (SELECT na, nb,
+        |        r2a / 2 - na * (na + 1) / 2 AS u,
+        |        na * nb / 2 AS mu,
+        |        na * nb / 12 * ((na + nb + 1) -
+        |          ties / ((na + nb) * (na + nb - 1))) AS s2
+        |      FROM a),
+        |zt AS (SELECT na, nb, u,
+        |        round((u - mu) / sqrt(s2), 4) AS z
+        |      FROM f WHERE s2 > 0),
+        |px AS (SELECT na, nb, u, z, abs(z) / sqrt(2.0) AS x FROM zt),
+        |pu AS (SELECT na, nb, u, z, x,
+        |        1.0 / (1.0 + 0.3275911 * x) AS uu FROM px)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  u AS u_stat, z,
+        |  round(((((1.061405429 * uu - 1.453152027) * uu +
+        |    1.421413741) * uu - 0.284496736) * uu + 0.254829592) * uu *
+        |    exp(-(x * x)), 8) AS p_value
+        |FROM pu""".stripMargin,
+
+    // identical unit conversion aggregate, pooled z, Wilson trees, and
+    // the shared A-S polynomial on the rounded z
+    "q_proportion_test" ->
+      """WITH un AS (SELECT user_id % 2 AS arm,
+        |        max(CASE WHEN event_type = 'purchase'
+        |              AND CAST(round(value * 100) AS BIGINT) >= 9000
+        |            THEN 1 ELSE 0 END) AS conv
+        |      FROM events GROUP BY user_id),
+        |g AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(conv) AS DOUBLE) AS x FROM un GROUP BY 1),
+        |ab AS (SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+        |       FROM (SELECT n, x FROM g WHERE arm = 0) a
+        |       CROSS JOIN (SELECT n, x FROM g WHERE arm <> 0) b
+        |       WHERE a.n > 0 AND b.n > 0 AND (a.x + b.x) > 0
+        |         AND (a.x + b.x) < (a.n + b.n)),
+        |zt AS (SELECT n_a, x_a, n_b, x_b,
+        |        x_a / n_a AS p1, x_b / n_b AS p2,
+        |        round((x_a / n_a - x_b / n_b) /
+        |          sqrt((x_a + x_b) / (n_a + n_b) *
+        |            (1.0 - (x_a + x_b) / (n_a + n_b)) *
+        |            (1.0 / n_a + 1.0 / n_b)), 4) AS z
+        |       FROM ab),
+        |px AS (SELECT *, abs(z) / sqrt(2.0) AS xx FROM zt),
+        |pu AS (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS uu FROM px)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+        |  round(p1, 6) AS rate_a,
+        |  round((p1 + 1.959963984540054 * 1.959963984540054 / (n_a * 2) -
+        |    1.959963984540054 * sqrt(p1 * (1.0 - p1) / n_a +
+        |      1.959963984540054 * 1.959963984540054 / (n_a * n_a * 4))) /
+        |    (1.0 + 1.959963984540054 * 1.959963984540054 / n_a), 6)
+        |    AS wilson_lo_a,
+        |  round((p1 + 1.959963984540054 * 1.959963984540054 / (n_a * 2) +
+        |    1.959963984540054 * sqrt(p1 * (1.0 - p1) / n_a +
+        |      1.959963984540054 * 1.959963984540054 / (n_a * n_a * 4))) /
+        |    (1.0 + 1.959963984540054 * 1.959963984540054 / n_a), 6)
+        |    AS wilson_hi_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+        |  round(p2, 6) AS rate_b,
+        |  round((p2 + 1.959963984540054 * 1.959963984540054 / (n_b * 2) -
+        |    1.959963984540054 * sqrt(p2 * (1.0 - p2) / n_b +
+        |      1.959963984540054 * 1.959963984540054 / (n_b * n_b * 4))) /
+        |    (1.0 + 1.959963984540054 * 1.959963984540054 / n_b), 6)
+        |    AS wilson_lo_b,
+        |  round((p2 + 1.959963984540054 * 1.959963984540054 / (n_b * 2) +
+        |    1.959963984540054 * sqrt(p2 * (1.0 - p2) / n_b +
+        |      1.959963984540054 * 1.959963984540054 / (n_b * n_b * 4))) /
+        |    (1.0 + 1.959963984540054 * 1.959963984540054 / n_b), 6)
+        |    AS wilson_hi_b,
+        |  z,
+        |  round(((((1.061405429 * uu - 1.453152027) * uu +
+        |    1.421413741) * uu - 0.284496736) * uu + 0.254829592) * uu *
+        |    exp(-(xx * xx)), 8) AS p_value
+        |FROM pu""".stripMargin,
 
     // identical lifetime dimension, reverse-cumulative risk set, and
     // guarded log-survival tree

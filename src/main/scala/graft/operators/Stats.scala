@@ -745,6 +745,105 @@ object Stats {
       round(min(col("_p")).over(wCum), 6).as("p_always_valid"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    * rank-based alternative [[welchTTest]] needs when means are the
+    * wrong summary (heavy tails, outliers): U counts cross-group wins,
+    * compared against its null mean with the tie-corrected normal
+    * approximation. Everything reduces to the VALUE dimension first:
+    * per-value total and group-A counts, one ordered window for the
+    * below-count, then exact integer identities — 2·R_A accumulates as
+    * Σ c_A·(2·below + ct + 1) in decimal(38,0) (average ranks are
+    * half-integers, so doubling keeps them integer), and the tie term
+    * Σ(t³ − t) likewise; one final double expression tree computes U,
+    * z (round 4) and the [[twoSidedNormP]] p-value.
+    *
+    * Scale shape: one value-keyed aggregate (the only corpus-keyed
+    * shuffle), one sanctioned unpartitioned window over the bounded
+    * value dimension, one single-row reduction.
+    */
+  def mannWhitney(df: DataFrame, groupCol: Column, centsCol: Column,
+                  gA: String, gB: String): DataFrame = {
+    val v = df.select(groupCol.as("_g"), centsCol.cast("long").as("_v"))
+      .where(col("_g") === gA || col("_g") === gB)
+      .where(col("_v").isNotNull)
+    val dim = v.groupBy(col("_v")).agg(
+      count(lit(1)).as("_ct"),
+      sum(when(col("_g") === gA, 1L).otherwise(0L)).as("_ca"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dim
+      .withColumn("_below", sum(col("_ct")).over(w) - col("_ct"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val agg = cum.agg(
+      sum(dec(col("_ca"))).cast("double").as("na"),
+      sum(dec(col("_ct") - col("_ca"))).cast("double").as("nb"),
+      sum(dec(col("_ca")) *
+        (dec(col("_below")) * 2 + dec(col("_ct")) + 1))
+        .cast("double").as("r2a"),
+      sum(dec(col("_ct")) * dec(col("_ct")) * dec(col("_ct")) -
+        dec(col("_ct"))).cast("double").as("ties"))
+      .where(col("na") > 0 && col("nb") > 0)
+    val n = col("na") + col("nb")
+    val u = col("r2a") / 2 - col("na") * (col("na") + 1) / 2
+    val mu = col("na") * col("nb") / 2
+    val sigma2 = col("na") * col("nb") / 12 *
+      ((n + 1) - col("ties") / (n * (n - 1)))
+    val z = round((u - mu) / sqrt(sigma2), 4)
+    agg.where(sigma2 > 0)
+      .select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        u.as("u_stat"), z.as("z"),
+        twoSidedNormP(z).as("p_value"))
+  }
+
+  /** Two-proportion z-test with per-arm Wilson 95% intervals — the
+    * conversion-rate experiment readout: pooled-variance z for the
+    * difference, and the score interval (which behaves at small n and
+    * extreme rates where the Wald interval collapses) for each arm.
+    * One unit-keyed aggregate to (arm, n, x); the two-arm join is a
+    * 1-row × 1-row broadcast; p via [[twoSidedNormP]] on the rounded z.
+    */
+  def proportionTest(units: DataFrame, armCol: Column,
+                     convertedCol: Column): DataFrame = {
+    val g = units.groupBy(armCol.as("_arm")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(when(convertedCol, 1L).otherwise(0L)).cast("double").as("x"))
+    val a = g.where(col("_arm") === 0)
+      .select(col("n").as("n_a"), col("x").as("x_a"))
+    val b = g.where(col("_arm") =!= 0)
+      .select(col("n").as("n_b"), col("x").as("x_b"))
+    val z0 = lit(1.959963984540054)
+    def wilson(x: Column, n: Column): (Column, Column) = {
+      val ph = x / n
+      val denom = lit(1.0) + z0 * z0 / n
+      val center = ph + z0 * z0 / (n * 2)
+      val rad = z0 * sqrt(ph * (lit(1.0) - ph) / n +
+        z0 * z0 / (n * n * 4))
+      ((center - rad) / denom, (center + rad) / denom)
+    }
+    val p1 = col("x_a") / col("n_a")
+    val p2 = col("x_b") / col("n_b")
+    val pp = (col("x_a") + col("x_b")) / (col("n_a") + col("n_b"))
+    val z = round((p1 - p2) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)
+    val (loA, hiA) = wilson(col("x_a"), col("n_a"))
+    val (loB, hiB) = wilson(col("x_b"), col("n_b"))
+    a.crossJoin(broadcast(b)) // one row × one row
+      .where(col("n_a") > 0 && col("n_b") > 0 &&
+        (col("x_a") + col("x_b")) > 0 &&
+        (col("x_a") + col("x_b")) < (col("n_a") + col("n_b")))
+      .select(col("n_a").cast("long").as("n_a"),
+        col("x_a").cast("long").as("x_a"),
+        round(p1, 6).as("rate_a"),
+        round(loA, 6).as("wilson_lo_a"), round(hiA, 6).as("wilson_hi_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("x_b").cast("long").as("x_b"),
+        round(p2, 6).as("rate_b"),
+        round(loB, 6).as("wilson_lo_b"), round(hiB, 6).as("wilson_hi_b"),
+        z.as("z"), twoSidedNormP(z).as("p_value"))
+  }
+
   /** Two-sided normal-tail p-value 2·(1 − Φ(|z|)) via the
     * Abramowitz–Stegun 7.1.26 erf polynomial (|err| < 1.5e-7): pure
     * exp/multiply arithmetic, so ANY engine given the same literals

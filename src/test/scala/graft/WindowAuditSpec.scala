@@ -54,6 +54,9 @@ class WindowAuditSpec extends SparkSpec {
       "q_fdr_adjust",
       // Kaplan–Meier: risk-set and log-survival windows over the
       // bounded per-lifetime aggregate
-      "q_survival")
+      "q_survival",
+      // Mann–Whitney: the below-count window over the per-value
+      // aggregate — the KS/value-dimension construction
+      "q_mann_whitney")
   }
 }

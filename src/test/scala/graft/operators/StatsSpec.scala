@@ -526,6 +526,78 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("mannWhitney: U equals the pairwise win count (ties = half-wins)") {
+    // heavy-tailed fixture with ties across and within groups
+    val rows = Seq(
+      ("a", 10L), ("a", 12L), ("a", 12L), ("a", 100L), ("a", 5L),
+      ("b", 11L), ("b", 12L), ("b", 3L), ("b", 12L), ("b", 7L), ("b", 9L))
+    val Array((na, nb, u, z, p)) =
+      Stats.mannWhitney(rows.toDF("g", "v"), col("g"), col("v"), "a", "b")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val as = rows.filter(_._1 == "a").map(_._2)
+    val bs = rows.filter(_._1 == "b").map(_._2)
+    val uRef = (for { x <- as; y <- bs } yield
+      if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum
+    na shouldBe as.size.toLong
+    nb shouldBe bs.size.toLong
+    u shouldBe uRef
+    p should (be >= 0.0 and be <= 1.0)
+    // identical samples → U = n²/2, z = 0, p = 1
+    val same = (1 to 8).flatMap(i => Seq(("a", i.toLong), ("b", i.toLong)))
+    val Array((_, _, u2, z2, p2)) =
+      Stats.mannWhitney(same.toDF("g", "v"), col("g"), col("v"), "a", "b")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    u2 shouldBe 32.0 // 8·8/2
+    z2 shouldBe 0.0
+    p2 shouldBe 1.0 +- 1e-6
+  }
+
+  test("mannWhitney matches the tie-corrected normal approximation") {
+    val rows = (1 to 60).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i * 7 % 23 + (i % 2) * 5).toLong))
+    val Array((na, nb, u, z, _)) =
+      Stats.mannWhitney(rows.toDF("g", "v"), col("g"), col("v"), "a", "b")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val n = (na + nb).toDouble
+    val ties = rows.map(_._2).groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val mu = na * nb / 2.0
+    val s2 = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z shouldBe (u - mu) / math.sqrt(s2) +- 1e-4
+  }
+
+  test("proportionTest: rates, Wilson bounds, and z match the textbook formulas") {
+    val units = (1 to 200).map { i =>
+      val arm = i % 2L
+      // arm 0 converts 30%, arm 1 converts 50% (index within the arm,
+      // not i itself — parity makes i's own last digit always even/odd)
+      val j = i / 2
+      (arm, if (arm == 0L) j % 10 < 3 else j % 10 < 5)
+    }
+    val Array(r) = Stats.proportionTest(units.toDF("arm", "conv"),
+        col("arm"), col("conv"))
+      .as[(Long, Long, Double, Double, Double, Long, Long, Double, Double,
+        Double, Double, Double)].collect()
+    val (nA, xA, rateA, loA, hiA, nB, xB, rateB, _, _, z, p) = r
+    nA shouldBe 100L; xA shouldBe 30L; rateA shouldBe 0.3
+    nB shouldBe 100L; xB shouldBe 50L; rateB shouldBe 0.5
+    def wilson(x: Double, n: Double): (Double, Double) = {
+      val z0 = 1.959963984540054
+      val ph = x / n
+      val c = ph + z0 * z0 / (2 * n)
+      val rad = z0 * math.sqrt(ph * (1 - ph) / n + z0 * z0 / (4 * n * n))
+      val d = 1 + z0 * z0 / n
+      ((c - rad) / d, (c + rad) / d)
+    }
+    val (wl, wh) = wilson(30, 100)
+    loA shouldBe wl +- 1e-5
+    hiA shouldBe wh +- 1e-5
+    val pp = (30.0 + 50) / 200
+    val zRef = (0.3 - 0.5) / math.sqrt(pp * (1 - pp) * (1 / 100.0 + 1 / 100.0))
+    z shouldBe zRef +- 1e-3
+    p should be < 0.05 // 30% vs 50% at n=100/arm is decisive
+  }
+
   test("twoSidedNormP matches known normal-tail values") {
     val got = Seq(0.0, 1.959963984540054, 2.5758293035489004, 5.0)
       .toDF("z")
