@@ -638,28 +638,33 @@ private[graft] object StatsQueries {
         |    exp(-(x * x)), 8) AS p_value
         |FROM pu""".stripMargin,
 
-    // identical unit conversion aggregate, pooled z, Wilson trees, and
-    // the shared A-S polynomial on the rounded z
+    // identical unit conversion aggregate (both arms in one global
+    // row), pooled z, Wilson trees, and the shared A-S polynomial
     "q_proportion_test" ->
       """WITH un AS (SELECT user_id % 2 AS arm,
         |        max(CASE WHEN event_type = 'purchase'
         |              AND CAST(round(value * 100) AS BIGINT) >= 9000
         |            THEN 1 ELSE 0 END) AS conv
         |      FROM events GROUP BY user_id),
-        |g AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n,
-        |        CAST(sum(conv) AS DOUBLE) AS x FROM un GROUP BY 1),
-        |ab AS (SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
-        |       FROM (SELECT n, x FROM g WHERE arm = 0) a
-        |       CROSS JOIN (SELECT n, x FROM g WHERE arm <> 0) b
-        |       WHERE a.n > 0 AND b.n > 0 AND (a.x + b.x) > 0
-        |         AND (a.x + b.x) < (a.n + b.n)),
+        |ab AS (SELECT
+        |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |          AS n_a,
+        |        CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS DOUBLE)
+        |          AS x_a,
+        |        CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |          AS n_b,
+        |        CAST(sum(CASE WHEN arm <> 0 THEN conv ELSE 0 END) AS DOUBLE)
+        |          AS x_b
+        |       FROM un),
         |zt AS (SELECT n_a, x_a, n_b, x_b,
         |        x_a / n_a AS p1, x_b / n_b AS p2,
         |        round((x_a / n_a - x_b / n_b) /
         |          sqrt((x_a + x_b) / (n_a + n_b) *
         |            (1.0 - (x_a + x_b) / (n_a + n_b)) *
         |            (1.0 / n_a + 1.0 / n_b)), 4) AS z
-        |       FROM ab),
+        |       FROM ab
+        |       WHERE n_a > 0 AND n_b > 0 AND (x_a + x_b) > 0
+        |         AND (x_a + x_b) < (n_a + n_b)),
         |px AS (SELECT *, abs(z) / sqrt(2.0) AS xx FROM zt),
         |pu AS (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS uu FROM px)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,

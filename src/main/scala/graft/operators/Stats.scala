@@ -800,18 +800,20 @@ object Stats {
     * conversion-rate experiment readout: pooled-variance z for the
     * difference, and the score interval (which behaves at small n and
     * extreme rates where the Wald interval collapses) for each arm.
-    * One unit-keyed aggregate to (arm, n, x); the two-arm join is a
-    * 1-row × 1-row broadcast; p via [[twoSidedNormP]] on the rounded z.
+    * One unit-keyed aggregate folds both arms into a single global row
+    * (no join of any kind); p via [[twoSidedNormP]] on the rounded z.
     */
   def proportionTest(units: DataFrame, armCol: Column,
                      convertedCol: Column): DataFrame = {
-    val g = units.groupBy(armCol.as("_arm")).agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(when(convertedCol, 1L).otherwise(0L)).cast("double").as("x"))
-    val a = g.where(col("_arm") === 0)
-      .select(col("n").as("n_a"), col("x").as("x_a"))
-    val b = g.where(col("_arm") =!= 0)
-      .select(col("n").as("n_b"), col("x").as("x_b"))
+    // both arms fold into ONE global aggregate row — no join of any
+    // kind, the leanest possible plan for a 2×2 table
+    val ab = units.select(armCol.as("_arm"),
+        when(convertedCol, 1L).otherwise(0L).as("_cv"))
+      .agg(
+        sum(when(col("_arm") === 0, 1L).otherwise(0L)).cast("double").as("n_a"),
+        sum(when(col("_arm") === 0, col("_cv")).otherwise(0L)).cast("double").as("x_a"),
+        sum(when(col("_arm") =!= 0, 1L).otherwise(0L)).cast("double").as("n_b"),
+        sum(when(col("_arm") =!= 0, col("_cv")).otherwise(0L)).cast("double").as("x_b"))
     val z0 = lit(1.959963984540054)
     def wilson(x: Column, n: Column): (Column, Column) = {
       val ph = x / n
@@ -829,8 +831,7 @@ object Stats {
         (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)
     val (loA, hiA) = wilson(col("x_a"), col("n_a"))
     val (loB, hiB) = wilson(col("x_b"), col("n_b"))
-    a.crossJoin(broadcast(b)) // one row × one row
-      .where(col("n_a") > 0 && col("n_b") > 0 &&
+    ab.where(col("n_a") > 0 && col("n_b") > 0 &&
         (col("x_a") + col("x_b")) > 0 &&
         (col("x_a") + col("x_b")) < (col("n_a") + col("n_b")))
       .select(col("n_a").cast("long").as("n_a"),

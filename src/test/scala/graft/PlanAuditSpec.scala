@@ -79,5 +79,8 @@ class PlanAuditSpec extends SparkSpec {
     // query batch (5 probe vectors) × centroid table (numCentroids = 16
     // rows from the IVF build): both dimensions of the probe assignment,
     // corpus never enters the nested loop (it joins on cluster_id)
-    "q_ivf_topk")
+    "q_ivf_topk",
+    // the FDR family IS the welch pair table: the same group-aggregate ×
+    // group-aggregate g_a < g_b join, one row per event_type per side
+    "q_fdr_adjust")
 }

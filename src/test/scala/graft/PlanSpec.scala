@@ -370,4 +370,37 @@ class PlanSpec extends SparkSpec {
     (p should not).include("HashAggregate")
     "Exchange".r.findAllIn(p).size shouldBe 1 // the presentation sort only
   }
+
+  test("q_bootstrap_ci: map-side replicate expansion, keyed aggregates, broadcast point join") {
+    // the ×R expansion is a Generate (explode) feeding partial
+    // aggregation — never a join against a replicate table — and the
+    // point-estimate table joins back by broadcast
+    val p = planOf("q_bootstrap_ci")
+    p should include("Generate explode")
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_dsir: bucket dimensions join by broadcast — grams never meet a shuffle join") {
+    val p = planOf("q_dsir")
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 2
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_mann_whitney: value-dimension reduction — no join anywhere") {
+    val p = planOf("q_mann_whitney")
+    (p should not).include("Join")
+    p should include("windowspecdefinition")
+  }
+
+  test("q_survival and q_sequential_test: dimension windows, no shuffle joins") {
+    Seq("q_survival", "q_sequential_test").foreach { q =>
+      val p = planOf(q)
+      p should include("windowspecdefinition")
+      (p should not).include("SortMergeJoin")
+      (p should not).include("CartesianProduct")
+    }
+  }
 }
