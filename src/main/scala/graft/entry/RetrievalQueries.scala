@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Intervals, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
+import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Intervals, Ivf, Packing, Pca, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
 import graft.functions.{DedupExpr, TextAnalytics}
 import graft.EntryContext._
 
@@ -178,6 +178,20 @@ private[graft] object RetrievalQueries {
           round(Similarity.l2Norm(Similarity.asDouble(col("embedding"))), 6).as("l2_norm"),
           size(col("embedding")).cast("long").as("dim"))
         .orderBy(col("vec_id"))),
+
+    // Distributed covariance of the embedding space (upper triangle):
+    // map-side d(d+1)/2 product expansion, partial-aggregated into the
+    // d²-key dimension — the ONLY shuffle; means join back broadcast
+    "q_pca_covariance" -> ((s, dir) =>
+      Pca.covarianceUpper(Tables.embeddings(s, dir), col("embedding"))
+        .orderBy(col("i"), col("j"))),
+
+    // PCA explained variance: the distributed covariance feeds a
+    // deterministic driver-side cyclic Jacobi eigensolve (require-capped
+    // d ≤ 256, the PQ-codebook precedent); top-8 components
+    "q_pca_variance" -> ((s, dir) =>
+      Pca.explainedVariance(Tables.embeddings(s, dir), col("embedding"), 8)
+        .orderBy(col("component"))),
 
     "q_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -523,6 +537,30 @@ private[graft] object RetrievalQueries {
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))),6) AS l2_norm,
         |  cast(len(embedding) AS BIGINT) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // identical float→double widening before the product, the same
+    // Σxᵢxⱼ/n − μᵢμⱼ tree; 1-based range subscripts shift to 0-based
+    // (the q_cross_source list-index precedent — no WITH ORDINALITY)
+    "q_pca_covariance" ->
+      """WITH p AS (
+        |  SELECT unnest(flatten(list_transform(
+        |      range(1, len(embedding) + 1), i ->
+        |    list_transform(range(i, len(embedding) + 1), j ->
+        |      {'i': i - 1, 'j': j - 1,
+        |       'p': CAST(embedding[i] AS DOUBLE) *
+        |            CAST(embedding[j] AS DOUBLE)})))) AS t
+        |  FROM embeddings),
+        |s AS (SELECT t.i AS i, t.j AS j, sum(t.p) AS sp FROM p GROUP BY 1, 2),
+        |m AS (
+        |  SELECT unnest(list_transform(range(1, len(embedding) + 1), i ->
+        |    {'i': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+        |  FROM embeddings),
+        |m2 AS (SELECT u.i AS i, sum(u.x) AS sx, CAST(count(*) AS DOUBLE) AS n
+        |       FROM m GROUP BY 1)
+        |SELECT s.i, s.j,
+        |  round(sp / ma.n - (ma.sx / ma.n) * (mb.sx / ma.n), 6) + 0.0 AS cov
+        |FROM s JOIN m2 ma ON s.i = ma.i JOIN m2 mb ON s.j = mb.i
+        |ORDER BY s.i, s.j""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over embedding columns — the whitening / dimension-
+  * reduction step an embedding pipeline runs before PQ codebooks or
+  * ANN indexing (decorrelated, variance-balanced dimensions quantize
+  * measurably better). The heavy part — the covariance matrix — is
+  * fully distributed; the d×d eigenproblem is driver-side plain Scala
+  * on a require()-capped matrix, the [[Pq]] codebook precedent.
+  *
+  * Scale shape: every row expands map-side to its d(d+1)/2 upper-
+  * triangle products (codegen'd higher-order functions, no join), and
+  * partial aggregation collapses them to the d² key dimension before
+  * the ONLY shuffle — at any corpus size the exchange carries ≤
+  * d(d+1)/2 + d keys of partial sums. Nothing else scales with rows.
+  */
+object Pca {
+
+  /** Upper-triangle population covariance of a d-dim vector column:
+    * one row per (i ≤ j) with cov = Σxᵢxⱼ/n − μᵢμⱼ. Elements are
+    * widened float→double BEFORE multiplying (exact, engine-portable);
+    * the cross-row sums are double (error ~1e-13 relative at test
+    * scales, rounded away at 6 dp).
+    */
+  def covarianceUpper(emb: DataFrame, vecCol: Column): DataFrame = {
+    val v = emb.select(vecCol.as("_v")).where(col("_v").isNotNull)
+    val pairs = v.select(explode(expr(
+      """flatten(transform(_v, (xi, i) ->
+        |  transform(slice(_v, i + 1, size(_v) - i), (xj, k) ->
+        |    named_struct('i', i, 'j', i + k,
+        |      'p', CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE)))))""".stripMargin))
+      .as("t"))
+      .select(col("t.i").cast("long").as("i"),
+        col("t.j").cast("long").as("j"), col("t.p").as("p"))
+    val sums = pairs.groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
+    val means = v
+      .select(posexplode(col("_v")).as(Seq("i", "x")))
+      .groupBy(col("i").cast("long").as("i"))
+      .agg(sum(col("x").cast("double")).as("sx"),
+        count(lit(1)).cast("double").as("n"))
+    sums
+      .join(broadcast(means.select(col("i"), col("sx").as("sxi"), col("n"))),
+        Seq("i")) // d-row dimension
+      .join(broadcast(means.select(col("i").as("j"), col("sx").as("sxj"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        // + 0.0 canonicalizes IEEE negative zero (engines disagree on
+        // whether round(-1e-9, 6) prints -0 or 0)
+        (round(col("sp") / col("n") -
+          (col("sxi") / col("n")) * (col("sxj") / col("n")), 6) + lit(0.0))
+          .as("cov"))
+  }
+
+  /** The full symmetric covariance matrix, collected driver-side —
+    * bounded at d ≤ 256 (65k doubles), the codebook-sized model the
+    * eigensolver consumes.
+    */
+  def covarianceMatrix(emb: DataFrame, vecCol: Column): Array[Array[Double]] = {
+    val rows = covarianceUpper(emb, vecCol).collect()
+    val d = rows.iterator.map(_.getLong(1)).max.toInt + 1
+    require(d <= 256, s"dimension $d exceeds the driver-side eigen cap")
+    val m = Array.fill(d, d)(0.0)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    m
+  }
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
+    * matrix: fixed sweep order (row-major upper triangle), fixed sweep
+    * count with an off-diagonal early-exit — no RNG, no data-dependent
+    * pivoting, so repeated runs (and the EntrySpec pin hashes) agree
+    * exactly. Returns (eigenvalues, eigenvectors as columns), sorted
+    * by eigenvalue descending with the vector's first nonzero
+    * component made positive (sign canonicalization).
+    */
+  def jacobiEigen(a0: Array[Array[Double]],
+                  sweeps: Int = 50): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var s = 0
+    var off = Double.MaxValue
+    while (s < sweeps && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case tt if theta == 0.0 => 1.0
+                case tt => tt
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sn * vkq
+              v(k)(q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      s += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = Array.tabulate(d, order.size)((r, c) => v(r)(order(c)))
+    // canonical sign: first component with |x| > 1e-9 positive
+    var c = 0
+    while (c < d) {
+      var r = 0
+      while (r < d && math.abs(evecs(r)(c)) <= 1e-9) r += 1
+      if (r < d && evecs(r)(c) < 0) {
+        var k = 0
+        while (k < d) { evecs(k)(c) = -evecs(k)(c); k += 1 }
+      }
+      c += 1
+    }
+    (evals, evecs)
+  }
+
+  /** Top-k principal components of an embedding column: eigenvalue,
+    * explained-variance ratio and its running total, one row per
+    * component. The covariance is distributed; the d×d eigensolve is
+    * the driver-side bounded step.
+    */
+  def explainedVariance(emb: DataFrame, vecCol: Column, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (evals, _) = jacobiEigen(covarianceMatrix(emb, vecCol))
+    val total = evals.sum
+    val top = evals.take(k).zipWithIndex.scanLeft((0, 0.0, 0.0, 0.0)) {
+      case ((_, _, _, cum), (ev, i)) =>
+        (i, ev, ev / total, cum + ev / total)
+    }.drop(1)
+    top.map { case (i, ev, ratio, cum) =>
+      (i.toLong, math.rint(ev * 1e6) / 1e6, math.rint(ratio * 1e6) / 1e6,
+        math.rint(cum * 1e6) / 1e6)
+    }.toSeq.toDF("component", "eigenvalue", "var_ratio", "cum_ratio")
+  }
+}
