@@ -193,6 +193,18 @@ private[graft] object RetrievalQueries {
       Pca.explainedVariance(Tables.embeddings(s, dir), col("embedding"), 8)
         .orderBy(col("component"))),
 
+    // PCA projection — the deployment shape: the trained (μ, V) model
+    // rides the closure as literal arrays, every vector projects onto
+    // the top-4 components map-only (no shuffle); rows-only pinned
+    // (the eigenbasis isn't SQL-expressible)
+    "q_pca_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (_, basis) = Pca.jacobiEigen(Pca.covarianceMatrix(emb, col("embedding")))
+      Pca.project(emb, "vec_id", col("embedding"),
+          Pca.meansVector(emb, col("embedding")), basis, k = 4)
+        .orderBy(col("vec_id"))
+    }),
+
     "q_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.where(col("vec_id") < 5)

@@ -142,6 +142,44 @@ object Pca {
     (evals, evecs)
   }
 
+  /** Per-dimension mean vector, collected driver-side (d doubles) —
+    * the centering half of the trained PCA model.
+    */
+  def meansVector(emb: DataFrame, vecCol: Column): Array[Double] = {
+    val rows = emb.select(vecCol.as("_v")).where(col("_v").isNotNull)
+      .select(posexplode(col("_v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(col("x").cast("double")) / count(lit(1))).as("m"))
+      .collect()
+    require(rows.length <= 256, s"dimension ${rows.length} exceeds the cap")
+    val m = new Array[Double](rows.length)
+    rows.foreach(r => m(r.getInt(0)) = r.getDouble(1))
+    m
+  }
+
+  /** Map-only projection onto the top-k principal components — the
+    * trained (μ, V) model rides the closure as literal arrays (d + d·k
+    * doubles, codebook-sized), every vector centers and dot-products
+    * against it in one codegen'd expression, nothing shuffles. The
+    * deployment shape of PCA: train once ([[covarianceMatrix]] +
+    * [[jacobiEigen]]), project the corpus (or a stream) map-side.
+    */
+  def project(emb: DataFrame, idCol: String, vecCol: Column,
+              mean: Array[Double], basis: Array[Array[Double]],
+              k: Int): DataFrame = {
+    val d = mean.length
+    require(k >= 1 && k <= d, s"k $k of $d")
+    val vecD = transform(vecCol, x => x.cast("double"))
+    val mu = typedLit(mean.toSeq)
+    val centered = zip_with(vecD, mu, (x, m) => x - m)
+    val comps = (0 until k).map { c =>
+      val vc = typedLit((0 until d).map(r => basis(r)(c)).toSeq)
+      (round(aggregate(zip_with(centered, vc, (x, w) => x * w),
+        lit(0.0), (a, x) => a + x), 6) + lit(0.0)).as(s"pc$c")
+    }
+    emb.select(col(idCol) +: comps: _*)
+  }
+
   /** Top-k principal components of an embedding column: eigenvalue,
     * explained-variance ratio and its running total, one row per
     * component. The covariance is distributed; the d×d eigensolve is

@@ -78,6 +78,31 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("project applies the trained (μ, V) model map-only and matches plain Scala") {
+    val rows = (1 to 50).map { i =>
+      val a = (i * 37 % 101).toDouble / 10.0
+      val b = (i * 53 % 97).toDouble / 10.0
+      (i.toLong, Array((a + b).toFloat, (2 * a).toFloat, (a - b).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cov = Pca.covarianceMatrix(df, col("embedding"))
+    val (evals, basis) = Pca.jacobiEigen(cov)
+    val mean = Pca.meansVector(df, col("embedding"))
+    val got = Pca.project(df, "vec_id", col("embedding"), mean, basis, k = 2)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (id, x) =>
+      val pc = (0 until 2).map(c =>
+        (0 until 3).map(r => (x(r).toDouble - mean(r)) * basis(r)(c)).sum)
+      got(id)._1 shouldBe pc(0) +- 1e-5
+      got(id)._2 shouldBe pc(1) +- 1e-5
+    }
+    // the sample variance of pc0 is the top eigenvalue (covariance is
+    // population-normalized, so compare against Σpc0²/n)
+    val p0 = got.values.map(_._1).toSeq
+    val m0 = p0.sum / p0.size
+    p0.map(x => (x - m0) * (x - m0)).sum / p0.size shouldBe evals(0) +- 1e-4
+  }
+
   test("explainedVariance is deterministic and sums ratios coherently") {
     val df = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Pca.explainedVariance(df, col("embedding"), 8)
