@@ -244,6 +244,97 @@ object Streams {
   case class SessionOut(user_id: Long, n_events: Long, total: Double,
                         start_ms: Long, end_ms: Long)
 
+  case class SeqTestOut(day_num: Long, n_a: Long, n_b: Long,
+                        delta: Double, p_always_valid: Double)
+  private[graft] case class DaySums(na: Long, sa: Long, saa: Long,
+                                    nb: Long, sb: Long, sbb: Long)
+  private[graft] case class SeqState(open: Map[Long, DaySums],
+                                     cna: Long, csa: Long, csaa: Long,
+                                     cnb: Long, csb: Long, csbb: Long,
+                                     runMin: Double)
+
+  /** The always-valid sequential test ON the stream — the deployment
+    * shape of [[graft.operators.Stats.msprt]]: the mSPRT exists
+    * precisely because experimenters peek continuously, so its natural
+    * home is a stream that emits each day's always-valid p the moment
+    * the watermark closes that day. Arms by user parity, cents by the
+    * batch round contract; a day's row emits only once its event-time
+    * day has fully passed the watermark, folded into the cumulative
+    * exact integer sums IN DAY ORDER with the running-min p — the
+    * identical double expression tree as the batch operator, so
+    * stream ≡ batch row-for-row (StreamsSpec).
+    *
+    * State is SEVEN scalars plus the still-open day partials (bounded
+    * by the watermark horizon) under ONE key — a two-arm global test
+    * has exactly one cumulative state by definition. The single key
+    * sees per-event traffic here for simplicity; at scale,
+    * pre-aggregate per (day, arm) upstream (a keyed streaming agg) and
+    * feed this the bounded day table.
+    */
+  def msprtStream(events: Dataset[Event], tauSq: Double,
+                  watermark: String = "1 second"): Dataset[SeqTestOut] = {
+    import events.sparkSession.implicits._
+    require(tauSq > 0, s"tauSq $tauSq")
+    events.filter((e: Event) => e.value != null)
+      .withWatermark("ts", watermark)
+      .groupByKey((_: Event) => 0)
+      .flatMapGroupsWithState[SeqState, SeqTestOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[Event], state: GroupState[SeqState]) =>
+          val st = state.getOption.getOrElse(
+            SeqState(Map.empty, 0L, 0L, 0L, 0L, 0L, 0L, 1.0))
+          var open = st.open
+          rows.foreach { e =>
+            val day = java.lang.Math.floorDiv(e.ts.getTime, 86400000L)
+            val c = cents(e.value)
+            val d = open.getOrElse(day, DaySums(0L, 0L, 0L, 0L, 0L, 0L))
+            val nd =
+              if (e.user_id % 2 == 0)
+                d.copy(na = d.na + 1, sa = d.sa + c, saa = d.saa + c * c)
+              else
+                d.copy(nb = d.nb + 1, sb = d.sb + c, sbb = d.sbb + c * c)
+            open = open.updated(day, nd)
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val (toClose, stillOpen) = open.partition { case (day, _) =>
+            (day + 1) * 86400000L <= wmMs
+          }
+          var (cna, csa, csaa) = (st.cna, st.csa, st.csaa)
+          var (cnb, csb, csbb) = (st.cnb, st.csb, st.csbb)
+          var runMin = st.runMin
+          val out = Seq.newBuilder[SeqTestOut]
+          toClose.toSeq.sortBy(_._1).foreach { case (day, d) =>
+            cna += d.na; csa += d.sa; csaa += d.saa
+            cnb += d.nb; csb += d.sb; csbb += d.sbb
+            if (cna > 1 && cnb > 1) {
+              // the batch operator's exact double tree, verbatim
+              val na = cna.toDouble; val nb = cnb.toDouble
+              val sa = csa.toDouble; val sb = csb.toDouble
+              val saa = csaa.toDouble; val sbb = csbb.toDouble
+              val delta = sa / na - sb / nb
+              val s2 = ((saa - sa * sa / na) + (sbb - sb * sb / nb)) /
+                (na + nb - 2)
+              if (s2 > 0) {
+                val v = s2 * (1.0 / na + 1.0 / nb)
+                val lam = math.sqrt(v / (v + tauSq)) *
+                  math.exp(delta * delta * tauSq / (2.0 * v * (v + tauSq)))
+                runMin = math.min(runMin, math.min(1.0, 1.0 / lam))
+                out += SeqTestOut(day, cna, cnb,
+                  scala.math.BigDecimal(delta / 100.0)
+                    .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                    .toDouble,
+                  scala.math.BigDecimal(runMin)
+                    .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                    .toDouble)
+              }
+            }
+          }
+          state.update(
+            SeqState(stillOpen, cna, csa, csaa, cnb, csb, csbb, runMin))
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization with explicit state — the
     * `flatMapGroupsWithState` path for session logic the built-in
     * `session_window` can't express (custom emit shape, per-session

@@ -233,6 +233,50 @@ class StreamsSpec extends SparkSpec {
     got shouldBe batch
   }
 
+  test("msprtStream: always-valid p on the stream equals the batch operator day-for-day") {
+    import graft.operators.Stats
+    // 8 days × 12 obs × 2 arms with a real lift on arm 1; one null row
+    // (must be filtered identically to the batch entry's IS NOT NULL)
+    val events = (for {
+      day <- 0 until 8; i <- 0 until 12; a <- Seq(0L, 1L)
+    } yield {
+      val c0 = 500L + (day * 31 + i * 7 + a * 13) % 41 + a * 25
+      Event(day * 1000L + i * 2 + a,
+        new Timestamp(day * 86400000L + i * 1000L),
+        user_id = a + 2 * i, event_type = "m", value = c0 / 100.0)
+    }) :+ Event(777777L, new Timestamp(3 * 86400000L + 500L), 4L, "m", null)
+
+    val bdf = events.toDS().where(col("value").isNotNull)
+      .select((col("user_id") % 2).as("arm"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val batch = Stats.msprt(bdf, col("arm"), col("day_num"), col("cents"),
+        tauSq = 2500.0)
+      .orderBy("day")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    batch.size shouldBe 8
+
+    val stream = MemoryStream[Event]
+    val nm = s"mem_msprt_${System.nanoTime()}"
+    val q = msprtStream(stream.toDS(), tauSq = 2500.0)
+      .writeStream.format("memory").queryName(nm).outputMode("append").start()
+    stream.addData(events: _*)
+    q.processAllAvailable()
+    // the watermark only closes a day once LATER event time arrives,
+    // and it advances AFTER the batch that carried the later event —
+    // so two far-future sentinel batches close all real days (the
+    // first advances the clock, the second's invocation observes it)
+    stream.addData(Event(999999L, new Timestamp(100L * 86400000L), 0L, "m", 1.0))
+    q.processAllAvailable()
+    stream.addData(Event(999998L, new Timestamp(101L * 86400000L), 0L, "m", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(nm).as[Streams.SeqTestOut].collect()
+      .sortBy(_.day_num)
+      .map(o => (o.day_num, o.n_a, o.n_b, o.delta, o.p_always_valid)).toSeq
+    got shouldBe batch
+  }
+
   test("incrementalDedupStream: stream equals batch plan AND the batch operator's new-vs-corpus pairs") {
     import StreamsSpec.Doc
     import graft.functions.{DedupExpr, TextAnalytics}
