@@ -414,6 +414,24 @@ private[graft] object StatsQueries {
         .orderBy(col("g_a"), col("g_b"))
     }),
 
+    // Difference-in-differences: per-user pre/post cents at the global
+    // time midpoint (the q_cuped unit construction), arms by parity,
+    // per-unit change d = post − pre netted arm-vs-arm — exact decimal
+    // change moments folded into ONE global aggregate row, no join
+    "q_did" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("cast(round(coalesce(value, 0) * 100) as bigint)").as("cents"))
+      val bounds = ev.agg(
+        floor((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid"))
+      val units = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+        .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+      Stats.diffInDiff(units, col("arm"), col("x"), col("y"))
+    }),
+
     // Mann–Whitney U rank-sum (click vs error cents): value-dimension
     // reduction, one sanctioned below-count window, exact integer
     // 2·R_A / tie sums, tie-corrected normal z + A-S p
@@ -596,6 +614,54 @@ private[graft] object StatsQueries {
         |SELECT g_a, g_b, p_raw, CAST(rk AS BIGINT) AS rank, p_adj,
         |  p_adj < 0.05 AS significant
         |FROM adj ORDER BY g_a, g_b""".stripMargin,
+
+    // identical unit construction (the q_cuped CTE), the same
+    // conditional HUGEINT change moments, Welch-SE z tree, and the
+    // shared A-S polynomial on the rounded z
+    "q_did" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS us,
+        |    CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT CAST(floor((min(us) + max(us)) / 2) AS BIGINT) AS mid
+        |      FROM e),
+        |u AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END) AS HUGEINT)
+        |      - CAST(sum(CASE WHEN us < mid THEN cents ELSE 0 END)
+        |          AS HUGEINT) AS d
+        |  FROM e CROSS JOIN b GROUP BY user_id),
+        |g AS (SELECT
+        |    CAST(count(CASE WHEN arm = 0 THEN 1 END) AS DOUBLE) AS nc,
+        |    CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS DOUBLE) AS sc,
+        |    CAST(sum(CASE WHEN arm = 0 THEN d * d ELSE 0 END) AS DOUBLE)
+        |      AS scc,
+        |    CAST(count(CASE WHEN arm <> 0 THEN 1 END) AS DOUBLE) AS nt,
+        |    CAST(sum(CASE WHEN arm <> 0 THEN d ELSE 0 END) AS DOUBLE) AS st,
+        |    CAST(sum(CASE WHEN arm <> 0 THEN d * d ELSE 0 END) AS DOUBLE)
+        |      AS stt
+        |  FROM u HAVING nc > 1 AND nt > 1),
+        |f AS (SELECT nc, nt, sc / nc AS mc, st / nt AS mt,
+        |        (scc - sc * sc / nc) / (nc - 1) AS vc,
+        |        (stt - st * st / nt) / (nt - 1) AS vt
+        |      FROM g),
+        |zt AS (SELECT nc, nt, mc, mt, st_mt_mc, se,
+        |        round(st_mt_mc / se, 4) AS z
+        |       FROM (SELECT nc, nt, mc, mt, mt - mc AS st_mt_mc,
+        |               sqrt(vt / nt + vc / nc) AS se, vc, vt
+        |             FROM f WHERE vc + vt > 0)),
+        |px AS (SELECT *, abs(z) / sqrt(2.0) AS xx FROM zt),
+        |pu AS (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS uu FROM px)
+        |SELECT CAST(nc AS BIGINT) AS n_control, CAST(nt AS BIGINT) AS n_treat,
+        |  round(mc / 100.0, 4) AS mean_diff_control,
+        |  round(mt / 100.0, 4) AS mean_diff_treat,
+        |  round(st_mt_mc / 100.0, 4) AS did,
+        |  round(se / 100.0, 4) AS se,
+        |  z,
+        |  round(((((1.061405429 * uu - 1.453152027) * uu +
+        |    1.421413741) * uu - 0.284496736) * uu + 0.254829592) * uu *
+        |    exp(-(xx * xx)), 8) AS p_value
+        |FROM pu""".stripMargin,
 
     // identical value-dimension rank reduction (integer 2·R_A and tie
     // sums in HUGEINT), the same z tree, and the shared A-S polynomial

@@ -845,6 +845,51 @@ object Stats {
         z.as("z"), twoSidedNormP(z).as("p_value"))
   }
 
+  /** Difference-in-differences over per-unit pre/post outcomes — the
+    * panel-data causal readout: each unit's change d = post − pre nets
+    * out its own level, and the estimate is the treated arms' mean
+    * change minus the control's, with a Welch-style SE from the
+    * per-arm change variances and the [[twoSidedNormP]] p on the
+    * rounded z. Integer changes accumulate as decimal(38,0) moments
+    * (the [[cuped]] discipline); both arms fold into ONE global
+    * aggregate row via conditional sums — no join of any kind.
+    * Degenerate families (an arm with < 2 units, or zero pooled
+    * change variance) are absent rather than NaN.
+    */
+  def diffInDiff(units: DataFrame, armCol: Column, preCentsCol: Column,
+                 postCentsCol: Column): DataFrame = {
+    val u = units.select(armCol.as("_arm"),
+      (postCentsCol.cast("decimal(38,0)") -
+        preCentsCol.cast("decimal(38,0)")).as("_d"))
+    val g = u.agg(
+      count(when(col("_arm") === 0, 1)).cast("double").as("nc"),
+      sum(when(col("_arm") === 0, col("_d")).otherwise(lit(0).cast("decimal(38,0)")))
+        .cast("double").as("sc"),
+      sum(when(col("_arm") === 0, col("_d") * col("_d"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).cast("double").as("scc"),
+      count(when(col("_arm") =!= 0, 1)).cast("double").as("nt"),
+      sum(when(col("_arm") =!= 0, col("_d")).otherwise(lit(0).cast("decimal(38,0)")))
+        .cast("double").as("st"),
+      sum(when(col("_arm") =!= 0, col("_d") * col("_d"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).cast("double").as("stt"))
+      .where(col("nc") > 1 && col("nt") > 1)
+    val mc = col("sc") / col("nc")
+    val mt = col("st") / col("nt")
+    val vc = (col("scc") - col("sc") * col("sc") / col("nc")) / (col("nc") - 1)
+    val vt = (col("stt") - col("st") * col("st") / col("nt")) / (col("nt") - 1)
+    val did = mt - mc
+    val se = sqrt(vt / col("nt") + vc / col("nc"))
+    val z = round(did / se, 4)
+    g.where(vc + vt > 0)
+      .select(col("nc").cast("long").as("n_control"),
+        col("nt").cast("long").as("n_treat"),
+        round(mc / 100.0, 4).as("mean_diff_control"),
+        round(mt / 100.0, 4).as("mean_diff_treat"),
+        round(did / 100.0, 4).as("did"),
+        round(se / 100.0, 4).as("se"),
+        z.as("z"), twoSidedNormP(z).as("p_value"))
+  }
+
   /** Two-sided normal-tail p-value 2·(1 − Φ(|z|)) via the
     * Abramowitz–Stegun 7.1.26 erf polynomial (|err| < 1.5e-7): pure
     * exp/multiply arithmetic, so ANY engine given the same literals

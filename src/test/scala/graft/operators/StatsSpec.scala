@@ -526,6 +526,43 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("diffInDiff recovers a known lift and matches the plain-Scala reference") {
+    // control units change ~0 (± noise), treated units change ~+300
+    val units = (1 to 60).map { i =>
+      val arm = i % 2L
+      val x = (1000 + i * 13 % 97).toLong
+      val y = x + (if (arm == 1L) 300L else 0L) + (i * 7 % 21) - 10
+      (arm, x, y)
+    }
+    val Array(r) = Stats.diffInDiff(units.toDF("arm", "x", "y"),
+        col("arm"), col("x"), col("y"))
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect()
+    val (nc, nt, mdc, mdt, did, se, _, p) = r
+    def dstats(arm: Long) = {
+      val ds = units.filter(_._1 == arm).map(u => (u._3 - u._2).toDouble)
+      val m = ds.sum / ds.size
+      (ds.size, m, ds.map(d => (d - m) * (d - m)).sum / (ds.size - 1))
+    }
+    val (ncr, mc, vc) = dstats(0L)
+    val (ntr, mt, vt) = dstats(1L)
+    nc shouldBe ncr.toLong
+    nt shouldBe ntr.toLong
+    mdc shouldBe mc / 100.0 +- 1e-4
+    mdt shouldBe mt / 100.0 +- 1e-4
+    did shouldBe (mt - mc) / 100.0 +- 1e-4
+    se shouldBe math.sqrt(vt / ntr + vc / ncr) / 100.0 +- 1e-4
+    did shouldBe 3.0 +- 0.1 // the planted $3 lift
+    p should be < 1e-6      // decisive at this noise level
+  }
+
+  test("diffInDiff: degenerate families (tiny arm, zero change variance) are absent") {
+    val tiny = Seq((0L, 1L, 2L), (1L, 1L, 2L), (1L, 3L, 4L)).toDF("arm", "x", "y")
+    Stats.diffInDiff(tiny, col("arm"), col("x"), col("y")).count() shouldBe 0L
+    val flat = (1 to 10).map(i => (i % 2L, 100L, 100L)).toDF("arm", "x", "y")
+    Stats.diffInDiff(flat, col("arm"), col("x"), col("y")).count() shouldBe 0L
+  }
+
   test("mannWhitney: U equals the pairwise win count (ties = half-wins)") {
     // heavy-tailed fixture with ties across and within groups
     val rows = Seq(
