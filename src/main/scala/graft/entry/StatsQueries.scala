@@ -414,6 +414,15 @@ private[graft] object StatsQueries {
         .orderBy(col("g_a"), col("g_b"))
     }),
 
+    // Sample-ratio-mismatch guardrail on the parity assignment: 1-dof
+    // chi-square vs the even split, p = 2(1−Φ(√χ²)); one no-join
+    // global aggregate over users
+    "q_srm" -> ((s, dir) =>
+      Stats.srmCheck(
+        Tables.events(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("_n"))
+          .select((col("user_id") % 2).as("arm")),
+        col("arm"))),
+
     // Difference-in-differences: per-user pre/post cents at the global
     // time midpoint (the q_cuped unit construction), arms by parity,
     // per-unit change d = post − pre netted arm-vs-arm — exact decimal
@@ -614,6 +623,26 @@ private[graft] object StatsQueries {
         |SELECT g_a, g_b, p_raw, CAST(rk AS BIGINT) AS rank, p_adj,
         |  p_adj < 0.05 AS significant
         |FROM adj ORDER BY g_a, g_b""".stripMargin,
+
+    // identical unit counts, χ² tree, and the shared A-S polynomial
+    "q_srm" ->
+      """WITH un AS (SELECT user_id % 2 AS arm FROM events GROUP BY user_id),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+        |    CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nb
+        |  FROM un HAVING na + nb > 0),
+        |c AS (SELECT na, nb,
+        |        (na - nb) * (na - nb) / (na + nb) AS chi2 FROM g),
+        |zt AS (SELECT na, nb, chi2, round(sqrt(chi2), 4) AS z FROM c),
+        |px AS (SELECT *, abs(z) / sqrt(2.0) AS xx FROM zt),
+        |pu AS (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS uu FROM px)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(na / (na + nb), 6) AS share_a,
+        |  round(chi2, 4) AS chi2,
+        |  round(((((1.061405429 * uu - 1.453152027) * uu +
+        |    1.421413741) * uu - 0.284496736) * uu + 0.254829592) * uu *
+        |    exp(-(xx * xx)), 8) AS p_value
+        |FROM pu""".stripMargin,
 
     // identical unit construction (the q_cuped CTE), the same
     // conditional HUGEINT change moments, Welch-SE z tree, and the

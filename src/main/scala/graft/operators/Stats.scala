@@ -890,6 +890,31 @@ object Stats {
         z.as("z"), twoSidedNormP(z).as("p_value"))
   }
 
+  /** Sample-ratio-mismatch guardrail — the first check every experiment
+    * readout runs: a 50/50 split whose arm counts differ more than
+    * chance allows means broken assignment (bot filtering, redirect
+    * loss), invalidating every downstream metric. Goodness-of-fit
+    * chi-square against the even split reduces to
+    * χ² = (n_a − n_b)²/n with 1 dof, and a 1-dof χ² is z², so the
+    * p-value is exactly [[twoSidedNormP]](√χ²) — no gamma function
+    * needed. One no-join global aggregate over units.
+    */
+  def srmCheck(units: DataFrame, armCol: Column): DataFrame = {
+    val g = units.select(armCol.as("_arm"))
+      .agg(
+        sum(when(col("_arm") === 0, 1L).otherwise(0L)).cast("double").as("na"),
+        sum(when(col("_arm") =!= 0, 1L).otherwise(0L)).cast("double").as("nb"))
+      .where(col("na") + col("nb") > 0)
+    val n = col("na") + col("nb")
+    val chi2 = (col("na") - col("nb")) * (col("na") - col("nb")) / n
+    val z = round(sqrt(chi2), 4)
+    g.select(col("na").cast("long").as("n_a"),
+      col("nb").cast("long").as("n_b"),
+      round(col("na") / n, 6).as("share_a"),
+      round(chi2, 4).as("chi2"),
+      twoSidedNormP(z).as("p_value"))
+  }
+
   /** Two-sided normal-tail p-value 2·(1 − Φ(|z|)) via the
     * Abramowitz–Stegun 7.1.26 erf polynomial (|err| < 1.5e-7): pure
     * exp/multiply arithmetic, so ANY engine given the same literals

@@ -526,6 +526,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("srmCheck: a balanced split passes, a broken one flags decisively") {
+    val balanced = (1 to 200).map(i => Tuple1(i % 2L)).toDF("arm")
+    val Array((na, nb, share, chi2, p)) =
+      Stats.srmCheck(balanced, col("arm"))
+      .as[(Long, Long, Double, Double, Double)].collect()
+    na shouldBe 100L; nb shouldBe 100L; share shouldBe 0.5
+    chi2 shouldBe 0.0; p shouldBe 1.0 +- 1e-9
+    // 30% lost from one arm: χ² = 70²/370 ≈ 13.2 → p < 1e-3
+    val broken = ((1 to 150).map(_ => 0L) ++ (1 to 220).map(_ => 1L))
+      .map(Tuple1(_)).toDF("arm")
+    val Array((_, _, _, chi2b, pb)) =
+      Stats.srmCheck(broken, col("arm"))
+      .as[(Long, Long, Double, Double, Double)].collect()
+    chi2b shouldBe 70.0 * 70 / 370 +- 1e-3
+    pb should be < 1e-3
+  }
+
   test("diffInDiff recovers a known lift and matches the plain-Scala reference") {
     // control units change ~0 (± noise), treated units change ~+300
     val units = (1 to 60).map { i =>
