@@ -441,6 +441,46 @@ private[graft] object StatsQueries {
       Stats.diffInDiff(units, col("arm"), col("x"), col("y"))
     }),
 
+    // the Kaplan–Meier pipeline expressed purely in spark.sql — same
+    // lifetime dimension, risk-set and guarded log-survival windows as
+    // q_survival (whose oracle it shares verbatim): the SQL surface
+    // tracks the DataFrame surface on window-heavy shapes too
+    "q_survival_sql" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("v_events_survival_sql")
+      s.sql(
+        """WITH ev AS (
+          |  SELECT user_id AS u, unix_micros(ts) div 86400000000 AS d
+          |  FROM v_events_survival_sql
+          |  WHERE value IS NOT NULL
+          |    AND cast(round(value * 100) as bigint) >= 8000),
+          |us AS (SELECT u, min(d) AS f, max(d) AS l FROM ev GROUP BY u),
+          |h AS (SELECT max(d) AS hmax FROM ev),
+          |lt AS (SELECT l - f AS lifetime, (l <= hmax - 7) AS churned
+          |       FROM us CROSS JOIN h),
+          |dim AS (SELECT lifetime, count(*) AS n,
+          |        sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_churn
+          |        FROM lt GROUP BY lifetime),
+          |r AS (SELECT lifetime, n_churn,
+          |        sum(n) OVER (ORDER BY lifetime DESC
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |          AS n_risk
+          |      FROM dim),
+          |t AS (SELECT lifetime, n_churn, n_risk,
+          |        CASE WHEN n_churn >= n_risk THEN CAST(0.0 AS DOUBLE)
+          |             ELSE ln(1.0 - CAST(n_churn AS DOUBLE) / n_risk)
+          |        END AS term,
+          |        CASE WHEN n_churn >= n_risk THEN 1 ELSE 0 END AS wipe
+          |      FROM r)
+          |SELECT lifetime, n_risk, n_churn,
+          |  CASE WHEN max(wipe) OVER (ORDER BY lifetime
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+          |       THEN CAST(0.0 AS DOUBLE)
+          |       ELSE round(exp(sum(term) OVER (ORDER BY lifetime
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+          |  END AS survival
+          |FROM t ORDER BY lifetime""".stripMargin)
+    }),
+
     // Mann–Whitney U rank-sum (click vs error cents): value-dimension
     // reduction, one sanctioned below-count window, exact integer
     // 2·R_A / tie sums, tie-corrected normal z + A-S p
@@ -474,7 +514,14 @@ private[graft] object StatsQueries {
         .orderBy(col("lifetime"))),
   )
 
-  val oracles: Seq[(String, String)] = Seq(
+  // q_survival_sql computes the identical curve to q_survival, so it
+  // shares that oracle verbatim (the q_decontaminate_sql pattern).
+  val oracles: Seq[(String, String)] = {
+    val base = declaredOracles
+    base ++ Seq("q_survival_sql" -> base.toMap.apply("q_survival"))
+  }
+
+  private def declaredOracles: Seq[(String, String)] = Seq(
     // identical per-row md5 seed → odd-multiplier 48-bit stream →
     // Poisson inverse-CDF draw (shared literal thresholds), exact
     // HUGEINT weighted sums, one double division per replicate,

@@ -53,8 +53,8 @@ class WindowAuditSpec extends SparkSpec {
       // family (welch's group-pair aggregate)
       "q_fdr_adjust",
       // Kaplan–Meier: risk-set and log-survival windows over the
-      // bounded per-lifetime aggregate
-      "q_survival",
+      // bounded per-lifetime aggregate (and its pure-SQL twin)
+      "q_survival", "q_survival_sql",
       // Mann–Whitney: the below-count window over the per-value
       // aggregate — the KS/value-dimension construction
       "q_mann_whitney")
