@@ -126,7 +126,8 @@ private[graft] object DedupQueries {
     // measured 30x super-linear at 10x sf0.1).
     "q_embedding_neardup_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (planes, bands) = Dedup.scaledBandGeometry(emb.count(), 3, 16)
+      val (planes, bands) =
+        Dedup.scaledBandGeometry(EntryContext.embeddingCount(s, dir), 3, 16)
       Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
           threshold = 0.3999995, planesPerBand = planes, bands = bands)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))

@@ -357,7 +357,7 @@ private[graft] object StatsQueries {
     }),
 
     // Poisson-bootstrap CI on per-type mean cents (Chamandy et al.
-    // 2012): 200 deterministic md5-seeded Poisson(1) weights per row,
+    // 2012): 100 deterministic md5-seeded Poisson(1) weights per row,
     // map-only ×R expansion, one (type, replicate)-keyed shuffle, exact
     // percentile over the bounded replicate-mean table
     "q_bootstrap_ci" -> ((s, dir) =>
@@ -535,7 +535,8 @@ private[graft] object StatsQueries {
         |rep AS (SELECT event_type, h, c, t.range AS r
         |        FROM r0 CROSS JOIN range(0, 100) t),
         |u AS (SELECT event_type, r, c,
-        |        ((h * (2 * r + 1)) % 281474976710656 + 1)
+        |        ((h * (2 * ((r * 1597334677) % 16384) + 1))
+        |          % 281474976710656 + 1)
         |          / 281474976710656.0 AS u
         |      FROM rep),
         |w AS (SELECT event_type, r, c,

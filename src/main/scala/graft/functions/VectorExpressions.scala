@@ -155,6 +155,32 @@ object VectorKernels {
     ids(best)
   }
 
+  /** Row-major upper-triangle self-products xᵢ·xⱼ (i ≤ j) of one
+    * vector, flattened (idx runs i outer, j inner from i — the
+    * [[graft.operators.Pca]] flat covariance index). Elements widen
+    * float→double BEFORE multiplying (exact, engine-portable). One
+    * static call per row replacing an interpreted transform/slice HOF
+    * pyramid — the docs/THROUGHPUT.md "HOFs don't codegen" rule.
+    */
+  def upperTriProducts(v: ArrayData, isF: Boolean): ArrayData = {
+    val d = v.numElements()
+    val out = new Array[Double](d * (d + 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      val xi = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      var j = i
+      while (j < d) {
+        val xj = if (isF) v.getFloat(j).toDouble else v.getDouble(j)
+        out(idx) = xi * xj
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
     val n = a.numElements()
     requireSameLength(n, b.numElements(), "dot_product")
@@ -262,6 +288,30 @@ case class SignLshBandsExpr(child: Expression, planesPerBand: Int, bands: Int)
     copy(child = newChild)
 }
 
+case class UpperTriProductsExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "upper_tri_products"
+  private def isF: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"upper_tri_products requires array<float|double>, got ${t.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.upperTriProducts(input.asInstanceOf[ArrayData], isF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.upperTriProducts($c, $isF)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Map-only Lloyd assignment: the (bounded) centroid table rides into
   * the generated code as reference objects — no crossJoin, no shuffle.
   * `cents` must be pre-normalized (see VectorKernels.nearestCentroid).
@@ -305,4 +355,6 @@ object VectorExpr {
     ColumnBridge.column(SignLshBandsExpr(ColumnBridge.expression(v), planesPerBand, bands))
   def nearestCentroid(v: Column, ids: Array[Long], cents: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(v), ids, cents))
+  def upperTriProducts(v: Column): Column =
+    ColumnBridge.column(UpperTriProductsExpr(ColumnBridge.expression(v)))
 }

@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   * on a require()-capped matrix, the [[Pq]] codebook precedent.
   *
   * Scale shape: every row expands map-side to its d(d+1)/2 upper-
-  * triangle products (codegen'd higher-order functions, no join), and
-  * partial aggregation collapses them to the d² key dimension before
-  * the ONLY shuffle — at any corpus size the exchange carries ≤
-  * d(d+1)/2 + d keys of partial sums. Nothing else scales with rows.
+  * triangle products (a native codegen kernel, no join), and partial
+  * aggregation collapses them to the d² key dimension before the ONLY
+  * shuffle — at any corpus size the exchange carries ≤ d(d+1)/2 + d
+  * keys of partial sums. Nothing else scales with rows.
   */
 object Pca {
 
@@ -23,18 +23,37 @@ object Pca {
     * widened float→double BEFORE multiplying (exact, engine-portable);
     * the cross-row sums are double (error ~1e-13 relative at test
     * scales, rounded away at 6 dp).
+    *
+    * The map-side d(d+1)/2 product expansion is a native codegen kernel
+    * ([[graft.functions.VectorExpr.upperTriProducts]]) emitting the
+    * flat row-major triangle — the previous nested transform/slice HOF
+    * pyramid ran interpreted on every row (the docs/THROUGHPUT.md
+    * "HOFs don't codegen" trap, 2.57 s at sf0.1/d=64). The flat index
+    * decodes to (i, j) through a broadcast d(d+1)/2-row lookup joined
+    * AFTER partial aggregation, so the decode touches d² keys, never
+    * corpus rows. Requires a FIXED-dimension vector column (a ragged
+    * row's flat indices would decode against the wrong d — and PCA is
+    * undefined over mixed dimensions anyway); d comes from one limit-1
+    * row fetch.
     */
   def covarianceUpper(emb: DataFrame, vecCol: Column): DataFrame = {
     val v = emb.select(vecCol.as("_v")).where(col("_v").isNotNull)
-    val pairs = v.select(explode(expr(
-      """flatten(transform(_v, (xi, i) ->
-        |  transform(slice(_v, i + 1, size(_v) - i), (xj, k) ->
-        |    named_struct('i', i, 'j', i + k,
-        |      'p', CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE)))))""".stripMargin))
-      .as("t"))
-      .select(col("t.i").cast("long").as("i"),
-        col("t.j").cast("long").as("j"), col("t.p").as("p"))
-    val sums = pairs.groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
+    val head = v.select(size(col("_v")).as("d")).head(1)
+    require(head.nonEmpty,
+      "covarianceUpper: the vector column has no non-null rows")
+    val d = head(0).getInt(0)
+    require(d >= 1, s"covarianceUpper: zero-length vectors")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val lookup = (0 until d).flatMap(i => (i until d).map(j => (i, j)))
+      .zipWithIndex
+      .map { case ((i, j), idx) => (idx, i.toLong, j.toLong) }
+      .toDF("idx", "i", "j")
+    val prods = v.select(
+      posexplode(graft.functions.VectorExpr.upperTriProducts(col("_v")))
+        .as(Seq("idx", "p")))
+    val sums = prods.groupBy(col("idx")).agg(sum(col("p")).as("sp"))
+      .join(broadcast(lookup), Seq("idx")) // d² keys — never corpus rows
     val means = v
       .select(posexplode(col("_v")).as(Seq("i", "x")))
       .groupBy(col("i").cast("long").as("i"))

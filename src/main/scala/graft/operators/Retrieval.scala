@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalytics
@@ -134,35 +135,55 @@ object Retrieval {
     * stopword noise for similarity AND the skew that makes a term-keyed
     * self-join melt — excluding them from the space (not just the
     * candidate step), both weights and norms, keeps the result exact
-    * w.r.t. the declared space. With the cut, a term contributes at
-    * most df² ≤ (N·dfNum/dfDen)·df join rows — a hard PER-TERM bound,
-    * but the AGGREGATE candidate mass Σ df·(df−1)/2 is still quadratic
-    * wherever the df histogram carries mass near the cut (the round-8
-    * scale curve measured 31k candidate pairs at sf0.1 → 2.2 BILLION at
-    * 10× — a 488× wall-clock blowup, because the relative cut admits
-    * 10×-larger posting lists on a 10× corpus). The operator therefore
-    * computes that mass from the term-df dimension (one cheap aggregate
-    * over a table it builds anyway) and REFUSES to run past
-    * `maxCandidatePairs`, failing loudly with the knob's name — the
-    * [[knnGraph]] bounded-anchor discipline. The scale escape hatches,
-    * in preference order: tighten the df cut (dfNum/dfDen), raise the
-    * threshold and move to a prefix-filtered join ([[graft.operators
-    * .Dedup]]'s PPJoin shape — the Bayardo et al., WWW'07 AllPairs
-    * algorithm proper), or ANN over learned embeddings
-    * ([[graft.operators.Dedup.embeddingNearDupPairs]]).
+    * w.r.t. the declared space. The candidate step is the weighted
+    * AllPairs prefix filter (Bayardo et al., WWW'07 — the PPJoin
+    * family): fix ONE global term order π = (df asc, term asc) and give
+    * every (doc, term) its normalized suffix norm b_x(t) = ‖ŵ_x
+    * restricted to terms ≥π t‖. For any pair with cos(x,y) ≥ τ, the
+    * FIRST shared term t* bounds the whole dot product by Cauchy–
+    * Schwarz over the suffix: τ ≤ cos(x,y) ≤ b_x(t*)·b_y(t*) — so t*
+    * sits in both documents' prefixes {t : b(t) ≥ τ} and the equi-join
+    * over PREFIX rows only (with the tighter pairwise filter
+    * b_a·b_b ≥ τ) finds every qualifying pair: an EXACT filter, not an
+    * approximation (a 1e-9 slack absorbs float rounding at the
+    * boundary). Rare-first ordering makes the prefixes carry the rare
+    * end of the vocabulary — TF-IDF gives rare terms the big weights,
+    * so the norm budget is spent in a few low-df terms and the bulky
+    * near-the-cut posting lists fall OUT of the prefix: the round-8
+    * curve's 2.2 BILLION raw candidates at 10×·sf0.1 (a 488× wall-clock
+    * blowup under the unfiltered join) collapse to the rare-term mass,
+    * linear-ish in the corpus because the df cut is relative and the
+    * prefix df histogram replicates per shard of a grown corpus.
+    * Verification joins candidate pairs back to per-doc (term → weight)
+    * maps — pair-keyed, never a second corpus product.
+    *
+    * The residual prefix candidate mass Σ pdf·(pdf−1)/2 (pdf = per-term
+    * PREFIX document frequency — the exact row count the prefix join
+    * will materialize) is still computed from the prefix dimension and
+    * the operator REFUSES to run past `maxCandidatePairs`, failing
+    * loudly with the knob's name — the [[knnGraph]] bounded-anchor
+    * discipline (a τ→0 call degenerates to the full quadratic join by
+    * construction: at τ=0 every term is prefix). Remaining escape
+    * hatches: tighten the df cut, raise τ, or ANN over learned
+    * embeddings ([[graft.operators.Dedup.embeddingNearDupPairs]]).
     *
     * Exactness discipline: weights are integer micro-units
     * (round(tf·idf·10⁴), idf = ln((1+N)/(1+df))+1 — the [[tfidf]]
     * smoothing); dot products and squared norms sum exactly as
     * decimal(38,0) (a long product could overflow and a double sum is
-    * order-dependent); only the final cosine ratio is floating, from
-    * identically-converted exact integers, and membership tests the
-    * ROUNDED cosine on both engines.
+    * order-dependent); the float-valued suffix norms steer only the
+    * candidate SUPERSET, never the emitted values; the final cosine
+    * ratio is floating, from identically-converted exact integers, and
+    * membership tests the ROUNDED cosine on both engines.
     *
     * Plan shape: tokenize→(doc,term) count, term-keyed df aggregate
-    * broadcast back, term-keyed self-join (equi — never a nested
-    * loop), pair-keyed sum, doc-keyed norm join. Every shuffle carries
-    * ids, term strings, and longs.
+    * broadcast back; the weight table localCheckpoints once (five
+    * consumers — norms, prefix build, both verify maps — would each
+    * re-tokenize the corpus); per-doc suffix-norm window (keyed by id,
+    * doc-bounded frames); term-keyed PREFIX self-join (equi — never a
+    * nested loop); distinct pair keys; pair-keyed map rejoin for the
+    * exact dot; doc-keyed norm join. Every shuffle carries ids, term
+    * strings, and longs.
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        dfNum: Long, dfDen: Long, threshold: Double,
@@ -178,35 +199,68 @@ object Retrieval {
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .where(col("df") * dfDen <= col("n_l") * dfNum)
-    // candidate-mass guard: Σ df·(df−1)/2 over the joinable terms is the
-    // EXACT row count the term self-join will materialize; refuse a
-    // quadratic melt loudly instead of running it (see scaladoc)
-    val mass = dfT.where(col("df") >= 2)
-      .agg(coalesce(sum((col("df") * (col("df") - 1) / 2)
-        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
-      .head().getDecimal(0)
-    require(mass.longValue() <= maxCandidatePairs,
-      s"tfidfCosinePairs: the df cut $dfNum/$dfDen admits $mass candidate " +
-        s"pairs (> maxCandidatePairs=$maxCandidatePairs). Tighten the df " +
-        "cut, raise the threshold via a prefix-filtered join (Dedup " +
-        "PPJoin shape), or switch to embeddingNearDupPairs — see scaladoc.")
+    // materialize the weight table once: norms, the prefix build and
+    // both verify-map branches would each re-run tokenize+count+df
     val w = tf.join(broadcast(dfT), Seq("term"))
       .select(col("id"), col("term"), col("df"),
         round(col("tf") *
             (log((lit(1.0) + col("n_l").cast("double")) /
               (lit(1.0) + col("df"))) + 1.0) *
             10000, 0).cast("long").as("w"))
+      .localCheckpoint(true)
     val norms = w.groupBy(col("id"))
       .agg(sum((col("w").cast("decimal(19,0)") * col("w"))
         .cast("decimal(38,0)")).as("_n2"))
       .select(col("id"), sqrt(col("_n2").cast("double")).as("_norm"))
     // df = 1 terms shape the norms above but cannot produce a pair
     val joinable = w.where(col("df") >= 2)
-    val dots = joinable.as("a").join(joinable.as("b"), Seq("term"))
-      .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(sum((col("a.w").cast("decimal(19,0)") * col("b.w"))
-        .cast("decimal(38,0)")).as("_dot"))
+    // AllPairs prefix build (see scaladoc): normalized suffix norm in
+    // the global rare-first term order; only rows whose suffix can still
+    // carry a τ-sized cosine stay joinable. The frame order (df, term)
+    // is a total order per doc, so the float suffix sum is deterministic;
+    // the 1e-9 slack keeps the filter an exact superset at the boundary.
+    val suffix = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("term").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pref = joinable.join(norms, Seq("id"))
+      .withColumn("_nw", col("w").cast("double") / col("_norm"))
+      .withColumn("_bnorm", sqrt(sum(col("_nw") * col("_nw")).over(suffix)))
+      .where(col("_bnorm") >= threshold - 1e-9)
+      .select(col("id"), col("term"), col("_bnorm"))
+      .localCheckpoint(true)
+    // candidate-mass guard: Σ pdf·(pdf−1)/2 over the PREFIX posting
+    // lists is the exact row count the prefix self-join will
+    // materialize; refuse a quadratic melt loudly instead of running it
+    val mass = pref.groupBy(col("term")).agg(count(lit(1)).as("pdf"))
+      .where(col("pdf") >= 2)
+      .agg(coalesce(sum((col("pdf") * (col("pdf") - 1) / 2)
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    require(mass.longValue() <= maxCandidatePairs,
+      s"tfidfCosinePairs: the df cut $dfNum/$dfDen at threshold " +
+        s"$threshold admits $mass prefix-candidate pairs (> " +
+        s"maxCandidatePairs=$maxCandidatePairs). Tighten the df cut, " +
+        "raise the threshold, or switch to embeddingNearDupPairs — " +
+        "see scaladoc.")
+    val cand = pref.select(col("term"), col("id").as("id_a"), col("_bnorm").as("_ba"))
+      .join(pref.select(col("term"), col("id").as("id_b"), col("_bnorm").as("_bb")),
+        Seq("term"))
+      .where(col("id_a") < col("id_b") &&
+        col("_ba") * col("_bb") >= threshold - 1e-9)
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact dot for candidates only: per-doc (term → weight) maps rejoin
+    // by pair id; the decimal(38,0) accumulation matches the unfiltered
+    // join's sum bit-for-bit (integer products, order-free)
+    val docmap = joinable.groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("w")))).as("m"))
+    val dots = cand
+      .join(docmap.select(col("id").as("id_a"), col("m").as("ma")), Seq("id_a"))
+      .join(docmap.select(col("id").as("id_b"), col("m").as("mb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("""aggregate(map_entries(ma), CAST(0 AS DECIMAL(38,0)),
+          (acc, e) -> acc + CAST(CAST(e.value AS DECIMAL(19,0)) *
+            CAST(coalesce(try_element_at(mb, e.key), 0L) AS DECIMAL(19,0))
+            AS DECIMAL(38,0)))""").as("_dot"))
     dots
       .join(norms.select(col("id").as("id_a"), col("_norm").as("_na")), Seq("id_a"))
       .join(norms.select(col("id").as("id_b"), col("_norm").as("_nb")), Seq("id_b"))

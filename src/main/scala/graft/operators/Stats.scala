@@ -572,15 +572,20 @@ object Stats {
     *
     * Determinism contract: ONE md5 per row seeds a 48-bit value h (the
     * [[Sampling.md5Sample]] engine-portable hash contract); replicate
-    * r's uniform is u = ((h·(2r+1)) mod 2^48 + 1)/2^48 — an odd
+    * r's uniform is u = ((h·m(r)) mod 2^48 + 1)/2^48 with the odd
+    * multiplier m(r) = 2·((r·1597334677) mod 2^14) + 1 — an odd
     * multiplier is a bijection mod 2^48, so each replicate sees a
-    * uniform re-permutation of the row hashes. All arithmetic is exact
-    * int64 (h < 2^48, 2r+1 < 2^9 ⇒ products < 2^57), so any engine
-    * reproduces the draw bit-for-bit; the Poisson(1) inverse CDF
-    * thresholds [[PoissonCdf]] are shared literals. (Hashing (id, r)
-    * pairs directly costs R md5s per row — measured 45 s at sf0.1; the
-    * per-row seed + integer stream is the same map-only shape at ~one
-    * md5 per row.)
+    * uniform re-permutation of the row hashes, and the Fibonacci-style
+    * mixing constant scatters consecutive replicates' multipliers
+    * (sequential m(r) = 2r+1 made a fixed row's uniforms a Weyl
+    * progression — correlated across replicates, which correlates
+    * replicate means and can narrow the percentile CI). All arithmetic
+    * is exact int64 (h < 2^48, m(r) < 2^15 ⇒ products < 2^63; the
+    * r-mixing product is < 2^39), so any engine reproduces the draw
+    * bit-for-bit; the Poisson(1) inverse CDF thresholds [[PoissonCdf]]
+    * are shared literals. (Hashing (id, r) pairs directly costs R md5s
+    * per row — measured 45 s at sf0.1; the per-row seed + integer
+    * stream is the same map-only shape at ~one md5 per row.)
     *
     * Scale shape: map-only ×R expansion (R bounded) partial-aggregates
     * into (group, replicate) keys — |G|·R rows after the ONLY
@@ -595,15 +600,21 @@ object Stats {
   def poissonBootstrap(df: DataFrame, groupCol: Column, idCol: Column,
                        centsCol: Column, replicates: Int): DataFrame = {
     require(replicates > 1, s"replicates $replicates")
-    require(replicates <= 256, s"replicates $replicates (2r+1 must stay " +
-      "small enough that h·(2r+1) is exact int64: r < 2^15)")
+    require(replicates <= 256, s"replicates $replicates — the percentile " +
+      "CI gains nothing past a few hundred replicates and each one is a " +
+      "full corpus re-scan of the expanded stream; the multiplier stream " +
+      "itself stays exact-int64 out to r < 2^14, so raise this knob " +
+      "deliberately if a wider bootstrap is ever worth R corpus passes")
     val rows = df.select(groupCol.as("g"),
       conv(substring(md5(idCol.cast("string").cast("binary")), 1, 12),
         16, 10).cast("long").as("_h"), // one md5 per ROW, 48 bits
       centsCol.cast("long").as("_c"))
     val rep = rows.select(col("g"), col("_h"), col("_c"),
       explode(sequence(lit(0), lit(replicates - 1))).as("r"))
-    val u = ((col("_h") * (col("r") * 2 + 1)) % lit(281474976710656L) + 1)
+    // m(r) = 2·((r·1597334677) mod 2^14) + 1 — well-mixed odd multiplier
+    // per replicate (see scaladoc); the mod-2^14 bound keeps h·m(r) exact
+    val u = ((col("_h") * ((col("r") * lit(1597334677L)) % 16384 * 2 + 1))
+      % lit(281474976710656L) + 1)
       .cast("double") / lit(281474976710656.0) // 2^48
     val w = PoissonCdf.zipWithIndex.foldRight(lit(7L): Column) {
       case ((t, k), els) => when(u <= t, lit(k.toLong)).otherwise(els)

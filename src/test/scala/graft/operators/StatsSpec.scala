@@ -386,7 +386,8 @@ class StatsSpec extends SparkSpec {
 
     def weight(id: Long, r: Int): Long = {
       val h = java.lang.Long.parseLong(md5hex(id.toString).take(12), 16)
-      val u = ((h * (2L * r + 1)) % 281474976710656L + 1)
+      val m = 2L * ((r * 1597334677L) % 16384L) + 1L
+      val u = ((h * m) % 281474976710656L + 1)
         .toDouble / 281474976710656.0
       val k = Stats.PoissonCdf.indexWhere(u <= _)
       if (k < 0) 7L else k.toLong
