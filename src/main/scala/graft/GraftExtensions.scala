@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, JaroWinklerExpr, MinHashSigExpr, NormalizeTextExpr, RepetitionStatsExpr, ShingleHashesExpr, SimHashExpr, SignLshBandsExpr, SignLshExpr, TokenStatsExpr}
+import graft.functions.{BandKeysExpr, CosineSimExpr, DotProductExpr, JaroWinklerExpr, MinHashSigExpr, NormalizeTextExpr, RepetitionStatsExpr, ShingleHashesExpr, SimHashExpr, SignLshBandsExpr, SignLshBandsPooledExpr, SignLshExpr, TokenStatsExpr}
 
 /** Registers the engine's native expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...)")` works and the kernels are usable
@@ -92,6 +92,15 @@ object GraftExtensions {
           SignLshBandsExpr(v, intArg(ppb, "planesPerBand"), intArg(b, "bands"))
         case _ => throw new IllegalArgumentException(
           "usage: sign_lsh_bands(v array<float|double>, planesPerBand int, bands int)")
+      }),
+    (new FunctionIdentifier("sign_lsh_bands_pooled"),
+      new ExpressionInfo(classOf[SignLshBandsPooledExpr].getName, "sign_lsh_bands_pooled"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, ppb, b, pool) =>
+          SignLshBandsPooledExpr(v, intArg(ppb, "planesPerBand"),
+            intArg(b, "bands"), intArg(pool, "pool"))
+        case _ => throw new IllegalArgumentException(
+          "usage: sign_lsh_bands_pooled(v array<float|double>, planesPerBand int, bands int, pool int)")
       }),
     (new FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStatsExpr].getName, "token_stats"),

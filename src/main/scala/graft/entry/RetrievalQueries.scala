@@ -100,11 +100,14 @@ private[graft] object RetrievalQueries {
     }),
 
     // Exact sparse TF-IDF cosine pairs — the lexical sibling of
-    // q_embedding_neardup. Candidates come from the weighted AllPairs
-    // PREFIX filter (rare-first suffix-norm cut, exact by Cauchy-
-    // Schwarz; Bayardo et al. WWW'07), so the inverted-index equi-join
-    // touches only prefix posting lists — the df-cut-only join measured
-    // 488x super-linear at 10x sf0.1 (no nested loop anywhere).
+    // q_embedding_neardup. The space carries a dual df cut (relative
+    // 1/10 + absolute 1000-doc stopword ceiling — the relative bar
+    // alone loosens as N grows and re-admitted the corpus's hot terms
+    // at 10x, 2.2B candidates); candidates then come from the weighted
+    // AllPairs PREFIX filter (rare-first suffix-norm cut, exact by
+    // Cauchy-Schwarz; Bayardo et al. WWW'07), so the inverted-index
+    // equi-join touches only prefix posting lists (no nested loop
+    // anywhere). Oracle applies the identical dual cut.
     "q_tfidf_cosine" -> ((s, dir) =>
       Retrieval.tfidfCosinePairs(Tables.documents(s, dir), "doc_id", "text",
           dfNum = 1L, dfDen = 10L, threshold = 0.5)
@@ -452,7 +455,8 @@ private[graft] object RetrievalQueries {
         |         SELECT doc_id, unnest(l) AS term FROM toks) u GROUP BY 1, 2),
         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
         |        CROSS JOIN n GROUP BY term, n_l
-        |        HAVING CAST(count(*) AS BIGINT) * 10 <= n_l * 1),
+        |        HAVING CAST(count(*) AS BIGINT) * 10 <= n_l * 1
+        |           AND CAST(count(*) AS BIGINT) <= 1000),
         |w AS (SELECT doc_id, tf.term AS term, df,
         |        CAST(round(tf * (ln((1.0 + CAST(n_l AS DOUBLE)) / (1.0 + df)) + 1.0) * 10000, 0) AS BIGINT) AS w
         |      FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n),

@@ -128,6 +128,61 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Pooled-projection banded sign-LSH: evaluate `pool` hyperplane
+    * projections ONCE per row and assemble every band signature from
+    * the pooled sign bits. The scaled band geometries that hold
+    * candidate mass linear grow bands ∝ n ([[graft.operators.Dedup
+    * .scaledBandGeometry]]) — with per-band-private planes the
+    * signature cost bands·planes·d would itself grow super-linearly in
+    * the corpus (the round-9 sf1 re-measurement: 23×4 plane dots per
+    * row at sf0.1 vs 256×11 at sf1 — a ~30× per-row growth that kept
+    * the LSH queries 14–30× on 10× rows even with linear candidate
+    * mass). Pooling caps the dot-product work at pool·d per row for
+    * ANY geometry; each band picks `planesPerBand` DISTINCT pool bits
+    * via a per-band (start, odd-stride) walk (pool is a power of two,
+    * so an odd stride is a bijection — no duplicate bit inside a
+    * band). Bands sharing a pool are mildly correlated — the standard
+    * reusable-projection trade; OR-amplification only needs band
+    * misses roughly independent, and a rare (start, stride) collision
+    * merely duplicates one band's candidates.
+    */
+  def signLshBandsPooled(v: ArrayData, isF: Boolean, planesPerBand: Int,
+                         bands: Int, pool: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = v.numElements()
+    val bits = new Array[Long]((pool + 63) >> 6)
+    var q = 0
+    while (q < pool) {
+      val comps = planeComps(q, n)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        proj += x * comps(i)
+        i += 1
+      }
+      if (proj >= 0) bits(q >> 6) |= (1L << (q & 63))
+      q += 1
+    }
+    val mask = pool - 1
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      val start = (XXH64.hashInt(b, 7L) & 0x7fffffffL).toInt & mask
+      val stride = (((XXH64.hashInt(b, 13L) & 0x7fffffffL).toInt) & mask) | 1
+      var sig = 0L
+      var s = 0
+      while (s < planesPerBand) {
+        val idx = (start + s * stride) & mask
+        if ((bits(idx >> 6) & (1L << (idx & 63))) != 0) sig |= (1L << s)
+        s += 1
+      }
+      out(b) = XXH64.hashLong(sig, b.toLong)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Argmax-cosine centroid assignment against a broadcast-by-literal
     * centroid table (`cents` are pre-NORMALIZED, so argmax cosine ≡
     * argmax dot — the row's own norm is a constant factor). Ties break to
@@ -288,6 +343,36 @@ case class SignLshBandsExpr(child: Expression, planesPerBand: Int, bands: Int)
     copy(child = newChild)
 }
 
+case class SignLshBandsPooledExpr(child: Expression, planesPerBand: Int,
+                                  bands: Int, pool: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(pool >= 2 && (pool & (pool - 1)) == 0,
+    s"sign_lsh_bands_pooled: pool $pool must be a power of two")
+  require(planesPerBand >= 1 && planesPerBand <= 64 && planesPerBand <= pool,
+    s"sign_lsh_bands_pooled: planesPerBand $planesPerBand out of range")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh_bands_pooled"
+  private def isF: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh_bands_pooled requires array<float|double>, got ${t.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.signLshBandsPooled(input.asInstanceOf[ArrayData], isF,
+      planesPerBand, bands, pool)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.signLshBandsPooled($c, $isF, $planesPerBand, $bands, $pool)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class UpperTriProductsExpr(child: Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -357,4 +442,8 @@ object VectorExpr {
     ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(v), ids, cents))
   def upperTriProducts(v: Column): Column =
     ColumnBridge.column(UpperTriProductsExpr(ColumnBridge.expression(v)))
+  def signLshBandsPooled(v: Column, planesPerBand: Int, bands: Int,
+                         pool: Int): Column =
+    ColumnBridge.column(SignLshBandsPooledExpr(ColumnBridge.expression(v),
+      planesPerBand, bands, pool))
 }

@@ -514,19 +514,48 @@ object Curation {
     * restored) — clean_text is the curation-ready token stream, not a
     * byte-identical excerpt of the input.
     */
-  def boilerplatePassages(docs: DataFrame, idCol: String, textCol: String,
-                          passageWords: Int = 10, minDocs: Int = 2): DataFrame = {
-    require(passageWords >= 1, s"passageWords $passageWords")
-    require(minDocs >= 2, s"minDocs $minDocs (1 would drop every passage)")
-    val pw = passageWords
+  /** The (id, pidx, passage) expansion shared by [[boilerplatePassages]]
+    * and the streaming twin ([[graft.streaming.Streams
+    * .boilerplateStream]]): fixed `pw`-word passages, 1-based index, an
+    * empty text still forms one (empty) passage. `carry` columns ride
+    * through untouched (the stream needs its event-time column).
+    */
+  private[graft] def passageRows(docs: DataFrame, idCol: String,
+                                 textCol: String, pw: Int,
+                                 carry: Seq[String] = Nil): DataFrame = {
     val words = col("__graft_bp_words")
     val nP = greatest(ceil(size(words) / lit(pw.toDouble)).cast("int"), lit(1))
     val passages = transform(sequence(lit(1), nP),
       i => array_join(slice(words, (i - lit(1)) * pw + lit(1), lit(pw)), " "))
-    val p = docs.select(col(idCol).as("id"),
-        split(col(textCol), " ").as("__graft_bp_words"))
-      .select(col("id"), posexplode(passages).as(Seq("pos", "passage")))
-      .select(col("id"), (col("pos") + 1).as("pidx"), col("passage"))
+    docs.select(col(idCol).as("id") +: carry.map(col) :+
+        split(col(textCol), " ").as("__graft_bp_words"): _*)
+      .select(col("id") +: carry.map(col) :+
+        posexplode(passages).as(Seq("pos", "passage")): _*)
+      .select(col("id") +: carry.map(col) :+
+        (col("pos") + 1).as("pidx") :+ col("passage"): _*)
+  }
+
+  /** Passage-hash document-frequency index over a standing corpus — the
+    * trained model of the boilerplate detector, materialized once and
+    * probed by every arriving document ([[graft.streaming.Streams
+    * .boilerplateStream]]'s static side; the incremental-index pattern
+    * of incrementalDedupStream). One row per distinct passage hash:
+    * (_ph, df) with df = number of distinct documents containing the
+    * passage — identical to the count [[boilerplatePassages]] derives
+    * inline via its first-in-doc window.
+    */
+  def passageDfIndex(docs: DataFrame, idCol: String, textCol: String,
+                     passageWords: Int = 10): DataFrame =
+    passageRows(docs, idCol, textCol, passageWords)
+      .select(col("id"), xxhash64(col("passage")).as("_ph"))
+      .groupBy(col("_ph"))
+      .agg(count_distinct(col("id")).as("df"))
+
+  def boilerplatePassages(docs: DataFrame, idCol: String, textCol: String,
+                          passageWords: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(passageWords >= 1, s"passageWords $passageWords")
+    require(minDocs >= 2, s"minDocs $minDocs (1 would drop every passage)")
+    val p = passageRows(docs, idCol, textCol, passageWords)
     // text-free df pass: the window exchange carries (id, pidx, hash) only
     val narrow = p.select(col("id"), col("pidx"),
       xxhash64(col("passage")).as("_ph"))

@@ -501,15 +501,33 @@ object Dedup {
     * (b=3, L=16) give ≥0.95 recall down to c≈0.4 — matched to the test
     * corpus; production near-dup at c≥0.9 should raise b to 12–20 (and
     * optionally lower L), which shrinks buckets by orders of magnitude.
+    *
+    * Signature cost: [[scaledBandGeometry]] grows bands ∝ n to hold
+    * candidate mass linear, so per-band-private planes would make the
+    * signature dot products (bands·planes·d per row) THEMSELVES grow
+    * super-linearly — the round-9 sf1 re-measurement caught exactly
+    * that (14–30× wall on 10× rows with linear candidate mass). Any
+    * geometry past [[PooledBandCutoff]] total plane slots therefore
+    * assembles its bands from a fixed 256-projection pool
+    * ([[graft.functions.VectorKernels.signLshBandsPooled]]) — constant
+    * dot-product work per row at any corpus size. The cutoff keeps
+    * every base (test-scale) geometry on the private-plane kernel, so
+    * pinned candidate sets are untouched; the switch is a function of
+    * the GEOMETRY, never of the data.
     */
+  private[graft] val PooledBandCutoff = 64
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, planesPerBand: Int = 3,
                             bands: Int = 16): DataFrame = {
     // materialize once — band fan-out and both candidate rejoin branches
     // would otherwise recompute the source (and its signatures)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
-    val bandRows = vecs.select(col("id"),
-      explode(graft.functions.VectorExpr.signLshBands(col("v"), planesPerBand, bands)).as("bk"))
+    val bandKeys =
+      if (planesPerBand * bands <= PooledBandCutoff)
+        graft.functions.VectorExpr.signLshBands(col("v"), planesPerBand, bands)
+      else graft.functions.VectorExpr.signLshBandsPooled(col("v"),
+        planesPerBand, bands, pool = 256)
+    val bandRows = vecs.select(col("id"), explode(bandKeys).as("bk"))
     val cand = bandRows.select(col("bk"), col("id").as("id_a"))
       .join(bandRows.select(col("bk"), col("id").as("id_b")), Seq("bk"))
       .where(col("id_a") < col("id_b"))

@@ -128,14 +128,23 @@ object Retrieval {
     * embedding near-dup family: every document pair whose cosine in the
     * TF-IDF space meets `threshold`.
     *
-    * The vector space is DEFINED over terms with df·dfDen ≤ N·dfNum
-    * (df at most the fraction dfNum/dfDen of the corpus — a RELATIVE
-    * cut, so the space means the same thing at any scale; the test is
-    * pure integer arithmetic on both engines). High-df terms are
-    * stopword noise for similarity AND the skew that makes a term-keyed
-    * self-join melt — excluding them from the space (not just the
-    * candidate step), both weights and norms, keeps the result exact
-    * w.r.t. the declared space. The candidate step is the weighted
+    * The vector space is DEFINED over terms passing BOTH df cuts:
+    * df·dfDen ≤ N·dfNum (the RELATIVE fraction — pure integer
+    * arithmetic on both engines) AND df ≤ `maxDf` (an ABSOLUTE
+    * stopword ceiling). High-df terms are stopword noise for
+    * similarity AND the skew that makes a term-keyed self-join melt —
+    * excluding them from the space (not just the candidate step), both
+    * weights and norms, keeps the result exact w.r.t. the declared
+    * space. The absolute ceiling exists because the relative cut alone
+    * LOOSENS as the corpus grows: on a sharded/replicated corpus every
+    * shard's medium-frequency terms slide under a growing N·dfNum/dfDen
+    * bar while their posting lists keep their absolute size — the
+    * round-8 curve measured exactly that (31k candidates at sf0.1 →
+    * 2.2B at 10×, all of it from terms with df 1k–5k that the 10×
+    * relative bar newly admitted). A term in more than `maxDf`
+    * documents carries no discriminative similarity signal at any
+    * corpus size, and capping df caps every posting list — the
+    * scale-free half of the space definition. The candidate step is the weighted
     * AllPairs prefix filter (Bayardo et al., WWW'07 — the PPJoin
     * family): fix ONE global term order π = (df asc, term asc) and give
     * every (doc, term) its normalized suffix norm b_x(t) = ‖ŵ_x
@@ -188,9 +197,11 @@ object Retrieval {
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        dfNum: Long, dfDen: Long, threshold: Double,
                        roundTo: Int = 6,
-                       maxCandidatePairs: Long = 100000000L): DataFrame = {
+                       maxCandidatePairs: Long = 100000000L,
+                       maxDf: Long = 1000L): DataFrame = {
     require(dfNum > 0 && dfDen > 0 && dfNum <= dfDen,
       s"df cut $dfNum/$dfDen must be a fraction in (0, 1]")
+    require(maxDf >= 2, s"maxDf $maxDf admits no shareable term")
     val tf = docs.select(col(idCol).as("id"),
         explode(TextAnalytics.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col("id"), col("term"))
@@ -198,7 +209,8 @@ object Retrieval {
     val n = docs.agg(count(lit(1)).as("n_l"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
-      .where(col("df") * dfDen <= col("n_l") * dfNum)
+      .where(col("df") * dfDen <= col("n_l") * dfNum &&
+        col("df") <= maxDf)
     // materialize the weight table once: norms, the prefix build and
     // both verify-map branches would each re-run tokenize+count+df
     val w = tf.join(broadcast(dfT), Seq("term"))

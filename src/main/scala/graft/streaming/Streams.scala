@@ -150,6 +150,62 @@ object Streams {
       s.getField("score").as("dsir_score"))
   }
 
+  /** Per-document script/charset profile stream — the streaming twin of
+    * the q_script_mix corpus readout: the character-class counts are
+    * one map-only projection (the same pairwise-disjoint regex trees),
+    * so they lift to a stream with ZERO state — append mode, no
+    * watermark, no shuffle. Emits the exact integer counts alongside
+    * the per-doc fractions, so any downstream (batch or windowed)
+    * per-language aggregate reproduces the corpus profile from the
+    * stream's own output. StreamsSpec asserts stream ≡ batch
+    * row-for-row and that re-aggregating the stream output yields the
+    * batch corpus profile.
+    */
+  def scriptMixStream(docs: DataFrame, idCol: String, textCol: String,
+                      carryCols: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(col(idCol).as("doc_id")) ++ carryCols.map(col) ++ Seq(
+      length(col(textCol)).as("n_chars"),
+      length(regexp_replace(col(textCol), "[^A-Za-z]", "")).as("alpha_chars"),
+      length(regexp_replace(col(textCol), "[^0-9]", "")).as("digit_chars"),
+      length(regexp_replace(col(textCol), "[^ \\t\\n\\r]", "")).as("ws_chars"),
+      length(regexp_replace(col(textCol), "[\\x00-\\x7F]", "")).as("nonascii_chars")): _*)
+
+  /** Streaming boilerplate removal — the deployment shape of
+    * [[graft.operators.Curation.boilerplatePassages]]: the corpus-wide
+    * passage document-frequency lives in a STANDING index built in
+    * batch ([[graft.operators.Curation.passageDfIndex]] — the trained
+    * model, like dsirStream's dsirDim), and each arriving document
+    * splits into the identical fixed-word passages map-side, probes the
+    * index with a stateless stream-static LEFT join on the 64-bit
+    * passage hash (absent hash ⇒ df 0 ⇒ kept), and reassembles in one
+    * event-time-windowed per-document aggregate bounded by the
+    * watermark. Output matches the batch operator row-for-row when the
+    * index covers the same corpus the batch run saw (StreamsSpec).
+    */
+  def boilerplateStream(newDocs: DataFrame, tsCol: String, idCol: String,
+                        textCol: String, dfIndex: DataFrame,
+                        passageWords: Int = 10, minDocs: Int = 2,
+                        watermark: String = "10 seconds",
+                        windowDur: String = "10 seconds"): DataFrame = {
+    import graft.operators.Curation
+    val p = Curation.passageRows(newDocs, idCol, textCol, passageWords,
+        carry = Seq(tsCol))
+      .withColumn("_ph", xxhash64(col("passage")))
+      .withWatermark(tsCol, watermark)
+    p.join(dfIndex, Seq("_ph"), "left")
+      .withColumn("_df", coalesce(col("df"), lit(0L)))
+      .groupBy(window(col(tsCol), windowDur), col("id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        count(when(col("_df") < minDocs, lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_df") < minDocs,
+              struct(col("pidx"), col("passage"))))),
+            s => s.getField("passage")), " ").as("clean_text"))
+      .select(col("id"), col("n_passages"), col("n_kept"), col("clean_text"))
+  }
+
   /** Continuous incremental dedup — the streaming twin of
     * [[graft.operators.Dedup.incrementalNgramPairs]]: each arriving
     * document's n-gram shingles probe a STATIC standing-corpus shingle

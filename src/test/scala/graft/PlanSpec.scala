@@ -403,4 +403,32 @@ class PlanSpec extends SparkSpec {
       (p should not).include("CartesianProduct")
     }
   }
+
+  test("q_tfidf_cosine: prefix-filtered candidate join, pair-keyed map verify") {
+    // the AllPairs prefix shape (Retrieval.tfidfCosinePairs): the term
+    // self-join reads the checkpointed PREFIX projection with the
+    // pairwise suffix-norm product in the join condition, and the exact
+    // dot runs pair-keyed over per-doc (term → weight) maps — never a
+    // second corpus product. No nested loop anywhere (the corpus-count
+    // broadcast lives inside the eager checkpoint build).
+    val p = planOf("q_tfidf_cosine")
+    p should include("_ba")                 // suffix-norm columns gate the join
+    p should include("_bb")
+    p should include("collect_list(struct(term") // per-doc weight maps build
+    p should include("map_entries")         // the pair-keyed exact dot
+    p should include("element_at")          // ... probing the partner's map
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_pca_covariance: native triangle kernel + flat-index decode after aggregation") {
+    // the d(d+1)/2 expansion is the codegen kernel (not an interpreted
+    // HOF pyramid), and the (i, j) decode joins a broadcast lookup
+    // AFTER the idx-keyed aggregate — d² keys, never corpus rows
+    val p = planOf("q_pca_covariance")
+    p should include("upper_tri_products")
+    (p should not).include("slice(")        // the old interpreted HOF chain
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+  }
 }

@@ -339,6 +339,20 @@ class RetrievalSpec extends SparkSpec {
     got.head._3 shouldBe 1.0
   }
 
+  test("tfidfCosinePairs absolute df ceiling drops hot terms the relative cut admits") {
+    // 8 docs: 'hot' is in all of them (df 8 — passes a full relative
+    // cut, but the maxDf=2 ceiling removes it from the space); docs 1-2
+    // then pair only on 'rare' (cos 1.0), docs sharing ONLY 'hot' never
+    // pair at all — the scale-free stopword semantics
+    val docs = ((1L, "hot rare") +: (2L, "hot rare") +:
+      (3L to 8L).map(i => (i, s"hot solo$i"))).toDF("doc_id", "text")
+    val got = Retrieval.tfidfCosinePairs(docs, "doc_id", "text",
+        dfNum = 1L, dfDen = 1L, threshold = 0.0, maxDf = 2L)
+      .as[(Long, Long, Double)].collect()
+    got.map(t => (t._1, t._2)).toSet shouldBe Set((1L, 2L))
+    got.head._3 shouldBe 1.0
+  }
+
   test("tfidfCosinePairs refuses a quadratic candidate mass, naming the knob") {
     // 12 docs all sharing the same 3 tokens → with a full df cut every
     // term has df=12 → mass = 3·(12·11/2) = 198 candidate pairs; a cap

@@ -233,6 +233,79 @@ class StreamsSpec extends SparkSpec {
     got shouldBe batch
   }
 
+  test("scriptMixStream: zero-state char-class profile, stream equals batch; counts re-aggregate") {
+    import StreamsSpec.Doc
+    val docs = Seq(
+      Doc(ts(1), 1L, "plain ascii words 123"),
+      Doc(ts(2), 2L, "naïve café — non-ascii content"),
+      Doc(ts(3), 3L, "punct!!! and\ttabs\nnewlines"))
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      scriptMixStream(df, "doc_id", "text")
+    val batch = run(docs.toDF())
+      .as[(Long, Int, Int, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    val stream = MemoryStream[Doc]
+    val got = runStream(stream, run, docs, complete = false)
+      .as[(Long, Int, Int, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    got shouldBe batch
+    // the per-doc integer counts re-aggregate to the corpus profile the
+    // q_script_mix batch readout computes (single-language corpus here)
+    val n = batch.map(_._2.toLong).sum
+    val alphaFrac = batch.map(_._3.toLong).sum.toDouble / n
+    val direct = docs.map(_.text.count(c => c.isLetter && c < 128).toLong).sum.toDouble /
+      docs.map(_.text.length.toLong).sum
+    alphaFrac shouldBe direct +- 1e-12
+  }
+
+  test("boilerplateStream: static passage-df index probe equals the batch operator") {
+    import StreamsSpec.Doc
+    import graft.operators.Curation
+    // 3 docs sharing a 10-word boilerplate header, distinct bodies of
+    // 10 words each — the header's df is 3, bodies df 1
+    val header = (1 to 10).map(i => s"head$i").mkString(" ")
+    def body(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$header ${body("alpha")}"),
+      (2L, s"$header ${body("beta")}"),
+      (3L, s"$header ${body("gamma")}")).toDF("doc_id", "text")
+    val batch = Curation.boilerplatePassages(corpus, "doc_id", "text",
+        passageWords = 10, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    batch.foreach { case (_, nP, nKept, clean) =>
+      nP shouldBe 2L; nKept shouldBe 1L
+      clean should not include "head1"
+    }
+    // the deployment shape: index trained on the corpus, docs stream in
+    val dfIndex = Curation.passageDfIndex(corpus, "doc_id", "text",
+      passageWords = 10).localCheckpoint(true)
+    val streamDocs = Seq(
+      Doc(ts(1), 1L, s"$header ${body("alpha")}"),
+      Doc(ts(2), 2L, s"$header ${body("beta")}"),
+      Doc(ts(3), 3L, s"$header ${body("gamma")}"),
+      // late marker advances the watermark so the append windows close
+      Doc(ts(99), 999L, "flush marker row"))
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Streams.boilerplateStream(df, "ts", "doc_id", "text", dfIndex,
+        passageWords = 10, minDocs = 2,
+        watermark = "1 minute", windowDur = "1 minute")
+    val stream = MemoryStream[Doc]
+    val name = s"mem_${System.nanoTime()}"
+    val q = run(stream.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    stream.addData(streamDocs.take(3): _*)
+    q.processAllAvailable()
+    stream.addData(streamDocs(3))
+    q.processAllAvailable()
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (spark.table(name).where(col("id") < 999L).count() < 3 &&
+        System.nanoTime() < deadline) {
+      Thread.sleep(200); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).where(col("id") < 999L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    got shouldBe batch
+  }
+
   test("msprtStream: always-valid p on the stream equals the batch operator day-for-day") {
     import graft.operators.Stats
     // 8 days × 12 obs × 2 arms with a real lift on arm 1; one null row

@@ -40,6 +40,17 @@ flagged = sorted((q for q, r in rows.items()
                  key=lambda q: -rows[q]["ratio"])
 sub_linear = sum(1 for r in rows.values() if r["ratio"] and r["ratio"] <= factor)
 
+# --notes=<file.json>: {"query": "annotation"} merged into the per-query
+# rows — the place measured output-growth justifications live for
+# flagged-but-output-bound queries (a pair query whose OUTPUT grows
+# super-linearly is allowed to cost super-linearly; the note must
+# quantify it, never assert it)
+notes_path = opts.get("--notes")
+if notes_path and notes_path is not True:
+    for q, note in json.load(open(notes_path)).items():
+        if q in rows:
+            rows[q]["note"] = note
+
 out = {
     "round": rnd,
     "sf_small": sf_small,

@@ -10,7 +10,10 @@ Checks, in order:
   2. Oracle output types are in the driver-safe set (local_verify.py
      --typescan): a HUGEINT/DECIMAL/UINTEGER oracle column hash-fails
      at the driver even when values match.
-  3. docs/QUERIES.md is regenerated (stale index = wrong judge picture).
+  3. The newest committed BENCHSCALE_r*.json postdates every commit
+     touching operator/kernel/query sources (r8 shipped a pre-fix scale
+     curve as the round's evidence — this is the gate against that).
+  4. docs/QUERIES.md is regenerated (stale index = wrong judge picture).
 
 Exit 0 only when all gates pass. The typescan needs an oracle_sql.json;
 pass sfDir (default /root/testdata/sf0.01) and the script dumps one via
@@ -83,7 +86,45 @@ with tempfile.TemporaryDirectory() as tmp:
         if scan.returncode != 0:
             failures.append("oracle typescan failed:\n" + scan.stdout)
 
-# -- 3. query index ----------------------------------------------------
+# -- 3. BENCHSCALE freshness -------------------------------------------
+# The r8 postmortem: a scale curve was committed, the flagged operators
+# were then fixed, and the STALE pre-fix measurements shipped as the
+# round's evidence. Gate: the newest committed BENCHSCALE_r*.json must
+# postdate (in commit order) the last commit touching any operator/
+# query/kernel source feeding its flagged queries — otherwise the curve
+# no longer measures HEAD and must be re-run.
+scale_files = sorted(f for f in os.listdir(repo)
+                     if re.fullmatch(r"BENCHSCALE_r\d+\.json", f))
+if not scale_files:
+    failures.append("no BENCHSCALE_r*.json committed — run tools/bench_scale.py")
+else:
+    latest = scale_files[-1]
+
+    def last_commit_time(path):
+        r = subprocess.run(["git", "log", "-1", "--format=%ct", "--", path],
+                           cwd=repo, capture_output=True, text=True)
+        out = r.stdout.strip()
+        return int(out) if out else None
+
+    scale_t = last_commit_time(latest)
+    if scale_t is None:
+        failures.append(f"{latest} exists but is not committed")
+    else:
+        hot_dirs = ["src/main/scala/graft/operators",
+                    "src/main/scala/graft/functions",
+                    "src/main/scala/graft/entry"]
+        stale_vs = [d for d in hot_dirs
+                    if (last_commit_time(d) or 0) > scale_t]
+        if stale_vs:
+            failures.append(
+                f"{latest} predates the last commit touching {stale_vs} — "
+                "the scale curve no longer measures HEAD; re-run "
+                "tools/bench_scale.py over fresh sf0.1/sf1 details and "
+                "commit the refreshed curve")
+        else:
+            print(f"benchscale: {latest} postdates all operator sources")
+
+# -- 4. query index ----------------------------------------------------
 subprocess.run([sys.executable, os.path.join(repo, "tools/gen_query_index.py")],
                check=True, cwd=repo)
 if subprocess.run(["git", "diff", "--quiet", "docs/QUERIES.md"],
