@@ -455,30 +455,43 @@ object Dedup {
     * geometry is Σ_bucket |bucket|²·bands ≈ n²·bands/2^planes, i.e.
     * QUADRATIC in n (measured: 8.1M candidate pairs at 2k vectors →
     * 807M at 20k with the (2,16) default — a 47× wall-clock blowup on a
-    * 10× corpus). Holding mass ~linear needs 2^planes/bands ∝ n; this
-    * helper adds e = ⌈2·log₂(n/nRef)⌉ planes per band and multiplies
-    * bands by 2^(e/2):
+    * 10× corpus). Holding candidate mass/row FLAT needs
+    * bands/2^planes ∝ 1/n; this helper solves that directly for
+    * g = n/nRef: e = ⌈log₂ g⌉ extra planes, bands = ⌈baseBands·2^e/g⌉
+    * ∈ [baseBands, 2·baseBands) — so
     *
-    *   mass  ∝ n²·bands·2^(−planes) = n²·2^(−e/2)·(base factor)
-    *         = n·nRef·(base factor) — LINEAR in n (constant per row),
-    *   recall for a pair at cosine c (p = 1−arccos(c)/π): miss =
-    *   (1−p^planes)^bands — the extra bands offset the narrower bucket
-    *   key, e.g. c=0.5: (2,16)→1.000, (9,181)→0.985; near the LOW end
-    *   of useful thresholds (c≈0.3–0.4) recall does decay with scale —
-    *   the LSH n^ρ tradeoff, which no fixed-recall geometry escapes.
+    *   mass/row ∝ n·bands·2^(−planes) = nRef·(base factor)·(2^e/g)/2^e
+    *            = nRef·(base factor) — CONSTANT, mass LINEAR in n,
     *
-    * Below `nRef` the base geometry is returned unchanged, so
-    * test-scale results (and their pinned hashes) are identical; the
-    * measured effect at 10× sf0.1: 807M→~60–110M verified cosines.
+    * with no systematic overshoot from ceil granularity (the r8
+    * formula's e = ⌈2·log₂ g⌉ + bands·2^(e/2) landed up to 1.8× off
+    * target between power-of-two boundaries, and its bands ∝ n made
+    * the signature work itself super-linear — see
+    * [[embeddingNearDupPairs]]'s pooled kernel). Bands never shrink
+    * below base; recall for a pair at cosine c (p = 1−arccos(c)/π) is
+    * 1−(1−p^planes)^bands and DECAYS with scale at the low end of
+    * useful thresholds (c≈0.3–0.4) — the LSH n^ρ tradeoff, which no
+    * linear-mass geometry escapes; production near-dup thresholds
+    * (c ≥ 0.9) hold ≥0.99 out past 100× nRef.
+    *
+    * `nRef` must sit at or below the smallest corpus whose scaling is
+    * being measured (default 2048: under the driver-SF corpora, so
+    * every pinned hash keeps the identity base geometry, and at or
+    * under the bench corpus, so the measured curve has no
+    * identity-plateau discontinuity — the r8 default 4096 put sf0.1
+    * ON the plateau and the sf0.1→sf1 mass ratio started from a
+    * quadratic first doubling).
     */
   def scaledBandGeometry(n: Long, basePlanes: Int, baseBands: Int,
-                         nRef: Long = 4096L): (Int, Int) = {
+                         nRef: Long = 2048L): (Int, Int) = {
     require(basePlanes >= 1 && baseBands >= 1 && nRef >= 1,
       s"bad geometry ($basePlanes, $baseBands, nRef=$nRef)")
     if (n <= nRef) (basePlanes, baseBands)
     else {
-      val e = math.ceil(2.0 * math.log(n.toDouble / nRef) / math.log(2.0)).toInt
-      (basePlanes + e, math.ceil(baseBands * math.pow(2.0, e / 2.0)).toInt)
+      val g = n.toDouble / nRef
+      val e = math.ceil(math.log(g) / math.log(2.0)).toInt
+      (basePlanes + e,
+        math.max(1, math.ceil(baseBands * math.pow(2.0, e) / g).toInt))
     }
   }
 
@@ -532,13 +545,37 @@ object Dedup {
       .join(bandRows.select(col("bk"), col("id").as("id_b")), Seq("bk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    // Verify-join strategy from the DIMENSION side's size, not Spark's
+    // 10 MB default: when the vector table fits a deliberate broadcast
+    // budget, BOTH rejoin sides broadcast and the candidate-pair stream
+    // never re-shuffles carrying a vector payload (at 10× sf0.1 the
+    // table sat just past autoBroadcastJoinThreshold, and the second
+    // join exchanged 71M pairs × one 520-byte vector each — the whole
+    // verification regression). Past the budget the joins fall back to
+    // shuffles — the only option once the corpus outgrows the driver —
+    // where the pair stream pays one narrow exchange per side. Sizing
+    // actions are cheap: vecs is already an eager checkpoint.
+    val dim = vecs.select(size(col("v"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    val estBytes = vecs.count() * (24L + 8L * dim)
+    def side(n: String, v: String) = {
+      val s = vecs.select(col("id").as(n), col("v").as(v))
+      if (estBytes <= MaxBroadcastVectorBytes) broadcast(s) else s
+    }
     cand
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .join(side("id_a", "va"), Seq("id_a"))
+      .join(side("id_b", "vb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("va"), col("vb")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** Broadcast budget for [[embeddingNearDupPairs]]'s verify joins: the
+    * vector table broadcasts to the candidate verification while its
+    * estimated in-memory size stays under this — far past Spark's 10 MB
+    * default (a deliberate dimension-table broadcast at 256 MB is
+    * routine on executor-sized heaps) and far under driver limits.
+    */
+  private[graft] val MaxBroadcastVectorBytes: Long = 256L << 20
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic

@@ -463,7 +463,11 @@ object Graphs {
         .localCheckpoint(true)
       frontierNonEmpty = next.limit(1).count() > 0
       if (frontierNonEmpty) {
-        dist = dist.unionAll(next).localCheckpoint(true)
+        // no checkpoint on the union: every branch is itself an eagerly
+        // checkpointed frontier, so downstream joins re-read blocks, not
+        // recompute — and the per-hop checkpoint job was a measurable
+        // share of BFS wall time on small frontiers (r9 isolated rerun)
+        dist = dist.unionAll(next)
         frontier = next
       }
       h += 1

@@ -396,23 +396,29 @@ class DedupSpec extends SparkSpec {
     // at or below nRef the base geometry is returned untouched — this is
     // what keeps every pinned rows-only hash valid at the driver SFs
     Dedup.scaledBandGeometry(2000L, 2, 16, nRef = 4096L) shouldBe ((2, 16))
+    Dedup.scaledBandGeometry(2048L, 3, 16) shouldBe ((3, 16)) // default nRef
     Dedup.scaledBandGeometry(4096L, 3, 16, nRef = 4096L) shouldBe ((3, 16))
-    // above nRef: e = ceil(2·log2(n/nRef)) extra planes, bands ×2^(e/2) —
-    // candidate mass n²·bands/2^planes stays ~flat in n:
-    // n=10·nRef ⇒ e=7 ⇒ (base+7, ceil(base·2^3.5))
-    Dedup.scaledBandGeometry(40960L, 2, 16, nRef = 4096L) shouldBe ((9, 182))
+    // above nRef: e = ceil(log2 g) extra planes, bands = ceil(base·2^e/g)
+    // — candidate mass/row n·bands/2^planes lands EXACTLY on the nRef
+    // level (bands absorbs the ceil slack): n=10·nRef ⇒ e=4,
+    // bands=ceil(16·16/10)=26
+    Dedup.scaledBandGeometry(40960L, 2, 16, nRef = 4096L) shouldBe ((6, 26))
     val (p1, b1) = Dedup.scaledBandGeometry(100000L, 3, 16, nRef = 4096L)
     val (p2, b2) = Dedup.scaledBandGeometry(1000000L, 3, 16, nRef = 4096L)
-    p2 should be > p1 // monotone in n
-    b2 should be > b1
+    p2 should be > p1 // planes monotone in n
+    // bands oscillate within [base, 2·base) — never below base (recall
+    // floor), never the r8 bands ∝ n growth (signature-cost ceiling)
+    Seq(b1, b2).foreach { b =>
+      b should be >= 16
+      b should be < 32
+    }
     // the geometry holds candidate mass n²·bands/2^planes LINEAR in n
     // (constant per-row cost): mass/n must stay flat across a 10× step
-    // (ceil granularity allows slack around exactly 1)
     def massPerRow(n: Long, p: Int, b: Int): Double =
       n.toDouble * b / math.pow(2.0, p)
     val g1 = massPerRow(100000L, p1, b1)
     val g2 = massPerRow(1000000L, p2, b2)
-    (g2 / g1) should (be > 0.5 and be < 2.0)
+    (g2 / g1) should (be > 0.8 and be < 1.25)
   }
 
   test("pooled banding: output stays an exact-verified subset with solid recall") {
