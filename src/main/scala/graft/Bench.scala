@@ -70,8 +70,18 @@ object Bench {
     // queries (the driver never sets it, so round numbers stay complete)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    def selected = SparkEntry.queries.toSeq
-      .filter { case (n, _) => only.forall(_.contains(n)) }.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ORDER=desc reverses execution order: the r9
+    // noise audit found multi-second machine transients (fixture
+    // writeback / GC after driver-side asset builds) inflating RUNS of
+    // alphabetically-consecutive queries in BOTH reps — min across an
+    // ascending and a descending run puts every query far from the
+    // transient in at least one run, which per-query rep minima cannot.
+    val desc = sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("desc")
+    def selected = {
+      val s = SparkEntry.queries.toSeq
+        .filter { case (n, _) => only.forall(_.contains(n)) }.sortBy(_._1)
+      if (desc) s.reverse else s
+    }
     // Single-rep mode gets an untimed warm pass over EVERY query first:
     // it builds the process-lifetime fixtures (PNG/WAV corpora, bucketed
     // tables, shared shingle/pair checkpoints) and JITs each plan's

@@ -123,7 +123,10 @@ private[graft] object DedupQueries {
     // hash-derived LSH planes are not expressible in DuckDB → rows-only.
     // Band geometry scales with the corpus (Dedup.scaledBandGeometry —
     // identity at test SFs so the pins hold; the fixed (3,16) geometry
-    // measured 30x super-linear at 10x sf0.1).
+    // measured 30x super-linear at 10x sf0.1). Past the base geometry
+    // the signatures assemble from the fixed projection pool and the
+    // verify joins broadcast the vector table (r9: the two residual
+    // super-linear terms).
     "q_embedding_neardup_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (planes, bands) =

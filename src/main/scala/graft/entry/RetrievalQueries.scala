@@ -333,7 +333,9 @@ private[graft] object RetrievalQueries {
     // geometry scales with the corpus (Dedup.scaledBandGeometry —
     // identity at test SFs, so pins are untouched): the fixed (2,16)
     // geometry measured 47x super-linear at 10x sf0.1 because candidate
-    // mass is n²·bands/2^planes.
+    // mass is n²·bands/2^planes. Past the base geometry the signatures
+    // assemble from the fixed projection pool and the verify joins
+    // broadcast the vector table (r9).
     "q_knn_graph_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (planes, bands) =

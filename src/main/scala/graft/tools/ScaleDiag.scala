@@ -70,6 +70,27 @@ object ScaleDiag {
         col("lat"), col("lon"), radiusKm = 200.0, cellDeg = 4.0,
         maxAbsLat = 60.0).count()
       println(s"""{"probe":"geo_pairs_output","dir":"$dir","n_points":${pts.count()},"pairs":$geoOut}""")
+
+      // ---- q_image_neardup: output cardinality ----------------------
+      // planted near-dups are linear in docs, but accidental ≤6-bit
+      // dHash collisions densify with the corpus — separates
+      // output-bound growth from candidate-mass growth
+      val assets = spark.read
+        .schema(graft.multimodal.Multimodal.assetSchema)
+        .parquet(graft.EntryContext.gradPngAssetsFixture(spark, dir))
+        .as[graft.multimodal.Multimodal.Asset](
+          org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.Asset])
+      val imgOut = graft.operators.Dedup.hammingPairs(
+        graft.multimodal.Multimodal.dHash64(assets), "asset_id", "dhash",
+        maxHamming = 6).count()
+      println(s"""{"probe":"image_neardup_output","dir":"$dir","pairs":$imgOut}""")
+
+      // ---- documents: input byte growth under the tiling ------------
+      // the replica token remap (token → token+"qN") lengthens text, so
+      // "linear in input" for text-scanning ops is chars growth, not rows
+      val ch = docs.agg(sum(length(col("text"))).as("chars"),
+        count(lit(1)).as("rows")).head()
+      println(s"""{"probe":"documents_chars","dir":"$dir","rows":${ch.getLong(1)},"chars":${ch.getLong(0)}}""")
     }
     spark.stop()
   }
