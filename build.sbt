@@ -34,5 +34,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the r9 GC experiment ran the full 253-query
+  // bench at 8g/24g under G1 and ZGC — G1@24g is repeatably ~10% faster
+  // end-to-end than G1@8g (142 vs 156 s; ZGC won at 8g but taxed 24g),
+  // and GC transients at 8g are a prime suspect for the r6/r8
+  // driver-total-vs-warm-sum overhead. Override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
