@@ -383,6 +383,31 @@ private[graft] object StatsQueries {
         .orderBy(col("arm"))
     }),
 
+    // Per-user pairwise event-type preferences: exact per-(user, type)
+    // cents sums compared within each user, larger side wins, ties
+    // dropped — the reduction that feeds the Bradley-Terry fit. One
+    // corpus shuffle; the self-join fans out C(5,2) rows per user and
+    // collapses into the 10-row pair dimension.
+    "q_pairwise_prefs" -> ((s, dir) =>
+      Stats.pairwisePrefs(Tables.events(s, dir),
+          col("user_id"), col("event_type"),
+          expr("cast(round(coalesce(value, 0) * 100) as bigint)"))
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // Bradley-Terry preference strengths (Hunter 2004 MM) over the
+    // pairwise reduction — the RLHF preference-model fit as a bounded
+    // driver solve (items = 5 event types; require-capped, the
+    // PQ-codebook precedent). Deterministic fixed-sweep MM -> rows-only
+    // with pinned hashes at both SFs; StatsSpec re-derives the fit in
+    // plain Scala and checks the 2-item closed form.
+    "q_bradley_terry" -> ((s, dir) =>
+      Stats.bradleyTerry(
+          Stats.pairwisePrefs(Tables.events(s, dir),
+            col("user_id"), col("event_type"),
+            expr("cast(round(coalesce(value, 0) * 100) as bigint)")),
+          col("item_a"), col("item_b"), col("wins_a"), col("wins_b"))
+        .orderBy(col("item"))),
+
     // Always-valid sequential test (Johari et al., "Peeking at A/B
     // Tests"): daily looks at the arm mean-cents difference, mSPRT
     // normal-mixture p tightened by a running min — both unpartitioned
@@ -561,6 +586,21 @@ private[graft] object StatsQueries {
         |  round(stddev_samp(m) / 100.0, 4) AS se_boot
         |FROM pr p JOIN pt ON p.event_type = pt.event_type
         |GROUP BY p.event_type, pt.n, pt.mean ORDER BY 1""".stripMargin,
+
+    // same per-unit exact HUGEINT sums; ties excluded on both engines
+    "q_pairwise_prefs" ->
+      """WITH su AS (SELECT user_id, event_type,
+        |        sum(CAST(CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+        |          AS HUGEINT)) AS s
+        |      FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |  CAST(sum(CASE WHEN a.s > b.s THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+        |  CAST(sum(CASE WHEN b.s > a.s THEN 1 ELSE 0 END) AS BIGINT) AS wins_b,
+        |  count(*) AS n_units
+        |FROM su a JOIN su b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |WHERE a.s <> b.s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same exact-integer unit moments and double expression tree
     "q_ratio_metric" ->

@@ -1025,4 +1025,127 @@ object Stats {
       .select(col("lifetime"), col("n_risk"), col("n_churn"),
         col("survival"))
   }
+
+  /** Per-unit pairwise preference counts — the reduction that feeds
+    * [[bradleyTerry]]: within each unit (user, session, annotator), every
+    * unordered item pair is compared by its exact per-unit value sum and
+    * the larger side takes the win; ties carry no signal and are
+    * dropped (the Bradley–Terry likelihood has no tie term — use
+    * Davidson's extension if ties must count).
+    *
+    * Scale shape: one (unit, item)-keyed exact decimal aggregate over
+    * the corpus (the ONLY corpus-sized shuffle), then a unit-keyed
+    * self-join whose per-unit fan-out is bounded by the item
+    * dimension's square — items are a bounded vocabulary (arms, event
+    * types, model variants), so the join output is |units|·C(|items|,2)
+    * rows collapsing immediately into the C(|items|,2)-row pair
+    * dimension. Returns (item_a < item_b, wins_a, wins_b, n_units) —
+    * n_units counts only deciding (non-tied) units.
+    */
+  def pairwisePrefs(df: DataFrame, unitCol: Column, itemCol: Column,
+                    centsCol: Column): DataFrame = {
+    val sums = df.select(unitCol.as("_u"), itemCol.as("_i"),
+        centsCol.cast("decimal(38,0)").as("_c"))
+      .groupBy(col("_u"), col("_i"))
+      .agg(sum(col("_c")).as("_s"))
+    sums.select(col("_u"), col("_i").as("item_a"), col("_s").as("_sa"))
+      .join(sums.select(col("_u"), col("_i").as("item_b"), col("_s").as("_sb")),
+        Seq("_u"))
+      .where(col("item_a") < col("item_b") && col("_sa") =!= col("_sb"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(when(col("_sa") > col("_sb"), 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("_sb") > col("_sa"), 1L).otherwise(0L)).as("wins_b"),
+        count(lit(1)).as("n_units"))
+  }
+
+  /** Bradley–Terry preference strengths (Bradley & Terry 1952) from a
+    * pairwise win-count table — the standard preference model behind
+    * RLHF reward-data curation and A/B/n ranking: P(i beats j) =
+    * sᵢ/(sᵢ+sⱼ), fitted by Hunter's MM iteration (Hunter 2004,
+    * "MM algorithms for generalized Bradley–Terry models"):
+    * sᵢ ← Wᵢ / Σ_{j≠i} nᵢⱼ/(sᵢ+sⱼ), renormalized to Σs = 1 each sweep.
+    * A fixed sweep count with a sup-norm early exit keeps the fit
+    * deterministic (no RNG, no data-dependent pivoting — the
+    * [[graft.operators.Pca.jacobiEigen]] discipline). The MLE exists
+    * iff every item both wins and loses at least once (Ford 1957's
+    * connectivity condition, required here loudly — an undefeated item
+    * diverges under MM).
+    *
+    * Scale shape: the input is already the bounded pair dimension
+    * (C(|items|, 2) rows — see [[pairwisePrefs]]); the solve collects
+    * it driver-side under a require()-capped item count (the
+    * PQ-codebook / [[graft.operators.Pca]] eigensolve precedent) and
+    * the result re-enters the plan as an |items|-row local relation.
+    * Nothing here ever scales with corpus rows.
+    *
+    * Returns one row per item: (item, score round 6, wins, games),
+    * scores summing to 1.
+    */
+  def bradleyTerry(prefs: DataFrame, itemACol: Column, itemBCol: Column,
+                   winsACol: Column, winsBCol: Column,
+                   sweeps: Int = 200, maxItems: Int = 4096): DataFrame = {
+    val spark = prefs.sparkSession
+    import spark.implicits._
+    // collect is capped BEFORE it runs: the input is the pair dimension,
+    // so its cardinality is bounded by maxItems² — a corpus-sized frame
+    // passed by mistake fails loudly naming the knob, never OOMs
+    val nPairs = prefs.count()
+    require(nPairs <= maxItems.toLong * maxItems,
+      s"bradleyTerry: $nPairs preference rows exceed the maxItems=" +
+        s"$maxItems item-pair bound — pass the pairwisePrefs reduction, " +
+        "not corpus rows")
+    val rows = prefs.select(itemACol.cast("string"), itemBCol.cast("string"),
+        winsACol.cast("long"), winsBCol.cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val items = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    require(items.length >= 2, "bradleyTerry: need at least two items")
+    require(items.length <= maxItems,
+      s"bradleyTerry: ${items.length} items > maxItems=$maxItems — the " +
+        "solve is driver-side over the bounded item dimension; raise the " +
+        "knob deliberately or shrink the item vocabulary")
+    val idx = items.zipWithIndex.toMap
+    val k = items.length
+    val wins = Array.ofDim[Double](k, k) // wins(i)(j) = wins of i over j
+    rows.foreach { case (a, b, wa, wb) =>
+      wins(idx(a))(idx(b)) += wa.toDouble
+      wins(idx(b))(idx(a)) += wb.toDouble
+    }
+    val totW = Array.tabulate(k)(i => wins(i).sum)
+    val totL = Array.tabulate(k)(j => (0 until k).map(i => wins(i)(j)).sum)
+    (0 until k).foreach { i =>
+      require(totW(i) > 0 && totL(i) > 0,
+        s"bradleyTerry: item '${items(i)}' never ${if (totW(i) == 0) "wins"
+          else "loses"} — the MLE does not exist (Ford 1957); merge or " +
+          "drop degenerate items upstream")
+    }
+    var s = Array.fill(k)(1.0 / k)
+    var sweep = 0
+    var delta = Double.MaxValue
+    while (sweep < sweeps && delta > 1e-14) {
+      val next = Array.tabulate(k) { i =>
+        var denom = 0.0
+        var j = 0
+        while (j < k) {
+          val nij = wins(i)(j) + wins(j)(i)
+          if (j != i && nij > 0) denom += nij / (s(i) + s(j))
+          j += 1
+        }
+        totW(i) / denom
+      }
+      val z = next.sum
+      var i = 0
+      delta = 0.0
+      while (i < k) {
+        val v = next(i) / z
+        delta = math.max(delta, math.abs(v - s(i)))
+        i += 1
+      }
+      s = next.map(_ / z)
+      sweep += 1
+    }
+    items.indices.map(i => (items(i), math.rint(s(i) * 1e6) / 1e6,
+        totW(i).toLong, (totW(i) + totL(i)).toLong))
+      .toDF("item", "bt_score", "wins", "games")
+  }
 }

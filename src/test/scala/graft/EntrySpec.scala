@@ -43,7 +43,8 @@ class EntrySpec extends SparkSpec {
       "q_embedding_neardup_lsh", "q_source_similarity", "q_kmeans_sizes",
       "q_approx_quantile", "q_knn_graph_lsh", "q_bpe_encode",
       "q_semantic_dedup", "q_mmr_rerank", "q_quality_classifier",
-      "q_image_dhash", "q_image_neardup", "q_pca_variance", "q_pca_project")
+      "q_image_dhash", "q_image_neardup", "q_pca_variance", "q_pca_project",
+      "q_bradley_terry")
   }
 
   test("rows-only queries return their pinned sf0.001 row counts") {
@@ -72,7 +73,8 @@ class EntrySpec extends SparkSpec {
       "q_image_dhash" -> 500L,
       "q_image_neardup" -> 50L,
       "q_pca_variance" -> 8L,
-      "q_pca_project" -> 500L)
+      "q_pca_project" -> 500L,
+      "q_bradley_terry" -> 5L)
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
@@ -107,7 +109,8 @@ class EntrySpec extends SparkSpec {
       "q_image_dhash" -> (500L, "dd01792d261fdb29559ae3f1c592084b"),
       "q_image_neardup" -> (50L, "0922d00369a357d524819734727c29ec"),
       "q_pca_variance" -> (8L, "fc74b2cefb8d741c934d50a5668ae6da"),
-      "q_pca_project" -> (500L, "04870ac074cd97fc0487ab9dd1cbbb6a"))
+      "q_pca_project" -> (500L, "04870ac074cd97fc0487ab9dd1cbbb6a"),
+      "q_bradley_terry" -> (5L, "e150e60a4568d4c7760ed69f121554a9"))
     val dir = "/root/testdata/sf0.01"
     val got = expected.keys.toSeq.sorted.map { q =>
       val df = SparkEntry.queries(q)(spark, dir)
@@ -145,7 +148,8 @@ class EntrySpec extends SparkSpec {
       "q_image_dhash" -> "dd01792d261fdb29559ae3f1c592084b",
       "q_image_neardup" -> "0922d00369a357d524819734727c29ec",
       "q_pca_variance" -> "3d3e9ed8eebf0bf9768b37351a167e92",
-      "q_pca_project" -> "19d1e1d72dad87807c92e5ec1bed9cd4")
+      "q_pca_project" -> "19d1e1d72dad87807c92e5ec1bed9cd4",
+      "q_bradley_terry" -> "2a7f40caf4f54a7102c185410487515e")
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> contentHash(SparkEntry.queries(q)(spark, dir))).toMap

@@ -716,4 +716,59 @@ class StatsSpec extends SparkSpec {
       (10L, 3L, 2L, 0.333333),
       (20L, 1L, 1L, 0.0))
   }
+
+  test("pairwisePrefs counts per-unit value comparisons, ties carry no signal") {
+    // u1: a=30 > b=10 > c=5; u2: b=20 > a=10, c=10 ties a → (a,c) dropped
+    val rows = Seq(
+      (1L, "a", 30L), (1L, "b", 10L), (1L, "c", 5L),
+      (2L, "a", 10L), (2L, "b", 20L), (2L, "c", 10L))
+      .toDF("u", "i", "v")
+    val got = Stats.pairwisePrefs(rows, col("u"), col("i"), col("v"))
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("a", "b", 1L, 1L, 2L),   // u1 a wins, u2 b wins
+      ("a", "c", 1L, 0L, 1L),   // u2 tie dropped
+      ("b", "c", 2L, 0L, 2L))
+  }
+
+  test("bradleyTerry: 2-item closed form, transitive ordering, Ford guard") {
+    // two items: MLE is s_a/s_b = w_a/w_b exactly (any fixed point of
+    // the MM update satisfies it) → with wins 30:10 and Σs=1, s=(3/4,1/4)
+    val two = Seq(("a", "b", 30L, 10L)).toDF("ia", "ib", "wa", "wb")
+    val s2 = Stats.bradleyTerry(two, col("ia"), col("ib"), col("wa"), col("wb"))
+      .orderBy("item").as[(String, Double, Long, Long)].collect()
+    s2.map(_._1).toSeq shouldBe Seq("a", "b")
+    s2(0)._2 shouldBe 0.75 +- 1e-6
+    s2(1)._2 shouldBe 0.25 +- 1e-6
+    s2(0)._3 shouldBe 30L // wins
+    s2(0)._4 shouldBe 40L // games
+    // three items with a clear strength gradient: fitted order follows
+    // the win-rate order and P(a>c) implied by scores exceeds the
+    // directly-observed pair ratio ordering
+    val three = Seq(
+      ("a", "b", 70L, 30L), ("b", "c", 70L, 30L), ("a", "c", 85L, 15L))
+      .toDF("ia", "ib", "wa", "wb")
+    val s3 = Stats.bradleyTerry(three, col("ia"), col("ib"), col("wa"), col("wb"))
+      .orderBy(col("bt_score").desc).as[(String, Double, Long, Long)].collect()
+    s3.map(_._1).toSeq shouldBe Seq("a", "b", "c")
+    (s3.map(_._2).sum) shouldBe 1.0 +- 1e-5
+    // MM fixed point: s_i·Σ n_ij/(s_i+s_j) = W_i for every item
+    val s = s3.map(t => t._1 -> t._2).toMap
+    val n = Map(("a","b") -> 100.0, ("b","c") -> 100.0, ("a","c") -> 100.0)
+    val w = Map("a" -> 155.0, "b" -> 100.0, "c" -> 45.0)
+    for (i <- Seq("a", "b", "c")) {
+      val denom = n.collect {
+        case ((x, y), g) if x == i => g / (s(x) + s(y))
+        case ((x, y), g) if y == i => g / (s(x) + s(y))
+      }.sum
+      (s(i) * denom) shouldBe w(i) +- 0.01
+    }
+    // Ford 1957: an undefeated item has no MLE — refuse loudly
+    val broken = Seq(("a", "b", 10L, 0L)).toDF("ia", "ib", "wa", "wb")
+    val e = intercept[IllegalArgumentException] {
+      Stats.bradleyTerry(broken, col("ia"), col("ib"), col("wa"), col("wb"))
+    }
+    e.getMessage should include("Ford")
+  }
 }

@@ -306,6 +306,70 @@ class StreamsSpec extends SparkSpec {
     got shouldBe batch
   }
 
+  test("boilerplateStream crash recovery: open windows survive a RocksDB restart exactly-once") {
+    import StreamsSpec.{Doc, BpRow}
+    import graft.operators.Curation
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val header = (1 to 10).map(i => s"head$i").mkString(" ")
+      def body(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+      val corpus = Seq(
+        (1L, s"$header ${body("alpha")}"),
+        (2L, s"$header ${body("beta")}"),
+        (3L, s"$header ${body("gamma")}")).toDF("doc_id", "text")
+      val dfIndex = Curation.passageDfIndex(corpus, "doc_id", "text",
+        passageWords = 10).localCheckpoint(true)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bp-ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-bp-out").toString
+      val schema = org.apache.spark.sql.Encoders.product[BpRow].schema
+      val stream = MemoryStream[Doc]
+      def start() = Streams.boilerplateStream(stream.toDF(), "ts", "doc_id",
+          "text", dfIndex, passageWords = 10, minDocs = 2,
+          watermark = "1 minute", windowDur = "1 minute")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      def sink() = spark.read.schema(schema).parquet(out).as[BpRow]
+      def awaitRows(q: org.apache.spark.sql.streaming.StreamingQuery, n: Long): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (sink().count() < n && System.nanoTime() < deadline) {
+          q.exception.foreach(throw _)
+          Thread.sleep(200)
+        }
+        sink().count() should be >= n
+      }
+      val q1 = start()
+      stream.addData(
+        Doc(ts(1), 1L, s"$header ${body("alpha")}"),
+        Doc(ts(2), 2L, s"$header ${body("beta")}"))
+      q1.processAllAvailable()
+      // crash BEFORE any watermark advance: both documents' windows are
+      // open aggregation state, nothing emitted yet
+      sink().count() shouldBe 0
+      q1.stop()
+      // the watermark-advancing row arrives while the query is down; on
+      // restart the recovered window state must close and emit docs 1-2
+      stream.addData(Doc(ts(99), 999L, "flush marker row"))
+      val q2 = start()
+      awaitRows(q2, 2)
+      q2.stop()
+      val rows = sink().collect().filter(_.id < 999L).sortBy(_.id)
+      rows.map(_.id).toSeq shouldBe Seq(1L, 2L) // exactly-once, no re-emit
+      rows.foreach { r =>
+        r.n_passages shouldBe 2L
+        r.n_kept shouldBe 1L
+        r.clean_text should not include "head1"
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("msprtStream: always-valid p on the stream equals the batch operator day-for-day") {
     import graft.operators.Stats
     // 8 days × 12 obs × 2 arms with a real lift on arm 1; one null row
@@ -959,4 +1023,5 @@ class StreamsSpec extends SparkSpec {
 
 object StreamsSpec {
   case class Doc(ts: java.sql.Timestamp, doc_id: Long, text: String)
+  case class BpRow(id: Long, n_passages: Long, n_kept: Long, clean_text: String)
 }
