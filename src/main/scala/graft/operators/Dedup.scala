@@ -167,30 +167,84 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame =
     hammingPairs(simhashed(df, idCol, textCol), "id", "sh", maxHamming)
 
+  /** Chunk count `m` for [[hammingPairs]]' banded join, scaled to the
+    * corpus — the Hamming-space analog of [[scaledBandGeometry]] (the
+    * r9 scale curve's one remaining over-bar flag was exactly this:
+    * the fixed m = k+1 single-chunk pigeonhole keys have candidate
+    * mass (k+1)·n²/2^(64/(k+1)) — QUADRATIC in n with a small constant
+    * that stops being cheap at 100× the bench corpus).
+    *
+    * The generalization is Manku / Jain / Das Sarma's chunk-combination
+    * scheme (WWW'07, "Detecting near-duplicates for web crawling"):
+    * split the 64-bit key into `m ≥ k+1` chunks and key on EVERY
+    * combination of m−k of them. Completeness stays exact pigeonhole
+    * for any m: ≤ k differing bits dirty ≤ k chunks, so ≥ m−k chunks
+    * agree, so at least one (m−k)-combination key matches exactly —
+    * while the key WIDTH 64·(m−k)/m grows toward 64 bits as m grows
+    * (i.e. with log n), collapsing the per-key collision mass. The
+    * cost is C(m, k) keys per row — key count trades linearly against
+    * quadratic candidate mass.
+    *
+    * Solve: identity m = k+1 at or below `nRef` (every pinned
+    * candidate set at the driver SFs is byte-identical to the unscaled
+    * plan), else the smallest m with expected candidate mass/row
+    * C(m,k)·n/2^(64·(m−k)/m) at or under the base geometry's mass/row
+    * at nRef — the same "constant per-row cost at any corpus size"
+    * target [[scaledBandGeometry]] hits for vector LSH. m is capped at
+    * 16 (4-bit chunks; past ~10⁹ rows the combination count, not the
+    * collision mass, is the binding cost — shard the corpus first).
+    */
+  private[graft] val HammingNRef = 4096L
+  private[graft] def hammingChunkCount(n: Long, maxHamming: Int,
+                                       nRef: Long = HammingNRef): Int = {
+    val k = maxHamming
+    if (n <= nRef) k + 1
+    else {
+      def choose(m: Int): Double =
+        (1 to k).foldLeft(1.0)((acc, i) => acc * (m - k + i) / i)
+      def massPerRow(m: Int, rows: Long): Double =
+        choose(m) * rows.toDouble / math.pow(2.0, 64.0 * (m - k) / m)
+      val target = massPerRow(k + 1, nRef)
+      var m = k + 1
+      while (m < 16 && massPerRow(m, n) > target) m += 1
+      m
+    }
+  }
+
   /** Generic banded-Hamming near-dup join over ANY (id, 64-bit hash)
     * table — simhash text keys and dHash image keys share this plan.
-    * The hash splits into `maxHamming + 1` contiguous bit bands: a pair
-    * within Hamming distance k differs in ≤ k bands, so it matches
-    * EXACTLY in at least one of the k+1 (pigeonhole — candidate recall
-    * is 1.0, not probabilistic). Candidates equi-join on the 64-bit
-    * band key (band index folded in via xxhash64, one shuffle, never
-    * the payload); true Hamming verifies once per distinct pair.
+    * The hash splits into `m` contiguous bit chunks and candidates
+    * equi-join on combination keys of m−k of them ([[hammingChunkCount]]
+    * — pigeonhole-complete at ANY m, so candidate recall is 1.0, not
+    * probabilistic; m = k+1 single-chunk keys at test scale, growing
+    * key width at corpus scale to hold candidate mass linear in n).
+    * Keys are 64-bit xxhash64 folds carrying the combination index —
+    * one shuffle, never the payload; true Hamming verifies once per
+    * distinct pair.
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, nRef: Long = HammingNRef): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 15,
       s"maxHamming $maxHamming outside [1, 15]: 0 is exact grouping " +
         "(use exactByKey); >15 makes 64-bit bands too short to prune")
-    val nBands = maxHamming + 1
-    // materialize once — both join branches would recompute the hashes
+    // materialize once — both join branches would recompute the hashes,
+    // and the chunk geometry needs the corpus size (one cheap count on
+    // the eager checkpoint — a corpus property, same as the LSH paths)
     val h = hashes.select(col(idCol).as("id"), col(hashCol).as("sh"))
       .localCheckpoint(true)
-    val chunks = h.select(col("id"), explode(array((0 until nBands).map { i =>
-        val lo = i * 64 / nBands
-        val width = (i + 1) * 64 / nBands - lo
-        val mask = if (width >= 64) -1L else (1L << width) - 1L
-        xxhash64(shiftright(col("sh"), lo).bitwiseAND(mask), lit(i))
-      }: _*)).as("ck"))
+    val m = hammingChunkCount(h.count(), maxHamming, nRef)
+    def chunk(i: Int): Column = {
+      val lo = i * 64 / m
+      val width = (i + 1) * 64 / m - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col("sh"), lo).bitwiseAND(mask)
+    }
+    // lexicographic (m−k)-combinations: with m = k+1 these are the
+    // singletons (0),(1),…,(k) in order, so key ci = xxhash64(chunk_i,
+    // lit(i)) — byte-identical to the unscaled plan's band keys
+    val keys = (0 until m).combinations(m - maxHamming).toSeq.zipWithIndex
+      .map { case (cs, ci) => xxhash64((cs.map(chunk) :+ lit(ci)): _*) }
+    val chunks = h.select(col("id"), explode(array(keys: _*)).as("ck"))
     val cand = chunks.select(col("ck"), col("id").as("id_a"))
       .join(chunks.select(col("ck"), col("id").as("id_b")), Seq("ck"))
       .where(col("id_a") < col("id_b"))
@@ -475,15 +529,16 @@ object Dedup {
     * (c ≥ 0.9) hold ≥0.99 out past 100× nRef.
     *
     * `nRef` must sit at or below the smallest corpus whose scaling is
-    * being measured (default 2048: under the driver-SF corpora, so
-    * every pinned hash keeps the identity base geometry, and at or
-    * under the bench corpus, so the measured curve has no
-    * identity-plateau discontinuity — the r8 default 4096 put sf0.1
-    * ON the plateau and the sf0.1→sf1 mass ratio started from a
-    * quadratic first doubling).
+    * being measured (default 1024: above the driver-SF corpora (≤500
+    * rows), so every pinned hash keeps the identity base geometry, and
+    * BELOW the 2000-row sf0.1 bench corpus, so the measured sf0.1→sf1
+    * curve starts from scaled geometry on BOTH sides — the r9 default
+    * 2048 still put sf0.1 ON the identity plateau, so the first
+    * doubling of the measured mass ratio was quadratic, exactly the
+    * artifact the scaling was built to remove).
     */
   def scaledBandGeometry(n: Long, basePlanes: Int, baseBands: Int,
-                         nRef: Long = 2048L): (Int, Int) = {
+                         nRef: Long = 1024L): (Int, Int) = {
     require(basePlanes >= 1 && baseBands >= 1 && nRef >= 1,
       s"bad geometry ($basePlanes, $baseBands, nRef=$nRef)")
     if (n <= nRef) (basePlanes, baseBands)
@@ -557,9 +612,10 @@ object Dedup {
     // actions are cheap: vecs is already an eager checkpoint.
     val dim = vecs.select(size(col("v"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
     val estBytes = vecs.count() * (24L + 8L * dim)
+    val budget = maxBroadcastVectorBytes(df.sparkSession)
     def side(n: String, v: String) = {
       val s = vecs.select(col("id").as(n), col("v").as(v))
-      if (estBytes <= MaxBroadcastVectorBytes) broadcast(s) else s
+      if (estBytes <= budget) broadcast(s) else s
     }
     cand
       .join(side("id_a", "va"), Seq("id_a"))
@@ -574,8 +630,15 @@ object Dedup {
     * estimated in-memory size stays under this — far past Spark's 10 MB
     * default (a deliberate dimension-table broadcast at 256 MB is
     * routine on executor-sized heaps) and far under driver limits.
+    * Library callers on small heaps can lower it per session via
+    * `spark.graft.dedup.maxBroadcastVectorBytes` (both verify-join
+    * sides broadcast, so the budget is paid twice per executor).
     */
-  private[graft] val MaxBroadcastVectorBytes: Long = 256L << 20
+  private[graft] val MaxBroadcastVectorBytesDefault: Long = 256L << 20
+  private[graft] def maxBroadcastVectorBytes(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.maxBroadcastVectorBytes")
+      .map(_.toLong).getOrElse(MaxBroadcastVectorBytesDefault)
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic

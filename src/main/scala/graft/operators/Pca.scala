@@ -33,15 +33,22 @@ object Pca {
     * AFTER partial aggregation, so the decode touches d² keys, never
     * corpus rows. Requires a FIXED-dimension vector column (a ragged
     * row's flat indices would decode against the wrong d — and PCA is
-    * undefined over mixed dimensions anyway); d comes from one limit-1
-    * row fetch.
+    * undefined over mixed dimensions anyway); the fixed-d contract is
+    * ENFORCED by one cheap min/max-size aggregate over the column — a
+    * ragged corpus fails loudly here instead of silently misattributing
+    * products to wrong (i, j) cells.
     */
   def covarianceUpper(emb: DataFrame, vecCol: Column): DataFrame = {
     val v = emb.select(vecCol.as("_v")).where(col("_v").isNotNull)
-    val head = v.select(size(col("_v")).as("d")).head(1)
-    require(head.nonEmpty,
+    val sizes = v.agg(min(size(col("_v"))).as("mn"),
+      max(size(col("_v"))).as("mx")).head(1)
+    require(sizes.nonEmpty && !sizes(0).isNullAt(0),
       "covarianceUpper: the vector column has no non-null rows")
-    val d = head(0).getInt(0)
+    val (dMin, dMax) = (sizes(0).getInt(0), sizes(0).getInt(1))
+    require(dMin == dMax,
+      s"covarianceUpper: ragged vector column (sizes span [$dMin, $dMax]) " +
+        "— PCA requires one fixed dimension; filter or pad the corpus first")
+    val d = dMin
     require(d >= 1, s"covarianceUpper: zero-length vectors")
     val spark = emb.sparkSession
     import spark.implicits._

@@ -1086,14 +1086,18 @@ object Stats {
                    sweeps: Int = 200, maxItems: Int = 4096): DataFrame = {
     val spark = prefs.sparkSession
     import spark.implicits._
-    // collect is capped BEFORE it runs: the input is the pair dimension,
-    // so its cardinality is bounded by maxItems² — a corpus-sized frame
-    // passed by mistake fails loudly naming the knob, never OOMs
+    // collect is capped BEFORE it runs: a well-formed input is the pair
+    // dimension, whose cardinality is bounded by C(maxItems, 2) — the
+    // same bound the post-collect item check enforces, applied before
+    // any Row materializes driver-side (the r9 maxItems² pre-cap still
+    // admitted 16.7M rows ≈ several GB of driver Rows before the real
+    // check could run). A corpus-sized frame passed by mistake fails
+    // loudly naming the knob, never OOMs.
     val nPairs = prefs.count()
-    require(nPairs <= maxItems.toLong * maxItems,
-      s"bradleyTerry: $nPairs preference rows exceed the maxItems=" +
-        s"$maxItems item-pair bound — pass the pairwisePrefs reduction, " +
-        "not corpus rows")
+    require(nPairs <= maxItems.toLong * (maxItems - 1L) / 2L,
+      s"bradleyTerry: $nPairs preference rows exceed the C(maxItems=" +
+        s"$maxItems, 2) pair-dimension bound — pass the pairwisePrefs " +
+        "reduction, not corpus rows")
     val rows = prefs.select(itemACol.cast("string"), itemBCol.cast("string"),
         winsACol.cast("long"), winsBCol.cast("long"))
       .collect()

@@ -389,6 +389,39 @@ class DedupSpec extends SparkSpec {
       val got = Dedup.hammingPairs(df, "id", "h", maxHamming = k)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       got shouldBe brute // candidates are pigeonhole-complete, verify exact
+      // nRef = 1 forces the scaled chunk-combination geometry (m > k+1,
+      // keys = (m−k)-chunk combinations): completeness is pigeonhole at
+      // ANY m, so the output must be IDENTICAL to the base plan's
+      val scaled = Dedup.hammingPairs(df, "id", "h", maxHamming = k, nRef = 1L)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      scaled shouldBe brute
+    }
+  }
+
+  test("hammingChunkCount: identity at test scale, log-growing keys above") {
+    // at or below nRef the base m = k+1 geometry is returned — what
+    // keeps the pinned q_image_neardup/q_simhash_pairs candidate sets
+    // byte-identical at the driver SFs (500 assets < 4096)
+    Dedup.hammingChunkCount(500L, 6) shouldBe 7
+    Dedup.hammingChunkCount(4096L, 6) shouldBe 7
+    // the bench corpus (5000 assets at sf0.1) sits ABOVE nRef so the
+    // measured sf0.1→sf1 curve never starts from the identity plateau
+    Dedup.hammingChunkCount(5000L, 6) should be > 7
+    // m grows like log n, never past the 16-chunk cap
+    val ms = Seq(5000L, 50000L, 5000000L, 500000000L)
+      .map(Dedup.hammingChunkCount(_, 6))
+    ms shouldBe ms.sorted
+    ms.last should be <= 16
+    // the solve holds expected candidate mass/row at or under the base
+    // geometry's mass/row at nRef — candidate mass stays LINEAR in n
+    def choose(m: Int, k: Int): Double =
+      (1 to k).foldLeft(1.0)((a, i) => a * (m - k + i) / i)
+    def massPerRow(n: Long, m: Int, k: Int): Double =
+      choose(m, k) * n.toDouble / math.pow(2.0, 64.0 * (m - k) / m)
+    val target = massPerRow(4096L, 7, 6)
+    Seq(5000L, 50000L, 5000000L).foreach { n =>
+      val m = Dedup.hammingChunkCount(n, 6)
+      massPerRow(n, m, 6) should be <= target
     }
   }
 
@@ -396,7 +429,10 @@ class DedupSpec extends SparkSpec {
     // at or below nRef the base geometry is returned untouched — this is
     // what keeps every pinned rows-only hash valid at the driver SFs
     Dedup.scaledBandGeometry(2000L, 2, 16, nRef = 4096L) shouldBe ((2, 16))
-    Dedup.scaledBandGeometry(2048L, 3, 16) shouldBe ((3, 16)) // default nRef
+    Dedup.scaledBandGeometry(1024L, 3, 16) shouldBe ((3, 16)) // default nRef
+    // the default nRef sits UNDER the 2000-row sf0.1 bench corpus so the
+    // measured curve never starts from the identity plateau (r9 advice)
+    Dedup.scaledBandGeometry(2000L, 3, 16) should not be ((3, 16))
     Dedup.scaledBandGeometry(4096L, 3, 16, nRef = 4096L) shouldBe ((3, 16))
     // above nRef: e = ceil(log2 g) extra planes, bands = ceil(base·2^e/g)
     // — candidate mass/row n·bands/2^planes lands EXACTLY on the nRef

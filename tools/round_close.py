@@ -86,43 +86,61 @@ with tempfile.TemporaryDirectory() as tmp:
         if scan.returncode != 0:
             failures.append("oracle typescan failed:\n" + scan.stdout)
 
-# -- 3. BENCHSCALE freshness -------------------------------------------
+# -- 3. bench-artifact freshness (BENCHSCALE and BENCHDETAIL) ----------
 # The r8 postmortem: a scale curve was committed, the flagged operators
 # were then fixed, and the STALE pre-fix measurements shipped as the
-# round's evidence. Gate: the newest committed BENCHSCALE_r*.json must
-# postdate (in commit order) the last commit touching any operator/
-# query/kernel source feeding its flagged queries — otherwise the curve
-# no longer measures HEAD and must be re-run.
-scale_files = sorted(f for f in os.listdir(repo)
-                     if re.fullmatch(r"BENCHSCALE_r\d+\.json", f))
-if not scale_files:
-    failures.append("no BENCHSCALE_r*.json committed — run tools/bench_scale.py")
-else:
-    latest = scale_files[-1]
+# round's evidence. Gate: the newest committed bench artifact must have
+# no operator/kernel/query commits AFTER it in COMMIT ANCESTRY — the r9
+# wall-clock-timestamp compare could be fooled by rebases/cherry-picks
+# with preserved dates; `git rev-list <artifact-commit>..HEAD -- <dirs>`
+# is exact under both. BENCHDETAIL gets the same gate (r9 carried it for
+# BENCHSCALE only — a stale warm-min detail, the evidence the driver-
+# overhead ratio is judged against, could still ship).
+HOT_DIRS = ["src/main/scala/graft/operators",
+            "src/main/scala/graft/functions",
+            "src/main/scala/graft/entry"]
 
-    def last_commit_time(path):
-        r = subprocess.run(["git", "log", "-1", "--format=%ct", "--", path],
-                           cwd=repo, capture_output=True, text=True)
-        out = r.stdout.strip()
-        return int(out) if out else None
 
-    scale_t = last_commit_time(latest)
-    if scale_t is None:
+def last_commit_of(path):
+    r = subprocess.run(["git", "log", "-1", "--format=%H", "--", path],
+                       cwd=repo, capture_output=True, text=True)
+    return r.stdout.strip() or None
+
+
+def commits_after(commit, paths):
+    """Hot-dir commits strictly after `commit` in ancestry (exact under
+    rebases and amended dates, unlike wall-clock %ct compares)."""
+    r = subprocess.run(["git", "rev-list", f"{commit}..HEAD", "--"] + paths,
+                       cwd=repo, capture_output=True, text=True)
+    return [c for c in r.stdout.split() if c]
+
+
+def freshness_gate(pattern, rerun_hint):
+    files = sorted(f for f in os.listdir(repo) if re.fullmatch(pattern, f))
+    if not files:
+        failures.append(f"no {pattern} committed — {rerun_hint}")
+        return
+    latest = files[-1]
+    commit = last_commit_of(latest)
+    if commit is None:
         failures.append(f"{latest} exists but is not committed")
+        return
+    stale_vs = commits_after(commit, HOT_DIRS)
+    if stale_vs:
+        failures.append(
+            f"{latest} predates {len(stale_vs)} later commit(s) touching "
+            f"operator/kernel/query sources (e.g. {stale_vs[0][:12]}) — "
+            f"the artifact no longer measures HEAD; {rerun_hint}")
     else:
-        hot_dirs = ["src/main/scala/graft/operators",
-                    "src/main/scala/graft/functions",
-                    "src/main/scala/graft/entry"]
-        stale_vs = [d for d in hot_dirs
-                    if (last_commit_time(d) or 0) > scale_t]
-        if stale_vs:
-            failures.append(
-                f"{latest} predates the last commit touching {stale_vs} — "
-                "the scale curve no longer measures HEAD; re-run "
-                "tools/bench_scale.py over fresh sf0.1/sf1 details and "
-                "commit the refreshed curve")
-        else:
-            print(f"benchscale: {latest} postdates all operator sources")
+        print(f"freshness: {latest} postdates all operator sources (ancestry)")
+
+
+freshness_gate(r"BENCHSCALE_r\d+\.json",
+               "re-run tools/bench_scale.py over fresh sf0.1/sf1 details "
+               "and commit the refreshed curve")
+freshness_gate(r"BENCHDETAIL_r\d+\.json",
+               "re-run graft.Bench at sf0.1 and commit the refreshed "
+               "target/bench-detail.json")
 
 # -- 4. query index ----------------------------------------------------
 subprocess.run([sys.executable, os.path.join(repo, "tools/gen_query_index.py")],
