@@ -96,38 +96,53 @@ object Bench {
           System.err.println(s"[bench-warm] $name: ${e.getClass.getName}") }
         SparkEntry.releaseDeadCheckpoints(spark)
       }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+    // Reps run as WHOLE-SURFACE PASSES in alternating order (pass 0 in
+    // `selected` order, pass 1 reversed, …), NOT back-to-back per query:
+    // the r9 noise audit proved the box carries multi-second time-local
+    // transients (fixture writeback / GC) that inflate runs of
+    // consecutive queries — and two consecutive reps of one query sit at
+    // the same process moment, so the per-query min could not cancel
+    // them (the r9 driver total carried ~15 s of exactly such
+    // concentrated single-run spikes over the cross-JVM warm minima).
+    // Pass-separated reps put each query's samples far apart in time AND
+    // order, which is the same cancellation the cross-run ascending +
+    // descending minima methodology applies between JVMs.
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    val cold = scala.collection.mutable.Map.empty[String, Double]
+    for (pass <- 0 until reps) {
+      val order = if (pass % 2 == 1) selected.reverse else selected
+      order.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // toRdd executes the query's OWN physical plan (projections, sorts
         // and all); a plain count() would let Catalyst prune the computed
         // columns and time only the scan for map-shaped queries.
         try {
           fn(spark, sfDir).queryExecution.toRdd.count()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(name) = dt :: times.getOrElse(name, Nil)
+          if (pass == 0) cold(name) = dt
         } catch { case e: Throwable =>
           if (!failed.contains(name)) failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          None
         }
+        // Dead-block hygiene between queries: every persisted RDD at this
+        // point is a per-query internal localCheckpoint (shared fixtures
+        // are parquet files) — dropping them now keeps block storage flat
+        // across the 230-query run instead of accumulating until late
+        // queries pay eviction/GC pressure (the r6 driver-total artifact).
+        SparkEntry.releaseDeadCheckpoints(spark)
       }
-      // Dead-block hygiene between queries: every persisted RDD at this
-      // point is a per-query internal localCheckpoint (shared fixtures
-      // are parquet files) — dropping them now keeps block storage flat
-      // across the 230-query run instead of accumulating until late
-      // queries pay eviction/GC pressure (the r6 driver-total artifact).
-      SparkEntry.releaseDeadCheckpoints(spark)
-      name -> times
     }
-    val ok = results.collect { case (k, ts) if ts.nonEmpty => (k, ts.min, ts.head) }
+    val ok = selected.collect { case (k, _) if times.getOrElse(k, Nil).nonEmpty =>
+      (k, times(k).min, cold.getOrElse(k, times(k).head)) }
     // Methodology + first-rep (cold) detail go to a FILE, not stderr: if
     // the driver captures merged stdout+stderr, a long detail line would
     // eat the 2000-char tail budget the compact line must fit in (this is
     // exactly what polluted the r03 tail).
-    val cold = ok.map { case (k, _, c) => f""""$k":$c%.2f""" }.mkString("{", ",", "}")
+    val coldJson = ok.map { case (k, _, c) => f""""$k":$c%.2f""" }.mkString("{", ",", "}")
     val fullMin = ok.map { case (k, mn, _) => f""""$k":$mn%.3f""" }.mkString("{", ",", "}")
     val detail =
-      s"""{"reps":$reps,"agg":"min","queries_min":$fullMin,"first_rep":$cold}"""
+      s"""{"reps":$reps,"agg":"min","queries_min":$fullMin,"first_rep":$coldJson}"""
     try {
       val f = java.nio.file.Paths.get("target", "bench-detail.json")
       java.nio.file.Files.createDirectories(f.getParent)

@@ -634,6 +634,23 @@ private[graft] object RelationalQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Per-point k nearest within radius (Geo.knnWithinRadius) — the
+    // OUTPUT-BOUNDED geo query a 100 TB deployment runs where
+    // q_geo_pairs' full pair set is quadratic in point density: same
+    // grid-cell equi-join, per-query row_number keeps k (ties by
+    // neighbor id), output O(n·k) at any density. The oracle is the
+    // brute-force haversine + row_number window, so the hash-match
+    // proves grid completeness AND the top-k pick.
+    "q_geo_knn_radius" -> ((s, dir) => {
+      val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+          (pmod(col("c_custkey") * 37, lit(17000)) / 100.0 - 85.0).as("lat"),
+          (pmod(col("c_custkey") * 73, lit(36000)) / 100.0 - 180.0).as("lon"))
+        .where(abs(col("lat")) <= 60.0) // polar caps need cap cells
+      Geo.knnWithinRadius(pts, col("id"), col("lat"), col("lon"),
+          radiusKm = 200.0, cellDeg = 4.0, maxAbsLat = 60.0, k = 3)
+        .orderBy(col("id"), col("rn"))
+    }),
+
     // Interval-overlap join via the bucketed equi-join
     // (Intervals.overlapJoin): click sessions × purchase sessions
     // [ts, ts + value seconds), 1-hour buckets. The oracle is the naive
@@ -1332,6 +1349,27 @@ private[graft] object RelationalQueries {
         |      4) AS dist_km
         |  FROM c a JOIN c b ON a.id < b.id) t
         |WHERE dist_km <= 200.0 ORDER BY id_a, id_b""".stripMargin,
+
+    // brute-force per-point top-k with the identical rounded haversine
+    // and the identical (dist, neighbor-id) tie-break — the grid +
+    // WindowGroupLimit plan must reproduce this bit-for-bit
+    "q_geo_knn_radius" ->
+      """WITH c AS (SELECT c_custkey AS id,
+        |    (c_custkey * 37) % 17000 / 100.0 - 85.0 AS lat,
+        |    (c_custkey * 73) % 36000 / 100.0 - 180.0 AS lon
+        |  FROM customer WHERE abs((c_custkey * 37) % 17000 / 100.0 - 85.0) <= 60.0),
+        |d AS (SELECT q.id AS id, n.id AS nbr,
+        |    round(12742.0 * asin(sqrt(
+        |      sin(radians(n.lat - q.lat) / 2) * sin(radians(n.lat - q.lat) / 2)
+        |      + cos(radians(q.lat)) * cos(radians(n.lat))
+        |        * sin(radians(n.lon - q.lon) / 2) * sin(radians(n.lon - q.lon) / 2))),
+        |      4) AS dist_km
+        |  FROM c q JOIN c n ON q.id <> n.id),
+        |r AS (SELECT id, nbr, dist_km, row_number() OVER (
+        |    PARTITION BY id ORDER BY dist_km, nbr) AS rn
+        |  FROM d WHERE dist_km <= 200.0)
+        |SELECT id, nbr, dist_km, rn FROM r WHERE rn <= 3
+        |ORDER BY id, rn""".stripMargin,
 
     // the naive overlap theta-join the bucketed plan must reproduce
     "q_interval_join" ->

@@ -986,4 +986,139 @@ object Streams {
       .transformWithState(new CdcProcessor,
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
+
+  // --------------------------------------- streaming per-day quantile bands
+
+  /** Greenwald–Khanna ε-approximate quantile summary (Greenwald &
+    * Khanna, SIGMOD'01, "Space-efficient online computation of quantile
+    * summaries") as pure functions over an immutable state row: tuples
+    * (v, g, Δ) sorted by v under the invariant g_i + Δ_i ≤ ⌊2εn⌋, so
+    * any rank query answers within εn. Summary size is
+    * O((1/ε)·log(εn)) — tens of entries at ε=0.01 — the bounded state
+    * that lets a percentile band live in a stream without retaining
+    * the day's values. Parallel immutable Seq columns (not a nested
+    * tuple Seq) round-trip through Encoders.product as ValueState.
+    */
+  private[graft] object Gk {
+    case class S(n: Long, vs: Seq[Double], gs: Seq[Long], ds: Seq[Long])
+    val empty: S = S(0L, Vector.empty, Vector.empty, Vector.empty)
+
+    /** Insert one value; compress every ⌊1/(2ε)⌋ inserts (the paper's
+      * schedule — between compressions the summary grows by at most
+      * that many tuples).
+      */
+    def insert(s: S, v: Double, eps: Double): S = {
+      val i = { val j = s.vs.indexWhere(_ > v); if (j < 0) s.vs.length else j }
+      val d = if (i == 0 || i == s.vs.length) 0L
+              else math.floor(2 * eps * s.n).toLong
+      val nx = S(s.n + 1,
+        (s.vs.take(i) :+ v) ++ s.vs.drop(i),
+        (s.gs.take(i) :+ 1L) ++ s.gs.drop(i),
+        (s.ds.take(i) :+ d) ++ s.ds.drop(i))
+      val period = math.max(1L, (1.0 / (2 * eps)).toLong)
+      if (nx.n % period == 0) compress(nx, eps) else nx
+    }
+
+    /** Merge tuple i into its right neighbor while the combined
+      * g_i + g_{i+1} + Δ_{i+1} stays under ⌊2εn⌋; the first and last
+      * tuples are never merged away (they pin the exact min/max).
+      */
+    def compress(s: S, eps: Double): S = {
+      val cap = math.floor(2 * eps * s.n).toLong
+      val vs = s.vs.toBuffer; val gs = s.gs.toBuffer; val ds = s.ds.toBuffer
+      var i = vs.length - 2
+      while (i >= 1) {
+        if (gs(i) + gs(i + 1) + ds(i + 1) <= cap) {
+          gs(i + 1) += gs(i)
+          vs.remove(i); gs.remove(i); ds.remove(i)
+        }
+        i -= 1
+      }
+      S(s.n, vs.toVector, gs.toVector, ds.toVector)
+    }
+
+    /** φ-quantile: walking rmin_i = Σ_{j≤i} g_j, the first tuple whose
+      * max possible rank rmin_i + Δ_i exceeds r + εn answers with its
+      * predecessor — the invariant guarantees the returned value's true
+      * rank is within εn of r = ⌈φn⌉.
+      */
+    def query(s: S, phi: Double, eps: Double): Double = {
+      require(s.n > 0, "Gk.query: empty summary")
+      val bound = math.ceil(phi * s.n).toLong + math.floor(eps * s.n).toLong
+      var rmin = 0L
+      var i = 0
+      while (i < s.vs.length) {
+        rmin += s.gs(i)
+        if (rmin + s.ds(i) > bound) return s.vs(math.max(0, i - 1))
+        i += 1
+      }
+      s.vs.last
+    }
+  }
+
+  /** One watermark-closed per-day quantile band. */
+  case class QuantileBand(event_type: String, day_num: Long, n: Long,
+                          p50: Double, p95: Double)
+
+  /** Daily SLO percentile bands ON the stream — the deployment shape of
+    * the batch q_daily_percentiles (which re-sorts each closed day) and
+    * the streaming sibling of the batch sketch surface
+    * (q_approx_quantile): one bounded [[Gk]] summary per
+    * (event_type, day) key in `transformWithState` ValueState, inserts
+    * folded per batch, and an event-time timer emits the day's
+    * (n, p50, p95) band exactly once when the watermark passes the day
+    * end — each percentile within εn RANK error of the exact answer
+    * (asserted against per-day exact sorts in StreamsSpec), with
+    * per-open-day state O((1/ε)·log(εn)) instead of the day's values.
+    * NULL values are skipped exactly as the batch query's
+    * `WHERE value IS NOT NULL`. Same RocksDB state-store requirement as
+    * [[sessionizeTws]].
+    */
+  class DailyQuantileProcessor(eps: Double)
+    extends StatefulProcessor[(String, Long), Event, QuantileBand] {
+    require(eps > 0 && eps < 0.5, s"eps $eps outside (0, 0.5)")
+    @transient private var st: ValueState[Gk.S] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Gk.S]("gk", Encoders.product[Gk.S],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[QuantileBand] = {
+      var s = if (st.exists()) st.get() else Gk.empty
+      var touched = false
+      rows.foreach { e =>
+        if (e.value != null) { s = Gk.insert(s, e.value.doubleValue, eps); touched = true }
+      }
+      if (touched) {
+        st.update(s)
+        // idempotent re-arm: the expiry is a pure function of the key's
+        // day, so every batch registers the same instant
+        getHandle.registerTimer((key._2 + 1) * 86400000L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (String, Long), timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[QuantileBand] =
+      if (st.exists()) {
+        val s = st.get()
+        st.clear()
+        Iterator.single(QuantileBand(key._1, key._2, s.n,
+          Gk.query(s, 0.5, eps), Gk.query(s, 0.95, eps)))
+      } else Iterator.empty
+  }
+
+  /** Watermark-closed daily percentile bands (see
+    * [[DailyQuantileProcessor]]).
+    */
+  def dailyPercentilesStream(events: Dataset[Event], eps: Double = 0.01,
+                             watermark: String = "10 minutes"): Dataset[QuantileBand] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.event_type, Math.floorDiv(e.ts.getTime, 86400000L)))
+      .transformWithState(new DailyQuantileProcessor(eps),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

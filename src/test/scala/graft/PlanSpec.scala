@@ -151,6 +151,16 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_geo_knn_radius: grid equi-join only, per-query window prunes to k") {
+    val p = planOf("q_geo_knn_radius")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    // the rn <= k filter must push into the window as a rank limit so a
+    // dense cell sorts only k survivors per query point, never the full
+    // candidate list
+    p should include("WindowGroupLimit")
+  }
+
   test("q_shj: hint forces a shuffled hash join (neither broadcast nor sort-merge)") {
     val p = planOf("q_shj")
     p should include("ShuffledHashJoin")

@@ -1019,6 +1019,87 @@ class StreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("Gk summary: bounded size, every quantile within εn rank error") {
+    val eps = 0.01
+    val rnd = new scala.util.Random(11)
+    // adversarial-ish mix: two modes + heavy ties
+    val values = (1 to 20000).map { i =>
+      if (i % 3 == 0) 5.0 else if (i % 7 == 0) rnd.nextDouble() * 100
+      else rnd.nextGaussian() * 10 + 50
+    }
+    var s = Gk.empty
+    values.foreach(v => s = Gk.insert(s, v, eps))
+    s.n shouldBe 20000L
+    // bounded state: O((1/ε)·log(εn)) — orders of magnitude under n
+    s.vs.length should be < 400
+    val sorted = values.sorted
+    for (phi <- Seq(0.05, 0.25, 0.5, 0.75, 0.95, 0.99)) {
+      val got = Gk.query(s, phi, eps)
+      val r = math.ceil(phi * s.n).toLong
+      // true rank range of the returned value (ties span a range)
+      val lo = sorted.count(_ < got).toLong + 1
+      val hi = sorted.count(_ <= got).toLong
+      val tol = math.ceil(eps * s.n).toLong
+      assert(lo <= r + tol && hi >= r - tol,
+        s"phi=$phi: value $got has rank [$lo,$hi], want $r ± $tol")
+    }
+  }
+
+  test("dailyPercentilesStream: watermark-closed GK bands within εn of the exact sort") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val eps = 0.01
+      val dayMs = 86400000L
+      val rnd = new scala.util.Random(7)
+      // 2 types × 3 days × 400 events, plus nulls the batch query drops
+      val events = for {
+        d <- 0 until 3; t <- Seq("click", "view"); i <- 0 until 400
+      } yield Event((d * 10000 + i).toLong,
+        // +1h offset: a ts exactly AT the initial watermark (epoch 0)
+        // is dropped as late before reaching the processor
+        new Timestamp(d * dayMs + 3600000L + i * 60000L), i.toLong % 37, t,
+        if (i % 50 == 49) null
+        else java.lang.Double.valueOf(rnd.nextGaussian() * (d + 1) * 10 + 100 * (d + 1)))
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = dailyPercentilesStream(stream.toDS(), eps = eps)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      // close every day: advance the watermark far past day 2's end
+      stream.addData(Event(99L, new Timestamp(10 * dayMs), 99L, "tick", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name).as[QuantileBand].collect()
+        .map(b => (b.event_type, b.day_num) -> b).toMap
+      // all 6 closed (type, day) keys emitted exactly once
+      got.keySet shouldBe (for (d <- 0 until 3; t <- Seq("click", "view"))
+        yield (t, d.toLong)).toSet
+      spark.table(name).count() shouldBe 6L
+      for (((t, d), band) <- got) {
+        val exact = events.filter(e => e.event_type == t &&
+            e.ts.getTime / dayMs == d && e.value != null)
+          .map(_.value.doubleValue).sorted
+        band.n shouldBe exact.length.toLong
+        val tol = math.ceil(eps * exact.length).toLong
+        for ((phi, v) <- Seq(0.5 -> band.p50, 0.95 -> band.p95)) {
+          val r = math.ceil(phi * exact.length).toLong
+          val lo = exact.count(_ < v).toLong + 1
+          val hi = exact.count(_ <= v).toLong
+          assert(lo <= r + tol && hi >= r - tol,
+            s"($t,$d) phi=$phi: $v ranks [$lo,$hi], want $r ± $tol")
+        }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
 
 object StreamsSpec {
