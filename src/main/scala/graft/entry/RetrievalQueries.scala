@@ -240,6 +240,41 @@ private[graft] object RetrievalQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Scalar-quantization (SQ8) ANN — the vector-DB default compression
+    // tier between raw floats and PQ codebooks: per-dimension (min, Δ)
+    // bounds from ONE d-row aggregate, map-only byte encode, one corpus
+    // scan answering all queries via the fused byte-dot kernel (no
+    // oracle — quantized scores are approximate by design; decode-error
+    // bound and recall vs brute force measured in SqSpec)
+    "q_sq8_topk" -> ((s, dir) => {
+      val emb = embeddingsCk(s, dir)
+      val b = graft.operators.Sq.train(emb, "embedding")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+      graft.operators.Sq.topK(
+          graft.operators.Sq.encode(emb, "vec_id", "embedding", b), b, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("sq_score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Binary-quantization (1-bit) ANN — the cheapest rung of the
+    // compression ladder: sign-bit codes (32× smaller, zero training),
+    // fused XOR+popcount Hamming shortlist, exact-cosine re-rank of the
+    // survivors (no oracle — the shortlist is approximate by design;
+    // full-coverage ≡ brute force and recall measured in BqSpec)
+    "q_bq_topk" -> ((s, dir) => {
+      val emb = embeddingsCk(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.Bq.topK(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", k = 5, r = 50)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF-PQ: coarse quantizer routes each query to nprobe clusters, PQ
     // codes ADC-scored only inside them (no oracle — doubly approximate;
     // PqSpec proves exhaustive-probe ≡ full-scan PQ, SimBench measures

@@ -1056,6 +1056,110 @@ object Streams {
     }
   }
 
+  // ------------------------------------- streaming per-day distinct counts
+
+  /** Fixed-width HyperLogLog register set (Flajolet et al. 2007, with
+    * the standard small-range linear-counting correction) as pure
+    * functions over an immutable byte-register row — the
+    * distinct-count sibling of [[Gk]]: m = 2^p registers bound state
+    * at m bytes per key regardless of stream length or cardinality.
+    * Hashing is splitmix64 over the key's Long — deterministic, no
+    * RNG. Registers fold mutably WITHIN one batch and re-wrap once per
+    * batch (the copy cost is per batch, not per event).
+    */
+  private[graft] object Hll {
+    val P = 12 // 4096 registers: σ ≈ 1.04/√m ≈ 1.6%
+    val M: Int = 1 << P
+
+    def hash(x: Long): Long = {
+      var z = x + -7046029254386353131L
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z ^ (z >>> 31)
+    }
+
+    /** Fold values into a register array (mutates `regs`). */
+    def addAll(regs: Array[Byte], values: Iterator[Long]): Unit =
+      values.foreach { v =>
+        val h = hash(v)
+        val idx = (h >>> (64 - P)).toInt
+        val rank = (java.lang.Long.numberOfLeadingZeros((h << P) | (1L << (P - 1))) + 1)
+          .toByte
+        if (rank > regs(idx)) regs(idx) = rank
+      }
+
+    /** Standard HLL estimate with linear counting below 2.5m. */
+    def estimate(regs: Array[Byte]): Double = {
+      val m = regs.length
+      var sum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        sum += math.pow(2.0, -regs(i))
+        if (regs(i) == 0) zeros += 1
+        i += 1
+      }
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val e = alpha * m * m / sum
+      if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+    }
+  }
+
+  /** One watermark-closed per-day distinct-user estimate. */
+  case class DistinctCount(event_type: String, day_num: Long, est_users: Long)
+
+  /** Daily distinct users ON the stream — the deployment shape of the
+    * batch approx-distinct surface (q_approx_distinct / per-day
+    * count(DISTINCT user_id)): one [[Hll]] register set per
+    * (event_type, day) key in `transformWithState` ValueState — m bytes
+    * of state per open day, never the day's user set — and an
+    * event-time timer emits the day's estimate exactly once as the
+    * watermark closes it. StreamsSpec asserts the estimate within the
+    * sketch's error band of the exact per-day distinct and the
+    * exactly-once emission. Same RocksDB requirement as
+    * [[sessionizeTws]].
+    */
+  class DailyDistinctProcessor
+    extends StatefulProcessor[(String, Long), Event, DistinctCount] {
+    @transient private var st: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("hll",
+        Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[DistinctCount] = {
+      val regs: Array[Byte] =
+        if (st.exists()) st.get() else new Array[Byte](Hll.M)
+      Hll.addAll(regs, rows.map(_.user_id))
+      st.update(regs)
+      getHandle.registerTimer((key._2 + 1) * 86400000L) // idempotent re-arm
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (String, Long), timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[DistinctCount] =
+      if (st.exists()) {
+        val regs = st.get()
+        st.clear()
+        Iterator.single(DistinctCount(key._1, key._2,
+          math.rint(Hll.estimate(regs)).toLong))
+      } else Iterator.empty
+  }
+
+  /** Watermark-closed daily distinct-user estimates (see
+    * [[DailyDistinctProcessor]]).
+    */
+  def dailyDistinctStream(events: Dataset[Event],
+                          watermark: String = "10 minutes"): Dataset[DistinctCount] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.event_type, Math.floorDiv(e.ts.getTime, 86400000L)))
+      .transformWithState(new DailyDistinctProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** One watermark-closed per-day quantile band. */
   case class QuantileBand(event_type: String, day_num: Long, n: Long,
                           p50: Double, p95: Double)

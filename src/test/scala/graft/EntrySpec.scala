@@ -44,7 +44,7 @@ class EntrySpec extends SparkSpec {
       "q_approx_quantile", "q_knn_graph_lsh", "q_bpe_encode",
       "q_semantic_dedup", "q_mmr_rerank", "q_quality_classifier",
       "q_image_dhash", "q_image_neardup", "q_pca_variance", "q_pca_project",
-      "q_bradley_terry")
+      "q_bradley_terry", "q_sq8_topk", "q_bq_topk")
   }
 
   test("rows-only queries return their pinned sf0.001 row counts") {
@@ -74,7 +74,9 @@ class EntrySpec extends SparkSpec {
       "q_image_neardup" -> 50L,
       "q_pca_variance" -> 8L,
       "q_pca_project" -> 500L,
-      "q_bradley_terry" -> 5L)
+      "q_bradley_terry" -> 5L,
+      "q_sq8_topk" -> 25L,
+      "q_bq_topk" -> 25L)
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
@@ -110,7 +112,9 @@ class EntrySpec extends SparkSpec {
       "q_image_neardup" -> (50L, "0922d00369a357d524819734727c29ec"),
       "q_pca_variance" -> (8L, "fc74b2cefb8d741c934d50a5668ae6da"),
       "q_pca_project" -> (500L, "04870ac074cd97fc0487ab9dd1cbbb6a"),
-      "q_bradley_terry" -> (5L, "e150e60a4568d4c7760ed69f121554a9"))
+      "q_bradley_terry" -> (5L, "e150e60a4568d4c7760ed69f121554a9"),
+      "q_sq8_topk" -> (25L, "76efe2b9e90ffc5f5c58b2d102898063"),
+      "q_bq_topk" -> (25L, "5fafcf1150da8c2ac00f8df301be23b2"))
     val dir = "/root/testdata/sf0.01"
     val got = expected.keys.toSeq.sorted.map { q =>
       val df = SparkEntry.queries(q)(spark, dir)
@@ -149,7 +153,9 @@ class EntrySpec extends SparkSpec {
       "q_image_neardup" -> "0922d00369a357d524819734727c29ec",
       "q_pca_variance" -> "3d3e9ed8eebf0bf9768b37351a167e92",
       "q_pca_project" -> "19d1e1d72dad87807c92e5ec1bed9cd4",
-      "q_bradley_terry" -> "2a7f40caf4f54a7102c185410487515e")
+      "q_bradley_terry" -> "2a7f40caf4f54a7102c185410487515e",
+      "q_sq8_topk" -> "0e7ca3c45e326bacf05eb3d4bbea610d",
+      "q_bq_topk" -> "13b2b947fd2bd6cabaa4854fe5f4f384")
     val dir = "/root/testdata/sf0.001"
     val got = expected.keys.toSeq.sorted
       .map(q => q -> contentHash(SparkEntry.queries(q)(spark, dir))).toMap

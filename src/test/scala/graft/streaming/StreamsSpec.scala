@@ -1020,6 +1020,71 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("Hll registers: estimate within the sketch error band, state fixed-width") {
+    val regs = new Array[Byte](Hll.M)
+    // 10k distinct longs through 4096 registers: σ = 1.04/√4096 ≈ 1.6%
+    Hll.addAll(regs, (1L to 10000L).iterator)
+    regs.length shouldBe Hll.M // state never grows with cardinality
+    val est = Hll.estimate(regs)
+    math.abs(est - 10000.0) / 10000.0 should be < 0.05
+    // duplicates never move the estimate (idempotent insert)
+    val before = regs.clone()
+    Hll.addAll(regs, (1L to 10000L).iterator)
+    regs.toSeq shouldBe before.toSeq
+    // small range: linear counting is near-exact
+    val small = new Array[Byte](Hll.M)
+    Hll.addAll(small, (1L to 50L).iterator)
+    math.rint(Hll.estimate(small)).toLong shouldBe 50L
+  }
+
+  test("dailyDistinctStream: watermark-closed HLL estimates within error of exact distinct") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dayMs = 86400000L
+      // 2 types × 2 days; user populations overlap across days and carry
+      // heavy in-day duplication (each user appears ~4 times per day)
+      val events = for {
+        d <- 0 until 2; t <- Seq("click", "view"); i <- 0 until 2000
+      } yield Event((d * 100000 + i).toLong,
+        new Timestamp(d * dayMs + 3600000L + (i % 700) * 60000L),
+        (i % 500 + d * 100).toLong, t, 1.0)
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = dailyDistinctStream(stream.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      // day 0 splits across two batches by TIME (streams arrive in
+      // rough event-time order): batch 2's day-0 half stays above the
+      // watermark batch 1 advanced to, so the key's registers fold
+      // across batches without any row going late
+      val (day0, day1) = events.partition(_.ts.getTime < dayMs)
+      val (b1, b1b) = day0.partition(_.ts.getTime < 3600000L + 300L * 60000L)
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData((b1b ++ day1): _*)
+      q.processAllAvailable()
+      stream.addData(Event(999999L, new Timestamp(10 * dayMs), 0L, "tick", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name).as[DistinctCount].collect()
+        .map(b => (b.event_type, b.day_num) -> b.est_users).toMap
+      got.keySet shouldBe (for (d <- 0 until 2; t <- Seq("click", "view"))
+        yield (t, d.toLong)).toSet
+      spark.table(name).count() shouldBe 4L // exactly-once per closed key
+      for (((t, d), est) <- got) {
+        val exact = events.filter(e => e.event_type == t &&
+          e.ts.getTime / dayMs == d).map(_.user_id).distinct.length
+        math.abs(est.toDouble - exact) / exact should be < 0.05
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("Gk summary: bounded size, every quantile within εn rank error") {
     val eps = 0.01
     val rnd = new scala.util.Random(11)
