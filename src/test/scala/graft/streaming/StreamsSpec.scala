@@ -1165,6 +1165,133 @@ class StreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("dailyDistinctStream crash recovery: HLL registers and day timers survive a RocksDB restart exactly-once") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dayMs = 86400000L
+      // 2 types × 2000 DISTINCT users in day 0, event time increasing with
+      // user id. The crash splits each key's users 0–1499 / 1500–1999: a
+      // restart that loses the registers would estimate ~500 from the
+      // post-crash slice alone, so the 5% band on 2000 is a sharp witness
+      // that the recovered state kept folding.
+      val events = for (t <- Seq("click", "view"); i <- 0 until 2000)
+        yield Event(i.toLong, new Timestamp(3600000L + i * 30000L), i.toLong, t, 1.0)
+      val (b1, b2) = events.partition(_.user_id < 1500)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-dd-ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-dd-out").toString
+      val schema = org.apache.spark.sql.Encoders.product[DistinctCount].schema
+      val stream = MemoryStream[Event]
+      def start() = dailyDistinctStream(stream.toDS())
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      def sink() = spark.read.schema(schema).parquet(out).as[DistinctCount]
+      def awaitRows(q: org.apache.spark.sql.streaming.StreamingQuery, n: Long): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (sink().count() < n && System.nanoTime() < deadline) {
+          q.exception.foreach(throw _)
+          Thread.sleep(200)
+        }
+        sink().count() should be >= n
+      }
+      val q1 = start()
+      stream.addData(b1: _*)
+      q1.processAllAvailable()
+      // crash with day 0 OPEN: registers + the day-end timer are state
+      sink().count() shouldBe 0
+      q1.stop()
+      // the rest of day 0 AND the day-closing tick arrive while down
+      // (all above the persisted watermark: event time grows with id)
+      stream.addData(b2: _*)
+      stream.addData(Event(999999L, new Timestamp(10 * dayMs), 0L, "tick", 0.0))
+      val q2 = start()
+      awaitRows(q2, 2)
+      q2.stop()
+      val rows = sink().collect()
+      rows.length shouldBe 2 // exactly-once: one band per (type, day 0)
+      rows.map(_.event_type).sorted.toSeq shouldBe Seq("click", "view")
+      rows.foreach { r =>
+        r.day_num shouldBe 0L
+        math.abs(r.est_users.toDouble - 2000) / 2000 should be < 0.05
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("dailyPercentilesStream crash recovery: GK summaries survive a RocksDB restart exactly-once") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val eps = 0.01
+      val dayMs = 86400000L
+      val rnd = new scala.util.Random(23)
+      // 2 types × 1000 day-0 events (some null). band.n == the full
+      // non-null count is the state-survival witness: a lost summary
+      // restarts at n=0 and the post-crash slice alone reports ~400.
+      val events = for (t <- Seq("click", "view"); i <- 0 until 1000)
+        yield Event(i.toLong, new Timestamp(3600000L + i * 60000L), i.toLong % 37, t,
+          if (i % 50 == 49) null
+          else java.lang.Double.valueOf(rnd.nextGaussian() * 10 + (if (i < 600) 100 else 300)))
+      val (b1, b2) = events.partition(_.event_id < 600)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-dp-ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-dp-out").toString
+      val schema = org.apache.spark.sql.Encoders.product[QuantileBand].schema
+      val stream = MemoryStream[Event]
+      def start() = dailyPercentilesStream(stream.toDS(), eps = eps)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      def sink() = spark.read.schema(schema).parquet(out).as[QuantileBand]
+      def awaitRows(q: org.apache.spark.sql.streaming.StreamingQuery, n: Long): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (sink().count() < n && System.nanoTime() < deadline) {
+          q.exception.foreach(throw _)
+          Thread.sleep(200)
+        }
+        sink().count() should be >= n
+      }
+      val q1 = start()
+      stream.addData(b1: _*)
+      q1.processAllAvailable()
+      sink().count() shouldBe 0 // day 0 still open at the crash
+      q1.stop()
+      stream.addData(b2: _*)
+      stream.addData(Event(999999L, new Timestamp(10 * dayMs), 0L, "tick", 0.0))
+      val q2 = start()
+      awaitRows(q2, 2)
+      q2.stop()
+      val rows = sink().collect().map(b => b.event_type -> b).toMap
+      sink().count() shouldBe 2L // exactly-once per closed key
+      rows.keySet shouldBe Set("click", "view")
+      for ((t, band) <- rows) {
+        val exact = events.filter(e => e.event_type == t && e.value != null)
+          .map(_.value.doubleValue).sorted
+        band.day_num shouldBe 0L
+        band.n shouldBe exact.length.toLong // pre-crash inserts kept
+        val tol = math.ceil(eps * exact.length).toLong
+        for ((phi, v) <- Seq(0.5 -> band.p50, 0.95 -> band.p95)) {
+          val r = math.ceil(phi * exact.length).toLong
+          val lo = exact.count(_ < v).toLong + 1
+          val hi = exact.count(_ <= v).toLong
+          assert(lo <= r + tol && hi >= r - tol,
+            s"$t phi=$phi: $v ranks [$lo,$hi], want $r ± $tol")
+        }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
 
 object StreamsSpec {
