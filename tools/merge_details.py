@@ -1,0 +1,30 @@
+#!/usr/bin/env python3
+"""Merge per-query minima across bench-detail runs — the cross-order
+minimum the noise methodology prescribes (see docs/THROUGHPUT.md: the
+r9 audit found multi-second POSITIONAL machine transients that inflate
+runs of consecutive queries in BOTH reps of a single-order run; minima
+across one ascending and one descending fresh JVM put every query far
+from the transient in at least one run).
+
+    python3 tools/merge_details.py <out.json> <detail1.json> <detail2.json> ...
+
+The merged file is what ships as BENCHDETAIL_r{N}.json and feeds
+tools/bench_scale.py.
+"""
+import json
+import sys
+
+out = {}
+reps = None
+for p in sys.argv[2:]:
+    d = json.load(open(p))
+    reps = d.get("reps")
+    for k, v in d["queries_min"].items():
+        out[k] = min(out.get(k, 1e9), v)
+note = ("per-query min across one ascending and one descending fresh-JVM "
+        "2-pass run (Bench runs reps as whole-surface passes in "
+        "alternating order inside each JVM, so each query carries four "
+        "time-separated samples per SF)")
+json.dump({"reps": reps, "agg": "min", "note": note, "queries_min": out},
+          open(sys.argv[1], "w"), indent=1)
+print(f"wrote {sys.argv[1]}: {len(out)} queries, sum {sum(out.values()):.1f}s")
