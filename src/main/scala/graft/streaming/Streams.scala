@@ -1225,4 +1225,104 @@ object Streams {
       .transformWithState(new DailyQuantileProcessor(eps),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** One watermark-closed per-day drift row. */
+  case class PsiRow(event_type: String, day_num: Long, n: Long,
+                    n_bins: Long, psi: Double)
+
+  /** Fixed-width per-day bin counts (ValueState payload). */
+  case class PsiCounts(counts: Array[Long])
+
+  /** Per-day Population Stability Index vs a FIXED reference histogram
+    * ON the stream — the model-monitoring deployment shape of the batch
+    * drift surface (q_psi / Stats.psi): the reference bin counts (a
+    * trained model's validation-set histogram) ride in the closure as a
+    * small per-task constant, and the stream keeps ONE bins-long count
+    * array per (event_type, day) key in `transformWithState` ValueState
+    * — 8·bins bytes per open day, never the day's scores. An event-time
+    * timer emits the day's (n, n_bins, psi) exactly once when the
+    * watermark passes the day end. The PSI arithmetic is the batch
+    * operator's, term for term: values bin by equal width over
+    * [lo, hi) with the end bins absorbing outliers, bins present in
+    * NEITHER side are excluded from n_bins exactly as the batch
+    * group-by drops them, both sides take the same +1/(total+bins)
+    * Laplace smoothing, and the result rounds HALF_UP to 6 decimals as
+    * Spark's `round` does — stream ≡ batch is asserted day-for-day in
+    * StreamsSpec. NULL scores are skipped like the batch query's
+    * `WHERE value IS NOT NULL`. Same RocksDB state-store requirement as
+    * [[sessionizeTws]].
+    */
+  class DailyPsiProcessor(refCounts: Array[Long], lo: Double, hi: Double)
+    extends StatefulProcessor[(String, Long), Event, PsiRow] {
+    private val bins = refCounts.length
+    require(bins > 0, "dailyPsiStream: the reference histogram is empty")
+    require(hi > lo, s"dailyPsiStream: bad score range [$lo, $hi)")
+    @transient private var st: ValueState[PsiCounts] = _
+
+    private def binOf(v: Double): Int = {
+      val b = math.floor((v - lo) / (hi - lo) * bins).toInt
+      math.min(bins - 1, math.max(0, b))
+    }
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PsiCounts]("psi",
+        Encoders.product[PsiCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[PsiRow] = {
+      val counts: Array[Long] =
+        if (st.exists()) st.get().counts else new Array[Long](bins)
+      var touched = false
+      rows.foreach { e =>
+        if (e.value != null) {
+          counts(binOf(e.value.doubleValue)) += 1L
+          touched = true
+        }
+      }
+      if (touched) {
+        st.update(PsiCounts(counts))
+        getHandle.registerTimer((key._2 + 1) * 86400000L) // idempotent re-arm
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (String, Long), timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[PsiRow] =
+      if (st.exists()) {
+        val day = st.get().counts
+        st.clear()
+        val tb = refCounts.sum
+        val tc = day.sum
+        var nBins = 0L
+        var s = 0.0
+        var i = 0
+        while (i < bins) {
+          // a bin empty on BOTH sides never reaches the batch group-by
+          if (refCounts(i) > 0 || day(i) > 0) {
+            nBins += 1
+            val p = (refCounts(i) + 1).toDouble / (tb + bins)
+            val q = (day(i) + 1).toDouble / (tc + bins)
+            s += (p - q) * math.log(p / q)
+          }
+          i += 1
+        }
+        val rounded = BigDecimal(s)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        Iterator.single(PsiRow(key._1, key._2, tc, nBins, rounded))
+      } else Iterator.empty
+  }
+
+  /** Watermark-closed daily PSI vs a fixed reference histogram (see
+    * [[DailyPsiProcessor]]).
+    */
+  def dailyPsiStream(events: Dataset[Event], refCounts: Array[Long],
+                     lo: Double, hi: Double,
+                     watermark: String = "10 minutes"): Dataset[PsiRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.event_type, Math.floorDiv(e.ts.getTime, 86400000L)))
+      .transformWithState(new DailyPsiProcessor(refCounts, lo, hi),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

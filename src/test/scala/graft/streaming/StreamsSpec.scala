@@ -1166,6 +1166,68 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("dailyPsiStream: watermark-closed PSI equals the batch operator day-for-day") {
+    import graft.operators.Stats
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dayMs = 86400000L
+      val bins = 10
+      val (lo, hi) = (0.0, 100.0)
+      // a trained model's validation histogram: mild center-heavy shape
+      val refCounts = Array[Long](50, 60, 70, 80, 90, 90, 80, 70, 60, 50)
+      def binOf(v: Double): Int =
+        math.min(bins - 1, math.max(0, math.floor((v - lo) / (hi - lo) * bins).toInt))
+      val rnd = new scala.util.Random(41)
+      // 2 types × 2 days × 600 scores; day 1 drifts upward (and clips at
+      // the top bin — the outlier-absorption path), plus nulls the batch
+      // WHERE drops; bin 0 stays empty on day 1 for one type so the
+      // both-sides-empty exclusion is NOT exercised (ref covers all bins)
+      // while the day-side-empty smoothing IS.
+      val events = for {
+        d <- 0 until 2; t <- Seq("click", "view"); i <- 0 until 600
+      } yield Event((d * 10000 + i).toLong,
+        new Timestamp(d * dayMs + 3600000L + i * 60000L), i.toLong % 97, t,
+        if (i % 40 == 39) null
+        else java.lang.Double.valueOf(
+          rnd.nextDouble() * 70 + d * 45 + (if (t == "view") 10 else 0)))
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = dailyPsiStream(stream.toDS(), refCounts, lo, hi)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      stream.addData(Event(99L, new Timestamp(10 * dayMs), 99L, "tick", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name).as[PsiRow].collect()
+        .map(b => (b.event_type, b.day_num) -> b).toMap
+      got.keySet shouldBe (for (d <- 0 until 2; t <- Seq("click", "view"))
+        yield (t, d.toLong)).toSet
+      spark.table(name).count() shouldBe 4L // exactly-once per closed key
+      for (((t, d), row) <- got) {
+        // the batch operator over (reference as base=true) ∪ (the day's
+        // binned scores as base=false) — the exact q_psi computation
+        val dayBins = events.filter(e => e.event_type == t &&
+            e.ts.getTime / dayMs == d && e.value != null)
+          .map(e => (binOf(e.value.doubleValue).toLong, false))
+        val base = refCounts.zipWithIndex.flatMap { case (c, b) =>
+          Seq.fill(c.toInt)((b.toLong, true)) }
+        val batch = Stats.psi((base ++ dayBins).toSeq.toDF("bin", "is_base"),
+          col("bin"), col("is_base"), bins).head()
+        row.n shouldBe dayBins.length.toLong
+        row.n_bins shouldBe batch.getLong(0)
+        row.psi shouldBe batch.getDouble(1) +- 1.1e-6
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dailyDistinctStream crash recovery: HLL registers and day timers survive a RocksDB restart exactly-once") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
