@@ -1249,8 +1249,11 @@ object Streams {
     * Laplace smoothing, and the result rounds HALF_UP to 6 decimals as
     * Spark's `round` does — stream ≡ batch is asserted day-for-day in
     * StreamsSpec. NULL scores are skipped like the batch query's
-    * `WHERE value IS NOT NULL`. Same RocksDB state-store requirement as
-    * [[sessionizeTws]].
+    * `WHERE value IS NOT NULL`, and non-finite scores (NaN/±Inf from a
+    * broken upstream model) are skipped the same way rather than
+    * silently landing in an end bin (`floor(NaN).toInt` is 0 — a NaN
+    * flood would otherwise masquerade as low-score drift). Same RocksDB
+    * state-store requirement as [[sessionizeTws]].
     */
   class DailyPsiProcessor(refCounts: Array[Long], lo: Double, hi: Double)
     extends StatefulProcessor[(String, Long), Event, PsiRow] {
@@ -1274,7 +1277,7 @@ object Streams {
         if (st.exists()) st.get().counts else new Array[Long](bins)
       var touched = false
       rows.foreach { e =>
-        if (e.value != null) {
+        if (e.value != null && java.lang.Double.isFinite(e.value.doubleValue)) {
           counts(binOf(e.value.doubleValue)) += 1L
           touched = true
         }

@@ -1190,6 +1190,7 @@ class StreamsSpec extends SparkSpec {
       } yield Event((d * 10000 + i).toLong,
         new Timestamp(d * dayMs + 3600000L + i * 60000L), i.toLong % 97, t,
         if (i % 40 == 39) null
+        else if (i % 97 == 96) java.lang.Double.valueOf(Double.NaN)
         else java.lang.Double.valueOf(
           rnd.nextDouble() * 70 + d * 45 + (if (t == "view") 10 else 0)))
       val stream = MemoryStream[Event]
@@ -1209,8 +1210,10 @@ class StreamsSpec extends SparkSpec {
       for (((t, d), row) <- got) {
         // the batch operator over (reference as base=true) ∪ (the day's
         // binned scores as base=false) — the exact q_psi computation
+        // nulls AND non-finite scores are outside both computations
         val dayBins = events.filter(e => e.event_type == t &&
-            e.ts.getTime / dayMs == d && e.value != null)
+            e.ts.getTime / dayMs == d && e.value != null &&
+            java.lang.Double.isFinite(e.value.doubleValue))
           .map(e => (binOf(e.value.doubleValue).toLong, false))
         val base = refCounts.zipWithIndex.flatMap { case (c, b) =>
           Seq.fill(c.toInt)((b.toLong, true)) }
