@@ -1231,6 +1231,66 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("dailyPsiStream crash recovery: bin counts survive a RocksDB restart exactly-once") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dayMs = 86400000L
+      val refCounts = Array[Long](100, 100, 100, 100, 100)
+      // 800 day-0 scores per type; the crash splits 500/300 — band.n ==
+      // 800 is the survival witness (a lost count array reports 300)
+      val events = for (t <- Seq("click", "view"); i <- 0 until 800)
+        yield Event(i.toLong, new Timestamp(3600000L + i * 60000L), i.toLong % 11, t,
+          java.lang.Double.valueOf((i % 100).toDouble))
+      val (b1, b2) = events.partition(_.event_id < 500)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-psi-ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-psi-out").toString
+      val schema = org.apache.spark.sql.Encoders.product[PsiRow].schema
+      val stream = MemoryStream[Event]
+      def start() = dailyPsiStream(stream.toDS(), refCounts, 0.0, 100.0)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      def sink() = spark.read.schema(schema).parquet(out).as[PsiRow]
+      def awaitRows(q: org.apache.spark.sql.streaming.StreamingQuery, n: Long): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (sink().count() < n && System.nanoTime() < deadline) {
+          q.exception.foreach(throw _)
+          Thread.sleep(200)
+        }
+        sink().count() should be >= n
+      }
+      val q1 = start()
+      stream.addData(b1: _*)
+      q1.processAllAvailable()
+      sink().count() shouldBe 0 // day 0 still open at the crash
+      q1.stop()
+      stream.addData(b2: _*)
+      stream.addData(Event(999999L, new Timestamp(10 * dayMs), 0L, "tick", 0.0))
+      val q2 = start()
+      awaitRows(q2, 2)
+      q2.stop()
+      val rows = sink().collect()
+      rows.length shouldBe 2 // exactly-once per (type, day 0)
+      rows.map(_.event_type).sorted.toSeq shouldBe Seq("click", "view")
+      rows.foreach { r =>
+        r.day_num shouldBe 0L
+        r.n shouldBe 800L // pre-crash bin counts kept folding
+        r.n_bins shouldBe 5L
+        // i % 100 is uniform over [0,100) → near-uniform vs the uniform
+        // reference: PSI must sit near 0 (a lost/duplicated state would
+        // skew the day histogram and inflate it)
+        r.psi should be < 0.01
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dailyDistinctStream crash recovery: HLL registers and day timers survive a RocksDB restart exactly-once") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
