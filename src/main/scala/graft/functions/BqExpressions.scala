@@ -41,13 +41,21 @@ object BqKernels {
   }
 
   /** Fused Hamming distances of one code row against Q query codes:
-    * out(q) = Σ_w popcount(codes(w) ^ qcodes(q)(w)).
+    * out(q) = Σ_w popcount(codes(w) ^ qcodes(q)(w)). A code row whose
+    * word count differs from the query's fails loudly (the
+    * [[SqKernels.encode]] contract): `encode` accepts any vector length,
+    * so a ragged corpus would otherwise read past a shorter row's end
+    * (garbage distances) or silently truncate against a longer one.
     */
   def hammingScores(codes: ArrayData, qcodes: Array[Array[Long]]): ArrayData = {
+    val nw = codes.numElements()
     val out = new Array[Int](qcodes.length)
     var q = 0
     while (q < qcodes.length) {
       val qc = qcodes(q)
+      if (nw != qc.length) throw new IllegalArgumentException(
+        s"bq_hamming requires code rows of ${qc.length} words " +
+          s"(query width), got $nw — ragged corpus widths are not comparable")
       var s = 0
       var w = 0
       while (w < qc.length) {

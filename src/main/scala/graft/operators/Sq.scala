@@ -34,6 +34,14 @@ object Sq {
     */
   val MaxDims: Int = 4096
 
+  /** Driver-side query cap (the [[Bq.MaxQueries]] sibling): the Q×d
+    * per-query weight tables ride the scoring kernel's closure /
+    * addReferenceObj, so an unbounded query list builds an unbounded
+    * driver-side model — against the invariant that nothing driver-side
+    * scales with corpus rows.
+    */
+  val MaxQueries: Int = 4096
+
   /** Train (min, Δ) per dimension: one distributed aggregate over the
     * bounded dimension axis; only d rows ever reach the driver.
     */
@@ -77,6 +85,10 @@ object Sq {
            queries: Seq[(Long, Array[Double])], k: Int,
            roundTo: Int = 6): DataFrame = {
     require(queries.nonEmpty, "sq topK: empty query list")
+    require(queries.length <= MaxQueries,
+      s"sq topK: ${queries.length} queries exceeds MaxQueries=$MaxQueries — " +
+        "the Q×d weight tables are a driver-side broadcast; raise the knob " +
+        "deliberately")
     val d = b.mins.length
     val weights = queries.map { case (_, q) =>
       val n = math.sqrt(q.map(x => x * x).sum)

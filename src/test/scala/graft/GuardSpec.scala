@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Pq, Sampling, Stats}
+import graft.operators.{Bpe, Bq, Pq, Sampling, Sq, Stats}
 
 /** Runtime cap guards on driver-side bounded state: every knob that
   * gates a driver collect must fail LOUDLY, naming itself, when set
@@ -40,6 +40,31 @@ class GuardSpec extends SparkSpec {
         lit(1.0), k = 1)
     }
     e.getMessage should include("score")
+  }
+
+  test("Sq.topK rejects a query list past MaxQueries, naming the knob") {
+    val b = Sq.Bounds(Array(-1.0, -1.0), Array(2.0, 2.0))
+    val encoded = Seq((1L, Array[Byte](0, 0))).toDF("id", "codes")
+    val queries = (0 to Sq.MaxQueries).map(i => (i.toLong, Array(1.0, 0.0)))
+    val e = intercept[IllegalArgumentException] {
+      Sq.topK(encoded, b, queries, k = 1)
+    }
+    e.getMessage should include("MaxQueries")
+    e.getMessage should include("driver-side")
+  }
+
+  test("bq_hamming fails loudly on a ragged corpus row, naming both widths") {
+    // 64-dim row packs to 1 word, 128-dim row to 2; a 128-dim query must
+    // refuse the 1-word row instead of reading past its end.
+    val corpus = Seq(
+      (1L, Seq.fill(64)(1.0f)),
+      (2L, Seq.fill(128)(1.0f))).toDF("id", "v")
+    val q = Seq((10L, Array.fill(128)(1.0)))
+    val e = intercept[Exception] {
+      Bq.shortlist(Bq.encode(corpus, "id", "v"), q, r = 1).collect()
+    }
+    e.getMessage should include("2 words")
+    e.getMessage should include("got 1")
   }
 
   test("histogram excludes NULLs in both the normal and degenerate branches") {
