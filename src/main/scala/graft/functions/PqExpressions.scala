@@ -125,10 +125,16 @@ object PqKernels {
 
   /** ADC score of one code row against ONE of the Q query LUTs (chosen
     * per row — the IVF-PQ probe join tags each row with its query).
+    * A code row whose subspace count disagrees with the LUT's m·k shape
+    * fails loudly (the ragged-input contract shared by
+    * [[SqKernels.scores]] / [[BqKernels.hammingScores]]).
     */
   def adcScoreAt(codes: Array[Byte], qidx: Int, k: Int,
                  luts: Array[Array[Double]]): Double = {
     val lut = luts(qidx)
+    if (codes.length * k != lut.length) throw new IllegalArgumentException(
+      s"pq_adc_score_at requires code rows of ${lut.length / k} subspaces " +
+        s"(LUT shape), got ${codes.length}")
     var s = 0.0
     var i = 0
     while (i < codes.length) {
@@ -144,6 +150,10 @@ object PqKernels {
     */
   def adcScores(codes: Array[Byte], k: Int, luts: Array[Array[Double]]): ArrayData = {
     val m = codes.length
+    if (luts.length > 0 && m * k != luts(0).length)
+      throw new IllegalArgumentException(
+        s"pq_adc_scores requires code rows of ${luts(0).length / k} " +
+          s"subspaces (LUT shape), got $m")
     val out = new Array[Double](luts.length)
     var q = 0
     while (q < luts.length) {

@@ -54,10 +54,17 @@ object SqKernels {
   }
 
   /** Asymmetric scores of one code row against Q query weight tables:
-    * out(q) = consts(q) + Σ_i weights(q)(i)·(codes(i) & 0xFF).
+    * out(q) = consts(q) + Σ_i weights(q)(i)·(codes(i) & 0xFF). A code
+    * row whose byte count differs from the trained dimension fails
+    * loudly — a shorter ragged row would otherwise sum a silently
+    * truncated score; a longer one would read past the weight table.
     */
   def scores(codes: Array[Byte], weights: Array[Array[Double]],
              consts: Array[Double]): ArrayData = {
+    if (weights.length > 0 && codes.length != weights(0).length)
+      throw new IllegalArgumentException(
+        s"sq8_scores requires code rows of ${weights(0).length} bytes " +
+          s"(trained dimension), got ${codes.length}")
     val out = new Array[Double](weights.length)
     var q = 0
     while (q < weights.length) {
