@@ -76,13 +76,16 @@ object Bq {
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
   }
 
-  /** Two-stage top-k: Hamming shortlist of r candidates per query over
-    * the 1-bit codes, exact-cosine re-rank of the survivors. With
-    * r ≥ corpus size this equals [[Similarity.bruteForceTopK]] EXACTLY
-    * (asserted in BqSpec); at production r the re-rank repairs the
-    * sign-quantization error at shortlist cost. `queries` must expose
-    * (qidCol long, qvecCol vector) and be bounded (collected +
-    * broadcast).
+  /** Two-stage top-k: Hamming shortlist of r+1 candidates per query
+    * over the 1-bit codes, exact-cosine re-rank of the survivors. The
+    * +1 pays for the self-match an IN-CORPUS query always shortlists at
+    * Hamming 0 (and the re-rank then drops): without it, r == k would
+    * return only k−1 neighbors and every shortlist would waste one slot
+    * on self. With r ≥ corpus size this equals
+    * [[Similarity.bruteForceTopK]] EXACTLY (asserted in BqSpec); at
+    * production r the re-rank repairs the sign-quantization error at
+    * shortlist cost. `queries` must expose (qidCol long, qvecCol
+    * vector) and be bounded (collected + broadcast).
     */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
            queries: DataFrame, qidCol: String, qvecCol: String,
@@ -105,7 +108,7 @@ object Bq {
       }
       (row.getLong(0), vec)
     }.toSeq
-    val sl = shortlist(encode(corpus, idCol, vecCol), qSeq, r)
+    val sl = shortlist(encode(corpus, idCol, vecCol), qSeq, r + 1)
     Similarity.rerankExact(sl, corpus, idCol, vecCol,
       queries, qidCol, qvecCol, k, roundTo)
   }

@@ -52,17 +52,31 @@ object Geo {
     *
     * Output: `id_a`, `id_b`, `dist_km` (rounded to 4 dp BEFORE the
     * radius compare, so an oracle evaluating the identical expression
-    * tree cannot disagree on threshold membership by one ulp).
+    * tree cannot disagree on threshold membership by one ulp). The
+    * radius boundary is therefore evaluated on the ROUNDED distance —
+    * a true distance of radius + 0.00004 km is IN. This "rounded-radius"
+    * semantics is deliberate: it is the only boundary definition two
+    * engines computing in IEEE double can agree on bit-for-bit.
+    *
+    * The full pair set is quadratic in point density (measured:
+    * 65.7× pairs on 10× points), so the candidate mass — the grid
+    * join's row count, Σ over matched cells of n_stamped·n_home,
+    * computed from the per-cell occupancy aggregate (|cells| rows,
+    * never n) — is require()-capped at `maxCandidateMass`, failing
+    * loudly with the output-BOUNDED twin's name ([[knnWithinRadius]] /
+    * q_geo_knn_radius) instead of silently melting a cluster.
     */
   def neighborPairs(points: DataFrame, idCol: Column,
                     latCol: Column, lonCol: Column,
                     radiusKm: Double, cellDeg: Double,
-                    maxAbsLat: Double): DataFrame = {
+                    maxAbsLat: Double,
+                    maxCandidateMass: Long = 1000000000L): DataFrame = {
     val nx = requireGridCovers(radiusKm, cellDeg, maxAbsLat)
     val base = points.select(idCol.as("_id"), latCol.as("_lat"),
       lonCol.as("_lon"),
       floor((lonCol + 180.0) / cellDeg).cast("long").as("_cx"),
       floor((latCol + 90.0) / cellDeg).cast("long").as("_cy"))
+    requireBoundedMass(base, nx, maxCandidateMass)
     val stamped = base.select(col("_id").as("id_a"), col("_lat").as("_lata"),
         col("_lon").as("_lona"),
         explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
@@ -95,6 +109,10 @@ object Geo {
     * the window lets Spark's WindowGroupLimit rank-limit pushdown prune
     * each partition to k rows BEFORE the full per-cell sort
     * materializes; partitions are bounded by local density, never n.
+    *
+    * Like [[neighborPairs]], the radius boundary is evaluated on the
+    * 4-dp ROUNDED distance (rounded-radius semantics, chosen for
+    * cross-engine hash stability).
     */
   def knnWithinRadius(points: DataFrame, idCol: Column,
                       latCol: Column, lonCol: Column,
@@ -130,7 +148,10 @@ object Geo {
 
   /** Shared grid-coverage preconditions (exact haversine bounds:
     * Δφ ≤ r/R; sin(Δλ/2) ≤ sin(r/2R)/cos(φmax)); returns the lon cell
-    * count nx for the wraparound pmod.
+    * count nx for the wraparound pmod. nx must be ≥ 3: with fewer lon
+    * cells the pmod wraparound folds the 3×3 neighbor stamp onto
+    * duplicate cells, so a candidate pair would match MORE than once
+    * (duplicate pair rows; inflated knn ranks).
     */
   private def requireGridCovers(radiusKm: Double, cellDeg: Double,
                                 maxAbsLat: Double): Long = {
@@ -138,6 +159,10 @@ object Geo {
     val nx = math.round(360.0 / cellDeg)
     require(nx * cellDeg == 360.0,
       s"cellDeg $cellDeg must divide 360 exactly (lon wraparound)")
+    require(nx >= 3,
+      s"cellDeg $cellDeg gives only $nx lon cells — the wraparound pmod " +
+        "would fold the 3x3 stamp onto duplicate cells (duplicate pairs); " +
+        "use cellDeg <= 120")
     val maxDLat = math.toDegrees(radiusKm / R)
     require(cellDeg >= maxDLat,
       s"cellDeg $cellDeg < max lat span $maxDLat deg for radius $radiusKm")
@@ -148,5 +173,30 @@ object Geo {
         " — adjacent cells would not cover the radius; widen cellDeg or" +
         " lower maxAbsLat")
     nx
+  }
+
+  /** Loud candidate-mass cap for the quadratic-output pair path: the
+    * grid join's candidate count is Σ over stamped×home cell matches of
+    * n_a·n_b, computed from the per-cell occupancy AGGREGATE (the
+    * cells-sized self-join below never touches point rows twice), so
+    * the estimate costs one scan + one tiny join regardless of density.
+    */
+  private def requireBoundedMass(base: DataFrame, nx: Long,
+                                 maxCandidateMass: Long): Unit = {
+    val occ = base.groupBy(col("_cx"), col("_cy"))
+      .agg(count(lit(1)).as("_n"))
+    val stamped = occ.select(col("_n").as("_na"),
+        explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+          struct(pmod(col("_cx") + dx, lit(nx)).as("x"),
+            (col("_cy") + dy).as("y"))): _*)).as("_cell"))
+      .select(col("_na"), col("_cell.x").as("_cx"), col("_cell.y").as("_cy"))
+    val mass = stamped.join(occ, Seq("_cx", "_cy"))
+      .agg(coalesce(sum(col("_na") * col("_n")), lit(0L)))
+      .head().getLong(0)
+    require(mass <= maxCandidateMass,
+      s"neighborPairs candidate mass $mass exceeds maxCandidateMass=" +
+        s"$maxCandidateMass — the full pair set is quadratic in point " +
+        "density; use the output-bounded twin knnWithinRadius " +
+        "(q_geo_knn_radius) or raise the knob deliberately")
   }
 }

@@ -114,7 +114,11 @@ class EntrySpec extends SparkSpec {
       "q_pca_project" -> (500L, "04870ac074cd97fc0487ab9dd1cbbb6a"),
       "q_bradley_terry" -> (5L, "e150e60a4568d4c7760ed69f121554a9"),
       "q_sq8_topk" -> (25L, "76efe2b9e90ffc5f5c58b2d102898063"),
-      "q_bq_topk" -> (25L, "5fafcf1150da8c2ac00f8df301be23b2"))
+      // re-pinned r11: Bq.topK shortlists r+1 so the in-corpus
+      // self-match no longer consumes a candidate slot — the extra
+      // candidate entered one query's exact-rerank top-5 here (recall
+      // vs brute force can only improve; asserted in BqSpec)
+      "q_bq_topk" -> (25L, "b19d115710dc4752ce9449e5aef1e162"))
     val dir = "/root/testdata/sf0.01"
     val got = expected.keys.toSeq.sorted.map { q =>
       val df = SparkEntry.queries(q)(spark, dir)

@@ -76,6 +76,19 @@ class BqSpec extends SparkSpec {
     (recalls.sum / recalls.length) should be >= 0.7
   }
 
+  test("r == k returns k neighbors for an in-corpus query (self slot is paid for)") {
+    // the shortlist keeps r+1 candidates, so dropping the Hamming-0
+    // self-match still leaves r >= k survivors for the re-rank
+    val got = Bq.topK(corpusDf, "vec_id", "embedding",
+        queriesDf, "query_id", "qv", k = 5, r = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    queriesDf.select("query_id").as[Long].collect().foreach { qid =>
+      got(qid).length shouldBe 5
+      got(qid) should not contain qid // self stays dropped
+    }
+  }
+
   test("plan: fused scoring scan, WindowGroupLimit shortlist, no BNLJ") {
     val plan = Bq.topK(corpusDf, "vec_id", "embedding",
         queriesDf, "query_id", "qv", k = 5, r = 50)

@@ -63,4 +63,37 @@ class GeoSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       gridPairs(Seq((1L, 0.0, 0.0)), r = 100.0, cell = 7.0)
   }
+
+  test("grid refuses cellDeg > 120 (pmod would fold the 3x3 stamp onto dup cells)") {
+    // 180-deg cells give nx=2: cells x-1 and x+1 coincide mod 2, so every
+    // candidate pair would match twice — refused up front
+    val e = intercept[IllegalArgumentException] {
+      gridPairs(Seq((1L, 0.0, 0.0)), r = 100.0, cell = 180.0)
+    }
+    e.getMessage should include("lon cells")
+  }
+
+  test("neighborPairs candidate-mass cap fails loudly, naming the bounded twin") {
+    val pts = Seq.tabulate(30)(i => (i.toLong, 0.1 * i, 0.1 * i))
+    val e = intercept[IllegalArgumentException] {
+      Geo.neighborPairs(pts.toDF("id", "lat", "lon"),
+        col("id"), col("lat"), col("lon"), radiusKm = 200.0, cellDeg = 4.0,
+        maxAbsLat = 60.0, maxCandidateMass = 10L)
+    }
+    e.getMessage should include("candidate mass")
+    e.getMessage should include("q_geo_knn_radius")
+    // the same density passes under the default cap and still answers
+    Geo.neighborPairs(pts.toDF("id", "lat", "lon"),
+      col("id"), col("lat"), col("lon"), radiusKm = 200.0, cellDeg = 4.0,
+      maxAbsLat = 60.0).count() should be > 0L
+  }
+
+  test("knnWithinRadius returns per-point k nearest and no self-matches") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 0.0, 0.5), (3L, 0.0, 1.0), (4L, 0.0, 8.0))
+    val got = Geo.knnWithinRadius(pts.toDF("id", "lat", "lon"),
+        col("id"), col("lat"), col("lon"), radiusKm = 200.0, cellDeg = 4.0,
+        maxAbsLat = 60.0, k = 1)
+      .select(col("id"), col("nbr")).as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 2L), (2L, 1L), (3L, 2L)) // 4 is isolated
+  }
 }
