@@ -15,18 +15,49 @@ object Bench {
     *     ladder, keeping the slowest queries when truncation is forced.
     */
   private[graft] def renderLine(ok: Seq[(String, Double)], failed: Seq[String],
-                                sfName: String): String = {
+                                sfName: String,
+                                canarySec: Double = -1.0): String = {
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // machine-era anchor: the canary is a fixed, code-independent
+    // calibration workload, so absolute-seconds shifts between rounds
+    // divide out as (total/canary) instead of needing attribution
+    // archaeology (the r9/r10 era-drift postmortems)
+    val canary = if (canarySec >= 0) f""","canary":$canarySec%.3f""" else ""
     def emit(fmt: String, keep: Int): String = {
       val kept = if (keep >= ok.length) ok else ok.sortBy(-_._2).take(keep)
       val qs = kept.sortBy(_._1).map { case (k, mn) => s""""$k":${fmt.format(mn)}""" }
         .mkString("{", ",", "}")
       val trunc = if (keep >= ok.length) "" else s""","qtrunc":${ok.length - keep}"""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$failedJson$trunc,"sf":"$sfName"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$failedJson$trunc$canary,"sf":"$sfName"}"""
     }
     Seq(emit("%.2f", Int.MaxValue), emit("%.1f", Int.MaxValue), emit("%.1f", 40))
       .find(_.length <= 1950).getOrElse(emit("%.1f", 20))
+  }
+
+  /** Machine-era canary: a pinned, CODE-INDEPENDENT calibration workload
+    * built only from Spark built-ins over a constant in-memory dataset —
+    * deterministic arithmetic on `range` (no RNG, no files, none of this
+    * library's code), shuffled through a sort and a hash aggregate so it
+    * exercises the same CPU/shuffle/GC machinery the query surface does.
+    * Its wall time moves ONLY when the machine era moves, so per-query
+    * floors divide by it to compare across rounds (BENCH carries the raw
+    * seconds; THROUGHPUT.md states floors in canary units).
+    */
+  private[graft] def canaryRun(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val n = 20000000L
+    spark.range(n)
+      .select(col("id"), xxhash64(col("id")).as("h1"))
+      .select(col("id"), col("h1"), xxhash64(col("h1")).as("h2"))
+      .repartition(64, pmod(col("h1"), lit(64)))
+      .sortWithinPartitions(col("h2"))
+      .select(pmod(col("h2"), lit(1024)).as("b"), col("h1"))
+      .groupBy(col("b")).agg(sum(col("h1")).as("s"), count(lit(1)).as("c"))
+      .agg(sum(col("s")), sum(col("c")))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -58,6 +89,11 @@ object Bench {
     // attributed to whichever query happens to run first.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Canary: one untimed JIT pass, then two timed runs bracketing the
+    // surface (one here, one after the last pass) — the min is the
+    // machine-era anchor, and the pair's spread shows intra-run drift.
+    canaryRun(spark)
+    val canaryStart = canaryRun(spark)
     // sorted: stable execution order across rounds (Map hash order is
     // arbitrary and makes per-query cross-round comparison noisy)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -133,8 +169,13 @@ object Bench {
         SparkEntry.releaseDeadCheckpoints(spark)
       }
     }
+    val canaryEnd = canaryRun(spark)
+    val canary = math.min(canaryStart, canaryEnd)
+    // times lists are built by PREPENDING, so .last is the EARLIEST
+    // successful sample — the right first-rep fallback when pass 0
+    // failed (head would ship a warm late-pass time labeled cold)
     val ok = selected.collect { case (k, _) if times.getOrElse(k, Nil).nonEmpty =>
-      (k, times(k).min, cold.getOrElse(k, times(k).head)) }
+      (k, times(k).min, cold.getOrElse(k, times(k).last)) }
     // Methodology + first-rep (cold) detail go to a FILE, not stderr: if
     // the driver captures merged stdout+stderr, a long detail line would
     // eat the 2000-char tail budget the compact line must fit in (this is
@@ -142,14 +183,16 @@ object Bench {
     val coldJson = ok.map { case (k, _, c) => f""""$k":$c%.2f""" }.mkString("{", ",", "}")
     val fullMin = ok.map { case (k, mn, _) => f""""$k":$mn%.3f""" }.mkString("{", ",", "}")
     val detail =
-      s"""{"reps":$reps,"agg":"min","queries_min":$fullMin,"first_rep":$coldJson}"""
+      f"""{"reps":$reps,"agg":"min","canary_start":$canaryStart%.3f,""" +
+        f""""canary_end":$canaryEnd%.3f,"queries_min":$fullMin,""" +
+        s""""first_rep":$coldJson}"""
     try {
       val f = java.nio.file.Paths.get("target", "bench-detail.json")
       java.nio.file.Files.createDirectories(f.getParent)
       java.nio.file.Files.write(f, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => System.err.println(s"[bench-detail] $detail") }
     println(renderLine(ok.map { case (k, mn, _) => (k, mn) },
-      failed.toSeq, new java.io.File(sfDir).getName))
+      failed.toSeq, new java.io.File(sfDir).getName, canary))
     spark.stop()
   }
 }

@@ -29,6 +29,13 @@ class BenchLineSpec extends AnyFunSuite with Matchers {
     line should include(""""sf":"sf0.01"""")
   }
 
+  test("canary seconds ride the line when measured, and are absent when not") {
+    val line = Bench.renderLine(Seq("q_a" -> 1.0), Nil, "sf0.1", canarySec = 2.345)
+    line should include(""""canary":2.345""")
+    val bare = Bench.renderLine(Seq("q_a" -> 1.0), Nil, "sf0.1")
+    (bare should not).include("canary")
+  }
+
   test("line stays under 1900 chars via the precision/truncation ladder") {
     // 120 queries at 2 decimals would blow the budget; the ladder must
     // degrade precision and finally truncate to the slowest queries
