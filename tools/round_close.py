@@ -96,9 +96,23 @@ with tempfile.TemporaryDirectory() as tmp:
 # is exact under both. BENCHDETAIL gets the same gate (r9 carried it for
 # BENCHSCALE only — a stale warm-min detail, the evidence the driver-
 # overhead ratio is judged against, could still ship).
+# Every dir whose code a BENCHED query executes. sources/ (Tables,
+# Layout — q_zorder_scan, q_bucket_join), multimodal/ (q_image_decode,
+# q_audio_decode) and the graft/*.scala roots (SparkEntry wires the
+# declarations; Bench IS the measurement harness) are hot: a commit to
+# any of them after the artifacts ships a stale curve through a green
+# gate — exactly the r8 postmortem. streaming/ and geonames/ stay out,
+# documented: no declared bench query executes code from either (the
+# stream twins are spec-only, the geonames path is unit/golden-tested).
 HOT_DIRS = ["src/main/scala/graft/operators",
             "src/main/scala/graft/functions",
-            "src/main/scala/graft/entry"]
+            "src/main/scala/graft/entry",
+            "src/main/scala/graft/sources",
+            "src/main/scala/graft/multimodal",
+            "src/main/scala/graft/SparkEntry.scala",
+            "src/main/scala/graft/Bench.scala",
+            "src/main/scala/graft/Verify.scala",
+            "src/main/scala/graft/GraftExtensions.scala"]
 
 
 def last_commit_of(path):
