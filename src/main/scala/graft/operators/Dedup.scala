@@ -211,6 +211,27 @@ object Dedup {
     }
   }
 
+  /** The (m−k)-combination key array of a 64-bit hash column — shared
+    * by [[hammingPairs]]' candidate join and the ScaleDiag candidate-
+    * mass probes (one key construction, so the diagnostic measures the
+    * OPERATOR's geometry, not a re-derivation that could drift).
+    * Lexicographic combinations: with m = k+1 these are the singletons
+    * (0),(1),…,(k) in order, so key ci = xxhash64(chunk_i, lit(ci)) —
+    * byte-identical to the unscaled plan's band keys.
+    */
+  private[graft] def hammingKeyArray(sh: Column, m: Int,
+                                     maxHamming: Int): Column = {
+    def chunk(i: Int): Column = {
+      val lo = i * 64 / m
+      val width = (i + 1) * 64 / m - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(sh, lo).bitwiseAND(mask)
+    }
+    val keys = (0 until m).combinations(m - maxHamming).toSeq.zipWithIndex
+      .map { case (cs, ci) => xxhash64((cs.map(chunk) :+ lit(ci)): _*) }
+    array(keys: _*)
+  }
+
   /** Generic banded-Hamming near-dup join over ANY (id, 64-bit hash)
     * table — simhash text keys and dHash image keys share this plan.
     * The hash splits into `m` contiguous bit chunks and candidates
@@ -233,18 +254,8 @@ object Dedup {
     val h = hashes.select(col(idCol).as("id"), col(hashCol).as("sh"))
       .localCheckpoint(true)
     val m = hammingChunkCount(h.count(), maxHamming, nRef)
-    def chunk(i: Int): Column = {
-      val lo = i * 64 / m
-      val width = (i + 1) * 64 / m - lo
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      shiftright(col("sh"), lo).bitwiseAND(mask)
-    }
-    // lexicographic (m−k)-combinations: with m = k+1 these are the
-    // singletons (0),(1),…,(k) in order, so key ci = xxhash64(chunk_i,
-    // lit(i)) — byte-identical to the unscaled plan's band keys
-    val keys = (0 until m).combinations(m - maxHamming).toSeq.zipWithIndex
-      .map { case (cs, ci) => xxhash64((cs.map(chunk) :+ lit(ci)): _*) }
-    val chunks = h.select(col("id"), explode(array(keys: _*)).as("ck"))
+    val chunks = h.select(col("id"),
+      explode(hammingKeyArray(col("sh"), m, maxHamming)).as("ck"))
     val cand = chunks.select(col("ck"), col("id").as("id_a"))
       .join(chunks.select(col("ck"), col("id").as("id_b")), Seq("ck"))
       .where(col("id_a") < col("id_b"))
@@ -584,18 +595,28 @@ object Dedup {
     * the GEOMETRY, never of the data.
     */
   private[graft] val PooledBandCutoff = 64
+
+  /** The sign-LSH band-key array for one geometry — shared by
+    * [[embeddingNearDupPairs]]' candidate join and the ScaleDiag
+    * candidate-mass probes, so the diagnostic measures the operator's
+    * actual keys (private planes at base geometry, the fixed
+    * 256-projection pool past [[PooledBandCutoff]] slots).
+    */
+  private[graft] def lshBandKeyArray(v: Column, planesPerBand: Int,
+                                     bands: Int): Column =
+    if (planesPerBand * bands <= PooledBandCutoff)
+      graft.functions.VectorExpr.signLshBands(v, planesPerBand, bands)
+    else graft.functions.VectorExpr.signLshBandsPooled(v,
+      planesPerBand, bands, pool = 256)
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, planesPerBand: Int = 3,
                             bands: Int = 16): DataFrame = {
     // materialize once — band fan-out and both candidate rejoin branches
     // would otherwise recompute the source (and its signatures)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
-    val bandKeys =
-      if (planesPerBand * bands <= PooledBandCutoff)
-        graft.functions.VectorExpr.signLshBands(col("v"), planesPerBand, bands)
-      else graft.functions.VectorExpr.signLshBandsPooled(col("v"),
-        planesPerBand, bands, pool = 256)
-    val bandRows = vecs.select(col("id"), explode(bandKeys).as("bk"))
+    val bandRows = vecs.select(col("id"),
+      explode(lshBandKeyArray(col("v"), planesPerBand, bands)).as("bk"))
     val cand = bandRows.select(col("bk"), col("id").as("id_a"))
       .join(bandRows.select(col("bk"), col("id").as("id_b")), Seq("bk"))
       .where(col("id_a") < col("id_b"))

@@ -61,15 +61,89 @@ object ScaleDiag {
       lshMass(7, 48, "lsh_mass_p7b48")
       lshMass(8, 64, "lsh_mass_p8b64")
 
+      // ---- SCALED-geometry candidate mass: the log-n witness ---------
+      // Each probe keys the corpus with the EXACT key construction the
+      // operator uses (Dedup.lshBandKeyArray / Dedup.hammingKeyArray —
+      // shared code, not a re-derivation) at the geometry the operator
+      // would solve for THIS corpus size, and reports candidate
+      // mass/row: the claim is that the solve holds mass/row at-or-under
+      // the nRef base geometry's at EVERY decade, which only multiple
+      // decades can witness.
+      def bucketMassLine(keys: DataFrame, n: Long, tag: String,
+                         geom: String): Unit = {
+        val m = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum((col("c") * (col("c") - 1) / 2)
+              .cast("decimal(38,0)")),
+              lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("pairs"),
+            coalesce(max(col("c")), lit(0L)).as("max_bucket")).head()
+        val mass = m.getDecimal(0)
+        val perRow = mass.doubleValue() / math.max(1L, n)
+        println(f"""{"probe":"$tag","dir":"$dir","n":$n,$geom,"candidate_mass":$mass,"mass_per_row":$perRow%.3f,"max_bucket":${m.getLong(1)}}""")
+      }
+      def scaledLshMass(basePlanes: Int, baseBands: Int, tag: String): Unit = {
+        val emb = Tables.embeddings(spark, dir)
+          .where(col("embedding").isNotNull)
+        val n = emb.count()
+        val (planes, bands) =
+          graft.operators.Dedup.scaledBandGeometry(n, basePlanes, baseBands)
+        bucketMassLine(
+          emb.select(explode(graft.operators.Dedup.lshBandKeyArray(
+            col("embedding"), planes, bands)).as("k")),
+          n, tag, s""""planes":$planes,"bands":$bands""")
+      }
+      scaledLshMass(2, 16, "knn_graph_lsh_mass_scaled")
+      scaledLshMass(3, 16, "embedding_neardup_lsh_mass_scaled")
+      def scaledHammingMass(hashes: DataFrame, maxHamming: Int,
+                            tag: String): Unit = {
+        val h = hashes.select(col("sh")).localCheckpoint(true)
+        val n = h.count()
+        val m = graft.operators.Dedup.hammingChunkCount(n, maxHamming)
+        bucketMassLine(
+          h.select(explode(graft.operators.Dedup.hammingKeyArray(
+            col("sh"), m, maxHamming)).as("k")),
+          n, tag, s""""m":$m,"max_hamming":$maxHamming""")
+      }
+      // q_simhash_pairs' geometry on its real input (simhash64 of text)
+      scaledHammingMass(
+        graft.operators.Dedup.simhashed(docs, "doc_id", "text"),
+        maxHamming = 3, tag = "simhash_mass_scaled")
+      // q_image_neardup's k=6 geometry: real dHash while the PNG asset
+      // fixture fits its 200k-doc cap; past it (sf10), the same k=6
+      // chunk-combination solve keyed on the simhash corpus — a real
+      // 64-bit near-uniform hash family at the full third-decade row
+      // count — witnesses the identical key geometry
+      if (n <= 200000L) {
+        val assets = spark.read
+          .schema(graft.multimodal.Multimodal.assetSchema)
+          .parquet(graft.EntryContext.gradPngAssetsFixture(spark, dir))
+          .as[graft.multimodal.Multimodal.Asset](
+            org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.Asset])
+        scaledHammingMass(
+          graft.multimodal.Multimodal.dHash64(assets)
+            .select(col("dhash").as("sh")),
+          maxHamming = 6, tag = "image_neardup_mass_scaled")
+      } else {
+        scaledHammingMass(
+          graft.operators.Dedup.simhashed(docs, "doc_id", "text"),
+          maxHamming = 6, tag = "image_neardup_mass_scaled_k6proxy")
+      }
+
       // ---- q_geo_pairs: output cardinality --------------------------
       val pts = Tables.customer(spark, dir).select(col("c_custkey").as("id"),
           (pmod(col("c_custkey") * 37, lit(17000)) / 100.0 - 85.0).as("lat"),
           (pmod(col("c_custkey") * 73, lit(36000)) / 100.0 - 180.0).as("lon"))
         .where(abs(col("lat")) <= 60.0)
-      val geoOut = graft.operators.Geo.neighborPairs(pts, col("id"),
-        col("lat"), col("lon"), radiusKm = 200.0, cellDeg = 4.0,
-        maxAbsLat = 60.0).count()
-      println(s"""{"probe":"geo_pairs_output","dir":"$dir","n_points":${pts.count()},"pairs":$geoOut}""")
+      // at the third decade the candidate-mass guard fires by design —
+      // record THAT as the probe outcome (the guard firing at the scale
+      // it was built for is the evidence)
+      try {
+        val geoOut = graft.operators.Geo.neighborPairs(pts, col("id"),
+          col("lat"), col("lon"), radiusKm = 200.0, cellDeg = 4.0,
+          maxAbsLat = 60.0).count()
+        println(s"""{"probe":"geo_pairs_output","dir":"$dir","n_points":${pts.count()},"pairs":$geoOut}""")
+      } catch { case e: IllegalArgumentException =>
+        println(s"""{"probe":"geo_pairs_output","dir":"$dir","n_points":${pts.count()},"guarded":"${e.getMessage.takeWhile(_ != '—').trim}"}""")
+      }
 
       // ---- q_image_neardup: output cardinality ----------------------
       // planted near-dups are linear in docs, but accidental ≤6-bit
