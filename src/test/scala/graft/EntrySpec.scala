@@ -127,6 +127,30 @@ class EntrySpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("geometry rows-only queries match their sf1 pins when a tiled dir is given") {
+    // The six no-oracle queries whose candidate geometry only ENGAGES
+    // above nRef, pinned at the BENCHSCALE big side (PINS_sf1_geometry_
+    // r11.json — two fresh-JVM HashCalc runs bit-identical). The tiled
+    // dir is not committed (170 MB), so this asserts only when
+    // SPARK_GRAFT_SF1_DIR points at a ScaleData-tiled sf1 layout:
+    //   sbt "runMain graft.tools.ScaleData /root/testdata/sf0.1 /tmp/sf1 10"
+    val dirOpt = sys.env.get("SPARK_GRAFT_SF1_DIR")
+    assume(dirOpt.isDefined,
+      "SPARK_GRAFT_SF1_DIR unset - sf1 pins recorded in PINS_sf1_geometry_r11.json")
+    val expected = Map(
+      "q_lsh_topk" -> (25L, "a60bf410700def80ead2606140c025e2"),
+      "q_minhash_pairs" -> (2560L, "ac11bf7db5a779522fdf32d981881293"),
+      "q_simhash_pairs" -> (7952L, "b9354c3f9bf853e95a8b798c1fea5cb2"),
+      "q_image_neardup" -> (5130L, "475e3269d7f669d3455935de9006cd0e"),
+      "q_knn_graph_lsh" -> (60000L, "2d457027de9d26284d82ba712612ec7a"),
+      "q_embedding_neardup_lsh" -> (49980L, "9a7409a4bdb6c7e13adbb508ac64800b"))
+    val got = expected.keys.toSeq.sorted.map { q =>
+      val df = SparkEntry.queries(q)(spark, dirOpt.get)
+      q -> ((df.count(), contentHash(df)))
+    }.toMap
+    got shouldBe expected
+  }
+
   test("rows-only queries match their pinned sf0.001 content hashes") {
     // counts alone would pass a wrong-but-same-cardinality result; the
     // hash pins the VALUES (all entries are deterministic by construction —
