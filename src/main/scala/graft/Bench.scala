@@ -48,13 +48,17 @@ object Bench {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
     val n = 20000000L
+    // summands are mod-reduced: a raw sum of n random 64-bit hashes
+    // overflows long, which ANSI mode (the Spark 4 default) turns into
+    // a query failure
     spark.range(n)
       .select(col("id"), xxhash64(col("id")).as("h1"))
       .select(col("id"), col("h1"), xxhash64(col("h1")).as("h2"))
       .repartition(64, pmod(col("h1"), lit(64)))
       .sortWithinPartitions(col("h2"))
-      .select(pmod(col("h2"), lit(1024)).as("b"), col("h1"))
-      .groupBy(col("b")).agg(sum(col("h1")).as("s"), count(lit(1)).as("c"))
+      .select(pmod(col("h2"), lit(1024)).as("b"),
+        pmod(col("h1"), lit(1000000007L)).as("hm"))
+      .groupBy(col("b")).agg(sum(col("hm")).as("s"), count(lit(1)).as("c"))
       .agg(sum(col("s")), sum(col("c")))
       .collect()
     (System.nanoTime() - t0) / 1e9
