@@ -224,26 +224,7 @@ private[graft] object EntryContext {
       val tmp = fixtureDir("graft-gradpng")
       val path = tmp.getAbsolutePath + "/assets"
       val rows = boundedDocIds(s, dir, "gradient PNG").toSeq.map { id =>
-          val seed = if (id % 10 == 1) id - 1 else id
-          val (w, h) = ((seed % 32 + 16).toInt, (seed % 24 + 12).toInt)
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              var g = ((((seed ^ (x * 73856093L) ^ (y * 19349663L)) *
-                2654435761L) >>> 24) & 0xFF).toInt
-              // the near-dup perturbation: a 3x3 corner patch inverted
-              if (id % 10 == 1 && x < 3 && y < 3) g = g ^ 0xFF
-              img.setRGB(x, y, (g << 16) | (g << 8) | g)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (id, "image", bos.toByteArray, "image/png", 0L)
+          (id, "image", gradPngBytes(id), "image/png", 0L)
         }
       import s.implicits._
       rows.toDF("asset_id", "media_type", "content", "format", "duration_ms")
@@ -254,6 +235,57 @@ private[graft] object EntryContext {
         .write.mode("overwrite").parquet(path)
       path
     })
+
+  /** The gradient-PNG render of one document id — the single source of
+    * truth shared by the driver fixture above and the DISTRIBUTED
+    * builder below, so their pixel bytes (and therefore dHash values)
+    * are bit-identical by construction. All integer arithmetic.
+    */
+  private[graft] def gradPngBytes(id: Long): Array[Byte] = {
+    val seed = if (id % 10 == 1) id - 1 else id
+    val (w, h) = ((seed % 32 + 16).toInt, (seed % 24 + 12).toInt)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var g = ((((seed ^ (x * 73856093L) ^ (y * 19349663L)) *
+          2654435761L) >>> 24) & 0xFF).toInt
+        // the near-dup perturbation: a 3x3 corner patch inverted
+        if (id % 10 == 1 && x < 3 && y < 3) g = g ^ 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Distributed gradient-PNG corpus — the scale sibling of
+    * [[gradPngAssetsFixture]] for DIAGNOSTICS past MaxAssetFixtureDocs:
+    * each task renders its partition's documents through the shared
+    * [[gradPngBytes]], so no row cap and no driver collect exist, and
+    * dHash values are bit-identical to the fixture's wherever both can
+    * run (asserted in MultimodalSpec). The declared queries keep the
+    * parquet fixture (a realistic multi-file asset TABLE is what
+    * q_image_decode/q_image_neardup read); this builder exists so the
+    * real-dHash candidate-mass curve can be measured at decades the
+    * driver-side fixture cannot reach (ScaleDiag).
+    */
+  private[graft] def gradPngAssetsDistributed(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[
+        graft.multimodal.Multimodal.Asset] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        graft.multimodal.Multimodal.ensureImageIoInit()
+        it.map(id => graft.multimodal.Multimodal.Asset(
+          id, "image", gradPngBytes(id), "image/png", 0L))
+      }
+  }
 
   /** Process-lifetime REAL-WAV asset fixture for q_audio_decode: one
     * actual 16-bit PCM mono WAV per document, encoded with the JRE's

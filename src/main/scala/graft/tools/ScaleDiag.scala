@@ -107,26 +107,16 @@ object ScaleDiag {
       scaledHammingMass(
         graft.operators.Dedup.simhashed(docs, "doc_id", "text"),
         maxHamming = 3, tag = "simhash_mass_scaled")
-      // q_image_neardup's k=6 geometry: real dHash while the PNG asset
-      // fixture fits its 200k-doc cap; past it (sf10), the same k=6
-      // chunk-combination solve keyed on the simhash corpus — a real
-      // 64-bit near-uniform hash family at the full third-decade row
-      // count — witnesses the identical key geometry
-      if (n <= 200000L) {
-        val assets = spark.read
-          .schema(graft.multimodal.Multimodal.assetSchema)
-          .parquet(graft.EntryContext.gradPngAssetsFixture(spark, dir))
-          .as[graft.multimodal.Multimodal.Asset](
-            org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.Asset])
-        scaledHammingMass(
-          graft.multimodal.Multimodal.dHash64(assets)
-            .select(col("dhash").as("sh")),
-          maxHamming = 6, tag = "image_neardup_mass_scaled")
-      } else {
-        scaledHammingMass(
-          graft.operators.Dedup.simhashed(docs, "doc_id", "text"),
-          maxHamming = 6, tag = "image_neardup_mass_scaled_k6proxy")
-      }
+      // q_image_neardup's k=6 geometry on REAL dHash at any decade: the
+      // distributed builder renders each task's documents through the
+      // same gradPngBytes the driver fixture uses (bit-identical pixels
+      // => bit-identical dHash, asserted in MultimodalSpec), so the
+      // curve never needs a proxy hash family past the fixture cap
+      scaledHammingMass(
+        graft.multimodal.Multimodal.dHash64(
+          graft.EntryContext.gradPngAssetsDistributed(spark, dir))
+          .select(col("dhash").as("sh")),
+        maxHamming = 6, tag = "image_neardup_mass_scaled")
 
       // ---- q_geo_pairs: output cardinality --------------------------
       val pts = Tables.customer(spark, dir).select(col("c_custkey").as("id"),

@@ -143,7 +143,16 @@ class EntrySpec extends SparkSpec {
       "q_simhash_pairs" -> (7952L, "b9354c3f9bf853e95a8b798c1fea5cb2"),
       "q_image_neardup" -> (5130L, "475e3269d7f669d3455935de9006cd0e"),
       "q_knn_graph_lsh" -> (60000L, "2d457027de9d26284d82ba712612ec7a"),
-      "q_embedding_neardup_lsh" -> (49980L, "9a7409a4bdb6c7e13adbb508ac64800b"))
+      "q_embedding_neardup_lsh" -> (49980L, "9a7409a4bdb6c7e13adbb508ac64800b"),
+      // the ANN compression ladder, pinned with the same discipline:
+      // trained models (IVF centroids, PQ codebooks, SQ8 bounds) and
+      // candidate geometry shift with corpus size too
+      "q_ivf_topk" -> (25L, "6858538d54b20b47a35ea4ede6bd95d8"),
+      "q_pq_topk" -> (25L, "bb1db60d144c09d360ec468ef2620451"),
+      "q_ivfpq_topk" -> (25L, "80a87a8ec18f3105725df0b9dbbec854"),
+      "q_ivfpq_rerank" -> (25L, "67a0db1e2744ebaca51fa08b31d335dc"),
+      "q_sq8_topk" -> (25L, "1522a173716caa8458b1d3e41505d0fb"),
+      "q_bq_topk" -> (25L, "5b38e62f0d3d33ec3fc14753e4ac4af2"))
     val got = expected.keys.toSeq.sorted.map { q =>
       val df = SparkEntry.queries(q)(spark, dirOpt.get)
       q -> ((df.count(), contentHash(df)))

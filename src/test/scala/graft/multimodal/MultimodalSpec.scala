@@ -250,4 +250,21 @@ class MultimodalSpec extends SparkSpec {
     // the halved texture; require near-identity, not equality
     java.lang.Long.bitCount(h(0) ^ h(1)) should be <= 2
   }
+
+  test("distributed gradient corpus dHash ≡ driver fixture dHash") {
+    // the ScaleDiag decade probes key on the distributed builder past
+    // the fixture's doc cap — this pins the two paths bit-identical
+    // (shared gradPngBytes render) where both can run
+    val dir = "/root/testdata/sf0.001"
+    val fixture = spark.read.schema(Multimodal.assetSchema)
+      .parquet(graft.EntryContext.gradPngAssetsFixture(spark, dir))
+      .as[Multimodal.Asset]
+    val fromFixture = Multimodal.dHash64(fixture)
+      .select("asset_id", "dhash").as[(Long, Long)].collect().toSet
+    val fromDistributed = Multimodal.dHash64(
+        graft.EntryContext.gradPngAssetsDistributed(spark, dir))
+      .select("asset_id", "dhash").as[(Long, Long)].collect().toSet
+    fromFixture should not be empty
+    fromDistributed shouldBe fromFixture
+  }
 }
