@@ -1328,4 +1328,107 @@ object Streams {
       .transformWithState(new DailyPsiProcessor(refCounts, lo, hi),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class CalibRow(event_type: String, day_num: Long, bin: Long, n: Long,
+                      n_pos: Long, mean_score: Double, pos_rate: Double)
+
+  /** Fixed-width per-day calibration accumulators (ValueState payload):
+    * per bin, the row count, the integer-score-unit sum, and the
+    * positive count.
+    */
+  case class CalibCounts(n: Array[Long], su: Array[Long], npos: Array[Long])
+
+  /** Per-day score-calibration reliability table ON the stream — the
+    * model-monitoring deployment shape of the batch reliability surface
+    * (q_calibration / [[graft.operators.Stats.calibration]]), closing
+    * the daily monitoring trio beside the PSI drift alarm
+    * ([[DailyPsiProcessor]] — "has the score DISTRIBUTION moved?") with
+    * "does the score still MEAN what it claims?" (per-bin positive rate
+    * vs mean score). State is three bins-long long arrays per
+    * (event_type, day) key — 24·bins bytes per open day, never the
+    * day's scores — and an event-time timer emits the day's observed
+    * bins exactly once when the watermark passes the day end.
+    *
+    * Arithmetic is the batch operator's term for term: bin =
+    * min(⌊score·bins⌋, bins−1) (the top bin absorbs score = 1.0);
+    * scores accumulate as integer units round(score·10^scaleDp)
+    * HALF_UP exactly like Spark's `round(col, 0)`, so mean_score =
+    * round(su/n/unit, 6) and pos_rate = round(n_pos/n, 6) reproduce
+    * the batch doubles bit-for-bit; bins with no rows are absent
+    * exactly as the batch group-by drops them — stream ≡ batch is
+    * asserted day-for-day in StreamsSpec. NULL and non-finite scores
+    * are skipped like the batch query's WHERE; NEGATIVE scores are
+    * skipped too (documented deviation: calibration is a probability
+    * surface, so a negative score is a broken upstream model — the
+    * batch operator would emit a bin −1 row, which a fixed-width state
+    * array cannot index; the spec feeds the shared [0, 1) domain).
+    * `labelOf` extracts the ground-truth label from the event (the
+    * production record carries it; the fixed [[Event]] envelope does
+    * not). Same RocksDB state-store requirement as [[sessionizeTws]].
+    */
+  class DailyCalibrationProcessor(labelOf: Event => Boolean, bins: Int,
+                                  scaleDp: Int)
+    extends StatefulProcessor[(String, Long), Event, CalibRow] {
+    require(bins > 0, "dailyCalibrationStream: bins must be positive")
+    private val unit = math.pow(10.0, scaleDp)
+    @transient private var st: ValueState[CalibCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CalibCounts]("calib",
+        Encoders.product[CalibCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[CalibRow] = {
+      val c: CalibCounts =
+        if (st.exists()) st.get()
+        else CalibCounts(new Array[Long](bins), new Array[Long](bins),
+          new Array[Long](bins))
+      var touched = false
+      rows.foreach { e =>
+        if (e.value != null && java.lang.Double.isFinite(e.value.doubleValue)
+            && e.value.doubleValue >= 0.0) {
+          val v = e.value.doubleValue
+          val b = math.min(bins - 1L, math.floor(v * bins).toLong).toInt
+          c.n(b) += 1L
+          c.su(b) += BigDecimal(v * unit)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+          if (labelOf(e)) c.npos(b) += 1L
+          touched = true
+        }
+      }
+      if (touched) {
+        st.update(c)
+        getHandle.registerTimer((key._2 + 1) * 86400000L) // idempotent re-arm
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (String, Long), timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[CalibRow] =
+      if (st.exists()) {
+        val c = st.get()
+        st.clear()
+        def r6(x: Double): Double = BigDecimal(x)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        (0 until bins).iterator.filter(c.n(_) > 0L).map { b =>
+          CalibRow(key._1, key._2, b.toLong, c.n(b), c.npos(b),
+            r6(c.su(b).toDouble / c.n(b) / unit),
+            r6(c.npos(b).toDouble / c.n(b)))
+        }
+      } else Iterator.empty
+  }
+
+  /** Watermark-closed daily calibration reliability table (see
+    * [[DailyCalibrationProcessor]]).
+    */
+  def dailyCalibrationStream(events: Dataset[Event], labelOf: Event => Boolean,
+                             bins: Int, scaleDp: Int = 4,
+                             watermark: String = "10 minutes"): Dataset[CalibRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.event_type, Math.floorDiv(e.ts.getTime, 86400000L)))
+      .transformWithState(new DailyCalibrationProcessor(labelOf, bins, scaleDp),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

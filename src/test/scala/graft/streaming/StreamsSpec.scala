@@ -1417,6 +1417,124 @@ class StreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("dailyCalibrationStream: watermark-closed reliability table equals the batch operator day-for-day") {
+    import graft.operators.Stats
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dayMs = 86400000L
+      val bins = 10
+      val rnd = new scala.util.Random(43)
+      // 2 types × 2 days × 500 scores in [0, 1) plus exact 1.0s (the
+      // top-bin absorption path), nulls and NaNs (the batch WHERE
+      // drops); label = user_id % 3 == 0, correlated with the score so
+      // pos_rate varies across bins
+      val events = for {
+        d <- 0 until 2; t <- Seq("click", "view"); i <- 0 until 500
+      } yield {
+        val score =
+          if (i % 40 == 39) null
+          else if (i % 97 == 96) java.lang.Double.valueOf(Double.NaN)
+          else if (i % 83 == 82) java.lang.Double.valueOf(1.0)
+          else java.lang.Double.valueOf(rnd.nextDouble())
+        val uid = if (score != null && java.lang.Double.isFinite(score.doubleValue)
+          && score.doubleValue > 0.5 && i % 2 == 0) 3L * i else 3L * i + 1
+        Event((d * 10000 + i).toLong,
+          new Timestamp(d * dayMs + 3600000L + i * 60000L), uid, t, score)
+      }
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = dailyCalibrationStream(stream.toDS(), _.user_id % 3 == 0, bins)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      stream.addData(Event(99L, new Timestamp(10 * dayMs), 99L, "tick", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name).as[CalibRow].collect()
+        .groupBy(r => (r.event_type, r.day_num))
+      got.keySet shouldBe (for (d <- 0 until 2; t <- Seq("click", "view"))
+        yield (t, d.toLong)).toSet
+      for (((t, d), rows) <- got) {
+        val day = events.filter(e => e.event_type == t &&
+          e.ts.getTime / dayMs == d && e.value != null &&
+          java.lang.Double.isFinite(e.value.doubleValue))
+        val batch = Stats.calibration(
+            day.map(e => (e.value.doubleValue, e.user_id % 3 == 0))
+              .toDF("q", "l"), col("q"), col("l"), bins)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+        rows.map(_.bin).toSet shouldBe batch.keySet // observed bins only
+        rows.foreach { r =>
+          val (n, npos, mean, rate) = batch(r.bin)
+          r.n shouldBe n
+          r.n_pos shouldBe npos
+          r.mean_score shouldBe mean +- 1e-9 // identical integer-unit path
+          r.pos_rate shouldBe rate +- 1e-9
+        }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("dailyCalibrationStream crash recovery: bin accumulators survive a RocksDB restart exactly-once") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dayMs = 86400000L
+      // 600 day-0 scores, uniform over the 10 bins (i % 100 / 100.0);
+      // the crash splits 400/200 — Σn == 600 is the survival witness
+      val events = for (i <- 0 until 600)
+        yield Event(i.toLong, new Timestamp(3600000L + i * 60000L),
+          i.toLong % 7, "click", java.lang.Double.valueOf((i % 100) / 100.0))
+      val (b1, b2) = events.partition(_.event_id < 400)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-calib-ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-calib-out").toString
+      val schema = org.apache.spark.sql.Encoders.product[CalibRow].schema
+      val stream = MemoryStream[Event]
+      def start() = dailyCalibrationStream(stream.toDS(), _.user_id % 7 == 0,
+          bins = 10)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      def sink() = spark.read.schema(schema).parquet(out).as[CalibRow]
+      val q1 = start()
+      stream.addData(b1: _*)
+      q1.processAllAvailable()
+      sink().count() shouldBe 0 // day 0 still open at the crash
+      q1.stop()
+      stream.addData(b2: _*)
+      stream.addData(Event(999999L, new Timestamp(10 * dayMs), 0L, "tick", 0.0))
+      val q2 = start()
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (sink().count() < 10 && System.nanoTime() < deadline) {
+        q2.exception.foreach(throw _)
+        Thread.sleep(200)
+      }
+      q2.stop()
+      val rows = sink().collect()
+      rows.length shouldBe 10 // exactly-once: one row per observed bin
+      rows.map(_.n).sum shouldBe 600L // pre-crash accumulators kept folding
+      rows.foreach { r =>
+        r.day_num shouldBe 0L
+        r.n shouldBe 60L // uniform fill: 10 scores per percent, 6 reps
+        // labels: user_id = i % 7, positive when ≡ 0 (mod 7)
+        r.n_pos should (be >= 6L and be <= 12L)
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
 
 object StreamsSpec {
