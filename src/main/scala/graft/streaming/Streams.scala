@@ -1431,4 +1431,107 @@ object Streams {
       .transformWithState(new DailyCalibrationProcessor(labelOf, bins, scaleDp),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class AucRow(event_type: String, day_num: Long, n_pos: Long,
+                    n_neg: Long, auc: Double)
+
+  /** Per-unit positive/negative counts over the rounded-score domain
+    * (ValueState payload).
+    */
+  case class AucCounts(npos: Array[Long], nneg: Array[Long])
+
+  /** Per-day EXACT tie-corrected ROC-AUC ON the stream — the fourth
+    * alarm of the daily monitoring family ("does the score still RANK
+    * positives above negatives?", the discrimination check beside
+    * calibration's "does it still mean what it claims?"). The batch
+    * operator (q_auc / [[graft.operators.Stats.auc]]) is already exact
+    * over the DISTINCT-rounded-score dimension, which makes its state
+    * streamable without approximation: the score domain [0, 1] at
+    * `scaleDp` decimals has 10^scaleDp + 1 integer units, so two
+    * units-long count arrays per (event_type, day) key — 16·(10^scaleDp
+    * + 1) bytes per open day (160 KB at the default 4 dp), never the
+    * day's rows — reproduce the batch Mann–Whitney EXACTLY: at the
+    * watermark-closed emission the unit walk accumulates cum-negatives
+    * and U2 = Σ np·(2·cumnn + nn) in integers, with the single final
+    * division AUC = U2 / (2·n_pos·n_neg) rounded HALF_UP like the batch
+    * round — stream ≡ batch asserted day-for-day in StreamsSpec. A day
+    * with an empty class emits nothing (the batch WHERE n_pos > 0 AND
+    * n_neg > 0). NULL/non-finite scores are skipped like the batch
+    * WHERE; scores outside [0, 1] are skipped too (the probability-
+    * domain contract of [[DailyCalibrationProcessor]] — the batch
+    * operator accepts any score domain, but a fixed-width unit array
+    * cannot; round through `scaleDp` decimals first, as q_auc's
+    * declared input does). Same RocksDB state-store requirement as
+    * [[sessionizeTws]].
+    */
+  class DailyAucProcessor(labelOf: Event => Boolean, scaleDp: Int)
+    extends StatefulProcessor[(String, Long), Event, AucRow] {
+    require(scaleDp >= 1 && scaleDp <= 6,
+      s"dailyAucStream: scaleDp $scaleDp outside [1, 6] — state is " +
+        "16*(10^scaleDp+1) bytes per open day")
+    private val units = math.pow(10.0, scaleDp).toInt + 1
+    @transient private var st: ValueState[AucCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AucCounts]("auc",
+        Encoders.product[AucCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[AucRow] = {
+      val c: AucCounts =
+        if (st.exists()) st.get()
+        else AucCounts(new Array[Long](units), new Array[Long](units))
+      var touched = false
+      rows.foreach { e =>
+        if (e.value != null && java.lang.Double.isFinite(e.value.doubleValue)
+            && e.value.doubleValue >= 0.0 && e.value.doubleValue <= 1.0) {
+          val u = BigDecimal(e.value.doubleValue * (units - 1))
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toInt
+          if (labelOf(e)) c.npos(u) += 1L else c.nneg(u) += 1L
+          touched = true
+        }
+      }
+      if (touched) {
+        st.update(c)
+        getHandle.registerTimer((key._2 + 1) * 86400000L) // idempotent re-arm
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (String, Long), timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[AucRow] =
+      if (st.exists()) {
+        val c = st.get()
+        st.clear()
+        var cumnn = 0L
+        var u2 = 0L
+        var np = 0L
+        var nn = 0L
+        var u = 0
+        while (u < units) {
+          u2 += c.npos(u) * (2L * cumnn + c.nneg(u))
+          cumnn += c.nneg(u)
+          np += c.npos(u)
+          nn += c.nneg(u)
+          u += 1
+        }
+        if (np > 0L && nn > 0L) {
+          val auc = BigDecimal(u2.toDouble / (2.0 * np * nn))
+            .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single(AucRow(key._1, key._2, np, nn, auc))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** Watermark-closed daily exact ROC-AUC (see [[DailyAucProcessor]]). */
+  def dailyAucStream(events: Dataset[Event], labelOf: Event => Boolean,
+                     scaleDp: Int = 4,
+                     watermark: String = "10 minutes"): Dataset[AucRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.event_type, Math.floorDiv(e.ts.getTime, 86400000L)))
+      .transformWithState(new DailyAucProcessor(labelOf, scaleDp),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

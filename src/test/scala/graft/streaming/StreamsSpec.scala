@@ -1483,6 +1483,126 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("dailyAucStream: watermark-closed exact AUC equals the batch operator day-for-day") {
+    import graft.operators.Stats
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dayMs = 86400000L
+      val scaleDp = 3 // 1001 units — fast state, same code path as 4 dp
+      val rnd = new scala.util.Random(47)
+      def r3(v: Double): Double =
+        BigDecimal(v).setScale(scaleDp, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      // 2 types × 2 days × 400 scores PRE-ROUNDED to scaleDp (the batch
+      // operator's declared-input discipline) with heavy ties, a
+      // positive-leaning score (so AUC is meaningfully above 0.5),
+      // boundary values 0.0/1.0, plus null/NaN rows the WHERE drops
+      val events = for {
+        d <- 0 until 2; t <- Seq("click", "view"); i <- 0 until 400
+      } yield {
+        val pos = i % 3 == 0
+        val score =
+          if (i % 40 == 39) null
+          else if (i % 97 == 96) java.lang.Double.valueOf(Double.NaN)
+          else if (i % 83 == 82) java.lang.Double.valueOf(if (pos) 1.0 else 0.0)
+          else java.lang.Double.valueOf(r3(
+            math.min(1.0, math.max(0.0,
+              rnd.nextGaussian() * 0.2 + (if (pos) 0.65 else 0.45)))))
+        Event((d * 10000 + i).toLong,
+          new Timestamp(d * dayMs + 3600000L + i * 60000L),
+          if (pos) 3L * i else 3L * i + 1, t, score)
+      }
+      val stream = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = dailyAucStream(stream.toDS(), _.user_id % 3 == 0, scaleDp)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      stream.addData(Event(99L, new Timestamp(10 * dayMs), 99L, "tick", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name).as[AucRow].collect()
+        .map(r => (r.event_type, r.day_num) -> r).toMap
+      got.keySet shouldBe (for (d <- 0 until 2; t <- Seq("click", "view"))
+        yield (t, d.toLong)).toSet
+      spark.table(name).count() shouldBe 4L // exactly-once per closed key
+      for (((t, d), row) <- got) {
+        val day = events.filter(e => e.event_type == t &&
+          e.ts.getTime / dayMs == d && e.value != null &&
+          java.lang.Double.isFinite(e.value.doubleValue))
+        val batch = Stats.auc(
+            day.map(e => (e.value.doubleValue, e.user_id % 3 == 0, 1))
+              .toDF("q", "l", "g"), col("g"), col("q"), col("l"))
+          .head()
+        row.n_pos shouldBe batch.getLong(1)
+        row.n_neg shouldBe batch.getLong(2)
+        row.auc shouldBe batch.getDouble(3) +- 1e-9 // exact integer U2 path
+        row.auc should be > 0.5 // the planted separation survived
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("dailyAucStream crash recovery: unit counts survive a RocksDB restart exactly-once") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dayMs = 86400000L
+      // 600 day-0 rows: positives uniform over (0.5, 1.0], negatives
+      // uniform over [0.0, 0.5) — a perfectly separable day, so any
+      // lost or doubled pre-crash counts move AUC off exactly 1.0 or
+      // n_pos+n_neg off 600
+      val events = for (i <- 0 until 600) yield {
+        val pos = i % 2 == 0
+        val v = (i % 100) / 250.0 // [0, 0.396]
+        Event(i.toLong, new Timestamp(3600000L + i * 60000L),
+          if (pos) 2L * i else 2L * i + 1, "click",
+          java.lang.Double.valueOf(if (pos) 0.6 + v else v))
+      }
+      val (b1, b2) = events.partition(_.event_id < 400)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-auc-ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-auc-out").toString
+      val schema = org.apache.spark.sql.Encoders.product[AucRow].schema
+      val stream = MemoryStream[Event]
+      def start() = dailyAucStream(stream.toDS(), _.user_id % 2 == 0, scaleDp = 3)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      def sink() = spark.read.schema(schema).parquet(out).as[AucRow]
+      val q1 = start()
+      stream.addData(b1: _*)
+      q1.processAllAvailable()
+      sink().count() shouldBe 0 // day 0 still open at the crash
+      q1.stop()
+      stream.addData(b2: _*)
+      stream.addData(Event(999999L, new Timestamp(10 * dayMs), 0L, "tick", 0.0))
+      val q2 = start()
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (sink().count() < 1 && System.nanoTime() < deadline) {
+        q2.exception.foreach(throw _)
+        Thread.sleep(200)
+      }
+      q2.stop()
+      val rows = sink().collect()
+      rows.length shouldBe 1 // exactly-once for (click, day 0)
+      rows.head.day_num shouldBe 0L
+      rows.head.n_pos shouldBe 300L // pre-crash counts kept folding
+      rows.head.n_neg shouldBe 300L
+      rows.head.auc shouldBe 1.0 // separable by construction
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dailyCalibrationStream crash recovery: bin accumulators survive a RocksDB restart exactly-once") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
