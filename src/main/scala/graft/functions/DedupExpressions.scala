@@ -133,14 +133,17 @@ object DedupKernels {
   /** LSH band keys from a minhash signature: one 64-bit key per band,
     * band index folded into the key so a single-long equi-join suffices
     * (no composite (band, bkey) key, halving the shuffled bytes).
-    * A signature shorter than bands·rowsPerBand fails loudly — an
-    * UnsafeArrayData read past the end would otherwise hash garbage
-    * into silently-wrong band keys (the shared ragged-input contract).
+    * A signature whose length differs from bands·rowsPerBand in EITHER
+    * direction fails loudly — a short one would read UnsafeArrayData
+    * past the end (garbage keys), a long one would silently band only a
+    * prefix and drop trailing hashes (the silent-truncation behavior the
+    * shared ragged-input contract rejects in sq8_scores/pq_adc/
+    * bq_hamming).
     */
   def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
-    if (sig.numElements() < bands * rowsPerBand)
+    if (sig.numElements() != bands * rowsPerBand)
       throw new IllegalArgumentException(
-        s"lsh_band_keys requires signatures of >= ${bands * rowsPerBand} " +
+        s"lsh_band_keys requires signatures of exactly ${bands * rowsPerBand} " +
           s"hashes (bands=$bands x rowsPerBand=$rowsPerBand), got " +
           s"${sig.numElements()}")
     val out = new Array[Long](bands)

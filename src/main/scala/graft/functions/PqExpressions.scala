@@ -239,6 +239,7 @@ case class PqEncodeResidualExpr(left: Expression, right: Expression,
 /** scores = pq_adc_scores(codes): array<double>, one ADC score per query LUT. */
 case class PqAdcScoresExpr(child: Expression, k: Int, luts: Array[Array[Double]])
   extends UnaryExpression {
+  PqExpr.requireUniformLuts("pq_adc_scores", luts)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_adc_scores"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -264,6 +265,7 @@ case class PqAdcScoreAtExpr(left: Expression, right: Expression, k: Int,
                             luts: Array[Array[Double]])
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
   with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  PqExpr.requireUniformLuts("pq_adc_score_at", luts)
   override def inputTypes = Seq(BinaryType, IntegerType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_score_at"
@@ -280,6 +282,23 @@ case class PqAdcScoreAtExpr(left: Expression, right: Expression, k: Int,
 }
 
 object PqExpr {
+  /** Constructor-time (once per expression, not per row) LUT-shape
+    * validation: the per-row kernel checks only the code width against
+    * luts(0)/the selected LUT, so a ragged LUT among the rest would read
+    * out of bounds or mis-score silently. Uniformity asserted here keeps
+    * the O(Q) sweep off the hot scoring path.
+    */
+  private[functions] def requireUniformLuts(name: String,
+                                            luts: Array[Array[Double]]): Unit = {
+    var q = 1
+    while (q < luts.length) {
+      require(luts(q).length == luts(0).length,
+        s"$name requires uniform LUTs: lut(0) has ${luts(0).length} " +
+          s"entries but lut($q) has ${luts(q).length}")
+      q += 1
+    }
+  }
+
   def encode(v: Column, subDim: Int, k: Int, cents: Array[Array[Double]]): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v), subDim, k, cents))
   def encodeResidual(v: Column, clusterId: Column, ids: Array[Long],

@@ -108,7 +108,11 @@ object Bq {
       }
       (row.getLong(0), vec)
     }.toSeq
-    val sl = shortlist(encode(corpus, idCol, vecCol), qSeq, r + 1)
+    // r = Int.MaxValue is the documented "r >= corpus size" brute-force
+    // mode; a raw r + 1 would overflow to Int.MinValue and the rank
+    // filter would silently return nothing.
+    val rr = if (r == Int.MaxValue) r else r + 1
+    val sl = shortlist(encode(corpus, idCol, vecCol), qSeq, rr)
     Similarity.rerankExact(sl, corpus, idCol, vecCol,
       queries, qidCol, qvecCol, k, roundTo)
   }

@@ -91,6 +91,11 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0,
+      s"minhashPairs: numHashes=$numHashes must be divisible by " +
+        s"bands=$bands — a remainder would silently drop trailing " +
+        "signature hashes from banding (lsh_band_keys rejects ragged " +
+        "widths)")
     val rowsPerBand = numHashes / bands
     // Signature + band keys via native kernel expressions
     // (graft.functions.DedupKernels): one codegen'd call per row instead

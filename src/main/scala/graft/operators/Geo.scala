@@ -72,10 +72,17 @@ object Geo {
                     maxAbsLat: Double,
                     maxCandidateMass: Long = 1000000000L): DataFrame = {
     val nx = requireGridCovers(radiusKm, cellDeg, maxAbsLat)
+    // NOTE: calling neighborPairs triggers Spark jobs EAGERLY — the
+    // candidate-mass guard below runs an occupancy aggregate before the
+    // returned plan is built. `base` is localCheckpoint'ed once so the
+    // `points` lineage is evaluated exactly once, not three times (mass
+    // estimate, stamped side, home side) — material when upstream is an
+    // expensive computed input rather than a parquet scan.
     val base = points.select(idCol.as("_id"), latCol.as("_lat"),
       lonCol.as("_lon"),
       floor((lonCol + 180.0) / cellDeg).cast("long").as("_cx"),
       floor((latCol + 90.0) / cellDeg).cast("long").as("_cy"))
+      .localCheckpoint(true)
     requireBoundedMass(base, nx, maxCandidateMass)
     val stamped = base.select(col("_id").as("id_a"), col("_lat").as("_lata"),
         col("_lon").as("_lona"),

@@ -60,13 +60,36 @@ class KernelRaggedSpec extends SparkSpec {
       .head.getDouble(0) shouldBe (0.2 + 0.3) +- 1e-12
   }
 
-  test("lsh_band_keys rejects a signature shorter than bands*rowsPerBand") {
+  test("pq_adc LUTs ragged among THEMSELVES are rejected at construction") {
+    // The per-row kernel validates codes only against luts(0) / the
+    // selected LUT; uniformity across LUTs is a constructor-time
+    // invariant so the O(Q) sweep stays off the hot scoring path.
+    val ragged = Array(Array(0.1, 0.2, 0.3, 0.4), Array(0.1, 0.2))
+    val e = intercept[IllegalArgumentException] {
+      PqExpr.adcScores(col("codes"), 2, ragged)
+    }
+    e.getMessage should include("uniform LUTs")
+    e.getMessage should include("lut(1) has 2")
+    val e2 = intercept[IllegalArgumentException] {
+      PqExpr.adcScoreAt(col("codes"), lit(1), 2, ragged)
+    }
+    e2.getMessage should include("uniform LUTs")
+  }
+
+  test("lsh_band_keys rejects signature widths ragged in both directions") {
     val df = Seq((1L, Seq(11L, 22L, 33L))).toDF("id", "sig")
     val e = intercept[Exception] {
       df.select(DedupExpr.bandKeys(col("sig"), 2, 2)).collect()
     }
-    e.getMessage should include(">= 4")
+    e.getMessage should include("exactly 4")
     e.getMessage should include("got 3")
+    // Longer signatures are ragged too: a silent prefix would drop
+    // trailing hashes (the contract the sibling kernels enforce).
+    val wide = Seq((1L, Seq(11L, 22L, 33L, 44L, 55L))).toDF("id", "sig")
+    val e2 = intercept[Exception] {
+      wide.select(DedupExpr.bandKeys(col("sig"), 2, 2)).collect()
+    }
+    e2.getMessage should include("got 5")
     // Exactly bands*rowsPerBand works; the deterministic keys are distinct.
     val keys = Seq((1L, Seq(11L, 22L, 33L, 44L))).toDF("id", "sig")
       .select(DedupExpr.bandKeys(col("sig"), 2, 2)).head.getSeq[Long](0)

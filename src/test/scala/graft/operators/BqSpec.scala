@@ -89,6 +89,20 @@ class BqSpec extends SparkSpec {
     }
   }
 
+  test("r = Int.MaxValue (scaladoc brute-force mode) does not overflow the +1") {
+    // r + 1 would wrap to Int.MinValue and the rank filter would return
+    // an empty frame; the guarded increment keeps this equal to brute force.
+    val brute = Similarity.bruteForceTopK(corpusDf, "vec_id", "embedding",
+        queriesDf, "query_id", "qv", k = 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val bq = Bq.topK(corpusDf, "vec_id", "embedding",
+        queriesDf, "query_id", "qv", k = 5, r = Int.MaxValue)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    bq shouldBe brute
+  }
+
   test("plan: fused scoring scan, WindowGroupLimit shortlist, no BNLJ") {
     val plan = Bq.topK(corpusDf, "vec_id", "embedding",
         queriesDf, "query_id", "qv", k = 5, r = 50)
