@@ -1523,11 +1523,51 @@ object Streams {
       } else Iterator.empty
   }
 
-  /** Watermark-closed daily exact ROC-AUC (see [[DailyAucProcessor]]). */
+  /** Watermark-closed daily exact ROC-AUC (see [[DailyAucProcessor]]).
+    *
+    * STATE BUDGET (the formula every deployment must run before picking
+    * `scaleDp`): each open (event_type, day) key holds two
+    * (10^scaleDp + 1)-long count arrays, so
+    *
+    *   stateBytes ≈ 16 · (10^scaleDp + 1) · expectedTypes · openDaysBound
+    *
+    * — 160 KB/key at the default 4 dp, which is 160 GB at 1M open keys.
+    * `openDaysBound` is the days concurrently ahead of the watermark per
+    * type: 2 in steady state under a sub-day watermark (current day +
+    * the closing one), but a BACKFILL replaying history holds every
+    * replayed day open until the watermark catches up — budget for the
+    * replay span, not the steady state. The require() below is
+    * construction-time arithmetic on these DECLARED expectations (a
+    * processor cannot count global keys); exceeding it at runtime
+    * degrades through RocksDB spill rather than OOM, but the declared
+    * budget is what makes the degradation a choice instead of a
+    * surprise. Key cardinality itself is data-bounded (event types ×
+    * days), unlike [[heavyHittersStream]]'s hash-sharded hard bound —
+    * when type cardinality is unbounded, reduce `scaleDp` (state shrinks
+    * 10× per dp) or pre-bucket types upstream.
+    * Measured: StressBench section 20 sustains the per-event update cost
+    * at 100k open keys (scaleDp budget-checked at 2 dp = 166 MB).
+    */
   def dailyAucStream(events: Dataset[Event], labelOf: Event => Boolean,
                      scaleDp: Int = 4,
-                     watermark: String = "10 minutes"): Dataset[AucRow] = {
+                     watermark: String = "10 minutes",
+                     expectedTypes: Long = 1000L,
+                     openDaysBound: Int = 2,
+                     maxStateBytes: Long = 8L << 30): Dataset[AucRow] = {
     import events.sparkSession.implicits._
+    require(expectedTypes > 0 && openDaysBound > 0 && maxStateBytes > 0,
+      s"dailyAucStream: expectedTypes=$expectedTypes openDaysBound=" +
+        s"$openDaysBound maxStateBytes=$maxStateBytes must all be positive")
+    val perKey = 16L * (math.pow(10.0, scaleDp).toLong + 1L)
+    val budget = perKey * expectedTypes * openDaysBound
+    require(budget <= maxStateBytes,
+      s"dailyAucStream state budget ${budget / (1L << 20)} MiB = " +
+        s"16*(10^$scaleDp+1) B/key * $expectedTypes types * " +
+        s"$openDaysBound open days exceeds maxStateBytes=" +
+        s"${maxStateBytes / (1L << 20)} MiB — lower scaleDp (10x state " +
+        "per dp), pre-bucket event types, or raise maxStateBytes " +
+        "deliberately (RocksDB spills past memory; this is the " +
+        "degradation-is-a-choice line)")
     events
       .withWatermark("ts", watermark)
       .groupByKey(e => (e.event_type, Math.floorDiv(e.ts.getTime, 86400000L)))

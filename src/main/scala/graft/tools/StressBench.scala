@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 19).toSet
+      else (1 to 20).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -590,6 +590,45 @@ object StressBench {
         res.getLong(2) == 4 && res.getLong(3) == 3 && res.getLong(4) == 3,
         s"boilerplate expectation violated: $res")
       println(s"""{"metric":"boilerplate_passages","docs":$nDocs,"passages":${nDocs * 4},"hot_df":${nDocs / 20},"sec":$tBp,"docs_per_sec":${(nDocs / tBp).toLong},"shuffle_mb":${shuffleBytes.get / 1000000},"cpus":$cpus}""")
+    }
+
+    // ---- 20. daily exact-AUC stream at 100k open state keys: the
+    // dailyAucStream state-budget probe (verdict r11 §7). 100k distinct
+    // event_types on a single event day = 100k open (type, day) keys,
+    // each holding two (10^scaleDp+1)-long unit arrays — the budget
+    // formula in the scaladoc gives 16·101·100k·2 ≈ 323 MB at the 2 dp
+    // this run declares (the DEFAULT 4 dp at the same key count would
+    // be 32 GB — exactly the arithmetic the construction-time require()
+    // makes the caller face). Reports sustained events/s over a fixed
+    // wall window, the sibling figure to section 18's interval-merge run.
+    section(20) {
+      import spark.implicits._
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val nTypes = 100000L
+      val src = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 2000000L).load()
+      val ev = src.select(
+          col("value").as("event_id"),
+          timestamp_micros(lit(1700000000000000L) + pmod(col("value"), lit(1000L)))
+            .as("ts"), // all rows inside one event day -> keys stay open
+          pmod(col("value"), lit(7L)).as("user_id"),
+          concat(lit("t"), pmod(col("value"), lit(nTypes))).as("event_type"),
+          (pmod(col("value"), lit(1001L)).cast("double") / 1000.0).as("value"))
+        .as[graft.streaming.Streams.Event]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-stress-auc").toString
+      val q = graft.streaming.Streams.dailyAucStream(ev,
+          _.user_id % 2 == 0, scaleDp = 2,
+          expectedTypes = nTypes, openDaysBound = 2)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      val windowSec = 30
+      Thread.sleep(windowSec * 1000L)
+      val inRows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      val stateMb = 16L * 101L * nTypes * 2L / 1000000L
+      println(s"""{"metric":"stream_daily_auc","types":$nTypes,"scale_dp":2,"state_budget_mb":$stateMb,"rows":$inRows,"window_sec":$windowSec,"rows_per_sec":${inRows / windowSec},"cpus":$cpus}""")
     }
     spark.stop()
   }

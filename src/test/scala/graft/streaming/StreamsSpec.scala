@@ -1548,6 +1548,23 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("dailyAucStream state-budget require() fires on the declared arithmetic") {
+    // 16*(10^4+1)*1M types*2 open days = 320 GB >> the 8 GiB default:
+    // the 1M-key scenario the scaladoc's formula names must fail loudly
+    // at CONSTRUCTION, naming the levers, not melt RocksDB at runtime.
+    val ds = spark.emptyDataset[Event]
+    val e = intercept[IllegalArgumentException] {
+      dailyAucStream(ds, _.user_id % 2 == 0, scaleDp = 4,
+        expectedTypes = 1000000L)
+    }
+    e.getMessage should include("state budget")
+    e.getMessage should include("lower scaleDp")
+    // Same keys at 2 dp (10x smaller state per dp, twice) fits: the
+    // formula's advertised lever actually clears the gate.
+    noException should be thrownBy dailyAucStream(ds,
+      _.user_id % 2 == 0, scaleDp = 2, expectedTypes = 1000000L)
+  }
+
   test("dailyAucStream crash recovery: unit counts survive a RocksDB restart exactly-once") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

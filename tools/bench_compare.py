@@ -2,19 +2,32 @@
 """Compare two Bench JSON outputs per query (totals are cross-JVM noisy;
 per-query deltas are the signal). Usage:
 
-    python3 tools/bench_compare.py OLD.json NEW.json [threshold] [--fail]
+    python3 tools/bench_compare.py OLD.json NEW.json [threshold] [--fail] [--raw]
 
 Accepts both formats:
-  - the driver/stdout compact line ({"metric":"total",...,"queries":{...}})
-    — NOTE this is per-query TRUNCATED past ~40 queries ("qtrunc"), so
-    sub-0.6 s regressions are invisible in it;
+  - the driver/stdout compact line ({"metric":"total",...,"queries":{...},
+    "canary":S}) — NOTE this is per-query TRUNCATED past ~40 queries
+    ("qtrunc"), so sub-0.6 s regressions are invisible in it;
   - the full detail file Bench writes to target/bench-detail.json
-    ({"reps":N,"agg":"min","queries_min":{...}}) — committed per round as
-    BENCHDETAIL_r{N}.json, this covers EVERY query.
+    ({"reps":N,"agg":"min","canary_start":S,"canary_end":S,
+    "queries_min":{...}}) — committed per round as BENCHDETAIL_r{N}.json,
+    this covers EVERY query.
 
-Prints queries slower by more than `threshold` ratio (default 1.3),
+CANARY NORMALIZATION (the r11→r12 methodology change): when BOTH inputs
+carry a machine-era canary (Bench.canaryRun — a fixed, code-independent
+calibration workload whose wall time moves only when the machine era
+moves), every per-query time is divided by its run's canary before
+comparing, so a box running 5% slow this era does not read as 258 small
+regressions. Floors are printed in CANARY UNITS (time/canary) and the
+regression gate fires on the NORMALIZED ratio (default threshold 1.25).
+When either side lacks a canary (pre-r11 artifacts), the compare falls
+back to raw seconds at the legacy 1.3 threshold — state which mode ran.
+--raw forces the legacy raw-seconds compare even when canaries exist.
+
+Prints queries slower by more than `threshold` (normalized ratio, plus a
+0.3 canary-unit absolute floor so micro-queries don't flag on noise),
 new/removed queries, and both totals. With --fail, exits 1 if any query
-regressed — the round-over-round guard."""
+regressed — the round-over-round guard round_close.py runs."""
 import json
 import sys
 
@@ -41,22 +54,51 @@ def load(path):
 
 
 def normalize(obj):
-    """Map the bench-detail format onto the compact-line shape."""
+    """Map either format onto {value, queries, failed, canary|None}.
+    The canary is the MIN of the bracketing runs (same estimator as the
+    per-query warm minima — the floor is the era, the spread is drift)."""
     if "queries_min" in obj:
         q = obj["queries_min"]
+        # raw bench-detail carries canary_start/canary_end; the merged
+        # cross-JVM artifact (merge_details.py) carries canary_min (+
+        # canary_runs for the spread)
+        canaries = [obj[k] for k in ("canary_start", "canary_end", "canary_min")
+                    if k in obj]
         return {"value": sum(q.values()), "queries": q,
-                "failed": obj.get("failed", [])}
-    return obj
+                "failed": obj.get("failed", []),
+                "canary": min(canaries) if canaries else None}
+    return {"value": obj.get("value", sum(obj.get("queries", {}).values())),
+            "queries": obj.get("queries", {}),
+            "failed": obj.get("failed", []),
+            "canary": obj.get("canary")}
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--fail"]
+    args = [a for a in sys.argv[1:] if a not in ("--fail", "--raw")]
     fail_on_regression = "--fail" in sys.argv[1:]
+    force_raw = "--raw" in sys.argv[1:]
     old, new = load(args[0]), load(args[1])
-    thr = float(args[2]) if len(args) > 2 else 1.3
     oq, nq = old["queries"], new["queries"]
-    print(f"old total {old['value']:.1f}s ({len(oq)} queries)  "
-          f"new total {new['value']:.1f}s ({len(nq)} queries)")
+    normalized = (not force_raw and old["canary"] is not None
+                  and new["canary"] is not None)
+    if normalized:
+        thr = float(args[2]) if len(args) > 2 else 1.25
+        oc, nc = old["canary"], new["canary"]
+        era = nc / oc
+        print(f"mode: CANARY-NORMALIZED (old canary {oc:.3f}s, new canary "
+              f"{nc:.3f}s, era ratio {era:.3f}x; floors in canary units, "
+              f"gate at {thr}x normalized)")
+        print(f"old total {old['value']:.1f}s = {old['value']/oc:.1f}cu "
+              f"({len(oq)} queries)  new total {new['value']:.1f}s = "
+              f"{new['value']/nc:.1f}cu ({len(nq)} queries)  "
+              f"normalized total ratio {(new['value']/nc)/(old['value']/oc):.3f}x")
+    else:
+        thr = float(args[2]) if len(args) > 2 else 1.3
+        oc = nc = 1.0
+        why = "--raw" if force_raw else "canary missing on one side (pre-r11 artifact)"
+        print(f"mode: RAW SECONDS ({why}; legacy gate at {thr}x)")
+        print(f"old total {old['value']:.1f}s ({len(oq)} queries)  "
+              f"new total {new['value']:.1f}s ({len(nq)} queries)")
     if new.get("failed"):
         print(f"FAILED in new run: {new['failed']}")
     added = sorted(set(nq) - set(oq))
@@ -65,12 +107,16 @@ def main():
         print("added:  " + ", ".join(f"{q} ({nq[q]:.2f}s)" for q in added))
     if removed:
         print("removed: " + ", ".join(removed))
-    slower = [(nq[q] / oq[q], q) for q in oq.keys() & nq.keys()
-              if oq[q] > 0 and nq[q] / oq[q] > thr and nq[q] - oq[q] > 0.3]
+    unit = "cu" if normalized else "s"
+    slower = [((nq[q] / nc) / (oq[q] / oc), q) for q in oq.keys() & nq.keys()
+              if oq[q] > 0 and (nq[q] / nc) / (oq[q] / oc) > thr
+              and nq[q] / nc - oq[q] / oc > 0.3]
     for ratio, q in sorted(slower, reverse=True):
-        print(f"SLOWER {q}: {oq[q]:.2f}s -> {nq[q]:.2f}s ({ratio:.2f}x)")
+        print(f"SLOWER {q}: {oq[q]/oc:.2f}{unit} -> {nq[q]/nc:.2f}{unit} "
+              f"({ratio:.2f}x{' normalized' if normalized else ''})")
     if not slower:
-        print(f"no query regressed beyond {thr}x (+0.3s absolute)")
+        print(f"no query regressed beyond {thr}x (+0.3{unit} absolute)"
+              + (" after canary normalization" if normalized else ""))
     elif fail_on_regression:
         sys.exit(1)
     if fail_on_regression and new.get("failed"):

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Round-close checklist gate. Run before the round ends:
 
-    python3 tools/round_close.py <round> [sfDir]
+    python3 tools/round_close.py <round> [sfDir] [sf1Dir]
 
 Checks, in order:
   1. BENCHDETAIL_r{N}.json exists and its queries_min keys cover EVERY
@@ -14,6 +14,17 @@ Checks, in order:
      touching operator/kernel/query sources (r8 shipped a pre-fix scale
      curve as the round's evidence — this is the gate against that).
   4. docs/QUERIES.md is regenerated (stale index = wrong judge picture).
+  5. Canary-normalized cross-round regression gate: BENCHDETAIL_r{N} vs
+     the newest earlier BENCHDETAIL, compared in CANARY UNITS
+     (bench_compare.py), flagging only normalized regressions > 1.25×.
+     Raw-seconds drift that the machine canary explains does NOT flag —
+     this one line replaces the r9–r11 era-attribution archaeology.
+  6. The env-gated sf1 pin assertions in EntrySpec actually EXECUTE
+     (not cancel): run whenever a tiled sf1 dir is available — pass it
+     as sf1Dir, set SPARK_GRAFT_SF1_DIR, or leave the run_benches.sh
+     workdir's `big/` discoverable via SPARK_GRAFT_BENCH_WORKDIR. The
+     pins only bind when something runs them; before this gate they
+     canceled in every default `sbt test`.
 
 Exit 0 only when all gates pass. The typescan needs an oracle_sql.json;
 pass sfDir (default /root/testdata/sf0.01) and the script dumps one via
@@ -28,6 +39,7 @@ import tempfile
 
 rnd = int(sys.argv[1])
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+sf1_dir = sys.argv[3] if len(sys.argv) > 3 else None
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 failures = []
 
@@ -155,6 +167,78 @@ freshness_gate(r"BENCHSCALE_r\d+\.json",
 freshness_gate(r"BENCHDETAIL_r\d+\.json",
                "re-run graft.Bench at sf0.1 and commit the refreshed "
                "target/bench-detail.json")
+
+# -- 5. canary-normalized cross-round regression gate -------------------
+# bench_compare divides every per-query floor by its run's machine-era
+# canary (Bench.canaryRun) before comparing, so a slow/noisy box era
+# does not read as hundreds of small regressions; only a NORMALIZED
+# per-query regression > 1.25x (plus 0.3 canary-unit absolute) fails.
+prev = sorted(f for f in os.listdir(repo)
+              if re.fullmatch(r"BENCHDETAIL_r\d+\.json", f)
+              and int(re.findall(r"\d+", f)[0]) < rnd)
+cur_detail = f"BENCHDETAIL_r{rnd:02d}.json"
+if not prev:
+    print("canary gate: no earlier BENCHDETAIL — first round, skipped")
+elif not os.path.exists(os.path.join(repo, cur_detail)):
+    pass  # gate 1 already failed on the missing detail file
+else:
+    cmp_run = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/bench_compare.py"),
+         os.path.join(repo, prev[-1]), os.path.join(repo, cur_detail),
+         "1.25", "--fail"],
+        capture_output=True, text=True)
+    out = cmp_run.stdout.strip()
+    print("canary gate vs " + prev[-1] + ":")
+    for line in out.splitlines():
+        print("  " + line)
+    if "CANARY-NORMALIZED" not in out:
+        failures.append(
+            f"bench compare vs {prev[-1]} ran in RAW mode — one side lacks "
+            "a canary; re-run graft.Bench (it brackets every run with "
+            "canaryRun) or merge_details.py (it carries canary_min)")
+    if cmp_run.returncode != 0:
+        failures.append(
+            f"canary-normalized regression(s) vs {prev[-1]} — see SLOWER "
+            "lines above; adjudicate with an isolated rerun "
+            "(SPARK_GRAFT_BENCH_ONLY) before shipping, per the noise "
+            "methodology in docs/THROUGHPUT.md")
+
+# -- 6. sf1 pins actually execute ---------------------------------------
+# The EntrySpec sf1 pin tests assume() on SPARK_GRAFT_SF1_DIR, so a
+# default `sbt test` cancels them; this gate runs them against a tiled
+# sf1 dir so the committed PINS_sf1_*.json bind every round. Dir
+# resolution order: argv[3], $SPARK_GRAFT_SF1_DIR,
+# $SPARK_GRAFT_BENCH_WORKDIR/big (what run_benches.sh tiles).
+if sf1_dir is None:
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR")
+if sf1_dir is None:
+    wd = os.environ.get("SPARK_GRAFT_BENCH_WORKDIR")
+    if wd and os.path.isdir(os.path.join(wd, "big")):
+        sf1_dir = os.path.join(wd, "big")
+if sf1_dir is None or not os.path.isdir(sf1_dir):
+    failures.append(
+        "no tiled sf1 dir for the pin gate — run_benches.sh builds one "
+        "(<workdir>/big); pass it as argv[3] or set SPARK_GRAFT_SF1_DIR / "
+        "SPARK_GRAFT_BENCH_WORKDIR so the sf1 pins execute instead of "
+        "canceling")
+else:
+    env = dict(os.environ, SPARK_GRAFT_SF1_DIR=sf1_dir)
+    pins = subprocess.run(
+        ["sbt", "-batch", 'testOnly graft.EntrySpec -- -z "sf1 pins"'],
+        cwd=repo, env=env, capture_output=True, text=True)
+    tail = "\n".join(pins.stdout.splitlines()[-12:])
+    m = re.search(r"Tests: succeeded (\d+), failed (\d+), canceled (\d+)",
+                  pins.stdout)
+    if not m:
+        failures.append("sf1 pin run produced no ScalaTest summary:\n" + tail)
+    else:
+        ok, bad, canceled = (int(g) for g in m.groups())
+        print(f"sf1 pins ({sf1_dir}): {ok} succeeded, {bad} failed, "
+              f"{canceled} canceled")
+        if bad or canceled or ok == 0:
+            failures.append(
+                f"sf1 pin assertions did not all execute+pass "
+                f"(succeeded={ok} failed={bad} canceled={canceled}):\n" + tail)
 
 # -- 4. query index ----------------------------------------------------
 subprocess.run([sys.executable, os.path.join(repo, "tools/gen_query_index.py")],
