@@ -161,7 +161,18 @@ object GeoBench {
       s""","proxy_sample_rows":$proxyRows,"proxy_compared_records":$nSample,"proxy_field_diffs":0"""
     } else ""
 
-    println(s"""{"metric":"geonames_transform","input_rows":$rows,"output_rows":$outRows,"pits":$nPits,"relations":$nRels,"sec":$sec,"rows_per_sec":${(rows / sec).toLong},"cpus":$cpus$proxyJson}""")
+    // peak JVM RSS over the whole run (staging + transform + checks):
+    // the kernel's high-water mark, not a heap-pool sample, so it bounds
+    // off-heap (Tungsten pages, parquet buffers) too. Linux-only; absent
+    // elsewhere.
+    val peakRssMb = scala.util.Try {
+      val vmHwm = Files.readAllLines(Paths.get("/proc/self/status"))
+        .stream().filter(_.startsWith("VmHWM")).findFirst().get()
+      vmHwm.split("\\s+")(1).toLong / 1024
+    }.toOption
+    val rssJson = peakRssMb.map(m => s""","peak_rss_mb":$m""").getOrElse("")
+
+    println(s"""{"metric":"geonames_transform","input_rows":$rows,"output_rows":$outRows,"pits":$nPits,"relations":$nRels,"sec":$sec,"rows_per_sec":${(rows / sec).toLong},"cpus":$cpus$rssJson$proxyJson}""")
     spark.stop()
   }
 }

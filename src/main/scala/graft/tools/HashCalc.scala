@@ -2,8 +2,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object HashCalc {
   def main(a: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    // default layout local[8]/8; override to match the consumer of the
+    // hash (EntrySpec pins assert under the TestSpark local[4]/4 session
+    // — sketch-merge trees, e.g. approx_percentile's, are deterministic
+    // PER LAYOUT but differ across layouts once the data is big enough
+    // for per-partition partials to diverge)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus).toInt)
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def cell(v: Any): String = v match {

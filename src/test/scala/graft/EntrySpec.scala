@@ -160,6 +160,43 @@ class EntrySpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("remaining rows-only queries match their sf1 pins when a tiled dir is given") {
+    // The other 13 no-oracle queries (PINS_sf1_r12.json) — with the
+    // geometry/ANN test above this pins ALL 25 rows-only queries at the
+    // BENCHSCALE big side. Two fresh-JVM HashCalc runs bit-identical,
+    // including every driver-trained model (k-means, PCA, logistic
+    // classifier, Bradley-Terry: fixed seed + fixed order by
+    // construction). Same tiled-dir recipe as above.
+    val dirOpt = sys.env.get("SPARK_GRAFT_SF1_DIR")
+    assume(dirOpt.isDefined,
+      "SPARK_GRAFT_SF1_DIR unset - sf1 pins recorded in PINS_sf1_r12.json")
+    val expected = Map(
+      "q_fingerprint" -> (50000L, "4ef12a40445bf43d8e6da015a181ff4d"),
+      "q_approx_distinct" -> (3L, "79536c4e693fd27900b6271582fb2062"),
+      "q_source_similarity" -> (190L, "a08e820b303f43382523a13f1a0373eb"),
+      "q_kmeans_sizes" -> (8L, "f8bf7809c9ef901a1cc011cb22627497"),
+      // layout-pinned: approx_percentile's sketch-merge tree is
+      // deterministic PER session layout but differs across layouts at
+      // this scale; the pin binds under TestSpark's local[4]/4 (match
+      // with SPARK_GRAFT_CPUS=4 SPARK_GRAFT_PARTS=4 HashCalc). The
+      // other 12 hashes are layout-insensitive (verified at local[8]/8
+      // and local[4]/4).
+      "q_approx_quantile" -> (3L, "1ee6f0ca2821b82df9dee384edd231a7"),
+      "q_bpe_encode" -> (50000L, "fcde20636d90885658b4d24979a5c524"),
+      "q_semantic_dedup" -> (20000L, "3bb93ada3880771fb29383fac55a342c"),
+      "q_mmr_rerank" -> (50L, "304235562543278a9e7414cfa1404f8c"),
+      "q_quality_classifier" -> (50000L, "470b0f5b88cf7463b8a428b30808be68"),
+      "q_image_dhash" -> (50000L, "f7526a8c207987cd90c33ece0b5c7b06"),
+      "q_pca_variance" -> (8L, "f4bda0de050439cb4ca32109d00f846d"),
+      "q_pca_project" -> (20000L, "5f32cd74e74220c836fa0b8a67072ec2"),
+      "q_bradley_terry" -> (5L, "fd6cb27beee2e9726676d5e59625b17d"))
+    val got = expected.keys.toSeq.sorted.map { q =>
+      val df = SparkEntry.queries(q)(spark, dirOpt.get)
+      q -> ((df.count(), contentHash(df)))
+    }.toMap
+    got shouldBe expected
+  }
+
   test("rows-only queries match their pinned sf0.001 content hashes") {
     // counts alone would pass a wrong-but-same-cardinality result; the
     // hash pins the VALUES (all entries are deterministic by construction —

@@ -44,11 +44,41 @@ sub_linear = sum(1 for r in rows.values() if r["ratio"] and r["ratio"] <= factor
 # rows — the place measured output-growth justifications live for
 # flagged-but-output-bound queries (a pair query whose OUTPUT grows
 # super-linearly is allowed to cost super-linearly; the note must
-# quantify it, never assert it)
+# quantify it, never assert it). An entry may also be an object
+# {"note": str, "char_bound": true}: char-bound queries get a computed
+# char_norm_ratio = time_ratio / char_ratio, so the "linear in input
+# bytes, not rows" claim is ARITHMETIC in the artifact, not prose.
+#
+# The char ratio itself is MEASURED here, not asserted: --small-dir/
+# --big-dir point at the two sf dirs and duckdb sums
+# length(documents.text) in each (the tiling's token remap grows chars
+# faster than rows, so rows×10 != chars×10).
+char_ratio = chars = None
+small_dir = opts.get("--small-dir")
+big_dir = opts.get("--big-dir")
+if small_dir and small_dir is not True and big_dir and big_dir is not True:
+    import duckdb
+    def total_chars(d):
+        return duckdb.sql(
+            f"SELECT sum(length(text)) FROM '{d}/documents.parquet'"
+        ).fetchone()[0]
+    chars = {"small": total_chars(small_dir), "big": total_chars(big_dir)}
+    char_ratio = round(chars["big"] / chars["small"], 2)
+
 notes_path = opts.get("--notes")
 if notes_path and notes_path is not True:
     for q, note in json.load(open(notes_path)).items():
-        if q in rows:
+        if q not in rows:
+            continue
+        if isinstance(note, dict):
+            rows[q]["note"] = note["note"]
+            if note.get("char_bound"):
+                if char_ratio is None:
+                    sys.exit(f"{q} is marked char_bound but no --small-dir/"
+                             "--big-dir given to measure the char ratio")
+                rows[q]["char_norm_ratio"] = round(
+                    rows[q]["ratio"] / char_ratio, 2)
+        else:
             rows[q]["note"] = note
 
 out = {
@@ -56,6 +86,9 @@ out = {
     "sf_small": sf_small,
     "sf_big": sf_big,
     "row_factor": factor,
+    **({"documents_chars_small": chars["small"],
+        "documents_chars_big": chars["big"],
+        "char_ratio": char_ratio} if char_ratio is not None else {}),
     "flag_threshold_ratio": round(factor * slack, 2),
     "n_compared": len(rows),
     "n_sub_linear": sub_linear,

@@ -14,7 +14,8 @@
 #       $W/detail_big_asc.json $W/detail_big_desc.json
 #   cp $W/detail_small_merged.json BENCHDETAIL_r{N}.json
 #   python3 tools/bench_scale.py {N} $W/detail_small_merged.json \
-#       $W/detail_big_merged.json --notes=<scale_notes.json>
+#       $W/detail_big_merged.json --notes=tools/scale_notes.json \
+#       --small-dir=$SMALL --big-dir=$W/big   # measures the chars ratio
 set -e
 W=${1:?usage: run_benches.sh <workdir> [smallSfDir] [tileFactor]}
 SMALL=${2:-/root/testdata/sf0.1}
