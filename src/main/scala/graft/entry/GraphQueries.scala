@@ -209,7 +209,13 @@ private[graft] object GraphQueries {
 
     // three unrolled power iterations; every arithmetic step mirrors the
     // Spark update rule's evaluation order so doubles agree bit-for-bit
-    // before the final 6dp round
+    // before the final 6dp round. The ::DOUBLE casts on the constant
+    // folds matter: DuckDB folds (1.0 - 0.85) in exact DECIMAL (0.15 →
+    // double 1.4999…e-1-scaled base) while Scala folds in binary
+    // (0.15000000000000002); at sf1's n=20000 the two dangling-node
+    // bases straddle the 6dp half-way point 7.5e-6 and 931 rows flip a
+    // final digit. With the casts the sf1 raw doubles are bit-identical
+    // across all 20000 nodes (PageRankRawProbe, r12 sample).
     "q_pagerank" ->
       """WITH emb AS MATERIALIZED (
         |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
@@ -225,24 +231,24 @@ private[graft] object GraphQueries {
         |  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
         |cnt AS (SELECT count(*) AS n FROM nodes),
         |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
-        |p0 AS (SELECT id, 1.0 / n AS pr FROM nodes CROSS JOIN cnt),
+        |p0 AS (SELECT id, 1.0::DOUBLE / n AS pr FROM nodes CROSS JOIN cnt),
         |c1 AS (SELECT e.dst AS id,
         |       list_reduce(list(p.pr / deg.d ORDER BY p.pr / deg.d),
         |                   (a, b) -> a + b) AS cin FROM edges e
         |       JOIN deg ON deg.src = e.src JOIN p0 p ON p.id = e.src GROUP BY e.dst),
-        |p1 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
+        |p1 AS (SELECT nodes.id, (1.0::DOUBLE - 0.85::DOUBLE) / n + coalesce(cin, 0.0) * 0.85 AS pr
         |       FROM nodes CROSS JOIN cnt LEFT JOIN c1 ON c1.id = nodes.id),
         |c2 AS (SELECT e.dst AS id,
         |       list_reduce(list(p.pr / deg.d ORDER BY p.pr / deg.d),
         |                   (a, b) -> a + b) AS cin FROM edges e
         |       JOIN deg ON deg.src = e.src JOIN p1 p ON p.id = e.src GROUP BY e.dst),
-        |p2 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
+        |p2 AS (SELECT nodes.id, (1.0::DOUBLE - 0.85::DOUBLE) / n + coalesce(cin, 0.0) * 0.85 AS pr
         |       FROM nodes CROSS JOIN cnt LEFT JOIN c2 ON c2.id = nodes.id),
         |c3 AS (SELECT e.dst AS id,
         |       list_reduce(list(p.pr / deg.d ORDER BY p.pr / deg.d),
         |                   (a, b) -> a + b) AS cin FROM edges e
         |       JOIN deg ON deg.src = e.src JOIN p2 p ON p.id = e.src GROUP BY e.dst),
-        |p3 AS (SELECT nodes.id, (1.0 - 0.85) / n + coalesce(cin, 0.0) * 0.85 AS pr
+        |p3 AS (SELECT nodes.id, (1.0::DOUBLE - 0.85::DOUBLE) / n + coalesce(cin, 0.0) * 0.85 AS pr
         |       FROM nodes CROSS JOIN cnt LEFT JOIN c3 ON c3.id = nodes.id)
         |SELECT id, round(pr, 6) AS pr FROM p3 ORDER BY id""".stripMargin,
 
@@ -394,7 +400,7 @@ private[graft] object GraphQueries {
         |       JOIN deg ON deg.src = e.src JOIN p0 p ON p.id = e.src
         |       GROUP BY e.dst),
         |p1 AS (SELECT nodes.id,
-        |         CASE WHEN nodes.id = 0 THEN 1.0 - 0.85 ELSE 0.0 END
+        |         CASE WHEN nodes.id = 0 THEN 1.0::DOUBLE - 0.85::DOUBLE ELSE 0.0 END
         |           + coalesce(cin, 0.0) * 0.85 AS pr
         |       FROM nodes LEFT JOIN c1 ON c1.id = nodes.id),
         |c2 AS (SELECT e.dst AS id,
@@ -403,7 +409,7 @@ private[graft] object GraphQueries {
         |       JOIN deg ON deg.src = e.src JOIN p1 p ON p.id = e.src
         |       GROUP BY e.dst),
         |p2 AS (SELECT nodes.id,
-        |         CASE WHEN nodes.id = 0 THEN 1.0 - 0.85 ELSE 0.0 END
+        |         CASE WHEN nodes.id = 0 THEN 1.0::DOUBLE - 0.85::DOUBLE ELSE 0.0 END
         |           + coalesce(cin, 0.0) * 0.85 AS pr
         |       FROM nodes LEFT JOIN c2 ON c2.id = nodes.id),
         |c3 AS (SELECT e.dst AS id,
@@ -412,7 +418,7 @@ private[graft] object GraphQueries {
         |       JOIN deg ON deg.src = e.src JOIN p2 p ON p.id = e.src
         |       GROUP BY e.dst),
         |p3 AS (SELECT nodes.id,
-        |         CASE WHEN nodes.id = 0 THEN 1.0 - 0.85 ELSE 0.0 END
+        |         CASE WHEN nodes.id = 0 THEN 1.0::DOUBLE - 0.85::DOUBLE ELSE 0.0 END
         |           + coalesce(cin, 0.0) * 0.85 AS pr
         |       FROM nodes LEFT JOIN c3 ON c3.id = nodes.id)
         |SELECT id, round(pr, 6) AS ppr FROM p3

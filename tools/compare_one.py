@@ -15,23 +15,31 @@ Prints one JSON line {query, spark_rows, oracle_rows, rows_match,
 schema_match, hash_match}. Heavy oracles (recursive CTEs, O(n^2)
 self-joins) can take tens of minutes at sf1 — wrap in `timeout` and
 record a reasoned fallback (e.g. hash-match at sf0.1) when the ORACLE,
-not the engine, is the bottleneck.
+not the engine, is the bottleneck. The canon/compare helpers are
+importable (tools/sf1_graph_sample.py reuses them with a rewritten
+edge prelude for the graph-family oracles, whose all-pairs k-NN CTE
+out-spills the disk at sf1 when run monolithically per query).
 """
 import sys, os, json, glob
 import duckdb, pandas as pd
 import numpy as np
 
-sf_dir, out_dir, qname = sys.argv[1], sys.argv[2], sys.argv[3]
-con = duckdb.connect()
-for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
-    name = os.path.basename(p)[: -len(".parquet")]
-    src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
-oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-got = pd.concat([pd.read_parquet(f) for f in
-                 glob.glob(os.path.join(out_dir, qname, "*.parquet"))],
-                ignore_index=True)
-exp = con.execute(oracle[qname]).fetchdf()
+
+def connect_views(sf_dir, con=None):
+    """DuckDB connection with one view per parquet table in sf_dir
+    (file or Spark-written directory)."""
+    con = con or duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+    return con
+
+
+def read_spark_dump(out_dir, qname):
+    return pd.concat([pd.read_parquet(f) for f in
+                      glob.glob(os.path.join(out_dir, qname, "*.parquet"))],
+                     ignore_index=True)
 
 
 def canon(df):
@@ -52,10 +60,20 @@ def values_repr(df):
     return out
 
 
-g, e = canon(got), canon(exp)
-res = {"query": qname, "spark_rows": len(g), "oracle_rows": len(e),
-       "rows_match": len(g) == len(e),
-       "schema_match": list(g.columns) == list(e.columns)}
-res["hash_match"] = bool(res["rows_match"] and res["schema_match"]
-                         and values_repr(g) == values_repr(e))
-print(json.dumps(res))
+def compare(qname, got, exp):
+    g, e = canon(got), canon(exp)
+    res = {"query": qname, "spark_rows": len(g), "oracle_rows": len(e),
+           "rows_match": len(g) == len(e),
+           "schema_match": list(g.columns) == list(e.columns)}
+    res["hash_match"] = bool(res["rows_match"] and res["schema_match"]
+                             and values_repr(g) == values_repr(e))
+    return res
+
+
+if __name__ == "__main__":
+    sf_dir, out_dir, qname = sys.argv[1], sys.argv[2], sys.argv[3]
+    con = connect_views(sf_dir)
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    got = read_spark_dump(out_dir, qname)
+    exp = con.execute(oracle[qname]).fetchdf()
+    print(json.dumps(compare(qname, got, exp)))
