@@ -74,9 +74,21 @@ def normalize(obj):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a not in ("--fail", "--raw")]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--fail", "--raw")
+            and not a.startswith("--adjudicated=")]
     fail_on_regression = "--fail" in sys.argv[1:]
     force_raw = "--raw" in sys.argv[1:]
+    # --adjudicated=BENCH_ADJUDICATION_r{N}.json: queries whose flags were
+    # adjudicated-not-regressions per the noise methodology (isolated
+    # rerun + no-code-change proof, committed in the file). They still
+    # PRINT — adjudication is loud, never silent — but don't fail the
+    # gate.
+    adjudicated = {}
+    for a in sys.argv[1:]:
+        if a.startswith("--adjudicated="):
+            adj = json.load(open(a.split("=", 1)[1]))
+            adjudicated = adj.get("flagged", {})
     old, new = load(args[0]), load(args[1])
     oq, nq = old["queries"], new["queries"]
     normalized = (not force_raw and old["canary"] is not None
@@ -111,12 +123,20 @@ def main():
     slower = [((nq[q] / nc) / (oq[q] / oc), q) for q in oq.keys() & nq.keys()
               if oq[q] > 0 and (nq[q] / nc) / (oq[q] / oc) > thr
               and nq[q] / nc - oq[q] / oc > 0.3]
+    unadjudicated = []
     for ratio, q in sorted(slower, reverse=True):
+        tag = " [ADJUDICATED not-a-regression]" if q in adjudicated else ""
+        if not tag:
+            unadjudicated.append(q)
         print(f"SLOWER {q}: {oq[q]/oc:.2f}{unit} -> {nq[q]/nc:.2f}{unit} "
-              f"({ratio:.2f}x{' normalized' if normalized else ''})")
+              f"({ratio:.2f}x{' normalized' if normalized else ''}){tag}")
     if not slower:
         print(f"no query regressed beyond {thr}x (+0.3{unit} absolute)"
               + (" after canary normalization" if normalized else ""))
+    elif not unadjudicated:
+        print(f"all {len(slower)} flag(s) adjudicated — see the "
+              "adjudication artifact for the isolated reruns and "
+              "no-code-change proofs")
     elif fail_on_regression:
         sys.exit(1)
     if fail_on_regression and new.get("failed"):

@@ -57,10 +57,13 @@ char_ratio = chars = None
 small_dir = opts.get("--small-dir")
 big_dir = opts.get("--big-dir")
 if small_dir and small_dir is not True and big_dir and big_dir is not True:
-    import duckdb
+    import duckdb, os
     def total_chars(d):
+        p = os.path.join(d, "documents.parquet")
+        if os.path.isdir(p):  # Spark-written table = directory of parts
+            p = os.path.join(p, "*.parquet")
         return duckdb.sql(
-            f"SELECT sum(length(text)) FROM '{d}/documents.parquet'"
+            f"SELECT sum(length(text)) FROM read_parquet('{p}')"
         ).fetchone()[0]
     chars = {"small": total_chars(small_dir), "big": total_chars(big_dir)}
     char_ratio = round(chars["big"] / chars["small"], 2)

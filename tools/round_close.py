@@ -182,10 +182,15 @@ if not prev:
 elif not os.path.exists(os.path.join(repo, cur_detail)):
     pass  # gate 1 already failed on the missing detail file
 else:
+    # a committed BENCH_ADJUDICATION_r{N}.json carries this round's
+    # isolated-rerun + no-code-change proofs for flagged queries; the
+    # compare prints them loudly but doesn't fail on them
+    adj_path = os.path.join(repo, f"BENCH_ADJUDICATION_r{rnd:02d}.json")
+    adj_args = [f"--adjudicated={adj_path}"] if os.path.exists(adj_path) else []
     cmp_run = subprocess.run(
         [sys.executable, os.path.join(repo, "tools/bench_compare.py"),
          os.path.join(repo, prev[-1]), os.path.join(repo, cur_detail),
-         "1.25", "--fail"],
+         "1.25", "--fail"] + adj_args,
         capture_output=True, text=True)
     out = cmp_run.stdout.strip()
     print("canary gate vs " + prev[-1] + ":")
