@@ -16,14 +16,18 @@ object Bench {
     */
   private[graft] def renderLine(ok: Seq[(String, Double)], failed: Seq[String],
                                 sfName: String,
-                                canarySec: Double = -1.0): String = {
+                                canarySec: Double = -1.0,
+                                canaryStrSec: Double = -1.0): String = {
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // machine-era anchor: the canary is a fixed, code-independent
-    // calibration workload, so absolute-seconds shifts between rounds
+    // machine-era anchors: two fixed, code-independent calibration
+    // workloads (long-arithmetic/shuffle + string/expansion — distinct
+    // workload classes ride era changes by different factors, the r12
+    // adjudication finding), so absolute-seconds shifts between rounds
     // divide out as (total/canary) instead of needing attribution
     // archaeology (the r9/r10 era-drift postmortems)
-    val canary = if (canarySec >= 0) f""","canary":$canarySec%.3f""" else ""
+    val canary = (if (canarySec >= 0) f""","canary":$canarySec%.3f""" else "") +
+      (if (canaryStrSec >= 0) f""","canary_str":$canaryStrSec%.3f""" else "")
     def emit(fmt: String, keep: Int): String = {
       val kept = if (keep >= ok.length) ok else ok.sortBy(-_._2).take(keep)
       val qs = kept.sortBy(_._1).map { case (k, mn) => s""""$k":${fmt.format(mn)}""" }
@@ -64,6 +68,33 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Second machine-era canary, STRING/EXPANSION-bound where [[canaryRun]]
+    * is long-arithmetic/shuffle-bound: base-36 token materialization,
+    * split + explode (8× row expansion), substring keys, string group-by.
+    * The r12 adjudication showed the two workload classes do NOT ride a
+    * box-era change by the same factor (the hash canary sped up 23%
+    * while string/expansion-heavy queries held flat, producing six
+    * spurious normalized flags); from r12 on both canaries ship in every
+    * artifact and bench_compare normalizes each query by the flavor that
+    * incriminates it LEAST — a query is only flagged when it regressed
+    * under BOTH eras' anchors. Same determinism contract as canaryRun:
+    * Spark built-ins only, constant data, no RNG, no files.
+    */
+  private[graft] def canaryStringRun(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(2000000L)
+      .select(concat_ws(" ", (0 until 8).map(i =>
+        conv(pmod(xxhash64(col("id") * lit(8) + lit(i)), lit(1000000007L))
+          .cast("string"), 10, 36)): _*).as("s"))
+      .select(explode(split(col("s"), " ")).as("tok"))
+      .groupBy(substring(col("tok"), 1, 2).as("pfx"))
+      .agg(count(lit(1)).as("c"), sum(length(col("tok"))).as("l"))
+      .agg(sum(col("c")), sum(col("l")))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -98,6 +129,8 @@ object Bench {
     // machine-era anchor, and the pair's spread shows intra-run drift.
     canaryRun(spark)
     val canaryStart = canaryRun(spark)
+    canaryStringRun(spark)
+    val canaryStrStart = canaryStringRun(spark)
     // sorted: stable execution order across rounds (Map hash order is
     // arbitrary and makes per-query cross-round comparison noisy)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -174,7 +207,9 @@ object Bench {
       }
     }
     val canaryEnd = canaryRun(spark)
+    val canaryStrEnd = canaryStringRun(spark)
     val canary = math.min(canaryStart, canaryEnd)
+    val canaryStr = math.min(canaryStrStart, canaryStrEnd)
     // times lists are built by PREPENDING, so .last is the EARLIEST
     // successful sample — the right first-rep fallback when pass 0
     // failed (head would ship a warm late-pass time labeled cold)
@@ -188,7 +223,8 @@ object Bench {
     val fullMin = ok.map { case (k, mn, _) => f""""$k":$mn%.3f""" }.mkString("{", ",", "}")
     val detail =
       f"""{"reps":$reps,"agg":"min","canary_start":$canaryStart%.3f,""" +
-        f""""canary_end":$canaryEnd%.3f,"queries_min":$fullMin,""" +
+        f""""canary_end":$canaryEnd%.3f,"canary_str_start":$canaryStrStart%.3f,""" +
+        f""""canary_str_end":$canaryStrEnd%.3f,"queries_min":$fullMin,""" +
         s""""first_rep":$coldJson}"""
     try {
       val f = java.nio.file.Paths.get("target", "bench-detail.json")
@@ -196,7 +232,7 @@ object Bench {
       java.nio.file.Files.write(f, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => System.err.println(s"[bench-detail] $detail") }
     println(renderLine(ok.map { case (k, mn, _) => (k, mn) },
-      failed.toSeq, new java.io.File(sfDir).getName, canary))
+      failed.toSeq, new java.io.File(sfDir).getName, canary, canaryStr))
     spark.stop()
   }
 }

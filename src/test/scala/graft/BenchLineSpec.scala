@@ -34,6 +34,13 @@ class BenchLineSpec extends AnyFunSuite with Matchers {
     line should include(""""canary":2.345""")
     val bare = Bench.renderLine(Seq("q_a" -> 1.0), Nil, "sf0.1")
     (bare should not).include("canary")
+    // the r12+ dual anchor: the string/expansion-class canary rides
+    // beside the hash/shuffle one, each independently optional
+    val dual = Bench.renderLine(Seq("q_a" -> 1.0), Nil, "sf0.1",
+      canarySec = 2.345, canaryStrSec = 0.912)
+    dual should include(""""canary":2.345""")
+    dual should include(""""canary_str":0.912""")
+    (line should not).include("canary_str")
   }
 
   test("line stays under 1900 chars via the precision/truncation ladder") {

@@ -54,9 +54,11 @@ def load(path):
 
 
 def normalize(obj):
-    """Map either format onto {value, queries, failed, canary|None}.
-    The canary is the MIN of the bracketing runs (same estimator as the
-    per-query warm minima — the floor is the era, the spread is drift)."""
+    """Map either format onto {value, queries, failed, canary|None,
+    canary_str|None}. Each canary is the MIN of its bracketing runs
+    (same estimator as the per-query warm minima — the floor is the
+    era, the spread is drift). canary_str (r12+) is the
+    string/expansion-class anchor riding beside the hash/shuffle one."""
     if "queries_min" in obj:
         q = obj["queries_min"]
         # raw bench-detail carries canary_start/canary_end; the merged
@@ -64,13 +66,17 @@ def normalize(obj):
         # canary_runs for the spread)
         canaries = [obj[k] for k in ("canary_start", "canary_end", "canary_min")
                     if k in obj]
+        strs = [obj[k] for k in ("canary_str_start", "canary_str_end",
+                                 "canary_str_min") if k in obj]
         return {"value": sum(q.values()), "queries": q,
                 "failed": obj.get("failed", []),
-                "canary": min(canaries) if canaries else None}
+                "canary": min(canaries) if canaries else None,
+                "canary_str": min(strs) if strs else None}
     return {"value": obj.get("value", sum(obj.get("queries", {}).values())),
             "queries": obj.get("queries", {}),
             "failed": obj.get("failed", []),
-            "canary": obj.get("canary")}
+            "canary": obj.get("canary"),
+            "canary_str": obj.get("canary_str")}
 
 
 def main():
@@ -97,9 +103,23 @@ def main():
         thr = float(args[2]) if len(args) > 2 else 1.25
         oc, nc = old["canary"], new["canary"]
         era = nc / oc
+        # dual-flavor normalization (r12 adjudication finding: workload
+        # classes ride era changes by different factors — the hash/shuffle
+        # canary moved 23% in an era where string/expansion queries held
+        # flat). When BOTH sides carry the string canary, each query is
+        # normalized by the flavor that incriminates it LEAST: a flag
+        # means "regressed under EVERY era anchor we have".
+        flavors = [(oc, nc)]
+        if old.get("canary_str") and new.get("canary_str"):
+            flavors.append((old["canary_str"], new["canary_str"]))
         print(f"mode: CANARY-NORMALIZED (old canary {oc:.3f}s, new canary "
               f"{nc:.3f}s, era ratio {era:.3f}x; floors in canary units, "
               f"gate at {thr}x normalized)")
+        if len(flavors) > 1:
+            ocs, ncs = flavors[1]
+            print(f"      dual-flavor: string canary {ocs:.3f}s -> "
+                  f"{ncs:.3f}s (era {ncs/ocs:.3f}x); per-query gate takes "
+                  "the least-incriminating flavor")
         print(f"old total {old['value']:.1f}s = {old['value']/oc:.1f}cu "
               f"({len(oq)} queries)  new total {new['value']:.1f}s = "
               f"{new['value']/nc:.1f}cu ({len(nq)} queries)  "
@@ -120,15 +140,24 @@ def main():
     if removed:
         print("removed: " + ", ".join(removed))
     unit = "cu" if normalized else "s"
-    slower = [((nq[q] / nc) / (oq[q] / oc), q) for q in oq.keys() & nq.keys()
-              if oq[q] > 0 and (nq[q] / nc) / (oq[q] / oc) > thr
-              and nq[q] / nc - oq[q] / oc > 0.3]
+    if not normalized:
+        flavors = [(oc, nc)]
+
+    def verdict(q):
+        """(ratio, old_anchor, new_anchor) under the least-incriminating
+        flavor — a query only flags if it regressed under EVERY anchor."""
+        return min((((nq[q] / nf) / (oq[q] / of), of, nf)
+                    for of, nf in flavors), key=lambda t: t[0])
+
+    slower = [(verdict(q), q) for q in oq.keys() & nq.keys() if oq[q] > 0]
+    slower = [(v, q) for v, q in slower
+              if v[0] > thr and nq[q] / v[2] - oq[q] / v[1] > 0.3]
     unadjudicated = []
-    for ratio, q in sorted(slower, reverse=True):
+    for (ratio, of, nf), q in sorted(slower, reverse=True):
         tag = " [ADJUDICATED not-a-regression]" if q in adjudicated else ""
         if not tag:
             unadjudicated.append(q)
-        print(f"SLOWER {q}: {oq[q]/oc:.2f}{unit} -> {nq[q]/nc:.2f}{unit} "
+        print(f"SLOWER {q}: {oq[q]/of:.2f}{unit} -> {nq[q]/nf:.2f}{unit} "
               f"({ratio:.2f}x{' normalized' if normalized else ''}){tag}")
     if not slower:
         print(f"no query regressed beyond {thr}x (+0.3{unit} absolute)"

@@ -17,11 +17,14 @@ import sys
 out = {}
 reps = None
 canary_runs = []
+canary_str_runs = []
 for p in sys.argv[2:]:
     d = json.load(open(p))
     reps = d.get("reps")
     if "canary_start" in d:
         canary_runs.append([d["canary_start"], d.get("canary_end")])
+    if "canary_str_start" in d:
+        canary_str_runs.append([d["canary_str_start"], d.get("canary_str_end")])
     for k, v in d["queries_min"].items():
         out[k] = min(out.get(k, 1e9), v)
 note = ("per-query min across one ascending and one descending fresh-JVM "
@@ -30,10 +33,16 @@ note = ("per-query min across one ascending and one descending fresh-JVM "
         "time-separated samples per SF)")
 merged = {"reps": reps, "agg": "min", "note": note, "queries_min": out}
 if canary_runs:
-    # the machine-era anchor rides the merged artifact too: per-run
-    # [start, end] readings plus the session min (floors divide by it)
+    # the machine-era anchors ride the merged artifact too: per-run
+    # [start, end] readings plus the session min (floors divide by it);
+    # the string/expansion canary (r12+) travels beside the hash/shuffle
+    # one so bench_compare can normalize per workload class
     merged["canary_runs"] = canary_runs
     merged["canary_min"] = min(c for run in canary_runs
                                for c in run if c is not None)
+if canary_str_runs:
+    merged["canary_str_runs"] = canary_str_runs
+    merged["canary_str_min"] = min(c for run in canary_str_runs
+                                   for c in run if c is not None)
 json.dump(merged, open(sys.argv[1], "w"), indent=1)
 print(f"wrote {sys.argv[1]}: {len(out)} queries, sum {sum(out.values()):.1f}s")
