@@ -21,10 +21,15 @@ canary_str_runs = []
 for p in sys.argv[2:]:
     d = json.load(open(p))
     reps = d.get("reps")
+    # raw detail carries canary_start/end; an already-merged artifact
+    # (re-merging across same-code sessions) carries canary_runs — both
+    # feed the session-min anchors
     if "canary_start" in d:
         canary_runs.append([d["canary_start"], d.get("canary_end")])
+    canary_runs.extend(d.get("canary_runs", []))
     if "canary_str_start" in d:
         canary_str_runs.append([d["canary_str_start"], d.get("canary_str_end")])
+    canary_str_runs.extend(d.get("canary_str_runs", []))
     for k, v in d["queries_min"].items():
         out[k] = min(out.get(k, 1e9), v)
 note = ("per-query min across one ascending and one descending fresh-JVM "
