@@ -248,6 +248,314 @@ object Streams {
       .where(col("jaccard") >= threshold)
   }
 
+  // ---------------------------------------- streaming MinHash-LSH near-dup
+
+  /** One banded row of an incoming document: event time, id, the FULL
+    * minhash signature (the bucket verifies with it and must store it),
+    * the band index, and the folded 64-bit band key the stream is keyed
+    * by (same kernel as the batch path: DedupExpr.bandKeys).
+    */
+  private[graft] case class BandRow(ts: Timestamp, doc_id: Long,
+                                    sig: Array[Long], band: Int, bkey: Long)
+  private[graft] case class BucketMember(doc_id: Long, sig: Array[Long])
+
+  /** A near-duplicate hit: `first_id` arrived on the stream strictly
+    * before `second_id` (the batch twin's (id_a < id_b) canonical order
+    * coincides with this when arrival order is id order); `ts` is the
+    * later document's event time.
+    */
+  case class NearDupPair(ts: Timestamp, first_id: Long, second_id: Long,
+                         est_jaccard: Double)
+
+  /** One LSH bucket's members and pairing logic. Each incoming banded
+    * row compares its full signature against every member already in
+    * the bucket (estimated Jaccard = agreeing positions / numHashes —
+    * the batch kernel's exact arithmetic) and appends itself. A pair
+    * that collides in SEVERAL bands would emit once per shared bucket;
+    * the processor suppresses duplicates WITHOUT a second stateful
+    * operator by exploiting that a bucket holds both FULL signatures:
+    * it recomputes which bands the two signatures share (slice
+    * equality — collision in band b IS equality of that slice) and
+    * emits only from the LOWEST shared band's bucket. Deterministic,
+    * exactly one emission per pair, no cross-bucket coordination.
+    *
+    * State budget: one (doc_id, signature) per member per band bucket —
+    * (8 + 8·numHashes) B per entry, bands·n entries across all buckets
+    * for n standing documents (≈ 8.3 GB at numHashes=32, bands=8,
+    * n=10M). A bucket exceeding `maxBucket` members fails LOUDLY: a hot
+    * bucket means a boilerplate band shared by ~everything, and the
+    * mitigations are upstream (strip boilerplate — Dedup.boilerplate —
+    * or raise rowsPerBand so bands are more selective), never silent
+    * candidate dropping.
+    */
+  class MinhashBucketProcessor(rowsPerBand: Int, threshold: Double,
+                               maxBucket: Int)
+      extends StatefulProcessor[Long, BandRow, NearDupPair] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[BucketMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[BucketMember]("members",
+        Encoders.product[BucketMember], TTLConfig.NONE)
+
+    private def sliceEq(a: Array[Long], b: Array[Long], band: Int): Boolean = {
+      var i = band * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) { if (a(i) != b(i)) return false; i += 1 }
+      true
+    }
+
+    private def minSharedBand(a: Array[Long], b: Array[Long]): Int = {
+      var band = 0
+      val nBands = a.length / rowsPerBand
+      while (band < nBands) { if (sliceEq(a, b, band)) return band; band += 1 }
+      -1 // unreachable for two rows in the same bucket
+    }
+
+    private def agreement(a: Array[Long], b: Array[Long]): Double = {
+      var eq = 0
+      var i = 0
+      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / a.length
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[BandRow],
+                                 timerValues: TimerValues): Iterator[NearDupPair] = {
+      // ts-then-id order makes intra-batch pairing deterministic (the
+      // earlier document is always `first_id`, matching cross-batch
+      // behavior) regardless of post-shuffle iterator order
+      val newcomers = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
+      var cur = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[BucketMember]
+        val it = members.get()
+        while (it.hasNext) b += it.next()
+        b
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+      for (r <- newcomers) {
+        // replay idempotence: a document already in the bucket (source
+        // retry / at-least-once upstream) neither re-pairs nor re-adds
+        if (!cur.exists(_.doc_id == r.doc_id)) {
+          for (m <- cur) {
+            val est = agreement(m.sig, r.sig)
+            if (est >= threshold && minSharedBand(m.sig, r.sig) == r.band)
+              out += NearDupPair(r.ts, m.doc_id, r.doc_id, est)
+          }
+          require(cur.size < maxBucket,
+            s"minhashNeardupStream: LSH bucket $key exceeds maxBucket=" +
+              s"$maxBucket members — a bucket this hot means a band shared " +
+              "by ~everything (boilerplate): strip it upstream " +
+              "(Dedup.boilerplate) or raise rowsPerBand for more selective " +
+              "bands; candidates are never dropped silently")
+          val nm = BucketMember(r.doc_id, r.sig)
+          cur += nm
+          members.appendValue(nm)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Self-deduplicating ingest: MinHash-LSH near-duplicate detection of
+    * each arriving document against the GROWING corpus of every document
+    * that arrived before it — the streaming twin of
+    * [[graft.operators.Dedup.minhashPairs]] (q_minhash_pairs), where
+    * [[incrementalDedupStream]] probes a FIXED standing corpus.
+    *
+    * Plan shape (the 100 TB path, mirroring the batch operator): per-doc
+    * signature via the same native kernels (map-only) → posexplode of
+    * the folded band keys (fan-out ×bands, still narrow) → ONE shuffle
+    * keyed by the 64-bit band key → stateful within-bucket verify
+    * against stored signatures. Each pair emits exactly once — at the
+    * later document's arrival, from the lowest band the two signatures
+    * share (see [[MinhashBucketProcessor]]) — so replaying a bounded
+    * corpus in id order yields byte-for-byte the batch operator's
+    * (id_a < id_b, est_jaccard ≥ threshold) pairs, asserted in
+    * StreamsSpec along with RocksDB crash recovery.
+    */
+  def minhashNeardupStream(docs: DataFrame, tsCol: String, idCol: String,
+                           textCol: String, numHashes: Int = 32,
+                           bands: Int = 8, threshold: Double = 0.5,
+                           shingleK: Int = 3,
+                           maxBucket: Int = 4096): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.{DedupExpr, TextAnalytics}
+    require(numHashes % bands == 0,
+      s"minhashNeardupStream: numHashes=$numHashes must be divisible by " +
+        s"bands=$bands (lsh_band_keys rejects ragged widths)")
+    val rowsPerBand = numHashes / bands
+    docs
+      .select(col(tsCol).as("ts"), col(idCol).as("doc_id"),
+        DedupExpr.minhashSig(TextAnalytics.tokens(col(textCol)),
+          shingleK, numHashes).as("sig"))
+      .select(col("ts"), col("doc_id"), col("sig"),
+        posexplode(DedupExpr.bandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bkey")))
+      .as[BandRow]
+      .groupByKey(_.bkey)
+      // TimeMode.None: the processor registers no timers and no TTL, and
+      // None keeps processAllAvailable usable — ProcessingTime mode
+      // re-triggers housekeeping batches forever (see the heavy-hitters
+      // spec note), which here would busy-loop empty micro-batches
+      .transformWithState(
+        new MinhashBucketProcessor(rowsPerBand, threshold, maxBucket),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  // ---------------------------------- streaming embedding near-dup (sign-LSH)
+
+  /** One banded row of an incoming vector: event time, id, the vector
+    * itself (the bucket verifies with exact cosine and must store it),
+    * the FULL per-band key array (see [[VecBucketProcessor]] for why),
+    * the band index, and the band key the stream is keyed by — the same
+    * band-salted keys as the batch path (Dedup.lshBandKeyArray, private
+    * planes at base geometry, the 256-projection pool past the cutoff).
+    */
+  private[graft] case class VecBandRow(ts: Timestamp, vec_id: Long,
+                                       vec: Array[Float], keys: Array[Long],
+                                       band: Int, bkey: Long)
+  private[graft] case class VecBucketMember(vec_id: Long, vec: Array[Float],
+                                            keys: Array[Long])
+
+  /** An embedding near-duplicate hit: `first_id` arrived strictly before
+    * `second_id`; `cos_sim` is the EXACT kernel cosine (unrounded).
+    */
+  case class VecNearDupPair(ts: Timestamp, first_id: Long, second_id: Long,
+                            cos_sim: Double)
+
+  /** One sign-LSH bucket's members and pairing logic — the vector twin
+    * of [[MinhashBucketProcessor]]. Each incoming banded row verifies
+    * against every stored member with exact cosine (bit-identical to
+    * VectorKernels.cosine: float→double widening, one left-fold
+    * accumulation, zero-norm → 0.0) and appends itself.
+    *
+    * Cross-band dedup differs from the minhash processor: a minhash
+    * bucket can RECOMPUTE band collisions from the stored signatures
+    * (collision ⟺ slice equality), but a sign-LSH collision is equality
+    * of band-salted projection hashes, and recomputing those inside the
+    * processor would re-run pool projections per comparison. Instead
+    * each member stores its full key array (8·bands extra bytes), and a
+    * pair emits only from the LOWEST index where the two key arrays
+    * agree — keys are band-salted (xxhash64(sig, band)), so same-index
+    * equality IS the batch join's collision predicate. Deterministic,
+    * exactly one emission per pair, no cross-bucket coordination.
+    *
+    * State budget: one (id, vector, keys) per member per band bucket —
+    * (16 + 4·d + 8·bands) B per entry, bands·n entries for n standing
+    * vectors (d=768, bands=16, n=10M ⇒ ≈500 GB of RocksDB state across
+    * the cluster, ~disk not heap). The production knob is geometry:
+    * near-dup at cosine ≥0.9 wants planesPerBand 12–20, which lets
+    * bands drop to 4–8 and cuts both state and shuffle ∝ bands. A
+    * bucket exceeding `maxBucket` fails LOUDLY — a hot bucket means a
+    * degenerate direction shared by ~everything (e.g. un-centered
+    * embeddings); mitigations are upstream (center/normalize, raise
+    * planesPerBand), never silent candidate dropping.
+    */
+  class VecBucketProcessor(threshold: Double, maxBucket: Int)
+      extends StatefulProcessor[Long, VecBandRow, VecNearDupPair] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[VecBucketMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[VecBucketMember]("members",
+        Encoders.product[VecBucketMember], TTLConfig.NONE)
+
+    private def cosine(a: Array[Float], b: Array[Float]): Double = {
+      if (a.length != b.length) throw new IllegalArgumentException(
+        s"embeddingNeardupStream: ragged vectors in one bucket — lengths " +
+          s"${a.length} and ${b.length}")
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    private def minSharedBand(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0
+      while (i < a.length) { if (a(i) == b(i)) return i; i += 1 }
+      -1 // unreachable for two rows in the same bucket
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[VecBandRow],
+                                 timerValues: TimerValues): Iterator[VecNearDupPair] = {
+      val newcomers = rows.toArray.sortBy(r => (r.ts.getTime, r.vec_id))
+      val cur = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[VecBucketMember]
+        val it = members.get()
+        while (it.hasNext) b += it.next()
+        b
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[VecNearDupPair]
+      for (r <- newcomers) {
+        if (!cur.exists(_.vec_id == r.vec_id)) { // replay idempotence
+          for (m <- cur) {
+            val cs = cosine(m.vec, r.vec)
+            if (cs >= threshold && minSharedBand(m.keys, r.keys) == r.band)
+              out += VecNearDupPair(r.ts, m.vec_id, r.vec_id, cs)
+          }
+          require(cur.size < maxBucket,
+            s"embeddingNeardupStream: LSH bucket $key exceeds maxBucket=" +
+              s"$maxBucket members — a bucket this hot means a degenerate " +
+              "shared direction (un-centered embeddings, constant rows): " +
+              "center/normalize upstream or raise planesPerBand for more " +
+              "selective bands; candidates are never dropped silently")
+          val nm = VecBucketMember(r.vec_id, r.vec, r.keys)
+          cur += nm
+          members.appendValue(nm)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Self-deduplicating embedding ingest: sign-LSH near-duplicate
+    * detection of each arriving vector against the GROWING corpus of
+    * every vector that arrived before it — the streaming twin of
+    * [[graft.operators.Dedup.embeddingNearDupPairs]]
+    * (q_embedding_neardup_lsh). Output is always a SUBSET of the exact
+    * all-pairs result at the same threshold (candidates need a shared
+    * band); only recall is approximate — the batch operator's contract.
+    *
+    * Plan shape (mirrors the batch scale path): band keys via the same
+    * kernel (map-only; pooled projections past the geometry cutoff) →
+    * posexplode (fan-out ×bands — unlike batch, each banded row carries
+    * the vector, because the bucket must store it for verification; the
+    * production lever is geometry, see [[VecBucketProcessor]]) → ONE
+    * shuffle keyed by the band-salted 64-bit key → stateful
+    * within-bucket exact-cosine verify. Each pair emits exactly once,
+    * at the later vector's arrival, from the lowest shared band.
+    *
+    * `vecCol` must be array<float> (the embeddings table's type); a
+    * double-array column fails encoder resolution loudly rather than
+    * silently down-casting — cast upstream if you accept the precision
+    * change. Replaying a bounded corpus in id order yields exactly the
+    * batch operator's (id_a < id_b, cos ≥ threshold) pairs, asserted in
+    * StreamsSpec along with RocksDB crash recovery.
+    */
+  def embeddingNeardupStream(vecs: DataFrame, tsCol: String, idCol: String,
+                             vecCol: String, threshold: Double,
+                             planesPerBand: Int = 3, bands: Int = 16,
+                             maxBucket: Int = 4096): Dataset[VecNearDupPair] = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .select(col(tsCol).as("ts"), col(idCol).as("vec_id"),
+        col(vecCol).as("vec"),
+        graft.operators.Dedup.lshBandKeyArray(col(vecCol), planesPerBand,
+          bands).as("keys"))
+      .select(col("ts"), col("vec_id"), col("vec"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "bkey")))
+      .as[VecBandRow]
+      .groupByKey(_.bkey)
+      // TimeMode.None: no timers, no TTL — and None keeps
+      // processAllAvailable usable (ProcessingTime re-triggers
+      // housekeeping batches forever; see the minhash twin's note)
+      .transformWithState(new VecBucketProcessor(threshold, maxBucket),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stream-stream inner join with an event-time interval bound: left
     * row joins right rows with `rightTs` in [leftTs − lookback, leftTs].
     * Both sides carry watermarks, so each side's join state is bounded —

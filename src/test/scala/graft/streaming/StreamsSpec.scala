@@ -414,6 +414,231 @@ class StreamsSpec extends SparkSpec {
     got shouldBe batch
   }
 
+  test("minhashNeardupStream: replaying sf0.001 documents in id order equals the batch operator's pairs") {
+    import StreamsSpec.Doc
+    import graft.operators.Dedup
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docsDf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), col("text"))
+      // the batch oracle: canonical (id_a < id_b) pairs at the defaults
+      val expected = Dedup.minhashPairs(docsDf, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+      expected should not be empty
+      // replay in id order (arrival order == id order makes the stream's
+      // (earlier, later) coincide with the batch's (lo, hi)) across
+      // three batches so cross-batch pairing exercises RocksDB state
+      val docs = docsDf.orderBy("doc_id").as[(Long, String)].collect()
+        .map { case (id, text) => Doc(ts(id.toInt), id, text) }
+      val stream = MemoryStream[Doc]
+      val name = s"mem_${System.nanoTime()}"
+      val q = Streams.minhashNeardupStream(stream.toDF(), "ts", "doc_id", "text")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      docs.grouped(200).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      q.exception.foreach(throw _)
+      q.stop()
+      val got = spark.table(name)
+        .select(col("first_id"), col("second_id"), col("est_jaccard"))
+        .as[(Long, Long, Double)].collect()
+      got.length shouldBe got.toSet.size // a pair emits exactly once
+      got.toSet shouldBe expected
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("minhashNeardupStream crash recovery: bucket members survive a RocksDB restart; replays are idempotent") {
+    import StreamsSpec.Doc
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("mh-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("mh-out").toString
+    try {
+      val a = Doc(ts(1), 1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      val c = Doc(ts(2), 3L, "completely unrelated content about marine navigation charts")
+      val b = Doc(ts(3), 2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      val schema = org.apache.spark.sql.Encoders.product[Streams.NearDupPair].schema
+      val stream = MemoryStream[Doc]
+      // parquet sink: the memory sink refuses checkpoint recovery in
+      // append mode, and recovery is the point of this test
+      def start() = Streams.minhashNeardupStream(stream.toDF(), "ts", "doc_id", "text")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).outputMode("append").start(out)
+      def sink() = spark.read.schema(schema).parquet(out)
+      val q1 = start()
+      stream.addData(a, c)
+      q1.processAllAvailable()
+      sink().count() shouldBe 0 // no pair yet
+      q1.stop() // crash before the near-dup arrives
+      // restart from the checkpoint: doc 1's signature must still be in
+      // the bucket for doc 2 to pair against; the re-added doc 1 must
+      // neither duplicate state nor re-pair (at-least-once upstream)
+      stream.addData(b, a)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.exception.foreach(throw _)
+      q2.stop()
+      val got = sink()
+        .select(col("first_id"), col("second_id"), col("est_jaccard"))
+        .as[(Long, Long, Double)].collect().toSeq
+      got shouldBe Seq((1L, 2L, 1.0)) // exactly once, est 1.0 (identical text)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("minhashNeardupStream: a saturated bucket fails loudly, never drops candidates silently") {
+    import StreamsSpec.Doc
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Doc]
+      val name = s"mem_${System.nanoTime()}"
+      val q = Streams.minhashNeardupStream(stream.toDF(), "ts", "doc_id", "text",
+          maxBucket = 1)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData(
+        Doc(ts(1), 1L, "identical boilerplate text shared by every document here"),
+        Doc(ts(2), 2L, "identical boilerplate text shared by every document here"))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).map(_.getMessage).getOrElse("") should
+        include("exceeds maxBucket")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("embeddingNeardupStream: replaying sf0.001 embeddings in id order equals the batch LSH operator's pairs") {
+    import StreamsSpec.VecDoc
+    import graft.operators.Dedup
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(col("vec_id"), col("embedding"))
+      val (planes, bands) = Dedup.scaledBandGeometry(emb.count(), 3, 16)
+      // the batch oracle: q_embedding_neardup_lsh's exact recipe
+      val expected = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.3999995, planesPerBand = planes, bands = bands)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6))
+        .as[(Long, Long, Double)].collect().toSet
+      expected should not be empty
+      val docs = emb.orderBy("vec_id").as[(Long, Array[Float])].collect()
+        .map { case (id, v) => VecDoc(ts(id.toInt), id, v) }
+      val stream = MemoryStream[VecDoc]
+      val name = s"mem_${System.nanoTime()}"
+      val q = Streams.embeddingNeardupStream(stream.toDF(), "ts", "vec_id",
+          "vec", threshold = 0.3999995, planesPerBand = planes, bands = bands)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      docs.grouped(200).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      q.exception.foreach(throw _)
+      q.stop()
+      val got = spark.table(name)
+        .select(col("first_id"), col("second_id"), round(col("cos_sim"), 6))
+        .as[(Long, Long, Double)].collect()
+      got.length shouldBe got.toSet.size // a pair emits exactly once
+      got.toSet shouldBe expected
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("embeddingNeardupStream crash recovery: bucket vectors survive a RocksDB restart; replays are idempotent") {
+    import StreamsSpec.VecDoc
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("vec-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("vec-out").toString
+    try {
+      val v = Array(1f, 2f, 3f, 4f)
+      val a = VecDoc(ts(1), 1L, v)
+      val c = VecDoc(ts(2), 3L, Array(-4f, 3f, -2f, 1f)) // cos 0 vs v
+      val b = VecDoc(ts(3), 2L, v)
+      val schema = org.apache.spark.sql.Encoders.product[Streams.VecNearDupPair].schema
+      val stream = MemoryStream[VecDoc]
+      def start() = Streams.embeddingNeardupStream(stream.toDF(), "ts",
+          "vec_id", "vec", threshold = 0.9)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).outputMode("append").start(out)
+      def sink() = spark.read.schema(schema).parquet(out)
+      val q1 = start()
+      stream.addData(a, c)
+      q1.processAllAvailable()
+      sink().count() shouldBe 0 // no pair yet
+      q1.stop() // crash before the near-dup arrives
+      // doc 1's vector must still be in the bucket for doc 2 to pair
+      // against; the re-added doc 1 must neither duplicate state nor
+      // re-pair (at-least-once upstream)
+      stream.addData(b, a)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.exception.foreach(throw _)
+      q2.stop()
+      val got = sink()
+        .select(col("first_id"), col("second_id"), col("cos_sim"))
+        .as[(Long, Long, Double)].collect().toSeq
+      got shouldBe Seq((1L, 2L, 1.0)) // exactly once, identical vectors
+    } finally {
+      prev match {
+        case Some(v0) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v0)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("embeddingNeardupStream: a saturated bucket fails loudly, never drops candidates silently") {
+    import StreamsSpec.VecDoc
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[VecDoc]
+      val name = s"mem_${System.nanoTime()}"
+      val q = Streams.embeddingNeardupStream(stream.toDF(), "ts", "vec_id",
+          "vec", threshold = 0.9, maxBucket = 1)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData(
+        VecDoc(ts(1), 1L, Array(1f, 2f, 3f, 4f)),
+        VecDoc(ts(2), 2L, Array(1f, 2f, 3f, 4f)))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).map(_.getMessage).getOrElse("") should
+        include("exceeds maxBucket")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incrementalDedupStream: stream equals batch plan AND the batch operator's new-vs-corpus pairs") {
     import StreamsSpec.Doc
     import graft.functions.{DedupExpr, TextAnalytics}
@@ -1676,5 +1901,6 @@ class StreamsSpec extends SparkSpec {
 
 object StreamsSpec {
   case class Doc(ts: java.sql.Timestamp, doc_id: Long, text: String)
+  case class VecDoc(ts: java.sql.Timestamp, vec_id: Long, vec: Array[Float])
   case class BpRow(id: Long, n_passages: Long, n_kept: Long, clean_text: String)
 }
