@@ -33,7 +33,7 @@ object StressBench {
     val hubDeg = if (args.length > 2) args(2).toLong else 10000000L
     val sections: Set[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSet
-      else (1 to 20).toSet
+      else (1 to 22).toSet
     def section(n: Int)(body: => Unit): Unit = if (sections(n)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -629,6 +629,83 @@ object StressBench {
       q.stop()
       val stateMb = 16L * 101L * nTypes * 2L / 1000000L
       println(s"""{"metric":"stream_daily_auc","types":$nTypes,"scale_dp":2,"state_budget_mb":$stateMb,"rows":$inRows,"window_sec":$windowSec,"rows_per_sec":${inRows / windowSec},"cpus":$cpus}""")
+    }
+
+    // ---- 21. streaming MinHash-LSH self-dedup under sustained load:
+    // 30-token synthetic docs, every 10th an exact duplicate of its
+    // predecessor so the within-bucket pairing path runs hot (est 1.0
+    // pairs keep emitting, not just state inserts). State grows with
+    // the corpus by design (growing-corpus self-dedup): one
+    // (8 + 8·numHashes) B signature per member per band — at the
+    // defaults (32 hashes, 8 bands) ≈ 2.1 GB RocksDB per 1M standing
+    // docs. Reports sustained docs/s over a fixed wall window.
+    section(21) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // one RocksDB instance per shuffle partition: unbounded native
+      // buffers at 32 partitions OOM the native heap under this write
+      // rate (std::bad_alloc at teardown) — bound them for the probe
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2000")
+      def textOf(id: org.apache.spark.sql.Column) =
+        concat_ws(" ", (0 until 30).map(j =>
+          element_at(typedLit(syl),
+            (pmod(xxhash64(id, lit(j)), lit(32)) + 1).cast("int"))): _*)
+      val src = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100000L).load()
+      val docs = src.select(col("timestamp").as("ts"),
+        col("value").as("doc_id"),
+        when(col("value") % 10 === 0, textOf(col("value") - 1))
+          .otherwise(textOf(col("value"))).as("text"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-stress-mh").toString
+      val q = graft.streaming.Streams
+        .minhashNeardupStream(docs, "ts", "doc_id", "text")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      val windowSec = 30
+      Thread.sleep(windowSec * 1000L)
+      val inRows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      Thread.sleep(5000) // let RocksDB background compaction drain before unload
+      println(s"""{"metric":"stream_minhash_neardup","num_hashes":32,"bands":8,"dup_rate":0.1,"rows":$inRows,"window_sec":$windowSec,"rows_per_sec":${inRows / windowSec},"state_mb_per_1m_docs":${(8 + 8 * 32) * 8L},"cpus":$cpus}""")
+    }
+
+    // ---- 22. streaming embedding self-dedup under sustained load:
+    // d=64 synthetic vectors, every 10th an exact duplicate of its
+    // predecessor (cos 1.0 pairs keep the verify path hot). Geometry
+    // (16 planes, 4 bands) — the production-threshold shape: selective
+    // bands keep buckets sparse on random vectors while duplicates
+    // still collide in every band. State: (16 + 4·d + 8·bands) B per
+    // member per band ≈ 1.2 GB RocksDB per 1M standing vectors at d=64.
+    section(22) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2000")
+      def vecOf(id: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(id, i), lit(2001)).cast("double") / 1000.0) - 1.0)
+          .cast("array<float>")
+      val src = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100000L).load()
+      val vecs = src.select(col("timestamp").as("ts"),
+        col("value").as("vec_id"),
+        when(col("value") % 10 === 0, vecOf(col("value") - 1))
+          .otherwise(vecOf(col("value"))).as("vec"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-stress-vec").toString
+      val q = graft.streaming.Streams
+        .embeddingNeardupStream(vecs, "ts", "vec_id", "vec",
+          threshold = 0.9, planesPerBand = 16, bands = 4)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      val windowSec = 30
+      Thread.sleep(windowSec * 1000L)
+      val inRows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      Thread.sleep(5000) // let RocksDB background compaction drain before unload
+      println(s"""{"metric":"stream_embedding_neardup","dim":64,"planes_per_band":16,"bands":4,"dup_rate":0.1,"rows":$inRows,"window_sec":$windowSec,"rows_per_sec":${inRows / windowSec},"state_mb_per_1m_vecs":${(16 + 4 * 64 + 8 * 4) * 4L},"cpus":$cpus}""")
     }
     spark.stop()
   }
