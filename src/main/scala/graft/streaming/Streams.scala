@@ -378,6 +378,7 @@ object Streams {
                            shingleK: Int = 3,
                            maxBucket: Int = 4096): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
+    ensureStateStoreCoordinator(docs)
     import graft.functions.{DedupExpr, TextAnalytics}
     require(numHashes % bands == 0,
       s"minhashNeardupStream: numHashes=$numHashes must be divisible by " +
@@ -540,6 +541,7 @@ object Streams {
                              planesPerBand: Int = 3, bands: Int = 16,
                              maxBucket: Int = 4096): Dataset[VecNearDupPair] = {
     import vecs.sparkSession.implicits._
+    ensureStateStoreCoordinator(vecs)
     vecs
       .select(col(tsCol).as("ts"), col(idCol).as("vec_id"),
         col(vecCol).as("vec"),
@@ -576,6 +578,37 @@ object Streams {
          |$rightTs >= $leftTs - INTERVAL $lookback AND
          |$rightTs <= $leftTs""".stripMargin))
   }
+
+  /** Ensure the driver's StateStoreCoordinator RPC endpoint exists
+    * before a `transformWithState` plan executes over a BATCH input.
+    *
+    * Spark only creates the endpoint when the first STREAMING query
+    * starts (StreamingQueryManager's driver-side coordinator), but
+    * Spark 4 also executes StatefulProcessors over batch Datasets —
+    * with ephemeral per-key state — and that path still reports its
+    * RocksDB store instances to the coordinator. In a fresh session
+    * that has never run a streaming query, the first batch
+    * `transformWithState` job dies in
+    * RocksDBStateStoreProvider.loadStateStore with
+    * CANNOT_LOAD_STATE_STORE (RpcEndpointNotFoundException:
+    * StateStoreCoordinator) — an order-dependent failure: the same
+    * call succeeds if any streaming query ran earlier in the JVM.
+    *
+    * Every TWS builder here calls this before returning its plan.
+    * `StateStoreCoordinatorRef.forDriver` is idempotent — it attempts
+    * endpoint registration and falls back to a lookup of the existing
+    * endpoint when already registered — so the call is safe under
+    * streaming inputs, repeated invocation, and session restarts (a
+    * rebuilt SparkContext brings a fresh SparkEnv, which is why this
+    * is re-asserted per builder call rather than cached in a lazy
+    * val). Driver-side only, microseconds; no effect on the plan.
+    */
+  private def ensureStateStoreCoordinator(input: Dataset[_]): Unit =
+    if (!input.isStreaming) {
+      org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+        .forDriver(org.apache.spark.SparkEnv.get,
+          org.apache.spark.sql.internal.SQLConf.get)
+    }
 
   // ----------------------------------------------- arbitrary state (FMGWS)
 
@@ -818,6 +851,7 @@ object Streams {
   def sessionizeTws(events: Dataset[Event], gapMs: Long,
                     watermark: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -871,6 +905,7 @@ object Streams {
     */
   def dedupTws(events: Dataset[Event], ttl: java.time.Duration): Dataset[Event] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     events
       .groupByKey(_.event_id)
       .transformWithState(new DedupProcessor(ttl),
@@ -936,6 +971,7 @@ object Streams {
   def funnelStream(events: Dataset[Event],
                    steps: Seq[(String, Option[Long])]): Dataset[StepAdvance] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     events
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor(steps),
@@ -992,6 +1028,7 @@ object Streams {
   /** Continuous per-user transition stream (see [[TransitionsProcessor]]). */
   def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     events
       .groupByKey(_.user_id)
       .transformWithState(new TransitionsProcessor,
@@ -1045,6 +1082,7 @@ object Streams {
   /** Continuous landmark-match stream (see [[LandmarkProcessor]]). */
   def landmarkStream(events: Dataset[Event], steps: Seq[String]): Dataset[LandmarkMatch] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     events
       .groupByKey(_.user_id)
       .transformWithState(new LandmarkProcessor(steps),
@@ -1101,6 +1139,7 @@ object Streams {
   /** Continuous attribution stream (see [[AttributionProcessor]]). */
   def attributionStream(events: Dataset[Event]): Dataset[Attributed] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     events
       .groupByKey(_.user_id)
       .transformWithState(new AttributionProcessor,
@@ -1164,6 +1203,7 @@ object Streams {
   /** Continuous interval-merge stream (see [[IntervalMergeProcessor]]). */
   def intervalMergeStream(events: Dataset[Event]): Dataset[MergedInterval] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     events
       .groupByKey(_.user_id)
       .transformWithState(new IntervalMergeProcessor,
@@ -1226,6 +1266,7 @@ object Streams {
   def heavyHittersStream(tokens: Dataset[String], capacity: Int,
                          shards: Int = 16): Dataset[TokenCount] = {
     import tokens.sparkSession.implicits._
+    ensureStateStoreCoordinator(tokens)
     require(shards > 0, s"shards $shards")
     tokens
       .map(t => TokenEvent(math.floorMod(t.hashCode, shards), t))
@@ -1289,6 +1330,7 @@ object Streams {
     */
   def cdcStream(changes: Dataset[Change]): Dataset[Applied] = {
     import changes.sparkSession.implicits._
+    ensureStateStoreCoordinator(changes)
     changes
       .groupByKey(_.k)
       .transformWithState(new CdcProcessor,
@@ -1461,6 +1503,7 @@ object Streams {
   def dailyDistinctStream(events: Dataset[Event],
                           watermark: String = "10 minutes"): Dataset[DistinctCount] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     events
       .withWatermark("ts", watermark)
       .groupByKey(e => (e.event_type, Math.floorDiv(e.ts.getTime, 86400000L)))
@@ -1527,6 +1570,7 @@ object Streams {
   def dailyPercentilesStream(events: Dataset[Event], eps: Double = 0.01,
                              watermark: String = "10 minutes"): Dataset[QuantileBand] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     events
       .withWatermark("ts", watermark)
       .groupByKey(e => (e.event_type, Math.floorDiv(e.ts.getTime, 86400000L)))
@@ -1630,6 +1674,7 @@ object Streams {
                      lo: Double, hi: Double,
                      watermark: String = "10 minutes"): Dataset[PsiRow] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     events
       .withWatermark("ts", watermark)
       .groupByKey(e => (e.event_type, Math.floorDiv(e.ts.getTime, 86400000L)))
@@ -1733,6 +1778,7 @@ object Streams {
                              bins: Int, scaleDp: Int = 4,
                              watermark: String = "10 minutes"): Dataset[CalibRow] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     events
       .withWatermark("ts", watermark)
       .groupByKey(e => (e.event_type, Math.floorDiv(e.ts.getTime, 86400000L)))
@@ -1863,6 +1909,7 @@ object Streams {
                      openDaysBound: Int = 2,
                      maxStateBytes: Long = 8L << 30): Dataset[AucRow] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events)
     require(expectedTypes > 0 && openDaysBound > 0 && maxStateBytes > 0,
       s"dailyAucStream: expectedTypes=$expectedTypes openDaysBound=" +
         s"$openDaysBound maxStateBytes=$maxStateBytes must all be positive")

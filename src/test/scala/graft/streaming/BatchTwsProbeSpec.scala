@@ -28,4 +28,25 @@ class BatchTwsProbeSpec extends SparkSpec {
     got.length shouldBe got.toSet.size
     got.toSet shouldBe expected
   }
+
+  test("embeddingNeardupStream over a BATCH DataFrame equals the batch LSH operator's pairs") {
+    import graft.operators.Dedup
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val (planes, bands) = Dedup.scaledBandGeometry(emb.count(), 3, 16)
+    val expected = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3999995, planesPerBand = planes, bands = bands)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6))
+      .as[(Long, Long, Double)].collect().toSet
+    expected should not be empty
+    val got = Streams.embeddingNeardupStream(
+        emb.select(timestamp_seconds(col("vec_id")).as("ts"), col("vec_id"),
+          col("embedding").as("vec")),
+        "ts", "vec_id", "vec",
+        threshold = 0.3999995, planesPerBand = planes, bands = bands)
+      .select(col("first_id"), col("second_id"), round(col("cos_sim"), 6))
+      .as[(Long, Long, Double)].collect()
+    got.length shouldBe got.toSet.size
+    got.toSet shouldBe expected
+  }
 }

@@ -27,8 +27,18 @@ import numpy as np
 
 def connect_views(sf_dir, con=None):
     """DuckDB connection with one view per parquet table in sf_dir
-    (file or Spark-written directory)."""
+    (file or Spark-written directory). Optional env knobs so several
+    compares can run side by side without oversubscribing the box
+    (tools/sf1_full_check.py sets both per worker):
+    DUCKDB_THREADS, DUCKDB_MEMORY_LIMIT, DUCKDB_TEMP_DIR."""
     con = con or duckdb.connect()
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+    if os.environ.get("DUCKDB_TEMP_DIR"):
+        os.makedirs(os.environ["DUCKDB_TEMP_DIR"], exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['DUCKDB_TEMP_DIR']}'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[: -len(".parquet")]
         src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
