@@ -197,6 +197,38 @@ class EntrySpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("q_approx_quantile sf1: every approx percentile is within the GK rank-error bound of exact") {
+    // The layout-INSENSITIVE complement to the layout-pinned hash above:
+    // percentile_approx(accuracy = 10000) guarantees rank error
+    // <= n/accuracy regardless of how the sketch merge tree is shaped
+    // (Greenwald-Khanna eps = 1/accuracy), so this assertion binds under
+    // ANY session layout — local[4]/4, local[32]/32, or a real cluster —
+    // where the hash pin only binds under the recorded layout.
+    import org.apache.spark.sql.functions._
+    val dirOpt = sys.env.get("SPARK_GRAFT_SF1_DIR")
+    assume(dirOpt.isDefined,
+      "SPARK_GRAFT_SF1_DIR unset - sf1 pins recorded in PINS_sf1_r12.json")
+    val li = graft.sources.Tables.lineitem(spark, dirOpt.get)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val approx = SparkEntry.queries("q_approx_quantile")(spark, dirOpt.get)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val n = li.groupBy(col("g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.keySet shouldBe n.keySet
+    for ((g, qs) <- approx; (q, p) <- qs.zip(Seq(0.25, 0.5, 0.75))) {
+      // rank of the returned value within the group (values <= q); the
+      // GK contract: some element with rank in [⌈(p − eps)n⌉, ⌈(p + eps)n⌉]
+      val rank = li.where(col("g") === g && col("v") <= q).count()
+      val eps = 1.0 / 10000
+      val lo = math.floor((p - eps) * n(g)).toLong
+      val hi = math.ceil((p + eps) * n(g)).toLong + 1
+      assert(rank >= lo && rank <= hi,
+        s"group $g p=$p: rank $rank of approx value $q outside " +
+          s"[$lo, $hi] (n=${n(g)}, eps=$eps)")
+    }
+  }
+
   test("rows-only queries match their pinned sf0.001 content hashes") {
     // counts alone would pass a wrong-but-same-cardinality result; the
     // hash pins the VALUES (all entries are deterministic by construction —
