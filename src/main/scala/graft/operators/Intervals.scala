@@ -25,11 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Intervals {
 
-  /** All (a, b) pairs whose half-open intervals `[startCol, endCol)`
-    * overlap, via the bucketed equi-join above. `startCol`/`endCol` are
-    * integer instants (e.g. epoch micros); `bucketWidth` is in the same
-    * unit. Output: all `a` columns, all `b` columns (caller must make
-    * the names disjoint), plus `overlap` = width of the intersection.
+  /** All (a, b) pairs satisfying the canonical overlap predicate
+    * `a.start < b.end AND b.start < a.end` over half-open integer
+    * intervals `[startCol, endCol)`, via the bucketed equi-join above.
+    * `startCol`/`endCol` are integer instants (e.g. epoch micros);
+    * `bucketWidth` is in the same unit. Output: all `a` columns, all
+    * `b` columns (caller must make the names disjoint), plus `overlap`
+    * = `least(ends) − greatest(starts)`.
+    *
+    * Zero-length intervals (`start == end` — instantaneous events) are
+    * NOT dropped: under the strict predicate a point pairs with every
+    * interval that strictly contains its instant, with `overlap` = 0 —
+    * the point-in-interval join — exactly as the predicate reads
+    * (touching endpoints still never pair). Each such row is stamped
+    * onto its single bucket via `greatest(s, e − 1)` in the stamp
+    * upper bound. Exactly-once still holds on the dedup bucket
+    * g = `greatest(starts)`: g ≥ each side's start, and when g is the
+    * OTHER side's start the predicate `g < thisEnd` puts g ≤ thisEnd−1
+    * inside this side's stamp range, so both sides carry the g bucket
+    * and no other bucket qualifies.
     */
   def overlapJoin(a: DataFrame, aStart: Column, aEnd: Column,
                   b: DataFrame, bStart: Column, bEnd: Column,
@@ -40,10 +54,9 @@ object Intervals {
     def stamped(df: DataFrame, s: Column, e: Column, p: String): DataFrame =
       df.select(col("*"), s.cast("long").as(s"__${p}s"),
           e.cast("long").as(s"__${p}e"))
-        .where(col(s"__${p}s") < col(s"__${p}e")) // empty intervals never pair
         .select(col("*"),
           explode(sequence(expr(s"__${p}s div $bucketWidth"),
-            expr(s"(__${p}e - 1) div $bucketWidth")))
+            expr(s"greatest(__${p}s, __${p}e - 1) div $bucketWidth")))
             .as(s"__${p}bkt"))
     val sa = stamped(a, aStart, aEnd, "a")
     val sb = stamped(b, bStart, bEnd, "b")

@@ -17,12 +17,17 @@ class IntervalsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
 
   test("overlapJoin matches the naive theta join on random intervals, any width") {
+    // every 8th interval is zero-length (an instantaneous event): the
+    // strict predicate pairs a point with every interval that strictly
+    // contains its instant (overlap 0), and the naive join is the oracle
     val rnd = new scala.util.Random(7)
     val a = Seq.tabulate(120) { i =>
-      val s = rnd.nextInt(5000).toLong; (i.toLong, s, s + 1 + rnd.nextInt(400))
+      val s = rnd.nextInt(5000).toLong
+      (i.toLong, s, if (i % 8 == 0) s else s + 1 + rnd.nextInt(400))
     }
     val b = Seq.tabulate(150) { i =>
-      val s = rnd.nextInt(5000).toLong; (i.toLong, s, s + 1 + rnd.nextInt(400))
+      val s = rnd.nextInt(5000).toLong
+      (i.toLong, s, if (i % 8 == 0) s else s + 1 + rnd.nextInt(400))
     }
     val naive = (for {
       (ia, sa, ea) <- a; (ib, sb, eb) <- b
@@ -35,11 +40,17 @@ class IntervalsSpec extends SparkSpec {
       pairs(a, b, w) shouldBe naive
   }
 
-  test("empty and touching intervals never pair; containment counts once") {
-    // [10,10) is empty; [0,10) and [10,20) touch but half-open ⇒ no overlap
+  test("touching intervals never pair; points pair only strictly inside; containment counts once") {
+    // [0,10) and [10,20) touch but half-open ⇒ no overlap; the point
+    // [10,10] sits ON b9's start and a1's end (strict ⇒ no pair on
+    // either side) but strictly inside a3 ⇒ pairs with overlap 0 when
+    // it appears on the b side; two coincident points never pair
     val a = Seq((1L, 0L, 10L), (2L, 10L, 10L), (3L, 0L, 100L))
-    val b = Seq((9L, 10L, 20L), (8L, 40L, 60L))
-    pairs(a, b, 16L) shouldBe Set((3L, 9L, 10L), (3L, 8L, 20L))
+    val b = Seq((9L, 10L, 20L), (8L, 40L, 60L), (7L, 10L, 10L), (6L, 50L, 50L))
+    pairs(a, b, 16L) shouldBe Set(
+      (3L, 9L, 10L), (3L, 8L, 20L),
+      (3L, 7L, 0L), // point strictly inside [0,100), same bucket as its start
+      (3L, 6L, 0L)) // point strictly inside, a different bucket
   }
 
   test("bucketWidth must be positive") {
