@@ -401,9 +401,18 @@ private[graft] object TextQueries {
         |            FROM documents) a) b
         |ORDER BY doc_id""".stripMargin,
 
+    // the final round mirrors Spark's DOUBLE rounding STRUCTURALLY:
+    // Spark's Round goes through the double's shortest decimal form
+    // (BigDecimal HALF_UP), DuckDB's round() rounds the scaled BINARY
+    // value — the two disagree exactly on half-way shortest decimals,
+    // and this score's ratio arithmetic produces them systematically
+    // (e.g. 0.66375 at the sf1 tiling: Spark 0.6638, raw DuckDB
+    // 0.6637). VARCHAR::DECIMAL re-creates the shortest decimal form,
+    // so round() then matches Spark's half-up on it bit-for-bit.
     "q_quality_score" ->
       """SELECT doc_id,
-        |  round((len_score + punct_score + sw_score) / 3.0, 4) AS quality
+        |  CAST(round(CAST(CAST((len_score + punct_score + sw_score) / 3.0
+        |    AS VARCHAR) AS DECIMAL(25,18)), 4) AS DOUBLE) AS quality
         |FROM (SELECT doc_id,
         |        least(length(text) / 500.0, 1.0) AS len_score,
         |        1.0 - least(
