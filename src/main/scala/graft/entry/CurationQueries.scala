@@ -833,9 +833,15 @@ private[graft] object CurationQueries {
         |          ln(CAST(cr + 1 AS DOUBLE) / (totr + 256)) AS llr
         |        FROM dim CROSS JOIN tot)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-        |  round(sum(c * llr), 4) AS dsir_score
+        |  round(sum(c * llr), 4) + 0 AS dsir_score
         |FROM b JOIN llr USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ^ the `+ 0` folds DuckDB's negative zero into +0: round() of a
+    // tiny negative sum keeps the IEEE sign bit in DuckDB, while
+    // Spark's Round goes through BigDecimal, which has no signed zero —
+    // the sf1 sweep caught 8 docs whose scores rounded to -0 vs 0.
+    // IEEE addition (-0) + (+0) = +0, and every other value is
+    // unchanged, so the mirror is exact.
 
     "q_ldiversity" ->
       """SELECT event_type,
