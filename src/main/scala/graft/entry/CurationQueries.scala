@@ -647,7 +647,8 @@ private[graft] object CurationQueries {
         |docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0),
         |sig AS (
         |  SELECT doc_id,
-        |    round((len_score + punct_score + sw_score) / 3.0, 4) AS quality,
+        |    CAST(round(CAST(CAST((len_score + punct_score + sw_score) / 3.0
+        |      AS VARCHAR) AS DECIMAL(25,18)), 4) AS DOUBLE) AS quality,
         |    round(CASE WHEN len(toks) = 0 THEN 0.0
         |               ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END, 4)
         |      AS dup_token_frac
@@ -677,8 +678,10 @@ private[graft] object CurationQueries {
         |FROM sig g JOIN con c USING (doc_id) JOIN keepers k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
-    // quality subtree copied verbatim from q_quality_score; exact-long
-    // running sum so the budget cut cannot float-flip
+    // quality subtree copied verbatim from q_quality_score — including
+    // its VARCHAR::DECIMAL round mirror (Spark rounds the shortest
+    // decimal form half-up; see the q_quality_score oracle note);
+    // exact-long running sum so the budget cut cannot float-flip
     "q_token_budget" ->
       """SELECT doc_id, source, quality, n_tokens, cum_tokens FROM (
         |  SELECT doc_id, source, quality, n_tokens,
@@ -686,7 +689,7 @@ private[graft] object CurationQueries {
         |      ORDER BY quality DESC, doc_id ASC
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM (SELECT doc_id, source,
-        |          round((least(length(text) / 500.0, 1.0)
+        |          CAST(round(CAST(CAST((least(length(text) / 500.0, 1.0)
         |            + (1.0 - least(
         |                (CASE WHEN length(text) = 0 THEN 0.0
         |                      ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)
@@ -694,7 +697,8 @@ private[graft] object CurationQueries {
         |            + (1.0 - abs(
         |                (CASE WHEN len(toks) = 0 THEN 0.0
         |                      ELSE len(list_filter(toks, t -> t IN ('the','a','of','and'))) * 1.0 / len(toks)
-        |                 END) - 0.4))) / 3.0, 4) AS quality,
+        |                 END) - 0.4))) / 3.0
+        |            AS VARCHAR) AS DECIMAL(25,18)), 4) AS DOUBLE) AS quality,
         |          CAST(len(toks) AS BIGINT) AS n_tokens
         |        FROM (SELECT doc_id, source, text,
         |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
