@@ -38,8 +38,12 @@ def main():
                 if r.get("error") == "oracle_timeout"]
     errors = [q for q, r in queries.items()
               if "error" in r and r["error"] != "oracle_timeout"]
+    reasoned = [q for q, r in queries.items()
+                if "hash_match" in r and not r["hash_match"]
+                and "expected_mismatch" in r]
     mismatch = [q for q, r in queries.items()
-                if "hash_match" in r and not r["hash_match"]]
+                if "hash_match" in r and not r["hash_match"]
+                and "expected_mismatch" not in r]
     doc = {
         "round": rnd,
         "sf": "sf1 (tiled sf0.1 x 10, graft.tools.ScaleData)",
@@ -57,16 +61,18 @@ def main():
         "n_oracle_timeout": len(timeouts),
         "n_error": len(errors),
         "n_mismatch": len(mismatch),
+        "n_reasoned_mismatch": len(reasoned),
         "oracle_timeouts": timeouts,
         "errors": errors,
         "mismatches": mismatch,
+        "reasoned_mismatches": reasoned,
         "queries": queries,
     }
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"{out}: {len(matched)}/{len(queries)} hash-matched, "
-          f"{len(timeouts)} oracle timeouts, {len(mismatch)} mismatches, "
-          f"{len(errors)} errors")
+          f"{len(timeouts)} oracle timeouts, {len(mismatch)} mismatches "
+          f"({len(reasoned)} reasoned), {len(errors)} errors")
 
 
 if __name__ == "__main__":
