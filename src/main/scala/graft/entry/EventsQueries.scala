@@ -382,19 +382,10 @@ private[graft] object EventsQueries {
           (unix_micros(col("ts")) +
             expr("cast(round(coalesce(value, 0) * 100) as bigint)") * 10000L)
             .as("e"))
-      val wOrd = Window.partitionBy(col("user_id"))
-        .orderBy(col("s"), col("event_id"))
-      val marked = iv
-        .withColumn("_pmax",
-          max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("_new",
-          when(col("_pmax").isNull || col("s") > col("_pmax"), 1L)
-            .otherwise(0L))
-        .withColumn("island", sum(col("_new"))
-          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      marked.groupBy(col("user_id"), col("island"))
-        .agg(min(col("s")).as("merged_start"), max(col("e")).as("merged_end"),
-          count(lit(1)).as("n_merged"))
+      Timeseries.mergeIntervals(iv, "user_id", col("s"), col("e"),
+          col("event_id"))
+        .select(col("key").as("user_id"), col("island"),
+          col("merged_start"), col("merged_end"), col("n_merged"))
         .orderBy(col("user_id"), col("island"))
     }),
 

@@ -44,6 +44,13 @@ object Intervals {
     * OTHER side's start the predicate `g < thisEnd` puts g ≤ thisEnd−1
     * inside this side's stamp range, so both sides carry the g bucket
     * and no other bucket qualifies.
+    *
+    * Inverted intervals (`end < start`) are malformed and are DROPPED
+    * before stamping: the exactly-once argument above needs
+    * `greatest(s, e − 1) = s` only in the zero-length case, and an
+    * inverted row like [5, 2) would otherwise pass the strict
+    * predicate against a containing interval and emit a pair with
+    * negative overlap.
     */
   def overlapJoin(a: DataFrame, aStart: Column, aEnd: Column,
                   b: DataFrame, bStart: Column, bEnd: Column,
@@ -54,6 +61,7 @@ object Intervals {
     def stamped(df: DataFrame, s: Column, e: Column, p: String): DataFrame =
       df.select(col("*"), s.cast("long").as(s"__${p}s"),
           e.cast("long").as(s"__${p}e"))
+        .where(col(s"__${p}e") >= col(s"__${p}s"))
         .select(col("*"),
           explode(sequence(expr(s"__${p}s div $bucketWidth"),
             expr(s"greatest(__${p}s, __${p}e - 1) div $bucketWidth")))

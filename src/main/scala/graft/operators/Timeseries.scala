@@ -97,6 +97,38 @@ object Timeseries {
       .withColumn("roll_n", count(lit(1)).over(w))
   }
 
+  /** Gaps-and-islands interval merge per key: overlapping-or-touching
+    * intervals `[start, end)` coalesce into maximal covered spans
+    * (islands). ONE key-partitioned window pass — preceding running
+    * max of `end` under the (start, tie) order → new-island flag
+    * (`start > preceding max`; touching `start == end` extends, the
+    * half-closed merge convention) → running island id — plus one
+    * island aggregate. Zero-length intervals merge into any island
+    * whose span reaches their instant and otherwise form their own
+    * empty island.
+    *
+    * Output: key, island (1-based per key), merged_start, merged_end,
+    * n_merged. Shuffle shape: one key-partitioned sort + one
+    * (key, island) aggregate — no self-join, no island re-scan.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: Column,
+                     endCol: Column, tieCol: Column): DataFrame = {
+    val iv = df.select(col(keyCol).as("key"), startCol.as("s"),
+      endCol.as("e"), tieCol.as("_tie"))
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("s"), col("_tie"))
+    val marked = iv
+      .withColumn("_pmax",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("s") > col("_pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("_new"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("key"), col("island"))
+      .agg(min(col("s")).as("merged_start"), max(col("e")).as("merged_end"),
+        count(lit(1)).as("n_merged"))
+  }
+
   /** Sweep-line maximum concurrency per key: how many of the key's
     * intervals [start, end) overlap at the busiest instant — peak
     * sessions, peak load, maximum parallel downloads. Classic sweep:

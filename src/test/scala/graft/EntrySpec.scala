@@ -161,9 +161,10 @@ class EntrySpec extends SparkSpec {
   }
 
   test("remaining rows-only queries match their sf1 pins when a tiled dir is given") {
-    // The other 13 no-oracle queries (PINS_sf1_r12.json) — with the
-    // geometry/ANN test above this pins ALL 25 rows-only queries at the
-    // BENCHSCALE big side. Two fresh-JVM HashCalc runs bit-identical,
+    // The other no-oracle queries (PINS_sf1_r12.json) — with the
+    // geometry/ANN test above and the q_approx_quantile GK test below
+    // this pins ALL 25 rows-only queries at the BENCHSCALE big side.
+    // Two fresh-JVM HashCalc runs bit-identical,
     // including every driver-trained model (k-means, PCA, logistic
     // classifier, Bradley-Terry: fixed seed + fixed order by
     // construction). Same tiled-dir recipe as above.
@@ -175,13 +176,12 @@ class EntrySpec extends SparkSpec {
       "q_approx_distinct" -> (3L, "79536c4e693fd27900b6271582fb2062"),
       "q_source_similarity" -> (190L, "a08e820b303f43382523a13f1a0373eb"),
       "q_kmeans_sizes" -> (8L, "f8bf7809c9ef901a1cc011cb22627497"),
-      // layout-pinned: approx_percentile's sketch-merge tree is
-      // deterministic PER session layout but differs across layouts at
-      // this scale; the pin binds under TestSpark's local[4]/4 (match
-      // with SPARK_GRAFT_CPUS=4 SPARK_GRAFT_PARTS=4 HashCalc). The
-      // other 12 hashes are layout-insensitive (verified at local[8]/8
-      // and local[4]/4).
-      "q_approx_quantile" -> (3L, "1ee6f0ca2821b82df9dee384edd231a7"),
+      // q_approx_quantile is NOT in this map: its hash is layout-pinned
+      // (the sketch-merge tree differs across session layouts at this
+      // scale), so its PRIMARY sf1 pin is the layout-insensitive GK
+      // rank-error test below; the hash survives only as a determinism
+      // witness there. Every hash in THIS map is layout-insensitive
+      // (verified at local[8]/8 and local[4]/4).
       "q_bpe_encode" -> (50000L, "fcde20636d90885658b4d24979a5c524"),
       "q_semantic_dedup" -> (20000L, "3bb93ada3880771fb29383fac55a342c"),
       "q_mmr_rerank" -> (50L, "304235562543278a9e7414cfa1404f8c"),
@@ -198,34 +198,47 @@ class EntrySpec extends SparkSpec {
   }
 
   test("q_approx_quantile sf1: every approx percentile is within the GK rank-error bound of exact") {
-    // The layout-INSENSITIVE complement to the layout-pinned hash above:
+    // q_approx_quantile's PRIMARY sf1 pin (layout-INSENSITIVE):
     // percentile_approx(accuracy = 10000) guarantees rank error
     // <= n/accuracy regardless of how the sketch merge tree is shaped
     // (Greenwald-Khanna eps = 1/accuracy), so this assertion binds under
-    // ANY session layout — local[4]/4, local[32]/32, or a real cluster —
-    // where the hash pin only binds under the recorded layout.
+    // ANY session layout — local[4]/4, local[32]/32, or a real cluster.
+    // The PINS_sf1_r12.json hash is demoted to a determinism WITNESS:
+    // it is checked only under the exact layout it was recorded at
+    // (local[4], 4 shuffle partitions) and certifies nothing about
+    // correctness, only that the sketch pipeline is run-to-run stable.
     import org.apache.spark.sql.functions._
     val dirOpt = sys.env.get("SPARK_GRAFT_SF1_DIR")
     assume(dirOpt.isDefined,
       "SPARK_GRAFT_SF1_DIR unset - sf1 pins recorded in PINS_sf1_r12.json")
     val li = graft.sources.Tables.lineitem(spark, dirOpt.get)
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-    val approx = SparkEntry.queries("q_approx_quantile")(spark, dirOpt.get)
+    val df = SparkEntry.queries("q_approx_quantile")(spark, dirOpt.get)
+    df.count() shouldBe 3L
+    if (spark.sparkContext.master == "local[4]" &&
+        spark.conf.get("spark.sql.shuffle.partitions") == "4") {
+      contentHash(df) shouldBe "1ee6f0ca2821b82df9dee384edd231a7"
+    }
+    val approx = df
       .collect().map(r => r.getString(0) ->
         Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val n = li.groupBy(col("g")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     approx.keySet shouldBe n.keySet
     for ((g, qs) <- approx; (q, p) <- qs.zip(Seq(0.25, 0.5, 0.75))) {
-      // rank of the returned value within the group (values <= q); the
-      // GK contract: some element with rank in [⌈(p − eps)n⌉, ⌈(p + eps)n⌉]
-      val rank = li.where(col("g") === g && col("v") <= q).count()
+      // GK contract: some element with rank in [⌈(p − eps)n⌉, ⌈(p + eps)n⌉].
+      // A duplicated value (the x10 tiling repeats every row) occupies the
+      // whole rank interval [count(v < q) + 1, count(v <= q)], so accept
+      // when that interval INTERSECTS the bound — testing only the
+      // maximal rank can reject a value whose lower ranks are in bounds.
+      val maxRank = li.where(col("g") === g && col("v") <= q).count()
+      val minRank = li.where(col("g") === g && col("v") < q).count() + 1
       val eps = 1.0 / 10000
       val lo = math.floor((p - eps) * n(g)).toLong
       val hi = math.ceil((p + eps) * n(g)).toLong + 1
-      assert(rank >= lo && rank <= hi,
-        s"group $g p=$p: rank $rank of approx value $q outside " +
-          s"[$lo, $hi] (n=${n(g)}, eps=$eps)")
+      assert(minRank <= hi && maxRank >= lo,
+        s"group $g p=$p: rank interval [$minRank, $maxRank] of approx " +
+          s"value $q disjoint from [$lo, $hi] (n=${n(g)}, eps=$eps)")
     }
   }
 

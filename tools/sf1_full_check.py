@@ -55,15 +55,23 @@ def retry_heavy(big, out_dir, results_path, oracle, threads, mem):
     import duckdb
     from compare_one import read_spark_dump, compare
     newest = {}
-    if os.path.exists(results_path):
-        for line in open(results_path):
-            try:
-                r = json.loads(line)
-                newest[r["query"]] = r
-            except Exception:
-                pass
+    # merge the graph-family sample results too: those queries are
+    # verified via the batched edge build (sf1_graph_sample.py) and
+    # must not be retried monolithically here (the all-pairs k-NN
+    # prelude out-spills the disk at sf1)
+    for path in (results_path,
+                 os.path.join(os.path.dirname(out_dir.rstrip("/")),
+                              "sample_results.jsonl")):
+        if os.path.exists(path):
+            for line in open(path):
+                try:
+                    r = json.loads(line)
+                    newest[r["query"]] = r
+                except Exception:
+                    pass
     red = [q for q in oracle
            if os.path.isdir(os.path.join(out_dir, q))
+           and not PRELUDE.search(oracle[q])
            and not newest.get(q, {}).get("hash_match")
            and "expected_mismatch" not in newest.get(q, {})]
     groups = {}
@@ -150,9 +158,12 @@ def main():
 
     def run_one(i_q):
         i, q = i_q
+        # per-TASK temp dir: completion order is not round-robin, so
+        # an i%workers scheme can hand two live DuckDB subprocesses
+        # the same spill directory and collide their block files
         env = dict(os.environ,
                    DUCKDB_THREADS="8", DUCKDB_MEMORY_LIMIT="16GB",
-                   DUCKDB_TEMP_DIR=f"/tmp/ducktmp_w{i % workers}")
+                   DUCKDB_TEMP_DIR=f"/tmp/ducktmp_t{i}")
         t0 = time.time()
         try:
             p = subprocess.run(
