@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Distribution-shape statistics over big columns: equi-width histograms,
@@ -587,12 +588,26 @@ object Stats {
     * per row — measured 45 s at sf0.1; the per-row seed + integer
     * stream is the same map-only shape at ~one md5 per row.)
     *
-    * Scale shape: map-only ×R expansion (R bounded) partial-aggregates
-    * into (group, replicate) keys — |G|·R rows after the ONLY
-    * corpus-keyed shuffle — then an exact percentile over each group's R
-    * replicate means (a bounded aggregate). Weighted sums accumulate as
-    * decimal(38,0) (weights ≤ 7 keep Σw·c within 3 bits of Σc), one
-    * double division per replicate.
+    * Scale shape: NO ×R row expansion. Each row contributes its 48-bit
+    * seed and cents ONCE to a typed aggregate ([[PoissonRepAgg]]) whose
+    * buffer is the 2R-length per-replicate (Σw·c, Σw) array: the whole
+    * replicate loop runs as compiled long arithmetic inside the
+    * aggregate, and the corpus-keyed shuffle moves one partial array
+    * per (partition, group) instead of R rows per input row — ~R× less
+    * shuffle volume AND no per-element Catalyst expression evaluation
+    * (the earlier explode shape spent its time there, not in the
+    * shuffle). The u ≤ cdf(k) threshold tests run on exact integer
+    * images T(k) = ⌊cdf(k)·2^48⌋ — v ≤ T(k) iff v/2^48 ≤ cdf(k), since
+    * v ≤ 2^48 < 2^53 makes the double division exact — so the drawn
+    * weights are bit-identical to the expression form and to every SQL
+    * oracle mirroring the draw. The |G| aggregate rows then explode to
+    * the bounded |G|·R replicate table for the exact percentile /
+    * stddev aggs (builtin, so interpolation semantics are unchanged).
+    * Element sums are exact int64 with a LOUD overflow
+    * (Math.addExact): weights ≤ 7 keep Σw·c within 3 bits of Σ|c|, so
+    * overflow needs ~1.3e18 summed cents in one group — far past any
+    * tested scale, and wrapping silently is the one behavior this
+    * discipline forbids.
     *
     * Returns per group: n, point mean, bootstrap [2.5%, 97.5%] interval
     * and standard error, in currency units (cents/100), rounded 4dp.
@@ -609,41 +624,94 @@ object Stats {
       conv(substring(md5(idCol.cast("string").cast("binary")), 1, 12),
         16, 10).cast("long").as("_h"), // one md5 per ROW, 48 bits
       centsCol.cast("long").as("_c"))
-    val rep = rows.select(col("g"), col("_h"), col("_c"),
-      explode(sequence(lit(0), lit(replicates - 1))).as("r"))
-    // m(r) = 2·((r·1597334677) mod 2^14) + 1 — well-mixed odd multiplier
-    // per replicate (see scaladoc); the mod-2^14 bound keeps h·m(r) exact
-    val u = ((col("_h") * ((col("r") * lit(1597334677L)) % 16384 * 2 + 1))
-      % lit(281474976710656L) + 1)
-      .cast("double") / lit(281474976710656.0) // 2^48
-    val w = PoissonCdf.zipWithIndex.foldRight(lit(7L): Column) {
-      case ((t, k), els) => when(u <= t, lit(k.toLong)).otherwise(els)
-    }
-    // per-row products stay long (w ≤ 7 adds 3 bits to cents); only the
-    // cross-row SUM needs decimal(38,0) exactness
-    val perRep = rep
-      .select(col("g"), col("r"),
-        (w * col("_c")).cast("decimal(38,0)").as("_wc"),
-        w.cast("decimal(38,0)").as("_w"))
-      .groupBy(col("g"), col("r"))
-      .agg(sum(col("_wc")).cast("double").as("swc"),
-        sum(col("_w")).cast("double").as("sw"))
-      .where(col("sw") > 0) // a replicate that drew all-zero weights
-      .select(col("g"), (col("swc") / col("sw")).as("m"))
-    val point = rows.groupBy(col("g"))
+    val repSums = udaf(new PoissonRepAgg(replicates),
+      ExpressionEncoder[(Long, Long)]())
+    // ONE corpus-keyed pass: n, exact mean, and the 2R-length
+    // per-replicate (Σw·c, Σw) sums in the same aggregate
+    val agg = rows
+      .groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         (sum(col("_c").cast("decimal(38,0)")).cast("double") /
-          count(lit(1))).as("_mean"))
-    perRep.groupBy(col("g"))
-      .agg(percentile(col("m"), lit(0.025)).as("_lo"),
+          count(lit(1))).as("_mean"),
+        repSums(col("_h"), col("_c")).as("_b"))
+    agg
+      .select(col("g"), col("n"), col("_mean"),
+        explode(arrays_zip(
+          slice(col("_b"), 1, replicates).as("_swc"),
+          slice(col("_b"), replicates + 1, replicates).as("_sw"))).as("_z"))
+      .where(col("_z._sw") > 0) // a replicate that drew all-zero weights
+      .select(col("g"), col("n"), col("_mean"),
+        (col("_z._swc").cast("double") / col("_z._sw").cast("double"))
+          .as("m"))
+      .groupBy(col("g"))
+      .agg(first(col("n")).as("n"), first(col("_mean")).as("_mean"),
+        percentile(col("m"), lit(0.025)).as("_lo"),
         percentile(col("m"), lit(0.975)).as("_hi"),
         stddev_samp(col("m")).as("_se"))
-      .join(broadcast(point), Seq("g")) // both bounded; point is |G| rows
       .select(col("g"), col("n"),
         round(col("_mean") / 100.0, 4).as("mean"),
         round(col("_lo") / 100.0, 4).as("ci_lo"),
         round(col("_hi") / 100.0, 4).as("ci_hi"),
         round(col("_se") / 100.0, 4).as("se_boot"))
+  }
+
+  /** Exact integer images of [[PoissonCdf]] on the 2^48 lattice:
+    * v ≤ T(k) iff v/2^48 ≤ cdf(k) for integer v ∈ [1, 2^48] — the
+    * division is exact in double (v < 2^53), so the integer compare
+    * reproduces the double compare bit-for-bit. Computed through the
+    * EXACT binary expansion of each threshold (new BigDecimal(double)),
+    * not its decimal rendering.
+    */
+  private[graft] val PoissonCdfScaled: Array[Long] = PoissonCdf.map { t =>
+    (new java.math.BigDecimal(t))
+      .multiply(java.math.BigDecimal.valueOf(281474976710656L))
+      .setScale(0, java.math.RoundingMode.FLOOR)
+      .longValueExact()
+  }.toArray
+
+  /** Per-replicate (Σw·c, Σw) sums for [[poissonBootstrap]] as ONE
+    * typed aggregate over (48-bit row seed, cents): buffer =
+    * 2·`reps` longs (w·c sums then w sums); the replicate loop —
+    * odd-multiplier scramble, mod 2^48, Poisson inverse-CDF on the
+    * integer thresholds — runs as compiled long arithmetic, replacing
+    * the ×R Catalyst expression evaluation the exploded shape paid
+    * per element. Math.addExact/multiplyExact so an overflow fails
+    * loudly instead of wrapping into a wrong interval.
+    */
+  private class PoissonRepAgg(reps: Int)
+      extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    // m(r) = 2·((r·1597334677) mod 2^14) + 1 (see poissonBootstrap doc)
+    private val mults: Array[Long] =
+      Array.tabulate(reps)(r => ((r * 1597334677L) % 16384) * 2 + 1)
+    override def zero: Array[Long] = new Array[Long](2 * reps)
+    override def reduce(b: Array[Long], in: (Long, Long)): Array[Long] = {
+      val h = in._1
+      val c = in._2
+      var r = 0
+      while (r < reps) {
+        val v = (h * mults(r)) % 281474976710656L + 1
+        var w = 7L
+        var k = 0
+        while (k < 7) {
+          if (v <= PoissonCdfScaled(k)) { w = k.toLong; k = 7 }
+          else k += 1
+        }
+        b(r) = Math.addExact(b(r), Math.multiplyExact(w, c))
+        b(reps + r) = Math.addExact(b(reps + r), w)
+        r += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < 2 * reps) { x(i) = Math.addExact(x(i), y(i)); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
   }
 
   /** Delta-method variance for a ratio-of-sums metric — the

@@ -381,15 +381,16 @@ class PlanSpec extends SparkSpec {
     "Exchange".r.findAllIn(p).size shouldBe 1 // the presentation sort only
   }
 
-  test("q_bootstrap_ci: map-side replicate expansion, keyed aggregates, broadcast point join") {
-    // the ×R expansion is a Generate (explode) feeding partial
-    // aggregation — never a join against a replicate table — and the
-    // point-estimate table joins back by broadcast
+  test("q_bootstrap_ci: single corpus-keyed typed aggregate, bounded explode, no join") {
+    // the replicate loop runs INSIDE PoissonRepAgg (one keyed aggregate
+    // over the corpus — no ×R row expansion before the shuffle); the
+    // only Generate explodes the |G| aggregate rows into the bounded
+    // |G|·R replicate table, and n/mean ride along — no join of any
+    // kind anywhere
     val p = planOf("q_bootstrap_ci")
+    p should include("poissonrepagg")
     p should include("Generate explode")
-    p should include("BroadcastHashJoin")
-    (p should not).include("SortMergeJoin")
-    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("Join")
     (p should not).include("CartesianProduct")
   }
 
