@@ -135,6 +135,47 @@ object GeoNames {
   /** Place-In-Time records with the reference's exact nested shape and
     * field order (geonames.js:137–158).
     */
+  /** ECMAScript Number→String (radix 10) rendering of a double, as
+    * JSON.stringify emits it: "null" for non-finite (parseFloat("") is
+    * NaN and stringifies to JSON null), no ".0" on integral values,
+    * "0" for negative zero, positional notation for 1e-6 ≤ |v| < 1e21,
+    * exponent form elsewhere. The reference serializes parseFloat
+    * results through JSON.stringify (geonames.js:141–147), and Java
+    * 17's Double.toString differs exactly there ("-121.0" vs "-121",
+    * E-notation below 1e-3) — caught by the true-reference run
+    * (REFPARITY_r13.json), invisible to the JS proxy, whose corpus had
+    * no integral coordinates. The digit sequence reuses Java's
+    * shortest-unique rendering, which equals the JS shortest digits for
+    * short-decimal-sourced values like coordinates.
+    */
+  private[geonames] def jsNumberString(d: Double): String = {
+    if (d.isNaN || d.isInfinite) return "null"
+    if (d == 0.0) return "0"
+    val neg = d < 0
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(math.abs(d)))
+      .stripTrailingZeros
+    val digits = bd.unscaledValue.toString
+    val k = digits.length
+    val n = k - bd.scale // value = 0.<digits> × 10^n
+    val body =
+      if (n >= k && n <= 21) digits + "0" * (n - k)
+      else if (n > 0 && n <= 21)
+        digits.substring(0, n) + "." + digits.substring(n)
+      else if (n > -6 && n <= 0) "0." + ("0" * -n) + digits
+      else {
+        val mant =
+          if (k == 1) digits
+          else digits.substring(0, 1) + "." + digits.substring(1)
+        mant + "e" + (if (n - 1 >= 0) "+" else "-") + math.abs(n - 1)
+      }
+    if (neg) "-" + body else body
+  }
+
+  private val jsNumberUdf = udf(jsNumberString _)
+
+  private def jsNum(c: Column): Column =
+    coalesce(jsNumberUdf(c), lit("null"))
+
   def pits(places: DataFrame, config: Config): DataFrame =
     classified(places, config).select(
       col("geonameid"),
@@ -143,8 +184,15 @@ object GeoNames {
       col("type"),
       struct(
         lit("Point").as("type"),
-        array(col("longitude").cast(DoubleType),
-          col("latitude").cast(DoubleType)).as("coordinates")).as("geometry"),
+        // pre-rendered JS-style number strings; envelopes() splices
+        // them back to bare JSON numbers. try_cast, not cast: the
+        // reference's parseFloat("") is NaN (→ JSON null), where the
+        // ANSI cast would abort the whole job on one empty field.
+        // (parseFloat's prefix-parse of garbage like "3.5abc" is NOT
+        // mirrored — no such values exist in GeoNames dumps, and
+        // silently truncating them is worse than a null.)
+        array(jsNum(expr("try_cast(longitude as double)")),
+          jsNum(expr("try_cast(latitude as double)"))).as("coordinates")).as("geometry"),
       struct(dataFields.map(col): _*).as("data"))
 
   /** liesIn edges (geonames.js:100–123): exactly-3-truthy admin codes,
@@ -178,11 +226,19 @@ object GeoNames {
     */
   def envelopes(places: DataFrame, admin1: DataFrame, admin2: DataFrame,
                 config: Config): DataFrame = {
+    // coordinates are pre-rendered JS-number STRINGS inside the struct
+    // (see pits); unquote them structurally. The anchor is safe: an
+    // unescaped `"coordinates":["` sequence cannot occur inside a JSON
+    // string value (to_json escapes quotes as \"), and the rendered
+    // numbers contain no quotes.
     val pitJson = pits(places, config).select(
-      to_json(struct(
-        lit("pit").as("type"),
-        struct(col("uri"), col("name"), col("type"), col("geometry"), col("data"))
-          .as("obj"))).as("value"))
+      regexp_replace(
+        to_json(struct(
+          lit("pit").as("type"),
+          struct(col("uri"), col("name"), col("type"), col("geometry"),
+            col("data")).as("obj"))),
+        "\"coordinates\":\\[\"([^\"]*)\",\"([^\"]*)\"\\]",
+        "\"coordinates\":[$1,$2]").as("value"))
     val relJson = relations(places, admin1, admin2, config).select(
       to_json(struct(
         lit("relation").as("type"),

@@ -103,7 +103,7 @@ class GeoNamesSpec extends SparkSpec {
       """{"type":"pit","obj":{"uri":"http://sws.geonames.org/1002","name":"San Francisco County","type":"hg:Municipality","geometry":{"type":"Point","coordinates":[-122.44,37.78]},"data":{"featureClass":"A","featureCode":"ADM2","countryCode":"US","cc2":"","admin1Code":"CA","admin2Code":"075","admin3Code":"","admin4Code":""}}}""",
       """{"type":"pit","obj":{"uri":"http://sws.geonames.org/1003","name":"Old District","type":"hg:Municipality","geometry":{"type":"Point","coordinates":[-122.4,37.7]},"data":{"featureClass":"A","featureCode":"ADM2H","countryCode":"US","cc2":"","admin1Code":"CA","admin2Code":"XXX","admin3Code":"","admin4Code":""}}}""",
       """{"type":"pit","obj":{"uri":"http://sws.geonames.org/1006","name":"Spree","type":"hg:Spot","geometry":{"type":"Point","coordinates":[13.41,52.53]},"data":{"featureClass":"H","featureCode":"STM","countryCode":"DE","cc2":"","admin1Code":"BE","admin2Code":"","admin3Code":"","admin4Code":""}}}""",
-      """{"type":"pit","obj":{"uri":"http://sws.geonames.org/1007","name":"Lone Place","type":"hg:Place","geometry":{"type":"Point","coordinates":[-121.0,38.0]},"data":{"featureClass":"P","featureCode":"PPL","countryCode":"US","cc2":"","admin1Code":"CA","admin2Code":"","admin3Code":"","admin4Code":""}}}""",
+      """{"type":"pit","obj":{"uri":"http://sws.geonames.org/1007","name":"Lone Place","type":"hg:Place","geometry":{"type":"Point","coordinates":[-121,38]},"data":{"featureClass":"P","featureCode":"PPL","countryCode":"US","cc2":"","admin1Code":"CA","admin2Code":"","admin3Code":"","admin4Code":""}}}""",
       """{"type":"relation","obj":{"from":"http://sws.geonames.org/1001","to":"http://sws.geonames.org/1002","type":"hg:liesIn"}}""",
       """{"type":"relation","obj":{"from":"http://sws.geonames.org/1002","to":"http://sws.geonames.org/5332922","type":"hg:liesIn"}}""").sorted
     out should contain theSameElementsInOrderAs expected
