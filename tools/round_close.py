@@ -25,6 +25,11 @@ Checks, in order:
      workdir's `big/` discoverable via SPARK_GRAFT_BENCH_WORKDIR. The
      pins only bind when something runs them; before this gate they
      canceled in every default `sbt test`.
+  7. The full-surface sf1 oracle sweep is assembled for THIS round
+     (CORRECTNESS_sf1_full_r{N}.json), committed, fresh vs the hot
+     dirs, with zero unexplained mismatches and at most
+     $SPARK_GRAFT_SF1_PENDING_BUDGET (default 0) pending heavy
+     oracles, each carrying documented carryover evidence.
 
 Exit 0 only when all gates pass. The typescan needs an oracle_sql.json;
 pass sfDir (default /root/testdata/sf0.01) and the script dumps one via
@@ -244,6 +249,70 @@ else:
             failures.append(
                 f"sf1 pin assertions did not all execute+pass "
                 f"(succeeded={ok} failed={bad} canceled={canceled}):\n" + tail)
+
+# -- 7. full-surface sf1 oracle sweep (budgeted) -------------------------
+# A scale-only correctness regression (the r12 zero-length-interval bug)
+# is invisible to the sf0.01 driver gate; the full sf1 sweep is the only
+# net that catches it the round it lands. Gate on the ASSEMBLED artifact
+# (tools/sf1_assemble.py merging sf1_full_check / sf1_graph_sample /
+# sf1_heavy_closure results):
+#   - CORRECTNESS_sf1_full_r{N}.json exists for THIS round,
+#   - zero unexplained mismatches,
+#   - every non-matched query is either a reasoned sketch regime
+#     (expected_mismatch) or a pending with a documented carryover note
+#     (fallback_evidence / note) — the carryover LEDGER,
+#   - pendings within the budget knob ($SPARK_GRAFT_SF1_PENDING_BUDGET,
+#     default 0 now that the heavy-closure runner finishes the whole
+#     surface in minutes; raise deliberately if an oracle regresses past
+#     the round's timeout ceiling),
+#   - artifact committed and fresh vs the hot dirs (same ancestry rule
+#     as gate 3 — a sweep of pre-fix dumps must not ship as evidence).
+sf1_art = f"CORRECTNESS_sf1_full_r{rnd}.json"
+budget = int(os.environ.get("SPARK_GRAFT_SF1_PENDING_BUDGET", "0"))
+if not os.path.exists(os.path.join(repo, sf1_art)):
+    failures.append(
+        f"missing {sf1_art} — run the sf1 sweep (graft.Verify at the tiled "
+        "dir, tools/sf1_full_check.py + sf1_graph_sample.py + "
+        "sf1_heavy_closure.py, then tools/sf1_assemble.py)")
+else:
+    art = json.load(open(os.path.join(repo, sf1_art)))
+    qrecs = art.get("queries", {})
+    unexplained = list(art.get("mismatches", []))
+    no_ledger = []
+    for q in art.get("oracle_timeouts", []) + art.get("errors", []):
+        r = qrecs.get(q, {})
+        if not (r.get("fallback_evidence") or r.get("note")):
+            no_ledger.append(q)
+    pend = len(art.get("oracle_timeouts", [])) + len(art.get("errors", []))
+    print(f"sf1 sweep: {art.get('n_hash_matched')}/{art.get('n_queries')} "
+          f"hash-matched, {pend} pending (budget {budget}), "
+          f"{len(unexplained)} unexplained mismatches")
+    if unexplained:
+        failures.append(f"{sf1_art} has unexplained sf1 mismatches: "
+                        f"{unexplained}")
+    if no_ledger:
+        failures.append(f"{sf1_art} pendings without carryover evidence: "
+                        f"{no_ledger}")
+    if pend > budget:
+        failures.append(
+            f"{sf1_art}: {pend} pending oracle(s) exceed the budget "
+            f"({budget}) — finish them via tools/sf1_heavy_closure.py / "
+            "the big-memory retry, or raise "
+            "SPARK_GRAFT_SF1_PENDING_BUDGET deliberately with a ledger")
+    commit = last_commit_of(sf1_art)
+    if commit is None:
+        failures.append(f"{sf1_art} exists but is not committed")
+    else:
+        stale_vs = commits_after(commit, HOT_DIRS)
+        if stale_vs:
+            failures.append(
+                f"{sf1_art} predates {len(stale_vs)} later commit(s) "
+                f"touching operator/kernel/query sources "
+                f"(e.g. {stale_vs[0][:12]}) — re-dump the affected "
+                "queries at sf1 and re-assemble")
+        else:
+            print(f"freshness: {sf1_art} postdates all operator sources "
+                  "(ancestry)")
 
 # -- 4. query index ----------------------------------------------------
 subprocess.run([sys.executable, os.path.join(repo, "tools/gen_query_index.py")],
