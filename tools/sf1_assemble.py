@@ -54,8 +54,13 @@ def main():
                    "columns, floats at 9 significant digits). Graph-prelude "
                    "oracles ran with the batched edge table "
                    "(tools/sf1_graph_sample.py, fidelity-asserted at sf0.1); "
-                   "everything else ran verbatim from oracle_sql.json under "
-                   "per-query subprocess timeouts (tools/sf1_full_check.py)."),
+                   "the heavy ngram/embedding closure family ran through the "
+                   "stepwise runner (tools/sf1_heavy_closure.py: "
+                   "inverted-index pairs + union-find components + verbatim "
+                   "final selects, byte-exact vs the monolithic oracle texts "
+                   "at sf0.01 and sf0.1); everything else ran verbatim from "
+                   "oracle_sql.json under per-query subprocess timeouts "
+                   "(tools/sf1_full_check.py)."),
         "n_queries": len(queries),
         "n_hash_matched": len(matched),
         "n_oracle_timeout": len(timeouts),
