@@ -95,6 +95,23 @@ class GeoNamesSpec extends SparkSpec {
     // 1006/1007: fewer than 3 truthy admin codes → no relation
   }
 
+  test("jsNumberString matches ECMAScript Number→String on the edge classes") {
+    // pinned against node -e 'console.log(JSON.stringify(v))' for each
+    // class: integral (no .0), shortest decimals, sub-milli positional
+    // down to 1e-6, exponent past the JS thresholds, -0 and NaN
+    val cases = Seq(
+      121.0 -> "121", -121.0 -> "-121", 38.0 -> "38",
+      37.76 -> "37.76", -122.42 -> "-122.42",
+      0.0005 -> "0.0005", -0.00001 -> "-0.00001",
+      0.000001 -> "0.000001", 1e-7 -> "1e-7", -1e-7 -> "-1e-7",
+      1e21 -> "1e+21", 1e20 -> "100000000000000000000",
+      179.99999 -> "179.99999", 52.52 -> "52.52",
+      0.0 -> "0", -0.0 -> "0",
+      Double.NaN -> "null")
+    for ((d, want) <- cases)
+      withClue(s"$d: ") { GeoNames.jsNumberString(d) shouldBe want }
+  }
+
   test("golden NDJSON: envelope shape, field order, and values") {
     val out = GeoNames.envelopes(places, admin1, admin2, config)
       .as[String].collect().sorted
