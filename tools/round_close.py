@@ -234,7 +234,11 @@ if sf1_dir is None or not os.path.isdir(sf1_dir):
 else:
     env = dict(os.environ, SPARK_GRAFT_SF1_DIR=sf1_dir)
     pins = subprocess.run(
-        ["sbt", "-batch", 'testOnly graft.EntrySpec -- -z "sf1 pins"'],
+        # two -z filters (OR): the rows-only pin maps AND the GK
+        # rank-error test that is q_approx_quantile's PRIMARY sf1 pin
+        # since its layout-pinned hash was demoted to a witness
+        ["sbt", "-batch",
+         'testOnly graft.EntrySpec -- -z "sf1 pins" -z "q_approx_quantile sf1"'],
         cwd=repo, env=env, capture_output=True, text=True)
     tail = "\n".join(pins.stdout.splitlines()[-12:])
     m = re.search(r"Tests: succeeded (\d+), failed (\d+), canceled (\d+)",
