@@ -30,6 +30,9 @@ Checks, in order:
      dirs, with zero unexplained mismatches and at most
      $SPARK_GRAFT_SF1_PENDING_BUDGET (default 0) pending heavy
      oracles, each carrying documented carryover evidence.
+  8. Real-reference parity runs LIVE (tools/refparity: the actual
+     geonames.js vs the engine, byte-compare + edge semantics) and
+     REFPARITY_r{N}.json is committed.
 
 Exit 0 only when all gates pass. The typescan needs an oracle_sql.json;
 pass sfDir (default /root/testdata/sf0.01) and the script dumps one via
@@ -317,6 +320,29 @@ else:
         else:
             print(f"freshness: {sf1_art} postdates all operator sources "
                   "(ancestry)")
+
+# -- 8. real-reference execution parity (live) ---------------------------
+# tools/refparity runs the ACTUAL /root/reference/geonames.js transform
+# (verbatim module code over library shims) against GeoNames.transform:
+# byte-equal NDJSON on the spec cast and a 20k-row adversarial-coordinate
+# sweep, plus the crash and empty-filters edge semantics pinned on the
+# real file. ~2 min; a geonames-path drift that keeps the golden green
+# but diverges from the reference (the r13 integral-".0" find) fails
+# here the round it lands.
+refp = subprocess.run(
+    [sys.executable, os.path.join(repo, "tools/refparity/refparity.py"),
+     os.path.join(repo, f"REFPARITY_r{rnd}.json")],
+    cwd=repo, capture_output=True, text=True)
+tail8 = "\n".join((refp.stdout or refp.stderr).splitlines()[-6:])
+if refp.returncode != 0:
+    failures.append("real-reference parity failed (tools/refparity):\n"
+                    + tail8)
+else:
+    print(f"refparity: all_ok (REFPARITY_r{rnd}.json)")
+    if subprocess.run(["git", "status", "--porcelain",
+                       f"REFPARITY_r{rnd}.json"], cwd=repo,
+                      capture_output=True, text=True).stdout.strip():
+        failures.append(f"REFPARITY_r{rnd}.json was regenerated — commit it")
 
 # -- 4. query index ----------------------------------------------------
 subprocess.run([sys.executable, os.path.join(repo, "tools/gen_query_index.py")],
