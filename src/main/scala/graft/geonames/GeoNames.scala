@@ -144,37 +144,17 @@ object GeoNames {
     * 17's Double.toString differs exactly there ("-121.0" vs "-121",
     * E-notation below 1e-3) — caught by the true-reference run
     * (REFPARITY_r13.json), invisible to the JS proxy, whose corpus had
-    * no integral coordinates. The digit sequence reuses Java's
-    * shortest-unique rendering, which equals the JS shortest digits for
-    * short-decimal-sourced values like coordinates.
+    * no integral coordinates. Kernel and shortest-digit selection live
+    * in [[JsNum]]; this forwarder keeps the spec's call site.
     */
-  private[geonames] def jsNumberString(d: Double): String = {
-    if (d.isNaN || d.isInfinite) return "null"
-    if (d == 0.0) return "0"
-    val neg = d < 0
-    val bd = new java.math.BigDecimal(java.lang.Double.toString(math.abs(d)))
-      .stripTrailingZeros
-    val digits = bd.unscaledValue.toString
-    val k = digits.length
-    val n = k - bd.scale // value = 0.<digits> × 10^n
-    val body =
-      if (n >= k && n <= 21) digits + "0" * (n - k)
-      else if (n > 0 && n <= 21)
-        digits.substring(0, n) + "." + digits.substring(n)
-      else if (n > -6 && n <= 0) "0." + ("0" * -n) + digits
-      else {
-        val mant =
-          if (k == 1) digits
-          else digits.substring(0, 1) + "." + digits.substring(1)
-        mant + "e" + (if (n - 1 >= 0) "+" else "-") + math.abs(n - 1)
-      }
-    if (neg) "-" + body else body
-  }
-
-  private val jsNumberUdf = udf(jsNumberString _)
+  private[geonames] def jsNumberString(d: Double): String = JsNum.render(d)
 
   private def jsNum(c: Column): Column =
-    coalesce(jsNumberUdf(c), lit("null"))
+    coalesce(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        JsNumberStringExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c))),
+      lit("null"))
 
   def pits(places: DataFrame, config: Config): DataFrame =
     classified(places, config).select(

@@ -27,11 +27,30 @@ object Baskets {
     * item table is materialized once (localCheckpoint) — four consumers
     * (basket total, supports, both self-join sides) would otherwise
     * each redo the dedup shuffle.
+    *
+    * Loud-failure fan-out guard (the `maxDegreeCheck` discipline of
+    * [[Graphs]] / Bpe.trainMerges): the self-join's blow-up is
+    * Σ |basket|², so ONE pathological basket of 10⁵ items turns into
+    * 10¹⁰ pairs with no warning. `maxBasketCheck` caps the largest
+    * distinct-item basket before the join — one aggregate over the
+    * already-materialized item table — and a 100× input whose baskets
+    * stopped being "small by nature" fails NAMING THE KNOB instead of
+    * melting a cluster. Pass ≤ 0 to skip (callers that already bound
+    * basket size upstream).
     */
   def cooccurrence(df: DataFrame, basketCol: Column, itemCol: Column,
-                   minCount: Long): DataFrame = {
+                   minCount: Long, maxBasketCheck: Long = 10000): DataFrame = {
     val items = df.select(basketCol.as("_b"), itemCol.as("_i")).distinct()
       .localCheckpoint(true)
+    if (maxBasketCheck > 0) {
+      val row = items.groupBy(col("_b")).agg(count(lit(1)).as("_sz"))
+        .agg(max(col("_sz"))).head()
+      val mx = if (row.isNullAt(0)) 0L else row.getLong(0)
+      require(mx <= maxBasketCheck,
+        s"cooccurrence pair fan-out is sum(|basket|^2): max basket size " +
+          s"$mx exceeds maxBasketCheck=$maxBasketCheck — cap baskets " +
+          "upstream (e.g. drop or sample mega-baskets) or raise the knob")
+    }
     val nBaskets = items.agg(countDistinct(col("_b")).as("_n"))
     val support = items.groupBy(col("_i")).agg(count(lit(1)).as("_s"))
     val pairs = items.select(col("_b"), col("_i").as("item_a"))

@@ -607,7 +607,17 @@ object Stats {
     * (Math.addExact): weights ≤ 7 keep Σw·c within 3 bits of Σ|c|, so
     * overflow needs ~1.3e18 summed cents in one group — far past any
     * tested scale, and wrapping silently is the one behavior this
-    * discipline forbids.
+    * discipline forbids. That bound is a DELIBERATE capability edge:
+    * a group whose weighted cents approach 2^63 throws
+    * ArithmeticException naming the add, where the pre-r13 decimal
+    * shape kept going exactly; if a real corpus ever hits it, the fix
+    * is a decimal(38,0) fallback buffer, not wider silent arithmetic.
+    *
+    * Null contract: rows with a null id or null cents are SKIPPED
+    * (filtered before the aggregate) — the same null-propagation the
+    * expression form had, where a null seed/cents made the weighted
+    * product null. Without the filter the typed (Long, Long) input
+    * encoder would instead fail the job on its null assertion.
     *
     * Returns per group: n, point mean, bootstrap [2.5%, 97.5%] interval
     * and standard error, in currency units (cents/100), rounded 4dp.
@@ -620,10 +630,12 @@ object Stats {
       "full corpus re-scan of the expanded stream; the multiplier stream " +
       "itself stays exact-int64 out to r < 2^14, so raise this knob " +
       "deliberately if a wider bootstrap is ever worth R corpus passes")
-    val rows = df.select(groupCol.as("g"),
-      conv(substring(md5(idCol.cast("string").cast("binary")), 1, 12),
-        16, 10).cast("long").as("_h"), // one md5 per ROW, 48 bits
-      centsCol.cast("long").as("_c"))
+    val rows = df
+      .where(idCol.isNotNull && centsCol.isNotNull) // null contract, see doc
+      .select(groupCol.as("g"),
+        conv(substring(md5(idCol.cast("string").cast("binary")), 1, 12),
+          16, 10).cast("long").as("_h"), // one md5 per ROW, 48 bits
+        centsCol.cast("long").as("_c"))
     val repSums = udaf(new PoissonRepAgg(replicates),
       ExpressionEncoder[(Long, Long)]())
     // ONE corpus-keyed pass: n, exact mean, and the 2R-length

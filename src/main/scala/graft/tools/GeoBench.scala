@@ -35,9 +35,20 @@ object GeoBench {
   /** Deterministic GeoNames-shaped staging: `rows` TSV place rows under
     * `stage/ac` plus the two admin-code dimension files. Pure in
     * (rows, cpus) — the same ids produce byte-identical lines.
+    *
+    * `admin2Complete` switches the admin2 dimension from the default
+    * 34-key partial cover (multiples of 3 — ~⅔ of 3-truthy rows have an
+    * UNRESOLVABLE admin2 key, exercising the engine's documented
+    * drop-the-relation deviation) to a complete B0..B99 cover where
+    * every 3-truthy row resolves. The complete variant exists for the
+    * full-dump REAL-reference parity run ([[RefParityDump]]): the
+    * verbatim reference CRASHES on the first unresolvable key
+    * (geonames.js:107 TypeError), so byte-parity at dump scale needs a
+    * staging the reference itself can survive; the partial variant then
+    * pins that crash at dump scale.
     */
-  private def writeStaging(spark: SparkSession, rows: Long, stage: String,
-                           cpus: Int): Unit = {
+  private[tools] def writeStaging(spark: SparkSession, rows: Long, stage: String,
+                                  cpus: Int, admin2Complete: Boolean = false): Unit = {
     Files.createDirectories(Paths.get(stage))
     val place = spark.range(rows).select(concat_ws("\t",
       (col("id") + 1000).cast("string"),                        // geonameid
@@ -59,13 +70,18 @@ object GeoBench {
     // single logical file path expected by transform: pass the dir
     val admin1 = for (c <- countries; a <- 0 until 20)
       yield s"$c.A$a\tAdmin1 $c$a\tAdmin1 $c$a\t${9000000 + c.hashCode.abs % 100000 + a}"
-    val admin2 = for (c <- countries; a <- 0 until 20; b <- 0 until 34)
-      yield s"$c.A$a.B${(b * 3) % 100}\tAdmin2\tAdmin2\t${8000000 + (c + a + b).hashCode.abs % 1000000}"
+    val admin2 =
+      if (admin2Complete)
+        for (c <- countries; a <- 0 until 20; b <- 0 until 100)
+          yield s"$c.A$a.B$b\tAdmin2\tAdmin2\t${8000000 + (c + a + b).hashCode.abs % 1000000}"
+      else
+        for (c <- countries; a <- 0 until 20; b <- 0 until 34)
+          yield s"$c.A$a.B${(b * 3) % 100}\tAdmin2\tAdmin2\t${8000000 + (c + a + b).hashCode.abs % 1000000}"
     Files.writeString(Paths.get(s"$stage/admin1CodesASCII.txt"), admin1.mkString("\n"))
     Files.writeString(Paths.get(s"$stage/admin2Codes.txt"), admin2.mkString("\n"))
   }
 
-  private val config = GeoNames.Config(
+  private[tools] val config = GeoNames.Config(
     filters = (0 until 25).map(i => Map("countryCode" -> f"C$i%02d")), // half the countries
     types = Map("PPL" -> "hg:Place", "ADM" -> "hg:Admin", "S" -> "hg:Spot"))
 

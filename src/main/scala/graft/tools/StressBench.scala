@@ -707,6 +707,107 @@ object StressBench {
       Thread.sleep(5000) // let RocksDB background compaction drain before unload
       println(s"""{"metric":"stream_embedding_neardup","dim":64,"planes_per_band":16,"bands":4,"dup_rate":0.1,"rows":$inRows,"window_sec":$windowSec,"rows_per_sec":${inRows / windowSec},"state_mb_per_1m_vecs":${(16 + 4 * 64 + 8 * 4) * 4L},"cpus":$cpus}""")
     }
+
+    // ---- 23/24. self-dedup ENDURANCE, one decade past the 30 s probes
+    // (sections 21/22): run each stream to a fixed PROCESSED-ROW target
+    // (default 5M docs / 6M vecs — 10× the probe windows) with RocksDB
+    // state-size telemetry sampled per decade of standing corpus. What
+    // this adds over the probes: (a) the sustained rate at 10× standing
+    // state — per-row work should still dominate, so rate must hold
+    // roughly flat while state grows 10×; (b) measured state bytes per
+    // standing member against the scaladoc per-member formula (the
+    // 100 TB capacity-planning number, now witnessed instead of
+    // derived); (c) the maxBucket guards hold across the whole decade
+    // (the query would FAIL loudly on a hot bucket — asserted via
+    // q.exception at the end, not assumed).
+    def endurance(metric: String, targetRows: Long, perMemberBytes: Long,
+                  members: Long => Long)(
+                  start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2000")
+      val q = start()
+      val t0 = System.nanoTime()
+      var rows = 0L
+      val decades = scala.collection.mutable.ArrayBuffer.empty[String]
+      var nextSample = targetRows / 10
+      // 50-60 batches at 100k rows/batch stays under the 100-entry
+      // recentProgress ring, so the running sum is complete
+      while (rows < targetRows && (System.nanoTime() - t0) < 3600e9 &&
+             q.exception.isEmpty) {
+        Thread.sleep(3000)
+        rows = q.recentProgress.map(_.numInputRows).sum
+        val lp = q.lastProgress
+        if (rows >= nextSample && lp != null && lp.stateOperators.nonEmpty) {
+          val so = lp.stateOperators(0)
+          val sst = Option(so.customMetrics.get("rocksdbSstFileSize"))
+            .map(_.longValue).getOrElse(-1L)
+          decades += s"""{"rows":$rows,"state_rows":${so.numRowsTotal},"state_mem_bytes":${so.memoryUsedBytes},"rocksdb_sst_bytes":$sst}"""
+          nextSample += targetRows / 10
+        }
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val failed = q.exception.isDefined
+      val err = q.exception.map(_.getMessage.take(200)).getOrElse("")
+      q.stop()
+      Thread.sleep(5000) // let RocksDB background compaction drain before unload
+      require(!failed, s"$metric endurance: query failed (bucket guard or " +
+        s"state error): $err")
+      val m = members(rows)
+      val lastSst = decades.lastOption.flatMap(s =>
+        "\"rocksdb_sst_bytes\":(-?\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong))
+        .getOrElse(-1L)
+      val measuredPerMember = if (m > 0 && lastSst > 0) lastSst / m else -1L
+      println(s"""{"metric":"$metric","rows":$rows,"wall_sec":${wall.toLong},"rows_per_sec":${(rows / wall).toLong},"formula_bytes_per_member":$perMemberBytes,"measured_sst_bytes_per_member":$measuredPerMember,"guards_held":${!failed},"decades":[${decades.mkString(",")}],"cpus":$cpus}""")
+    }
+
+    section(23) {
+      def textOf(id: org.apache.spark.sql.Column) =
+        concat_ws(" ", (0 until 30).map(j =>
+          element_at(typedLit(syl),
+            (pmod(xxhash64(id, lit(j)), lit(32)) + 1).cast("int"))): _*)
+      endurance("stream_minhash_endurance", 5000000L,
+        perMemberBytes = (8 + 8 * 32) * 8L, // per-member-per-band × bands
+        members = rows => rows * 8L) { () =>
+        val src = spark.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", 100000L).load()
+        val docs = src.select(col("timestamp").as("ts"),
+          col("value").as("doc_id"),
+          when(col("value") % 10 === 0, textOf(col("value") - 1))
+            .otherwise(textOf(col("value"))).as("text"))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-endur-mh").toString
+        graft.streaming.Streams
+          .minhashNeardupStream(docs, "ts", "doc_id", "text")
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt).start()
+      }
+    }
+
+    section(24) {
+      def vecOf(id: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(id, i), lit(2001)).cast("double") / 1000.0) - 1.0)
+          .cast("array<float>")
+      endurance("stream_embedding_endurance", 6000000L,
+        perMemberBytes = (16 + 4 * 64 + 8 * 4) * 4L,
+        members = rows => rows * 4L) { () =>
+        val src = spark.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", 100000L).load()
+        val vecs = src.select(col("timestamp").as("ts"),
+          col("value").as("vec_id"),
+          when(col("value") % 10 === 0, vecOf(col("value") - 1))
+            .otherwise(vecOf(col("value"))).as("vec"))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-endur-vec").toString
+        graft.streaming.Streams
+          .embeddingNeardupStream(vecs, "ts", "vec_id", "vec",
+            threshold = 0.9, planesPerBand = 16, bands = 4)
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt).start()
+      }
+    }
     spark.stop()
   }
 }

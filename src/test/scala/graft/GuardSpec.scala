@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Bq, Pq, Sampling, Sq, Stats}
+import graft.operators.{Baskets, Bpe, Bq, Pq, Sampling, Sq, Stats}
 
 /** Runtime cap guards on driver-side bounded state: every knob that
   * gates a driver collect must fail LOUDLY, naming itself, when set
@@ -76,5 +76,21 @@ class GuardSpec extends SparkSpec {
     val const = Seq(Some(7.0), Some(7.0), None).toDF("v")
     Stats.histogram(const, col("v"), 5)
       .as[(Long, Long)].collect() shouldBe Array((0L, 2L))
+  }
+
+  test("cooccurrence rejects a giant basket past maxBasketCheck, naming the knob") {
+    // one pathological basket of 12 distinct items: the self-join would
+    // fan out |basket|^2 with no warning — the guard must fail before it
+    val rows = (0 until 12).map(i => (1L, i.toLong)) :+ ((2L, 1L))
+    val df = rows.toDF("basket", "item")
+    val e = intercept[IllegalArgumentException] {
+      Baskets.cooccurrence(df, col("basket"), col("item"),
+        minCount = 1, maxBasketCheck = 10)
+    }
+    e.getMessage should include("maxBasketCheck")
+    e.getMessage should include("max basket size 12")
+    // knob <= 0 skips the guard; the tiny basket result is still exact
+    Baskets.cooccurrence(df, col("basket"), col("item"),
+      minCount = 12, maxBasketCheck = 0).count() shouldBe 0L
   }
 }

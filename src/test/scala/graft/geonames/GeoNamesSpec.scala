@@ -98,7 +98,13 @@ class GeoNamesSpec extends SparkSpec {
   test("jsNumberString matches ECMAScript Number→String on the edge classes") {
     // pinned against node -e 'console.log(JSON.stringify(v))' for each
     // class: integral (no .0), shortest decimals, sub-milli positional
-    // down to 1e-6, exponent past the JS thresholds, -0 and NaN
+    // down to 1e-6, exponent past the JS thresholds, -0 and NaN — plus
+    // the NON-short-decimal classes where Java 17's Double.toString is
+    // not ECMAScript shortest form (JDK-4511638) and JsNum's own
+    // shortest-digit selection must diverge from it: Double.MIN_VALUE
+    // ("4.9E-324" in Java, "5e-324" in JS), MAX_VALUE, subnormals, the
+    // 2^53 integer-exactness edge, and the n=21/22 positional boundary.
+    // tools/jsnum_fuzz.py extends this to ~10^6 random bit patterns.
     val cases = Seq(
       121.0 -> "121", -121.0 -> "-121", 38.0 -> "38",
       37.76 -> "37.76", -122.42 -> "-122.42",
@@ -107,7 +113,21 @@ class GeoNamesSpec extends SparkSpec {
       1e21 -> "1e+21", 1e20 -> "100000000000000000000",
       179.99999 -> "179.99999", 52.52 -> "52.52",
       0.0 -> "0", -0.0 -> "0",
-      Double.NaN -> "null")
+      Double.NaN -> "null",
+      Double.PositiveInfinity -> "null", Double.NegativeInfinity -> "null",
+      Double.MinPositiveValue -> "5e-324", // Java 17 says 4.9E-324
+      -Double.MinPositiveValue -> "-5e-324",
+      Double.MaxValue -> "1.7976931348623157e+308",
+      1.23e-320 -> "1.23e-320",            // subnormal
+      2.225073858507201e-308 -> "2.225073858507201e-308",
+      9007199254740992.0 -> "9007199254740992",  // 2^53
+      9007199254740994.0 -> "9007199254740994",  // 2^53 + 2
+      // bits of JS `123456789012345678` (0x350f63bab4697b43 LE)
+      java.lang.Double.longBitsToDouble(0x437b69b4ba630f35L) -> "123456789012345680",
+      999999999999999900000.0 -> "999999999999999900000", // n=21: positional
+      0.1 -> "0.1", 0.3 -> "0.3",
+      1.0 / 3.0 -> "0.3333333333333333",
+      6.02214076e23 -> "6.02214076e+23")
     for ((d, want) <- cases)
       withClue(s"$d: ") { GeoNames.jsNumberString(d) shouldBe want }
   }

@@ -30,14 +30,60 @@ much tail the original framework would still process.
 
 Usage: python3 tools/refparity/refparity.py [outJson]
 """
+import hashlib
 import json
 import os
+import shutil
+import stat
 import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(os.path.dirname(HERE))
 WORK = "/tmp/refparity"
+REF_JS = "/root/reference/geonames.js"
+
+
+def sha256(path):
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def stage_sandbox():
+    """The reference is UNTRUSTED public content; don't execute it with
+    root's filesystem authority. Copy geonames.js (sha256-recorded so the
+    run is still byte-verifiably the verbatim reference), the runner and
+    the shims into a world-readable tree and run node as `nobody` with
+    --frozen-intrinsics — /root is 0700, so the unprivileged process can
+    reach nothing but the staged fixture and its own output dir.
+    Returns (sandbox_dir, ref_sha, privdrop_argv_prefix or None).
+    """
+    sb = os.path.join(WORK, "sandbox")
+    shutil.rmtree(sb, ignore_errors=True)
+    os.makedirs(sb)
+    shutil.copy(REF_JS, os.path.join(sb, "geonames.js"))
+    shutil.copy(os.path.join(HERE, "run_reference.js"),
+                os.path.join(sb, "run_reference.js"))
+    shutil.copytree(os.path.join(HERE, "shims"), os.path.join(sb, "shims"))
+    ref_sha = sha256(REF_JS)
+    assert sha256(os.path.join(sb, "geonames.js")) == ref_sha
+    for root, dirs, files in os.walk(sb):
+        for d in dirs:
+            os.chmod(os.path.join(root, d), 0o755)
+        for f in files:
+            os.chmod(os.path.join(root, f), 0o644)
+    os.chmod(sb, 0o755)
+    privdrop = None
+    if os.geteuid() == 0 and shutil.which("setpriv"):
+        privdrop = ["setpriv", "--reuid", "nobody", "--regid", "nogroup",
+                    "--clear-groups"]
+    return sb, ref_sha, privdrop
+
+
+SANDBOX, REF_SHA, PRIVDROP = None, None, None
 
 ROWS = [
     ["1001", "Mission District", "Mission District", "", "37.76", "-122.42", "P", "PPL", "US", "", "CA", "075", "", "", "0", "", "10", "America/Los_Angeles", "2024-01-01"],
@@ -75,14 +121,34 @@ def stage(dirname, rows):
         f.write("\n".join("\t".join(r) for r in ADMIN2) + "\n")
     with open(os.path.join(d, "extra-uris.json"), "w") as f:
         json.dump(["http://sws.geonames.org/1006"], f)
+    # the sandboxed (nobody) reference process must read the fixture
+    for f in os.listdir(d):
+        os.chmod(os.path.join(d, f), 0o644)
+    os.chmod(d, 0o755)
     return d
 
 
 def run_reference(fixture, out, mode="default"):
-    env = dict(os.environ, NODE_PATH=os.path.join(HERE, "shims"))
-    p = subprocess.run(
-        ["node", os.path.join(HERE, "run_reference.js"), fixture, out, mode],
-        capture_output=True, text=True, env=env)
+    """Run the verbatim reference in the unprivileged sandbox (see
+    stage_sandbox): node as `nobody` with frozen intrinsics, module code
+    sha256-pinned to /root/reference/geonames.js.
+    """
+    env = dict(os.environ,
+               NODE_PATH=os.path.join(SANDBOX, "shims"),
+               REFPARITY_GEONAMES_JS=os.path.join(SANDBOX, "geonames.js"),
+               HOME="/tmp")
+    outdir = os.path.dirname(os.path.abspath(out))
+    os.makedirs(outdir, exist_ok=True)
+    os.chmod(outdir, 0o777)  # nobody writes the NDJSON here
+    if os.path.exists(out):
+        os.unlink(out)  # a stale root-owned file would EACCES the dropped uid
+    argv = (PRIVDROP or []) + [
+        "node", "--frozen-intrinsics",
+        os.path.join(SANDBOX, "run_reference.js"), fixture, out, mode]
+    # cwd must be readable by the dropped uid (the caller's cwd may be
+    # under /root, which is 0700)
+    p = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       cwd=SANDBOX)
     status = {}
     for line in p.stdout.strip().splitlines():
         try:
@@ -111,8 +177,12 @@ def read_sorted(path):
 
 
 def main():
+    global SANDBOX, REF_SHA, PRIVDROP
     out_json = sys.argv[1] if len(sys.argv) > 1 else \
         os.path.join(REPO, "REFPARITY_r13.json")
+    os.makedirs(WORK, exist_ok=True)
+    os.chmod(WORK, 0o755)
+    SANDBOX, REF_SHA, PRIVDROP = stage_sandbox()
     results = {}
 
     # --- case 1: byte parity on the non-crashing cast ------------------
@@ -209,7 +279,19 @@ def main():
                     "logic runs from the reference file; real highland's "
                     "errors() consumes the error and may continue — the "
                     "crash case pins that geonames.js's own relation "
-                    "line throws TypeError, not the post-crash tail"),
+                    "line throws TypeError, not the post-crash tail "
+                    "(in the reference's own usage both errors() sites "
+                    "hand the error to the ETL step callback, so the "
+                    "step fails on the first error either way)"),
+        "sandbox": {
+            "how": ("untrusted reference code runs as `nobody` (setpriv "
+                    "--reuid nobody --regid nogroup --clear-groups) with "
+                    "node --frozen-intrinsics from a world-readable copy "
+                    "under /tmp — /root is 0700, unreachable from the "
+                    "dropped uid"),
+            "privdrop_active": PRIVDROP is not None,
+            "geonames_js_sha256": REF_SHA,
+        },
         "all_ok": ok,
         "results": results,
     }

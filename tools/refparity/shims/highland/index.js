@@ -1,70 +1,140 @@
 'use strict';
 // Minimal highland@2.5 shim covering EXACTLY the stream combinators
-// /root/reference/geonames.js's transform path uses: H(streamOrArray),
-// .split, .compact, .map, .filter, .flatten, .each, .nfcall, .series,
-// .parallel, .errors, .done, and H.curry. Eager (whole-input) where
-// highland is incremental — identical results for finite inputs; row
-// functions still run one-at-a-time in input order, matching .series().
+// /root/reference/geonames.js uses: H(streamOrArray), .split, .compact,
+// .map, .filter, .flatten, .each, .nfcall, .series, .parallel, .errors,
+// .done, and H.curry. STREAMING (async-generator pipeline, r14): real
+// highland is incremental, and the r13 eager shim (whole file as one
+// string) capped out near V8's ~512 MB string limit — an 8M-row
+// allCountries.txt is ~1 GB, so the full-dump parity run needs
+// constant-memory flow. Row functions still run one-at-a-time in input
+// order, matching .series(); results per stage are identical to the
+// eager form for finite inputs (split carries partial lines across
+// chunks and always emits the final piece, exactly like
+// join('').split(/\r?\n/)).
 //
-// SCOPE CAVEAT (recorded in REFPARITY_r13.json): real highland's
+// SCOPE CAVEAT (recorded in REFPARITY_r*.json): real highland's
 // .errors(cb) CONSUMES an error and lets the stream continue; this shim
-// stops at the first error after reporting it. The crash-semantics
-// assertion therefore pins that the reference's own line throws — not
-// how much of the tail real highland would still process afterwards.
+// stops at the first error after reporting it. In the reference's own
+// usage the distinction is unobservable for step success/failure — both
+// .errors(callback) sites hand the error to the ETL step callback, so
+// the step fails on the first error either way; the assertion pins THAT
+// the reference's own line throws, not how much tail real highland
+// would still process.
 
-function readAll(src) {
-  if (Array.isArray(src)) return Promise.resolve(src.slice());
-  return new Promise((res, rej) => {
-    const chunks = [];
-    src.on('data', c => chunks.push(typeof c === 'string' ? c : c.toString('utf8')));
-    src.on('end', () => res([chunks.join('')]));
-    src.on('error', rej);
-  });
+async function* fromSource(src) {
+  if (Array.isArray(src)) {
+    yield* src.slice();
+    return;
+  }
+  // Node Readable streams are async-iterable; decode buffers to utf8
+  for await (const c of src) {
+    yield typeof c === 'string' ? c : c.toString('utf8');
+  }
 }
 
 class Shim {
-  constructor(p) { this.p = p; }
-  _next(fn) { return new Shim(this.p.then(fn)); }
-  split() { return this._next(xs => xs.join('').split(/\r?\n/)); }
-  compact() { return this._next(xs => xs.filter(Boolean)); }
-  map(fn) { return this._next(xs => xs.map(x => fn(x))); }
-  filter(fn) { return this._next(xs => xs.filter(x => fn(x))); }
-  flatten() { return this._next(xs => xs.flat(Infinity)); }
-  each(fn) {
-    this.p = this.p.then(xs => { xs.forEach(x => fn(x)); return xs; });
-    return this;
+  constructor(it) { this.it = it; }
+
+  split() {
+    const it = this.it;
+    return new Shim((async function* () {
+      let carry = '';
+      for await (const chunk of it) {
+        const parts = (carry + chunk).split(/\r?\n/);
+        carry = parts.pop();
+        yield* parts;
+      }
+      yield carry; // join('').split() keeps the final (possibly '') piece
+    })());
   }
+
+  compact() {
+    const it = this.it;
+    return new Shim((async function* () {
+      for await (const x of it) if (x) yield x;
+    })());
+  }
+
+  map(fn) {
+    const it = this.it;
+    return new Shim((async function* () {
+      for await (const x of it) yield fn(x);
+    })());
+  }
+
+  filter(fn) {
+    const it = this.it;
+    return new Shim((async function* () {
+      for await (const x of it) if (fn(x)) yield x;
+    })());
+  }
+
+  flatten() {
+    const it = this.it;
+    async function* flat(xs) {
+      for (const x of xs) {
+        if (Array.isArray(x)) yield* flat(x);
+        else yield x;
+      }
+    }
+    return new Shim((async function* () {
+      for await (const x of it) {
+        if (Array.isArray(x)) yield* flat(x);
+        else yield x;
+      }
+    })());
+  }
+
+  each(fn) {
+    const it = this.it;
+    return new Shim((async function* () {
+      for await (const x of it) { fn(x); yield x; }
+    })());
+  }
+
   nfcall(args) {
     // each element is a (possibly curried) node-style fn awaiting
     // `...args, callback`; a SYNCHRONOUS throw inside it becomes a
     // stream error, like highland's
-    return this._next(xs => xs.map(f => () => new Promise((res, rej) => {
-      try { f(...args, (err, val) => (err ? rej(err) : res(val))); }
-      catch (e) { rej(e); }
-    })));
+    const it = this.it;
+    return new Shim((async function* () {
+      for await (const f of it) {
+        yield () => new Promise((res, rej) => {
+          try { f(...args, (err, val) => (err ? rej(err) : res(val))); }
+          catch (e) { rej(e); }
+        });
+      }
+    })());
   }
+
   series() {
-    return this._next(async thunks => {
-      const out = [];
-      for (const t of thunks) out.push(await t());
-      return out;
-    });
+    const it = this.it;
+    return new Shim((async function* () {
+      for await (const t of it) yield await t();
+    })());
   }
+
   parallel(_n) {
     // the reference only uses parallel(2) for two INDEPENDENT
     // admin-code loads into disjoint dicts — scheduling-only difference
     return this.series();
   }
+
   errors(cb) { this._errCb = cb; return this; }
+
   done(cb) {
-    this.p.then(() => cb(), err => {
+    const it = this.it;
+    (async () => {
+      // eslint-disable-next-line no-unused-vars
+      for await (const _ of it) { /* drain */ }
+    })().then(() => cb(), err => {
       if (this._errCb) this._errCb(err);
       else { throw err; }
     });
   }
 }
 
-function H(src) { return new Shim(readAll(src)); }
+function H(src) { return new Shim(fromSource(src)); }
 
 H.curry = function (fn, ...args) {
   // highland ncurry over fn.length: partial until the arity is met

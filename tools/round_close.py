@@ -149,7 +149,7 @@ def commits_after(commit, paths):
     return [c for c in r.stdout.split() if c]
 
 
-def freshness_gate(pattern, rerun_hint):
+def freshness_gate(pattern, rerun_hint, dirs=None):
     files = sorted(f for f in os.listdir(repo) if re.fullmatch(pattern, f))
     if not files:
         failures.append(f"no {pattern} committed — {rerun_hint}")
@@ -159,14 +159,14 @@ def freshness_gate(pattern, rerun_hint):
     if commit is None:
         failures.append(f"{latest} exists but is not committed")
         return
-    stale_vs = commits_after(commit, HOT_DIRS)
+    stale_vs = commits_after(commit, dirs or HOT_DIRS)
     if stale_vs:
         failures.append(
             f"{latest} predates {len(stale_vs)} later commit(s) touching "
-            f"operator/kernel/query sources (e.g. {stale_vs[0][:12]}) — "
+            f"its sources (e.g. {stale_vs[0][:12]}) — "
             f"the artifact no longer measures HEAD; {rerun_hint}")
     else:
-        print(f"freshness: {latest} postdates all operator sources (ancestry)")
+        print(f"freshness: {latest} postdates all its sources (ancestry)")
 
 
 freshness_gate(r"BENCHSCALE_r\d+\.json",
@@ -343,6 +343,23 @@ else:
                        f"REFPARITY_r{rnd}.json"], cwd=repo,
                       capture_output=True, text=True).stdout.strip():
         failures.append(f"REFPARITY_r{rnd}.json was regenerated — commit it")
+
+# -- 8b. FULL-DUMP real-reference parity freshness ------------------------
+# tools/refparity/fulldump.py runs the verbatim (sha256-pinned, sandboxed)
+# geonames.js across the complete 8M-row staging and byte-compares all
+# 4,000,000 records, plus pins the dump-scale crash on the original
+# staging. ~25 min (the reference is single-threaded and its curried
+# per-row filters are slow), so unlike gate 8 it is NOT re-run per close;
+# the gate is ancestry freshness against every source the run executes —
+# the engine geonames path, the staging/driver tools, and the shim
+# harness. A commit to any of those after the newest artifact means the
+# artifact no longer proves HEAD: re-run fulldump.py and commit.
+freshness_gate(r"REFPARITY_FULLDUMP_r\d+\.json",
+               "re-run tools/refparity/fulldump.py and commit the artifact",
+               dirs=["src/main/scala/graft/geonames",
+                     "src/main/scala/graft/tools/GeoBench.scala",
+                     "src/main/scala/graft/tools/RefParityDump.scala",
+                     "tools/refparity"])
 
 # -- 4. query index ----------------------------------------------------
 subprocess.run([sys.executable, os.path.join(repo, "tools/gen_query_index.py")],
