@@ -720,8 +720,7 @@ object StressBench {
     // derived); (c) the maxBucket guards hold across the whole decade
     // (the query would FAIL loudly on a hot bucket — asserted via
     // q.exception at the end, not assumed).
-    def endurance(metric: String, targetRows: Long, perMemberBytes: Long,
-                  members: Long => Long)(
+    def endurance(metric: String, targetRows: Long, perItemBytes: Long)(
                   start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -754,12 +753,13 @@ object StressBench {
       Thread.sleep(5000) // let RocksDB background compaction drain before unload
       require(!failed, s"$metric endurance: query failed (bucket guard or " +
         s"state error): $err")
-      val m = members(rows)
       val lastSst = decades.lastOption.flatMap(s =>
         "\"rocksdb_sst_bytes\":(-?\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong))
         .getOrElse(-1L)
-      val measuredPerMember = if (m > 0 && lastSst > 0) lastSst / m else -1L
-      println(s"""{"metric":"$metric","rows":$rows,"wall_sec":${wall.toLong},"rows_per_sec":${(rows / wall).toLong},"formula_bytes_per_member":$perMemberBytes,"measured_sst_bytes_per_member":$measuredPerMember,"guards_held":${!failed},"decades":[${decades.mkString(",")}],"cpus":$cpus}""")
+      // per ITEM = per standing doc/vec ACROSS all its bands (the same
+      // denominator as the scaladoc formula), so the two are comparable
+      val measuredPerItem = if (rows > 0 && lastSst > 0) lastSst / rows else -1L
+      println(s"""{"metric":"$metric","rows":$rows,"wall_sec":${wall.toLong},"rows_per_sec":${(rows / wall).toLong},"formula_state_bytes_per_item":$perItemBytes,"measured_sst_bytes_per_item":$measuredPerItem,"guards_held":${!failed},"decades":[${decades.mkString(",")}],"cpus":$cpus}""")
     }
 
     section(23) {
@@ -768,8 +768,7 @@ object StressBench {
           element_at(typedLit(syl),
             (pmod(xxhash64(id, lit(j)), lit(32)) + 1).cast("int"))): _*)
       endurance("stream_minhash_endurance", 5000000L,
-        perMemberBytes = (8 + 8 * 32) * 8L, // per-member-per-band × bands
-        members = rows => rows * 8L) { () =>
+        perItemBytes = (8 + 8 * 32) * 8L) { () => // per-member-per-band × 8 bands
         val src = spark.readStream.format("rate-micro-batch")
           .option("rowsPerBatch", 100000L).load()
         val docs = src.select(col("timestamp").as("ts"),
@@ -791,8 +790,7 @@ object StressBench {
           (pmod(xxhash64(id, i), lit(2001)).cast("double") / 1000.0) - 1.0)
           .cast("array<float>")
       endurance("stream_embedding_endurance", 6000000L,
-        perMemberBytes = (16 + 4 * 64 + 8 * 4) * 4L,
-        members = rows => rows * 4L) { () =>
+        perItemBytes = (16 + 4 * 64 + 8 * 4) * 4L) { () => // per-member-per-band × 4 bands
         val src = spark.readStream.format("rate-micro-batch")
           .option("rowsPerBatch", 100000L).load()
         val vecs = src.select(col("timestamp").as("ts"),
