@@ -130,6 +130,19 @@ class GeoNamesSpec extends SparkSpec {
       6.02214076e23 -> "6.02214076e+23")
     for ((d, want) <- cases)
       withClue(s"$d: ") { GeoNames.jsNumberString(d) shouldBe want }
+
+    // the same cases through the CODEGEN path (JsNumberStringExpr inside
+    // a whole-stage-codegen'd projection — the NDJSON sink's shape), so
+    // doGenCode is exercised, not just the interpreted nullSafeEval
+    val finite = cases.filter(c => !c._1.isNaN) // NaN/Inf arrive as null post-try_cast
+    val viaExpr = finite.map(_._1).toDF("d")
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+        JsNumberStringExpr(org.apache.spark.sql.graft.ColumnBridge
+          .expression(col("d")))).as("s"))
+      .as[String].collect()
+    viaExpr.toSeq shouldBe finite.map {
+      case (d, w) => if (d.isInfinite) "null" else w
+    }
   }
 
   test("golden NDJSON: envelope shape, field order, and values") {
