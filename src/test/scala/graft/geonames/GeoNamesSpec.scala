@@ -145,6 +145,21 @@ class GeoNamesSpec extends SparkSpec {
     }
   }
 
+  test("NDJSON sink keeps js_number_string inside whole-stage codegen") {
+    // the point of promoting the renderer from a Scala UDF to a native
+    // Expression: the pit projection (struct build + renderer) must stay
+    // one codegen span, not break at a UDF boundary. Materialize first —
+    // under AQE the codegen stars only exist in the FINAL plan.
+    val env = GeoNames.envelopes(places, admin1, admin2, config)
+    env.collect()
+    val plan = env.queryExecution.executedPlan.toString
+    plan should include("js_number_string")
+    assert("""\*\(\d+\) Project .*js_number_string""".r.findFirstIn(plan).isDefined,
+      s"js_number_string not in a codegen'd (*) Project:\n$plan")
+    plan should not include "BatchEvalPython"
+    plan should not include "ScalaUDF"
+  }
+
   test("golden NDJSON: envelope shape, field order, and values") {
     val out = GeoNames.envelopes(places, admin1, admin2, config)
       .as[String].collect().sorted
