@@ -720,12 +720,16 @@ object StressBench {
     // derived); (c) the maxBucket guards hold across the whole decade
     // (the query would FAIL loudly on a hot bucket — asserted via
     // q.exception at the end, not assumed).
-    def endurance(metric: String, targetRows: Long, perItemBytes: Long)(
+    def endurance(metric: String, targetRows: Long, perItemBytes: Long,
+                  ckpt: String)(
                   start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
-      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2000")
+      // native budget knob: the probes use 2 GB; the endurance attribution
+      // run raises it to separate RocksDB-read cost from per-row work
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MB", "2000"))
       val q = start()
       val t0 = System.nanoTime()
       var rows = 0L
@@ -751,6 +755,14 @@ object StressBench {
       val err = q.exception.map(_.getMessage.take(200)).getOrElse("")
       q.stop()
       Thread.sleep(5000) // let RocksDB background compaction drain before unload
+      // a decade-scale run leaves a ~30 GB checkpoint (RocksDB snapshots
+      // + changelog); reclaim it — the measurement is already captured
+      def rmRecursive(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmRecursive)
+        f.delete()
+      }
+      rmRecursive(new java.io.File(ckpt))
       require(!failed, s"$metric endurance: query failed (bucket guard or " +
         s"state error): $err")
       val lastSst = decades.lastOption.flatMap(s =>
@@ -767,16 +779,17 @@ object StressBench {
         concat_ws(" ", (0 until 30).map(j =>
           element_at(typedLit(syl),
             (pmod(xxhash64(id, lit(j)), lit(32)) + 1).cast("int"))): _*)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-endur-mh").toString
       endurance("stream_minhash_endurance", 5000000L,
-        perItemBytes = (8 + 8 * 32) * 8L) { () => // per-member-per-band × 8 bands
+        perItemBytes = (8 + 8 * 32) * 8L, // per-member-per-band × 8 bands
+        ckpt = ckpt) { () =>
         val src = spark.readStream.format("rate-micro-batch")
           .option("rowsPerBatch", 100000L).load()
         val docs = src.select(col("timestamp").as("ts"),
           col("value").as("doc_id"),
           when(col("value") % 10 === 0, textOf(col("value") - 1))
             .otherwise(textOf(col("value"))).as("text"))
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft-endur-mh").toString
         graft.streaming.Streams
           .minhashNeardupStream(docs, "ts", "doc_id", "text")
           .writeStream.format("noop")
@@ -789,16 +802,17 @@ object StressBench {
         transform(sequence(lit(0), lit(63)), i =>
           (pmod(xxhash64(id, i), lit(2001)).cast("double") / 1000.0) - 1.0)
           .cast("array<float>")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-endur-vec").toString
       endurance("stream_embedding_endurance", 6000000L,
-        perItemBytes = (16 + 4 * 64 + 8 * 4) * 4L) { () => // per-member-per-band × 4 bands
+        perItemBytes = (16 + 4 * 64 + 8 * 4) * 4L, // per-member-per-band × 4 bands
+        ckpt = ckpt) { () =>
         val src = spark.readStream.format("rate-micro-batch")
           .option("rowsPerBatch", 100000L).load()
         val vecs = src.select(col("timestamp").as("ts"),
           col("value").as("vec_id"),
           when(col("value") % 10 === 0, vecOf(col("value") - 1))
             .otherwise(vecOf(col("value"))).as("vec"))
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft-endur-vec").toString
         graft.streaming.Streams
           .embeddingNeardupStream(vecs, "ts", "vec_id", "vec",
             threshold = 0.9, planesPerBand = 16, bands = 4)
