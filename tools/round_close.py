@@ -361,6 +361,24 @@ freshness_gate(r"REFPARITY_FULLDUMP_r\d+\.json",
                      "src/main/scala/graft/tools/RefParityDump.scala",
                      "tools/refparity"])
 
+# -- 9. JsNum differential fuzz (quick, live) -----------------------------
+# graft.geonames.JsNum renders doubles as node's JSON.stringify does —
+# the NDJSON sink's byte-fidelity kernel, with its OWN shortest-digit
+# selection (Java ≤18 Double.toString is not ECMAScript shortest form).
+# A drift here keeps `sbt test` green on the 30 pinned edge cases but
+# diverges on the long tail; this ~20 s live fuzz (50k uniform bit
+# patterns + coordinate-like decimals + the hard-case list, fresh seed
+# per round) compares the compiled kernel against node bit-for-bit.
+fuzz = subprocess.run(
+    [sys.executable, os.path.join(repo, "tools/jsnum_fuzz.py"),
+     "50000", str(1000 + rnd)],
+    capture_output=True, text=True, cwd=repo)
+fuzz_tail = (fuzz.stdout or fuzz.stderr).strip().splitlines()[-1:]
+print("jsnum fuzz:", *fuzz_tail)
+if fuzz.returncode != 0:
+    failures.append("JsNum differential fuzz vs node found diffs:\n"
+                    + (fuzz.stderr or fuzz.stdout)[-800:])
+
 # -- 4. query index ----------------------------------------------------
 subprocess.run([sys.executable, os.path.join(repo, "tools/gen_query_index.py")],
                check=True, cwd=repo)
