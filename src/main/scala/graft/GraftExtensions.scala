@@ -126,6 +126,14 @@ object GraftExtensions {
         case Seq(a, b) => JaroWinklerExpr(a, b)
         case _ => throw new IllegalArgumentException(
           "usage: jaro_winkler(a string, b string)")
+      }),
+    (new FunctionIdentifier("js_number_string"),
+      new ExpressionInfo(classOf[graft.geonames.JsNumberStringExpr].getName,
+        "js_number_string"),
+      (args: Seq[Expression]) => args match {
+        case Seq(d) => graft.geonames.JsNumberStringExpr(d)
+        case _ => throw new IllegalArgumentException(
+          "usage: js_number_string(d double)")
       }))
 
   /** Register all functions on an already-running session. */

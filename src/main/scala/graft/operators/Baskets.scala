@@ -37,6 +37,13 @@ object Baskets {
     * stopped being "small by nature" fails NAMING THE KNOB instead of
     * melting a cluster. Pass ≤ 0 to skip (callers that already bound
     * basket size upstream).
+    *
+    * @note BEHAVIOR CHANGE (r14): the guard defaults ON at 10000. A
+    *       caller whose legitimate baskets exceed 10k items — previously
+    *       accepted, at Σ|basket|² self-join cost — must now pass an
+    *       explicit `maxBasketCheck` (or ≤ 0 to opt out, which also
+    *       skips the guard's one extra aggregate job over the
+    *       already-materialized item table).
     */
   def cooccurrence(df: DataFrame, basketCol: Column, itemCol: Column,
                    minCount: Long, maxBasketCheck: Long = 10000): DataFrame = {

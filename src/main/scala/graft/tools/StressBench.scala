@@ -23,8 +23,10 @@ import graft.operators.{Curation, Dedup, Funnel, Graphs, Ivf, Packing, Retrieval
   *
   *   SPARK_DRIVER_MEM=64g sbt "runMain graft.tools.StressBench [nNames] [nEdges] [hubDeg] [sections]"
   *
-  * `sections` (default "1,2,3,4,5,6") picks which runs execute, so a
-  * new section can be measured without re-paying the earlier ones.
+  * `sections` (default 1–22) picks which runs execute, so a new
+  * section can be measured without re-paying the earlier ones; the
+  * decade-scale endurance runs (23/24) and the hot-bucket boundary run
+  * (25) are opt-in by number.
   */
 object StressBench {
   def main(args: Array[String]): Unit = {
@@ -45,6 +47,20 @@ object StressBench {
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
+    // Teardown discipline for the RocksDB-backed streaming sections
+    // (18/20/21/22/23/24/25): `query.stop()` leaves every loaded
+    // RocksDBStateStoreProvider — and its native background threads,
+    // whose info-log callbacks re-enter the JVM through
+    // rocksdb::LoggerJniCallback — alive until something unloads them.
+    // Racing that against `spark.stop()`/JVM shutdown SIGSEGV'd twice
+    // in r14 (hs_err excerpts in docs/THROUGHPUT.md); a post-stop drain
+    // sleep demonstrably does not cover it. StateStore.stop() closes
+    // every loaded provider SYNCHRONOUSLY on this thread (RocksDB.close
+    // joins the native threads and tears down the JNI logger) and stops
+    // the maintenance task; providers reload lazily, so calling it
+    // between sections is safe.
+    def unloadStateStores(): Unit =
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
     // ---- 1. fuzzy join over a hash-syllable name dictionary. 6
     // syllables from a 32-entry alphabet = 2^30 combos, so ~10M draws
@@ -542,6 +558,7 @@ object StressBench {
       Thread.sleep(windowSec * 1000L)
       val inRows = q.recentProgress.map(_.numInputRows).sum
       q.stop()
+      unloadStateStores()
       println(s"""{"metric":"stream_interval_merge","users":$nUsers,"rows":$inRows,"window_sec":$windowSec,"rows_per_sec":${inRows / windowSec},"cpus":$cpus}""")
     }
 
@@ -627,6 +644,7 @@ object StressBench {
       Thread.sleep(windowSec * 1000L)
       val inRows = q.recentProgress.map(_.numInputRows).sum
       q.stop()
+      unloadStateStores()
       val stateMb = 16L * 101L * nTypes * 2L / 1000000L
       println(s"""{"metric":"stream_daily_auc","types":$nTypes,"scale_dp":2,"state_budget_mb":$stateMb,"rows":$inRows,"window_sec":$windowSec,"rows_per_sec":${inRows / windowSec},"cpus":$cpus}""")
     }
@@ -667,7 +685,7 @@ object StressBench {
       Thread.sleep(windowSec * 1000L)
       val inRows = q.recentProgress.map(_.numInputRows).sum
       q.stop()
-      Thread.sleep(5000) // let RocksDB background compaction drain before unload
+      unloadStateStores() // synchronous provider close — see helper scaladoc
       println(s"""{"metric":"stream_minhash_neardup","num_hashes":32,"bands":8,"dup_rate":0.1,"rows":$inRows,"window_sec":$windowSec,"rows_per_sec":${inRows / windowSec},"state_mb_per_1m_docs":${(8 + 8 * 32) * 8L},"cpus":$cpus}""")
     }
 
@@ -704,7 +722,7 @@ object StressBench {
       Thread.sleep(windowSec * 1000L)
       val inRows = q.recentProgress.map(_.numInputRows).sum
       q.stop()
-      Thread.sleep(5000) // let RocksDB background compaction drain before unload
+      unloadStateStores() // synchronous provider close — see helper scaladoc
       println(s"""{"metric":"stream_embedding_neardup","dim":64,"planes_per_band":16,"bands":4,"dup_rate":0.1,"rows":$inRows,"window_sec":$windowSec,"rows_per_sec":${inRows / windowSec},"state_mb_per_1m_vecs":${(16 + 4 * 64 + 8 * 4) * 4L},"cpus":$cpus}""")
     }
 
@@ -754,7 +772,7 @@ object StressBench {
       val failed = q.exception.isDefined
       val err = q.exception.map(_.getMessage.take(200)).getOrElse("")
       q.stop()
-      Thread.sleep(5000) // let RocksDB background compaction drain before unload
+      unloadStateStores() // synchronous provider close — see helper scaladoc
       // a decade-scale run leaves a ~30 GB checkpoint (RocksDB snapshots
       // + changelog); reclaim it — the measurement is already captured
       def rmRecursive(f: java.io.File): Unit = {
@@ -820,6 +838,78 @@ object StressBench {
           .option("checkpointLocation", ckpt).start()
       }
     }
+
+    // ---- 25. hot-bucket BOUNDARY endurance (r14 verdict §6): the
+    // embedding decade of section 24 at the 6 GB budget, but with a
+    // planted hot bucket — every `hotEvery`-th row is the SAME fixed
+    // vector, so one bucket per band grows linearly toward the default
+    // maxBucket=4096 while the rest of the corpus stays clean. Sections
+    // 23/24 only ever witness the guard staying SILENT on clean
+    // corpora; this run witnesses it FIRING at the exact boundary under
+    // real endurance conditions (RocksDB state, micro-batch replay
+    // sorting, 5.7M rows of standing state) — the require() admits
+    // member #4096 and kills the query on #4097, mid-decade, naming the
+    // knob. Success here is the query FAILING with that message at the
+    // predicted row; the target-row exit is the failure mode.
+    section(25) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MB", "6000"))
+      def vecOf(id: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(id, i), lit(2001)).cast("double") / 1000.0) - 1.0)
+          .cast("array<float>")
+      val maxBucket = 4096
+      val hotEvery = 1400L // hot member #4097 lands at row ~5.736M < 6M target
+      val targetRows = 6000000L
+      val src = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100000L).load()
+      val vecs = src.select(col("timestamp").as("ts"),
+        col("value").as("vec_id"),
+        when(col("value") % hotEvery === 0, vecOf(lit(-1L)))
+          .otherwise(vecOf(col("value"))).as("vec"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-endur-hot").toString
+      val q = graft.streaming.Streams
+        .embeddingNeardupStream(vecs, "ts", "vec_id", "vec",
+          threshold = 0.9, planesPerBand = 16, bands = 4,
+          maxBucket = maxBucket)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      val t0 = System.nanoTime()
+      var rows = 0L
+      while (rows < targetRows && (System.nanoTime() - t0) < 3600e9 &&
+             q.exception.isEmpty) {
+        Thread.sleep(3000)
+        rows = q.recentProgress.map(_.numInputRows).sum
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val err = q.exception.map { e =>
+        Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+          .take(8).flatMap(t => Option(t.getMessage)).mkString(" | ")
+      }.getOrElse("")
+      q.stop()
+      unloadStateStores() // synchronous provider close — see helper scaladoc
+      def rmRecursive(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmRecursive)
+        f.delete()
+      }
+      rmRecursive(new java.io.File(ckpt))
+      require(err.contains(s"exceeds maxBucket=$maxBucket"),
+        s"hot-bucket boundary run: guard did NOT fire — processed $rows " +
+          s"rows without the maxBucket failure (exception: '${err.take(200)}')")
+      // the crossing row: hot member #(maxBucket+1); progress is batch
+      // granular, so `rows` overshoots by at most one 100k micro-batch
+      val predicted = (maxBucket + 1L) * hotEvery
+      println(s"""{"metric":"stream_embedding_hot_bucket_guard","max_bucket":$maxBucket,"hot_every":$hotEvery,"predicted_crossing_row":$predicted,"rows_at_failure":$rows,"wall_sec":${wall.toLong},"guard_fired":true,"cpus":$cpus}""")
+    }
+    // last line of defense: even if a section above exited without its
+    // per-section unload (exception paths), no RocksDB native thread may
+    // survive into spark.stop()/JVM shutdown
+    unloadStateStores()
     spark.stop()
   }
 }

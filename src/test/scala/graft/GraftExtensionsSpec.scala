@@ -61,6 +61,24 @@ class GraftExtensionsSpec extends SparkSpec {
       "ecole uber straße" // ß has no decomposition: preserved, not mangled
   }
 
+  test("js_number_string callable from SQL, matching the kernel and node semantics") {
+    // the r14 ADVICE find: SURVEY §2.10 claimed SQL registration for
+    // every kernel, but js_number_string was GeoNames-sink-internal.
+    // Pins the registration AND the ECMAScript shortest-digit cases
+    // that distinguish JsNum from a plain Double.toString.
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT js_number_string(40.8D) AS a,
+        |       js_number_string(-74.0D) AS b,
+        |       js_number_string(1e21D) AS c,
+        |       js_number_string(cast(null AS DOUBLE)) AS n""".stripMargin)
+      .collect().head
+    row.getAs[String]("a") shouldBe "40.8"
+    row.getAs[String]("b") shouldBe "-74" // integral double: no trailing .0
+    row.getAs[String]("c") shouldBe "1e+21" // ECMAScript exponent form
+    row.isNullAt(3) shouldBe true
+  }
+
   test("builder-time extensions path constructs (class is instantiable as fn)") {
     val ext = new GraftExtensions
     val se = new org.apache.spark.sql.SparkSessionExtensions

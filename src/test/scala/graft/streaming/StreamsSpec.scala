@@ -612,6 +612,44 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("embeddingNeardupStream: maxBucket boundary — admits exactly maxBucket members, fires on the next") {
+    // The r14 endurance runs only ever saw the guard SILENT (clean
+    // corpora) and the maxBucket=1 test only sees it fire on the 2nd
+    // member; this pins the exact boundary: with maxBucket=3, three
+    // same-bucket vectors process cleanly (all 3 pairs emitted), and
+    // the 4th arrival — the first that would make a 4-member bucket —
+    // kills the query naming the knob. StressBench section 25 is the
+    // decade-scale twin at the default 4096.
+    import StreamsSpec.VecDoc
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[VecDoc]
+      val name = s"mem_${System.nanoTime()}"
+      val q = Streams.embeddingNeardupStream(stream.toDF(), "ts", "vec_id",
+          "vec", threshold = 0.9, maxBucket = 3)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val v = Array(1f, 2f, 3f, 4f)
+      stream.addData(VecDoc(ts(1), 1L, v), VecDoc(ts(2), 2L, v),
+        VecDoc(ts(3), 3L, v))
+      q.processAllAvailable() // 3 members in every band bucket: silent
+      q.exception shouldBe empty
+      spark.table(name).count() shouldBe 3L // pairs (1,2) (1,3) (2,3)
+      stream.addData(VecDoc(ts(4), 4L, v))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).map(_.getMessage).getOrElse("") should
+        include("exceeds maxBucket=3")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v0) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v0)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("embeddingNeardupStream: a saturated bucket fails loudly, never drops candidates silently") {
     import StreamsSpec.VecDoc
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

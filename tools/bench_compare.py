@@ -124,6 +124,18 @@ def main():
               f"({len(oq)} queries)  new total {new['value']:.1f}s = "
               f"{new['value']/nc:.1f}cu ({len(nq)} queries)  "
               f"normalized total ratio {(new['value']/nc)/(old['value']/oc):.3f}x")
+        # r14 verdict item 5 (anchor divergence): the per-query gate takes
+        # the least-incriminating flavor, so a broad drift that every
+        # query shares can hide when the two anchors disagree at the
+        # TOTAL level. Report the normalized total under EVERY anchor
+        # side by side, and flag (fail under --fail) only when the total
+        # regressed past 1.15x under ALL of them — i.e. no era anchor
+        # explains the move.
+        total_ratios = [(new["value"] / nf) / (old["value"] / of)
+                        for of, nf in flavors]
+        names = ["hash-anchor", "string-anchor"][:len(flavors)]
+        print("total-drift: " + "  ".join(
+            f"{n} total ratio {r:.3f}x" for n, r in zip(names, total_ratios)))
     else:
         thr = float(args[2]) if len(args) > 2 else 1.3
         oc = nc = 1.0
@@ -168,6 +180,12 @@ def main():
               "no-code-change proofs")
     elif fail_on_regression:
         sys.exit(1)
+    if normalized and all(r > 1.15 for r in total_ratios):
+        print("TOTAL-DRIFT FLAG: normalized total regressed >1.15x under "
+              "EVERY era anchor — a broad shared slowdown no anchor "
+              "explains; adjudicate before shipping")
+        if fail_on_regression:
+            sys.exit(1)
     if fail_on_regression and new.get("failed"):
         sys.exit(1)
 

@@ -94,8 +94,10 @@ def sorted_file(src_glob_or_file, dst):
     srcs = sorted(glob.glob(src_glob_or_file)) \
         if "*" in src_glob_or_file else [src_glob_or_file]
     assert srcs, f"nothing matches {src_glob_or_file}"
-    sh(["bash", "-c",
-        "LC_ALL=C sort -S 2G -o " + dst + " " + " ".join(srcs)])
+    # argv list + env, not a concatenated bash string: paths with spaces
+    # or glob metacharacters must not re-parse (r14 ADVICE find)
+    sh(["sort", "-S", "2G", "-o", dst] + srcs,
+       env={**os.environ, "LC_ALL": "C"})
     return dst
 
 

@@ -35,9 +35,14 @@ async function* fromSource(src) {
 class Shim {
   constructor(it) { this.it = it; }
 
+  // every combinator derives a NEW Shim; an .errors(cb) handler
+  // registered earlier in the chain must ride along or a later
+  // combinator silently sheds it (r14 ADVICE find)
+  _next(it) { const s = new Shim(it); s._errCb = this._errCb; return s; }
+
   split() {
     const it = this.it;
-    return new Shim((async function* () {
+    return this._next((async function* () {
       let carry = '';
       for await (const chunk of it) {
         const parts = (carry + chunk).split(/\r?\n/);
@@ -50,21 +55,21 @@ class Shim {
 
   compact() {
     const it = this.it;
-    return new Shim((async function* () {
+    return this._next((async function* () {
       for await (const x of it) if (x) yield x;
     })());
   }
 
   map(fn) {
     const it = this.it;
-    return new Shim((async function* () {
+    return this._next((async function* () {
       for await (const x of it) yield fn(x);
     })());
   }
 
   filter(fn) {
     const it = this.it;
-    return new Shim((async function* () {
+    return this._next((async function* () {
       for await (const x of it) if (fn(x)) yield x;
     })());
   }
@@ -77,7 +82,7 @@ class Shim {
         else yield x;
       }
     }
-    return new Shim((async function* () {
+    return this._next((async function* () {
       for await (const x of it) {
         if (Array.isArray(x)) yield* flat(x);
         else yield x;
@@ -86,8 +91,11 @@ class Shim {
   }
 
   each(fn) {
+    // LAZY (unlike real highland, which self-consumes): fn's side
+    // effects run only when a terminal .done() drains the chain —
+    // every geonames.js .each() is immediately followed by .done()
     const it = this.it;
-    return new Shim((async function* () {
+    return this._next((async function* () {
       for await (const x of it) { fn(x); yield x; }
     })());
   }
@@ -97,7 +105,7 @@ class Shim {
     // `...args, callback`; a SYNCHRONOUS throw inside it becomes a
     // stream error, like highland's
     const it = this.it;
-    return new Shim((async function* () {
+    return this._next((async function* () {
       for await (const f of it) {
         yield () => new Promise((res, rej) => {
           try { f(...args, (err, val) => (err ? rej(err) : res(val))); }
@@ -109,7 +117,7 @@ class Shim {
 
   series() {
     const it = this.it;
-    return new Shim((async function* () {
+    return this._next((async function* () {
       for await (const t of it) yield await t();
     })());
   }

@@ -32,7 +32,13 @@ Checks, in order:
      oracles, each carrying documented carryover evidence.
   8. Real-reference parity runs LIVE (tools/refparity: the actual
      geonames.js vs the engine, byte-compare + edge semantics) and
-     REFPARITY_r{N}.json is committed.
+     REFPARITY_r{N}.json is committed. 8b: the full-dump parity
+     artifact (REFPARITY_FULLDUMP_r*) is ancestry-fresh vs everything
+     it executes.
+  9. JsNum differential fuzz vs node (50k fresh-seed bit patterns).
+  10. The newest BENCH_r*/CORRECTNESS_r*/LEAKCHECK round artifacts are
+     committed clean — the r14 verdict found them untracked at judge
+     time; the artifact chain must stay in-history.
 
 Exit 0 only when all gates pass. The typescan needs an oracle_sql.json;
 pass sfDir (default /root/testdata/sf0.01) and the script dumps one via
@@ -378,6 +384,26 @@ print("jsnum fuzz:", *fuzz_tail)
 if fuzz.returncode != 0:
     failures.append("JsNum differential fuzz vs node found diffs:\n"
                     + (fuzz.stderr or fuzz.stdout)[-800:])
+
+# -- 10. round artifacts tracked ----------------------------------------
+# The r14 verdict found BENCH_r14.json / CORRECTNESS_r14.json untracked
+# and LEAKCHECK.json modified at judge time — the artifact chain must
+# stay in-history. Gate: the NEWEST BENCH_r*/CORRECTNESS_r* in the repo
+# root and LEAKCHECK.json must be committed clean (tracked, unmodified).
+for pat in (r"BENCH_r\d+\.json", r"CORRECTNESS_r\d+\.json",
+            r"LEAKCHECK\.json"):
+    cands = sorted(f for f in os.listdir(repo) if re.fullmatch(pat, f))
+    if not cands:
+        continue
+    newest = cands[-1]
+    st = subprocess.run(["git", "status", "--porcelain", "--", newest],
+                        cwd=repo, capture_output=True, text=True).stdout.strip()
+    if st:
+        failures.append(f"round artifact {newest} is untracked/modified "
+                        f"({st.split()[0]}) — commit it so the artifact "
+                        "chain stays in-history")
+    else:
+        print(f"artifact tracked: {newest}")
 
 # -- 4. query index ----------------------------------------------------
 subprocess.run([sys.executable, os.path.join(repo, "tools/gen_query_index.py")],
