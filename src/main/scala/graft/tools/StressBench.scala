@@ -847,10 +847,17 @@ object StressBench {
     // 23/24 only ever witness the guard staying SILENT on clean
     // corpora; this run witnesses it FIRING at the exact boundary under
     // real endurance conditions (RocksDB state, micro-batch replay
-    // sorting, 5.7M rows of standing state) — the require() admits
+    // sorting, ~5M rows of standing state) — the require() admits
     // member #4096 and kills the query on #4097, mid-decade, naming the
-    // knob. Success here is the query FAILING with that message at the
-    // predicted row; the target-row exit is the failure mode.
+    // knob. Success here is the query FAILING with that message; the
+    // target-row exit is the failure mode. The planted-only crossing
+    // row (maxBucket+1)·hotEvery is an UPPER bound: the hot bucket also
+    // accretes random same-signature colliders, so the guard fires
+    // earlier — measured by HotBucketProbe (same kernel, same ids):
+    // band 3's bucket gains 377 random members per 5.3M rows (~5× the
+    // uniform 2^-16 rate; the discrete component grid biases some sign
+    // patterns), putting the crossing at ≈5.22M — the r15 run fired at
+    // rows_at_failure 5.2M, in that bucket's key exactly.
     section(25) {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -901,10 +908,11 @@ object StressBench {
       require(err.contains(s"exceeds maxBucket=$maxBucket"),
         s"hot-bucket boundary run: guard did NOT fire — processed $rows " +
           s"rows without the maxBucket failure (exception: '${err.take(200)}')")
-      // the crossing row: hot member #(maxBucket+1); progress is batch
-      // granular, so `rows` overshoots by at most one 100k micro-batch
-      val predicted = (maxBucket + 1L) * hotEvery
-      println(s"""{"metric":"stream_embedding_hot_bucket_guard","max_bucket":$maxBucket,"hot_every":$hotEvery,"predicted_crossing_row":$predicted,"rows_at_failure":$rows,"wall_sec":${wall.toLong},"guard_fired":true,"cpus":$cpus}""")
+      // planted-only upper bound on the crossing row (random colliders
+      // pull the actual crossing earlier — see the section comment);
+      // progress is batch-granular, so `rows` counts completed batches
+      val plantedBound = (maxBucket + 1L) * hotEvery
+      println(s"""{"metric":"stream_embedding_hot_bucket_guard","max_bucket":$maxBucket,"hot_every":$hotEvery,"planted_only_bound_row":$plantedBound,"rows_at_failure":$rows,"wall_sec":${wall.toLong},"guard_fired":true,"cpus":$cpus}""")
     }
     // last line of defense: even if a section above exited without its
     // per-section unload (exception paths), no RocksDB native thread may
