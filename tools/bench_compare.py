@@ -161,6 +161,36 @@ def main():
         return min((((nq[q] / nf) / (oq[q] / of), of, nf)
                     for of, nf in flavors), key=lambda t: t[0])
 
+    if "--families" in sys.argv[1:] and normalized and len(flavors) > 1:
+        # r14 verdict watch item: when the era anchors disagree at the
+        # total level, report which anchor each query FAMILY follows
+        # (the family = the token after q_), instead of silently taking
+        # the most forgiving anchor per comparison. A family "follows"
+        # the anchor under which its median normalized ratio sits
+        # closest to 1.0 — i.e. that anchor's era move explains the
+        # family's raw move.
+        fams = {}
+        for q in sorted(oq.keys() & nq.keys()):
+            if oq[q] <= 0:
+                continue
+            fam = q.split("_")[1] if "_" in q else q
+            rr = [(nq[q] / nf) / (oq[q] / of) for of, nf in flavors]
+            fams.setdefault(fam, []).append(rr)
+        print("family-anchor report (median normalized ratio per anchor; "
+              "* = the anchor this family follows):")
+        names2 = ["hash", "string"]
+        for fam in sorted(fams, key=lambda f: -len(fams[f])):
+            rows = fams[fam]
+            if len(rows) < 3:
+                continue
+            med = [sorted(r[i] for r in rows)[len(rows) // 2]
+                   for i in range(len(flavors))]
+            best = min(range(len(med)), key=lambda i: abs(med[i] - 1.0))
+            cells = "  ".join(
+                f"{names2[i]} {med[i]:.3f}x" + ("*" if i == best else "")
+                for i in range(len(med)))
+            print(f"  {fam:<14} n={len(rows):<3} {cells}")
+
     slower = [(verdict(q), q) for q in oq.keys() & nq.keys() if oq[q] > 0]
     slower = [(v, q) for v, q in slower
               if v[0] > thr and nq[q] / v[2] - oq[q] / v[1] > 0.3]
