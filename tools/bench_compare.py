@@ -81,7 +81,7 @@ def normalize(obj):
 
 def main():
     args = [a for a in sys.argv[1:]
-            if a not in ("--fail", "--raw")
+            if a not in ("--fail", "--raw", "--families")
             and not a.startswith("--adjudicated=")]
     fail_on_regression = "--fail" in sys.argv[1:]
     force_raw = "--raw" in sys.argv[1:]
