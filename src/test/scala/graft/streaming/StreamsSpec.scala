@@ -1935,6 +1935,45 @@ class StreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("teardown discipline: StateStore.stop() unloads the RocksDB providers query.stop() leaves behind") {
+    // Pins the mechanism behind the r15 endurance-teardown fix
+    // (docs/THROUGHPUT.md "Teardown caveat"): stopping a streaming query
+    // does NOT unload its RocksDB state-store providers — the JVM-wide
+    // maintenance task and the providers' native background threads stay
+    // alive, and racing them against spark.stop()/JVM shutdown SIGSEGV'd
+    // twice in r14 inside rocksdb::LoggerJniCallback::Logv. The remedy
+    // StressBench.unloadStateStores relies on is that StateStore.stop()
+    // closes every loaded provider synchronously on the calling thread.
+    import StreamsSpec.Doc
+    import org.apache.spark.sql.execution.streaming.state.StateStore
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Doc]
+      val name = s"mem_${System.nanoTime()}"
+      val q = Streams.minhashNeardupStream(stream.toDF(), "ts", "doc_id", "text")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData(
+        Doc(ts(1), 1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        Doc(ts(2), 2L, "unrelated words about maritime navigation charts"))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      q.stop()
+      // the hazard: provider state (and its maintenance task) outlives the query
+      StateStore.isMaintenanceRunning shouldBe true
+      StateStore.stop()
+      // the remedy: synchronous unload; providers reload lazily on next use,
+      // so later suites in this JVM are unaffected
+      StateStore.isMaintenanceRunning shouldBe false
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
 
 object StreamsSpec {
