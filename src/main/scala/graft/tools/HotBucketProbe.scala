@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Throwaway attribution probe for StressBench section 25: how many of
   * the first N synthetic vectors share a band key with the planted hot
-  * vector (vecOf(-1)) under the exact section-25 geometry (16 planes,
-  * 4 bands — the private-plane kernel). Explains the gap between the
-  * planted-only crossing bound (maxBucket+1)·hotEvery and the observed
-  * earlier firing: random same-signature colliders accrete into the hot
-  * bucket too.
+  * vector (StressBench.vecOf64(-1)) under the exact section-25 geometry
+  * (16 planes, 4 bands — the private-plane kernel). Explains the gap
+  * between the planted-only crossing bound maxBucket·hotEvery and the
+  * observed earlier firing: random same-signature colliders accrete
+  * into the hot bucket too. The vector kernel is shared with the
+  * stream (StressBench.vecOf64), so "same kernel, same ids" holds by
+  * construction.
   */
 object HotBucketProbe {
   def main(args: Array[String]): Unit = {
@@ -18,10 +20,7 @@ object HotBucketProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def vecOf(id: org.apache.spark.sql.Column) =
-      transform(sequence(lit(0), lit(63)), i =>
-        (pmod(xxhash64(id, i), lit(2001)).cast("double") / 1000.0) - 1.0)
-        .cast("array<float>")
+    val vecOf = StressBench.vecOf64 _
     val keysOf = (c: org.apache.spark.sql.Column) =>
       graft.functions.VectorExpr.signLshBands(c, 16, 4)
     val hot = spark.range(1).select(keysOf(vecOf(lit(-1L))).as("hk"))

@@ -29,6 +29,28 @@ import graft.operators.{Curation, Dedup, Funnel, Graphs, Ivf, Packing, Retrieval
   * (25) are opt-in by number.
   */
 object StressBench {
+  /** 64-d deterministic synthetic embedding: component j of vector `id`
+    * is xxhash64(id, j) mod 2001, rescaled to [-1, 1). Sections 24/25 and
+    * HotBucketProbe MUST share this one definition — the section-25
+    * collider attribution ("same kernel, same ids") is only valid while
+    * the probe and the stream hash identical vectors, and a private copy
+    * drifting would invalidate it with no compile-time signal.
+    */
+  def vecOf64(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(63)), i =>
+      (pmod(xxhash64(id, i), lit(2001)).cast("double") / 1000.0) - 1.0)
+      .cast("array<float>")
+
+  /** Delete a checkpoint tree — a decade-scale run leaves ~30 GB of
+    * RocksDB snapshots + changelog, reclaimed once the measurement is
+    * captured.
+    */
+  def rmRecursive(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmRecursive)
+    f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     val nNames = if (args.length > 0) args(0).toLong else 10000000L
     val nEdges = if (args.length > 1) args(1).toLong else 10000000L
@@ -61,6 +83,13 @@ object StressBench {
     // between sections is safe.
     def unloadStateStores(): Unit =
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
+    // Every section below runs inside this try: no exception path may
+    // reach JVM shutdown with RocksDB native threads still loaded (the
+    // twice-witnessed r14 SIGSEGV) — the finally unloads providers and
+    // stops Spark even when a section throws past its per-section
+    // unload. Section bodies keep their indentation (brace-scoped).
+    try {
 
     // ---- 1. fuzzy join over a hash-syllable name dictionary. 6
     // syllables from a 32-entry alphabet = 2^30 combos, so ~10M draws
@@ -701,16 +730,12 @@ object StressBench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
       spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2000")
-      def vecOf(id: org.apache.spark.sql.Column) =
-        transform(sequence(lit(0), lit(63)), i =>
-          (pmod(xxhash64(id, i), lit(2001)).cast("double") / 1000.0) - 1.0)
-          .cast("array<float>")
       val src = spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", 100000L).load()
       val vecs = src.select(col("timestamp").as("ts"),
         col("value").as("vec_id"),
-        when(col("value") % 10 === 0, vecOf(col("value") - 1))
-          .otherwise(vecOf(col("value"))).as("vec"))
+        when(col("value") % 10 === 0, vecOf64(col("value") - 1))
+          .otherwise(vecOf64(col("value"))).as("vec"))
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-stress-vec").toString
       val q = graft.streaming.Streams
@@ -773,13 +798,6 @@ object StressBench {
       val err = q.exception.map(_.getMessage.take(200)).getOrElse("")
       q.stop()
       unloadStateStores() // synchronous provider close — see helper scaladoc
-      // a decade-scale run leaves a ~30 GB checkpoint (RocksDB snapshots
-      // + changelog); reclaim it — the measurement is already captured
-      def rmRecursive(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rmRecursive)
-        f.delete()
-      }
       rmRecursive(new java.io.File(ckpt))
       require(!failed, s"$metric endurance: query failed (bucket guard or " +
         s"state error): $err")
@@ -816,10 +834,6 @@ object StressBench {
     }
 
     section(24) {
-      def vecOf(id: org.apache.spark.sql.Column) =
-        transform(sequence(lit(0), lit(63)), i =>
-          (pmod(xxhash64(id, i), lit(2001)).cast("double") / 1000.0) - 1.0)
-          .cast("array<float>")
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-endur-vec").toString
       endurance("stream_embedding_endurance", 6000000L,
@@ -829,8 +843,8 @@ object StressBench {
           .option("rowsPerBatch", 100000L).load()
         val vecs = src.select(col("timestamp").as("ts"),
           col("value").as("vec_id"),
-          when(col("value") % 10 === 0, vecOf(col("value") - 1))
-            .otherwise(vecOf(col("value"))).as("vec"))
+          when(col("value") % 10 === 0, vecOf64(col("value") - 1))
+            .otherwise(vecOf64(col("value"))).as("vec"))
         graft.streaming.Streams
           .embeddingNeardupStream(vecs, "ts", "vec_id", "vec",
             threshold = 0.9, planesPerBand = 16, bands = 4)
@@ -851,7 +865,8 @@ object StressBench {
     // member #4096 and kills the query on #4097, mid-decade, naming the
     // knob. Success here is the query FAILING with that message; the
     // target-row exit is the failure mode. The planted-only crossing
-    // row (maxBucket+1)·hotEvery is an UPPER bound: the hot bucket also
+    // row maxBucket·hotEvery (the #4097th planted arrival, first member
+    // at row 0) is an UPPER bound: the hot bucket also
     // accretes random same-signature colliders, so the guard fires
     // earlier — measured by HotBucketProbe (same kernel, same ids):
     // band 3's bucket gains 377 random members per 5.3M rows (~5× the
@@ -864,19 +879,17 @@ object StressBench {
       spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
       spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
         sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MB", "6000"))
-      def vecOf(id: org.apache.spark.sql.Column) =
-        transform(sequence(lit(0), lit(63)), i =>
-          (pmod(xxhash64(id, i), lit(2001)).cast("double") / 1000.0) - 1.0)
-          .cast("array<float>")
       val maxBucket = 4096
-      val hotEvery = 1400L // hot member #4097 lands at row ~5.736M < 6M target
+      // the fatal #4097th planted arrival (first planted member is row 0)
+      // lands at row maxBucket·hotEvery = 5,734,400 < the 6M target
+      val hotEvery = 1400L
       val targetRows = 6000000L
       val src = spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", 100000L).load()
       val vecs = src.select(col("timestamp").as("ts"),
         col("value").as("vec_id"),
-        when(col("value") % hotEvery === 0, vecOf(lit(-1L)))
-          .otherwise(vecOf(col("value"))).as("vec"))
+        when(col("value") % hotEvery === 0, vecOf64(lit(-1L)))
+          .otherwise(vecOf64(col("value"))).as("vec"))
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-endur-hot").toString
       val q = graft.streaming.Streams
@@ -908,16 +921,20 @@ object StressBench {
       require(err.contains(s"exceeds maxBucket=$maxBucket"),
         s"hot-bucket boundary run: guard did NOT fire — processed $rows " +
           s"rows without the maxBucket failure (exception: '${err.take(200)}')")
-      // planted-only upper bound on the crossing row (random colliders
-      // pull the actual crossing earlier — see the section comment);
+      // planted-only upper bound on the crossing row: the guard fires on
+      // the (maxBucket+1)-th arrival, and with the first planted member
+      // at row 0 that arrival is row maxBucket·hotEvery. Random colliders
+      // pull the actual crossing earlier — see the section comment;
       // progress is batch-granular, so `rows` counts completed batches
-      val plantedBound = (maxBucket + 1L) * hotEvery
+      val plantedBound = maxBucket.toLong * hotEvery
       println(s"""{"metric":"stream_embedding_hot_bucket_guard","max_bucket":$maxBucket,"hot_every":$hotEvery,"planted_only_bound_row":$plantedBound,"rows_at_failure":$rows,"wall_sec":${wall.toLong},"guard_fired":true,"cpus":$cpus}""")
     }
-    // last line of defense: even if a section above exited without its
-    // per-section unload (exception paths), no RocksDB native thread may
-    // survive into spark.stop()/JVM shutdown
-    unloadStateStores()
-    spark.stop()
+    } finally {
+      // last line of defense: even when a section throws past its
+      // per-section unload, no RocksDB native thread may survive into
+      // spark.stop()/JVM shutdown
+      unloadStateStores()
+      spark.stop()
+    }
   }
 }

@@ -190,6 +190,12 @@ def main():
                 f"{names2[i]} {med[i]:.3f}x" + ("*" if i == best else "")
                 for i in range(len(med)))
             print(f"  {fam:<14} n={len(rows):<3} {cells}")
+    elif "--families" in sys.argv[1:]:
+        # loud, not silent: an empty report must read as "mode
+        # unavailable", not "nothing to adjudicate"
+        print("family-anchor report unavailable: needs canary-normalized "
+              "mode with both era anchors on both sides (not --raw, "
+              "canary_str present in old AND new)")
 
     slower = [(verdict(q), q) for q in oq.keys() & nq.keys() if oq[q] > 0]
     slower = [(v, q) for v, q in slower
@@ -208,15 +214,16 @@ def main():
         print(f"all {len(slower)} flag(s) adjudicated — see the "
               "adjudication artifact for the isolated reruns and "
               "no-code-change proofs")
-    elif fail_on_regression:
-        sys.exit(1)
-    if normalized and all(r > 1.15 for r in total_ratios):
+    # the total-drift verdict prints BEFORE any exit: a broad shared
+    # slowdown also flags individual queries, and the run where the gate
+    # fails is exactly the run where the all-anchor total matters most
+    total_drift = normalized and all(r > 1.15 for r in total_ratios)
+    if total_drift:
         print("TOTAL-DRIFT FLAG: normalized total regressed >1.15x under "
               "EVERY era anchor — a broad shared slowdown no anchor "
               "explains; adjudicate before shipping")
-        if fail_on_regression:
-            sys.exit(1)
-    if fail_on_regression and new.get("failed"):
+    if fail_on_regression and (unadjudicated or total_drift
+                               or new.get("failed")):
         sys.exit(1)
 
 

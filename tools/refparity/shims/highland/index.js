@@ -15,11 +15,18 @@
 // SCOPE CAVEAT (recorded in REFPARITY_r*.json): real highland's
 // .errors(cb) CONSUMES an error and lets the stream continue; this shim
 // stops at the first error after reporting it. In the reference's own
-// usage the distinction is unobservable for step success/failure — both
-// .errors(callback) sites hand the error to the ETL step callback, so
+// usage the distinction is unobservable for step success/failure — all
+// three .errors(callback) sites hand the error to the ETL step callback, so
 // the step fails on the first error either way; the assertion pins THAT
 // the reference's own line throws, not how much tail real highland
-// would still process.
+// would still process. Second deviation (same class): because _errCb
+// rides along to derived Shims, a throw from a combinator attached
+// AFTER .errors(cb) is also handed to cb, where real highland only
+// routes UPSTREAM errors through .errors and would let a downstream
+// throw crash the terminal. Unobservable for geonames.js — all three
+// .errors sites are chain-terminal (.errors(...).done(...)) with no
+// combinator in between — and the full-dump crash pin reproduces the
+// reference's geonames.js:107 TypeError at the same record either way.
 
 async function* fromSource(src) {
   if (Array.isArray(src)) {

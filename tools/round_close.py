@@ -392,7 +392,12 @@ if fuzz.returncode != 0:
 # root and LEAKCHECK.json must be committed clean (tracked, unmodified).
 for pat in (r"BENCH_r\d+\.json", r"CORRECTNESS_r\d+\.json",
             r"LEAKCHECK\.json"):
-    cands = sorted(f for f in os.listdir(repo) if re.fullmatch(pat, f))
+    # numeric newest, not lexicographic (r100 > r99)
+    def round_num(f):
+        m = re.search(r"\d+", f)
+        return int(m.group()) if m else 0
+    cands = sorted((f for f in os.listdir(repo) if re.fullmatch(pat, f)),
+                   key=round_num)
     if not cands:
         continue
     newest = cands[-1]
