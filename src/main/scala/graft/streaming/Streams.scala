@@ -626,6 +626,17 @@ object Streams {
   private[graft] def nz(v: java.lang.Double): Double =
     if (v == null) 0.0 else v.doubleValue
 
+  /** TRUE epoch micros (getTime is millis; getNanos carries the full
+    * sub-second) — the batch twins order by unix_micros, and two
+    * same-millisecond events must tie-break the same way in both
+    * engines for the stream ≡ batch contracts to hold. ONE shared def:
+    * the transitions/landmark/attribution/interval-merge processors all
+    * cite the same "(micros, event_id) total order" equivalence, which
+    * is only as strong as all of them using the same conversion.
+    */
+  private[graft] def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+
   /** round(value·100) exactly as the batch twins' SQL round() computes
     * it: decimal HALF_UP via the double's shortest decimal form (Spark's
     * Round on DoubleType) — away from zero on .5, where
@@ -648,7 +659,7 @@ object Streams {
   private[graft] case class SeqState(open: Map[Long, DaySums],
                                      cna: Long, csa: Long, csaa: Long,
                                      cnb: Long, csb: Long, csbb: Long,
-                                     runMin: Double)
+                                     runMin: Double, closedThrough: Long)
 
   /** The always-valid sequential test ON the stream — the deployment
     * shape of [[graft.operators.Stats.msprt]]: the mSPRT exists
@@ -659,7 +670,11 @@ object Streams {
     * day has fully passed the watermark, folded into the cumulative
     * exact integer sums IN DAY ORDER with the running-min p — the
     * identical double expression tree as the batch operator, so
-    * stream ≡ batch row-for-row (StreamsSpec).
+    * stream ≡ batch row-for-row (StreamsSpec). Stragglers for a day
+    * that already closed are DROPPED (state tracks `closedThrough`):
+    * FMGWS under NoTimeout does not filter watermark-late rows itself,
+    * and folding one would re-open a closed day, double-emit it and
+    * corrupt the cumulative fold order.
     *
     * State is SEVEN scalars plus the still-open day partials (bounded
     * by the watermark horizon) under ONE key — a two-arm global test
@@ -679,18 +694,25 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Int, rows: Iterator[Event], state: GroupState[SeqState]) =>
           val st = state.getOption.getOrElse(
-            SeqState(Map.empty, 0L, 0L, 0L, 0L, 0L, 0L, 1.0))
+            SeqState(Map.empty, 0L, 0L, 0L, 0L, 0L, 0L, 1.0, Long.MinValue))
           var open = st.open
           rows.foreach { e =>
             val day = java.lang.Math.floorDiv(e.ts.getTime, 86400000L)
-            val c = cents(e.value)
-            val d = open.getOrElse(day, DaySums(0L, 0L, 0L, 0L, 0L, 0L))
-            val nd =
-              if (e.user_id % 2 == 0)
-                d.copy(na = d.na + 1, sa = d.sa + c, saa = d.saa + c * c)
-              else
-                d.copy(nb = d.nb + 1, sb = d.sb + c, sbb = d.sbb + c * c)
-            open = open.updated(day, nd)
+            // FMGWS only drops watermark-late rows under EventTimeTimeout
+            // (this runs NoTimeout), so a straggler for an already-closed
+            // day reaches us — folding it would re-open the day, emit its
+            // row a second time and corrupt the cumulative in-day-order
+            // sums. Drop it: the day's emission is final by contract.
+            if (day > st.closedThrough) {
+              val c = cents(e.value)
+              val d = open.getOrElse(day, DaySums(0L, 0L, 0L, 0L, 0L, 0L))
+              val nd =
+                if (e.user_id % 2 == 0)
+                  d.copy(na = d.na + 1, sa = d.sa + c, saa = d.saa + c * c)
+                else
+                  d.copy(nb = d.nb + 1, sb = d.sb + c, sbb = d.sbb + c * c)
+              open = open.updated(day, nd)
+            }
           }
           val wmMs = state.getCurrentWatermarkMs()
           val (toClose, stillOpen) = open.partition { case (day, _) =>
@@ -726,8 +748,12 @@ object Streams {
               }
             }
           }
+          val closedThrough =
+            if (toClose.isEmpty) st.closedThrough
+            else math.max(st.closedThrough, toClose.keysIterator.max)
           state.update(
-            SeqState(stillOpen, cna, csa, csaa, cnb, csb, csbb, runMin))
+            SeqState(stillOpen, cna, csa, csaa, cnb, csb, csbb, runMin,
+              closedThrough))
           out.result().iterator
       }
   }
@@ -775,7 +801,18 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // Clamped against the watermark: on THIS Spark, FMGWS under
+              // EventTimeTimeout filters input with the EVICTION watermark
+              // (StreamsSpec's FMGWS delivery-semantics pin), so every row
+              // reaching here has ts > wm and the clamp is a no-op. Spark
+              // versions that filter with the previous batch's watermark
+              // (the SPARK-42376 split) can deliver a row whose
+              // lastMs + gap is already behind the eviction watermark —
+              // there an unclamped setTimeoutTimestamp throws and kills
+              // the query, while the clamp times the session out at the
+              // next trigger (the correct semantics: its gap HAS passed).
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
@@ -886,9 +923,12 @@ object Streams {
         seen.update(true)
         // in-batch duplicates: iterator order after the groupByKey shuffle
         // is not arrival order, so "first occurrence" within a batch is
-        // defined as minimum event time (id tiebreak) — deterministic
-        // across retries and partitionings
-        Iterator.single(rows.minBy(e => (e.ts.getTime, e.user_id)))
+        // defined as the minimum over a TOTAL order on every field (the
+        // group key is event_id, so ts/user_id alone would leave the pick
+        // iterator-order-dependent when duplicate deliveries differ in
+        // payload) — deterministic across retries and partitionings
+        Iterator.single(rows.minBy(e =>
+          (e.ts.getTime, e.user_id, e.event_type, String.valueOf(e.value))))
       }
   }
 
@@ -974,8 +1014,11 @@ object Streams {
     ensureStateStoreCoordinator(events)
     events
       .groupByKey(_.user_id)
+      // TimeMode.None: no timers, no TTL — and None keeps
+      // processAllAvailable usable (ProcessingTime re-triggers
+      // housekeeping batches; see the minhash twin's note)
       .transformWithState(new FunnelProcessor(steps),
-        TimeMode.ProcessingTime(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Append())
   }
 
   // ------------------------------------------- streaming transitions
@@ -1010,12 +1053,7 @@ object Streams {
                                  timerValues: TimerValues): Iterator[Transition] = {
       var last = if (st.exists()) Option(st.get()) else None
       val out = Seq.newBuilder[Transition]
-      // TRUE epoch micros (getTime is millis; getNanos carries the full
-      // sub-second) — the batch twin Funnel.transitions orders by
-      // unix_micros, and two same-millisecond events must tie-break the
-      // same way in both engines for the stream ≡ batch contract to hold
-      def micros(ts: java.sql.Timestamp): Long =
-        ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+      // micros: the shared object-level def — see its scaladoc
       rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
         last.foreach(l => out += Transition(userId, l.event_type, e.event_type))
         last = Some(LastEvent(micros(e.ts), e.event_id, e.event_type))
@@ -1031,8 +1069,11 @@ object Streams {
     ensureStateStoreCoordinator(events)
     events
       .groupByKey(_.user_id)
+      // TimeMode.None: no timers, no TTL — and None keeps
+      // processAllAvailable usable (ProcessingTime re-triggers
+      // housekeeping batches; see the minhash twin's note)
       .transformWithState(new TransitionsProcessor,
-        TimeMode.ProcessingTime(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Append())
   }
 
   case class LandmarkMatch(user_id: Long, complete_at: Long)
@@ -1064,8 +1105,6 @@ object Streams {
                                  timerValues: TimerValues): Iterator[LandmarkMatch] = {
       var s = if (st.exists()) st.get() else LandmarkState(0L, 0)
       val out = Seq.newBuilder[LandmarkMatch]
-      def micros(ts: java.sql.Timestamp): Long =
-        ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
       rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
         s = s.copy(nSeen = s.nSeen + 1)
         if (s.stepIdx < steps.length && e.event_type == steps(s.stepIdx)) {
@@ -1085,8 +1124,11 @@ object Streams {
     ensureStateStoreCoordinator(events)
     events
       .groupByKey(_.user_id)
+      // TimeMode.None: no timers, no TTL — and None keeps
+      // processAllAvailable usable (ProcessingTime re-triggers
+      // housekeeping batches; see the minhash twin's note)
       .transformWithState(new LandmarkProcessor(steps),
-        TimeMode.ProcessingTime(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Append())
   }
 
   // ------------------------------------------- streaming attribution
@@ -1122,8 +1164,6 @@ object Streams {
                                  timerValues: TimerValues): Iterator[Attributed] = {
       var last = if (st.exists()) Option(st.get()) else None
       val out = Seq.newBuilder[Attributed]
-      def micros(ts: java.sql.Timestamp): Long =
-        ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
       rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
         if (e.event_type == "purchase")
           last.foreach(l => out += Attributed(userId, e.event_id, l.channel,
@@ -1142,8 +1182,11 @@ object Streams {
     ensureStateStoreCoordinator(events)
     events
       .groupByKey(_.user_id)
+      // TimeMode.None: no timers, no TTL — and None keeps
+      // processAllAvailable usable (ProcessingTime re-triggers
+      // housekeeping batches; see the minhash twin's note)
       .transformWithState(new AttributionProcessor,
-        TimeMode.ProcessingTime(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Append())
   }
 
   // --------------------------------------- streaming interval merge
@@ -1179,8 +1222,6 @@ object Streams {
                                  timerValues: TimerValues): Iterator[MergedInterval] = {
       var open = if (st.exists()) Option(st.get()) else None
       val out = Seq.newBuilder[MergedInterval]
-      def micros(ts: java.sql.Timestamp): Long =
-        ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
       rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
         val s = micros(e.ts)
         val en = s + cents(e.value) * 10000L
@@ -1206,8 +1247,11 @@ object Streams {
     ensureStateStoreCoordinator(events)
     events
       .groupByKey(_.user_id)
+      // TimeMode.None: no timers, no TTL — and None keeps
+      // processAllAvailable usable (ProcessingTime re-triggers
+      // housekeeping batches; see the minhash twin's note)
       .transformWithState(new IntervalMergeProcessor,
-        TimeMode.ProcessingTime(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Append())
   }
 
   // -------------------------------------------- streaming heavy hitters
@@ -1231,9 +1275,10 @@ object Streams {
     * [[graft.operators.HeavyHitters.MisraGriesAgg]] reduce step — in
     * the exact regime (capacity ≥ per-shard distinct) the stream fold
     * equals a plain groupBy count, asserted stream-vs-batch in
-    * StreamsSpec. Each batch re-emits a shard's touched summary; the
-    * latest emission per token is its current estimate (the changelog
-    * contract of [[cdcStream]]).
+    * StreamsSpec. Each batch re-emits a shard's touched summary, plus an
+    * est-0 RETRACTION for any token the decrement path evicted this
+    * batch, so the latest emission per token is its current estimate
+    * (the changelog contract of [[cdcStream]]) even through evictions.
     *
     * Same RocksDB state-store requirement as [[sessionizeTws]].
     */
@@ -1248,7 +1293,8 @@ object Streams {
 
     override def handleInputRows(shard: Int, rows: Iterator[TokenEvent],
                                  timerValues: TimerValues): Iterator[TokenCount] = {
-      var m = if (st.exists()) st.get().items else Map.empty[String, Long]
+      val prevMap = if (st.exists()) st.get().items else Map.empty[String, Long]
+      var m = prevMap
       rows.foreach { e =>
         m = m.get(e.token) match {
           case Some(c) => m.updated(e.token, c + 1)
@@ -1258,7 +1304,14 @@ object Streams {
         }
       }
       st.update(MgState(m))
-      m.iterator.map { case (t, c) => TokenCount(t, c) }
+      // changelog contract: latest emission per token IS its current
+      // estimate — a token the decrement path evicted this batch must
+      // therefore RETRACT (est 0, the MG estimate for an untracked
+      // token), or a downstream materialization would hold its stale
+      // positive count forever. At most `capacity` retractions a batch.
+      val evicted = prevMap.keysIterator.filterNot(m.contains)
+      m.iterator.map { case (t, c) => TokenCount(t, c) } ++
+        evicted.map(t => TokenCount(t, 0L))
     }
   }
 
@@ -1271,8 +1324,11 @@ object Streams {
     tokens
       .map(t => TokenEvent(math.floorMod(t.hashCode, shards), t))
       .groupByKey(_.shard)
+      // TimeMode.None: no timers, no TTL — and None keeps
+      // processAllAvailable usable (ProcessingTime re-triggers
+      // housekeeping batches; see the minhash twin's note)
       .transformWithState(new HeavyHittersProcessor(capacity),
-        TimeMode.ProcessingTime(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Append())
   }
 
   // --------------------------------------------------------- streaming CDC
@@ -1313,13 +1369,19 @@ object Streams {
       val prev = if (cur.exists()) Some(cur.get()) else None
       // highest seq wins; ties break to 'D' (a delete at the same seq as
       // an upsert is taken as the later intent) then value order, so the
-      // winner never depends on iterator order
-      val winner = rows.maxByOption(c => (c.seq, c.op == "D", c.v))
+      // winner never depends on iterator order. The SAME total order is
+      // applied cross-batch against the stored state: a same-seq delete
+      // arriving one batch after its upsert still wins, exactly as it
+      // would have in-batch; an exact replay of the applied change
+      // compares EQUAL, not greater, so idempotency is preserved
+      val ord = Ordering.Tuple3[Long, Boolean, Double]
+      val winner = rows.maxByOption(c => (c.seq, c.op == "D", c.v))(ord)
       winner match {
-        case Some(w) if prev.forall(_._1 < w.seq) =>
+        case Some(w) if prev.forall(p =>
+            ord.lt((p._1, p._3, p._2), (w.seq, w.op == "D", w.v))) =>
           cur.update((w.seq, w.v, w.op == "D"))
           Iterator.single(Applied(key, w.v, w.seq, w.op == "D"))
-        case _ => Iterator.empty // stale/lower-seq batch: no state change
+        case _ => Iterator.empty // stale/no-later-intent batch: no change
       }
     }
   }
@@ -1333,8 +1395,11 @@ object Streams {
     ensureStateStoreCoordinator(changes)
     changes
       .groupByKey(_.k)
+      // TimeMode.None: no timers, no TTL — and None keeps
+      // processAllAvailable usable (ProcessingTime re-triggers
+      // housekeeping batches; see the minhash twin's note)
       .transformWithState(new CdcProcessor,
-        TimeMode.ProcessingTime(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Append())
   }
 
   // --------------------------------------- streaming per-day quantile bands
@@ -1359,8 +1424,11 @@ object Streams {
       */
     def insert(s: S, v: Double, eps: Double): S = {
       val i = { val j = s.vs.indexWhere(_ > v); if (j < 0) s.vs.length else j }
+      // interior Δ is the paper's ⌊2εn⌋ − 1 (not ⌊2εn⌋: that would let a
+      // fresh tuple carry g + Δ = ⌊2εn⌋ + 1, breaking the invariant by 1
+      // and with it the εn rank bound on adversarial orders)
       val d = if (i == 0 || i == s.vs.length) 0L
-              else math.floor(2 * eps * s.n).toLong
+              else math.max(math.floor(2 * eps * s.n).toLong - 1, 0L)
       val nx = S(s.n + 1,
         (s.vs.take(i) :+ v) ++ s.vs.drop(i),
         (s.gs.take(i) :+ 1L) ++ s.gs.drop(i),

@@ -740,9 +740,10 @@ class StreamsSpec extends SparkSpec {
       val name = s"mem_${System.nanoTime()}"
       val q = cdcStream(stream.toDS())
         .writeStream.format("memory").queryName(name).outputMode("append").start()
-      // transformWithState in ProcessingTime mode re-triggers housekeeping
-      // batches, so processAllAvailable's no-new-data condition may never
-      // latch (same operational note as dedupTws) — poll the sink instead
+      // cdcStream now runs TimeMode.None (no timers/TTL), but keep the
+      // sink poll: it is robust under either time mode (ProcessingTime
+      // re-triggers housekeeping batches and can keep processAllAvailable
+      // from latching — the dedupTws operational note)
       def awaitRows(nRows: Long): Unit = {
         val deadline = System.nanoTime() + 60e9.toLong
         while (spark.table(name).count() < nRows && System.nanoTime() < deadline)
@@ -1928,6 +1929,157 @@ class StreamsSpec extends SparkSpec {
         // labels: user_id = i % 7, positive when ≡ 0 (mod 7)
         r.n_pos should (be >= 6L and be <= 12L)
       }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("msprtStream: a straggler for an already-closed day is dropped, not re-folded") {
+    // FMGWS under NoTimeout does NOT filter watermark-late rows, so the
+    // processor's closedThrough guard is the only thing standing between
+    // a straggler and a re-opened (double-emitted, order-corrupted) day.
+    def mk(id: Long, day: Long, off: Long, uid: Long, v: Double) =
+      Event(id, new Timestamp(day * 86400000L + off), uid, "m", v)
+    val d01 = (0 until 4).flatMap(i => Seq(
+      mk(i * 2L, 0L, 1000L * i, 2L * i, 5.0 + i),
+      mk(i * 2L + 1, 0L, 1000L * i + 1, 2L * i + 1, 4.0 + i),
+      mk(100L + i * 2, 1L, 1000L * i, 2L * i, 6.0 + i),
+      mk(101L + i * 2, 1L, 1000L * i + 1, 2L * i + 1, 3.0 + i)))
+    val stream = MemoryStream[Event]
+    val nm = s"mem_msprt_late_${System.nanoTime()}"
+    val q = msprtStream(stream.toDS(), tauSq = 2500.0)
+      .writeStream.format("memory").queryName(nm).outputMode("append").start()
+    stream.addData(d01: _*); q.processAllAvailable()
+    // two sentinel batches close days 0 and 1 (watermark advances after
+    // the batch that carried the later event)
+    stream.addData(mk(900L, 10L, 0L, 0L, 1.0)); q.processAllAvailable()
+    stream.addData(mk(901L, 11L, 0L, 0L, 1.0)); q.processAllAvailable()
+    val closed = spark.table(nm).as[Streams.SeqTestOut].collect()
+    closed.map(_.day_num).sorted shouldBe Array(0L, 1L)
+    // the straggler: day 0 is long closed; it must be dropped
+    stream.addData(mk(902L, 0L, 5000L, 4L, 9.0)); q.processAllAvailable()
+    stream.addData(mk(903L, 12L, 0L, 0L, 1.0)); q.processAllAvailable()
+    q.exception.foreach(throw _)
+    q.stop()
+    val rows = spark.table(nm).as[Streams.SeqTestOut].collect()
+    rows.count(_.day_num == 0L) shouldBe 1 // emits-once survived the straggler
+    rows.filter(_.day_num == 0L).head shouldBe closed.filter(_.day_num == 0L).head
+    rows.map(_.day_num).distinct.length shouldBe rows.length
+  }
+
+  test("FMGWS late-row delivery semantics: NoTimeout delivers watermark-late rows; EventTimeTimeout filters with the eviction watermark") {
+    // The platform pin both fixes above rest on. If a Spark upgrade
+    // changes either behavior this fails loudly: (a) msprtStream's
+    // closedThrough guard exists BECAUSE NoTimeout delivers stragglers;
+    // (b) sessionizeWithState's timeout clamp is a no-op BECAUSE
+    // EventTimeTimeout filters with the eviction watermark (a version
+    // filtering with the previous batch's watermark instead would make
+    // the clamp load-bearing — see its comment).
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def run(timeout: GroupStateTimeout, eventTime: Boolean): Seq[Long] = {
+      val stream = MemoryStream[Event]
+      val nm = s"mem_wmprobe_${System.nanoTime()}"
+      val ds = stream.toDS().withWatermark("ts", "30 minutes")
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[Long, Long](OutputMode.Append(), timeout) {
+          (_: Long, rows: Iterator[Event], st: GroupState[Long]) =>
+            if (st.hasTimedOut) { st.remove(); Iterator.empty }
+            else {
+              val out = rows.map(_.event_id).toVector
+              st.update(0L)
+              if (eventTime)
+                st.setTimeoutTimestamp(st.getCurrentWatermarkMs() + 3600000L)
+              out.iterator
+            }
+        }
+      val q = ds.writeStream.format("memory").queryName(nm)
+        .outputMode("append").start()
+      def ev(id: Long, uid: Long, min: Int) = Event(id, ts(min), uid, "e", 1.0)
+      stream.addData(ev(1, 1, 720)); q.processAllAvailable() // 12:00
+      stream.addData(ev(2, 2, 960)); q.processAllAvailable() // 16:00 → wm 15:30
+      stream.addData(ev(3, 1, 780)); q.processAllAvailable() // straggler 13:00
+      q.exception.foreach(throw _)
+      q.stop()
+      spark.table(nm).as[Long].collect().toSeq.sorted
+    }
+    run(GroupStateTimeout.NoTimeout(), eventTime = false) shouldBe Seq(1L, 2L, 3L)
+    run(GroupStateTimeout.EventTimeTimeout(), eventTime = true) shouldBe Seq(1L, 2L)
+  }
+
+  test("sessionizeWithState: a watermark jump past the gap cannot corrupt or kill the query") {
+    // The straggler whose natural timeout (lastMs + gap) would sit behind
+    // the eviction watermark is filtered before the function on this
+    // Spark (semantics pin above); the session surface stays healthy and
+    // the closed session emits exactly once.
+    def ev(id: Long, uid: Long, min: Int) = Event(id, ts(min), uid, "e", 1.0)
+    val stream = MemoryStream[Event]
+    val nm = s"mem_sess_clamp_${System.nanoTime()}"
+    val q = sessionizeWithState(stream.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName(nm).outputMode("append").start()
+    stream.addData(ev(1, 1, 720)); q.processAllAvailable()  // u1 12:00
+    stream.addData(ev(2, 2, 960)); q.processAllAvailable()  // u2 16:00 → wm 15:30
+    // u1 straggler 13:00, 2h30m behind the eviction watermark
+    stream.addData(ev(3, 1, 780)); q.processAllAvailable()
+    q.exception shouldBe empty
+    stream.addData(ev(4, 3, 1100)); q.processAllAvailable() // advance wm
+    stream.addData(ev(5, 3, 1200)); q.processAllAvailable() // fire timeouts
+    q.exception.foreach(throw _)
+    q.stop()
+    val u1 = spark.table(nm).as[SessionOut].collect().filter(_.user_id == 1L)
+    u1.map(s => (s.start_ms, s.n_events)) shouldBe Array((ts(720).getTime, 1L))
+  }
+
+  test("cdcStream: a same-seq delete arriving a batch later still wins; its replay is ignored") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Change]
+      val name = s"mem_${System.nanoTime()}"
+      val q = cdcStream(stream.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData(Change(1L, 2.0, 5L, "U")); q.processAllAvailable()
+      // same seq one batch later: D is the later intent (the in-batch
+      // tie rule, applied cross-batch against the stored state)
+      stream.addData(Change(1L, 0.0, 5L, "D")); q.processAllAvailable()
+      // exact replay of the applied delete compares equal → idempotent
+      stream.addData(Change(1L, 0.0, 5L, "D"), Change(2L, 7.0, 1L, "U"))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      q.stop()
+      val log = spark.table(name).as[Applied].collect()
+      log.count(_.k == 1L) shouldBe 2 // U applied, D applied, replay silent
+      log.filter(_.k == 1L).maxBy(a => (a.seq, a.deleted)).deleted shouldBe true
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("heavyHittersStream: an eviction emits an est-0 retraction so latest-emission folding stays truthful") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[String]
+      val name = s"mem_${System.nanoTime()}"
+      val q = heavyHittersStream(stream.toDS(), capacity = 1, shards = 1)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData("a", "a"); q.processAllAvailable() // m = {a: 2}
+      // two 'b's decrement a to zero — evicted, never tracked itself
+      stream.addData("b", "b"); q.processAllAvailable()
+      q.exception.foreach(throw _)
+      q.stop()
+      val log = spark.table(name).as[TokenCount].collect()
+      log should contain(TokenCount("a", 2L))
+      log should contain(TokenCount("a", 0L)) // the retraction
+      // the changelog contract: latest emission per token = current estimate
+      log.groupBy(_.token).view.mapValues(_.last.est).toMap shouldBe Map("a" -> 0L)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
