@@ -1140,8 +1140,10 @@ private[graft] object StatsQueries {
         |        FROM (SELECT lang, text,
         |                list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks
         |              FROM documents) a) b),
-        |bn AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
-        |         CAST(round(score * 10000, 0) AS BIGINT) AS u, lbl FROM d)
+        |bn AS (SELECT CAST(least((u * 10) // 10000, 9) AS BIGINT) AS bin,
+        |         u, lbl
+        |       FROM (SELECT CAST(round(score * 10000, 0) AS BIGINT) AS u,
+        |               lbl FROM d) e)
         |SELECT bin, count(*) AS n,
         |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  round(CAST(sum(u) AS DOUBLE) / count(*) / 10000.0, 6) AS mean_score,

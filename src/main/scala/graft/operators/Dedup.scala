@@ -132,8 +132,15 @@ object Dedup {
     * each token hash (shift amounts are Scala constants, so everything
     * stays in codegen'd built-ins). Bit i of the result is set iff more
     * than half the token hashes have bit i set. No shuffle, no UDF.
-    * Future optimization slot: a custom Catalyst `Expression` with
-    * `doGenCode` collapsing the 64-wide array math to a tight loop.
+    *
+    * This composed form is the EXECUTABLE SPECIFICATION of the native
+    * kernel — DedupSpec asserts it value-identical to
+    * [[graft.functions.DedupExpr.simhash]], which IS the tight-loop
+    * `doGenCode` Expression. Production paths use the kernel (via
+    * [[simhashed]]): composing here re-evaluates the unmaterialized
+    * `ones` subtree per output bit (the [[simhashCombine]] caveat) and
+    * tokenizes twice, which is fine for a differential test and wrong
+    * for a hot path.
     */
   def simhash64(text: Column): Column =
     simhashCombine(simhashOnes(transform(TextAnalytics.tokens(text), t => xxhash64(t))),
@@ -285,13 +292,28 @@ object Dedup {
   class MinHashUnionAgg extends org.apache.spark.sql.expressions.Aggregator[
       Seq[Long], Array[Long], Seq[Long]] {
     override def zero: Array[Long] = Array.emptyLongArray
+    // mixed-length signatures (two pipelines with different numHashes
+    // feeding one group) must fail loudly: depending on arrival order the
+    // unchecked loop would either throw a bare IndexOutOfBounds or
+    // silently ignore the longer signature's tail — a wrong sketch that
+    // varies with partitioning (sigAgreement names the same condition)
+    private def checkLen(have: Int, got: Int): Unit =
+      require(got == have,
+        s"MinHashUnionAgg: signature length $got != $have — every " +
+          "signature in a group must come from the same numHashes")
     override def reduce(b: Array[Long], sig: Seq[Long]): Array[Long] =
       if (b.isEmpty) sig.toArray
-      else { var i = 0; while (i < b.length) { if (sig(i) < b(i)) b(i) = sig(i); i += 1 }; b }
+      else {
+        checkLen(b.length, sig.length)
+        var i = 0; while (i < b.length) { if (sig(i) < b(i)) b(i) = sig(i); i += 1 }; b
+      }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       if (a.isEmpty) b
       else if (b.isEmpty) a
-      else { var i = 0; while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }; a }
+      else {
+        checkLen(a.length, b.length)
+        var i = 0; while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }; a
+      }
     override def finish(b: Array[Long]): Seq[Long] = b.toSeq
     override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
@@ -460,8 +482,16 @@ object Dedup {
         "large-star/small-star path (Dedup.clusters with driverEdgeLimit=0)")
     val spark = symPairs.sparkSession
     import spark.implicits._
-    val es = symPairs.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
+    // nullable decode + loud require: a NULL id cannot name a cluster
+    // member, and the primitive (Long, Long) decoder would otherwise
+    // surface it as a cryptic "Null value appeared in non-nullable
+    // field" far from the cause
+    val esBoxed = symPairs.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(java.lang.Long, java.lang.Long)].collect()
+    require(esBoxed.forall(e => e._1 != null && e._2 != null),
+      "clustersDriver: NULL id in the pair list — ids must be non-null " +
+        "to name cluster members")
+    val es = esBoxed.map(e => (e._1.longValue, e._2.longValue))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -636,7 +666,12 @@ object Dedup {
     // shuffles — the only option once the corpus outgrows the driver —
     // where the pair stream pays one narrow exchange per side. Sizing
     // actions are cheap: vecs is already an eager checkpoint.
-    val dim = vecs.select(size(col("v"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    // probe the first NON-NULL vector: size(NULL) is NULL and getInt on
+    // it would NPE the whole job because one document lacks an embedding
+    // (null vectors themselves flow through to a NULL cos_sim downstream)
+    val dim = vecs.select(size(col("v")).as("_d"))
+      .where(col("_d").isNotNull)
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
     val estBytes = vecs.count() * (24L + 8L * dim)
     val budget = maxBroadcastVectorBytes(df.sparkSession)
     def side(n: String, v: String) = {

@@ -60,7 +60,12 @@ object Stats {
     */
   def iqrOutliers(df: DataFrame, groupCol: String, valueCol: Column,
                   k: Double = 1.5): DataFrame = {
+    // a NULL group key carries no group evidence — without the explicit
+    // exclusion those rows would silently vanish at the fence equi-join
+    // (NULL values already drop naturally: percentile ignores them and
+    // the fence comparison is NULL)
     val v = df.select(col(groupCol).as("_s_grp"), valueCol.as("_s_v"))
+      .where(col("_s_grp").isNotNull)
     val fences = v.groupBy(col("_s_grp"))
       .agg(percentile(col("_s_v"), lit(0.25)).as("_q1"),
         percentile(col("_s_v"), lit(0.75)).as("_q3"))
@@ -81,7 +86,11 @@ object Stats {
     * deviation pass stays map-side into the second aggregate.
     */
   def mad(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    // NULL group keys would silently vanish at the median equi-join;
+    // NULL values carry no deviation evidence but would still count in n
+    // — exclude both explicitly (histogram convention)
     val v = df.select(col(groupCol).as("_s_grp"), valueCol.as("_s_v"))
+      .where(col("_s_grp").isNotNull && col("_s_v").isNotNull)
     val med = v.groupBy(col("_s_grp"))
       .agg(percentile(col("_s_v"), lit(0.5)).as("_med"))
     v.join(broadcast(med), "_s_grp")
@@ -105,7 +114,12 @@ object Stats {
     * (chi2, dof, n).
     */
   def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    // NULL in either column carries no contingency evidence — and an
+    // unfiltered NULL cell would silently drop at the marginal equi-joins
+    // while still counting in n, making Σ o²/e − n come out NEGATIVE (an
+    // impossible χ²). Same convention as histogram's NULL exclusion.
     val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
       .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
     val rows = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
     val cols = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
@@ -132,7 +146,11 @@ object Stats {
     * bounded-dimension arithmetic.
     */
   def mutualInfo(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    // NULL exclusion for the same reason as chiSquare: a NULL cell would
+    // vanish at the marginal joins but still inflate n, biasing every
+    // probability in the sum (MI of independent columns could go negative)
     val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
       .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
     val rows = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
     val cols = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
@@ -195,6 +213,10 @@ object Stats {
       .rowsBetween(Long.MinValue, -1)
     val perScore = df.select(groupCol.as("_s_grp"), scoreCol.as("_s_score"),
         labelCol.cast("boolean").as("_s_lbl"))
+      // a row with a NULL label or NULL score carries no ranking evidence
+      // (an unfiltered NULL label would land in `otherwise` and count as
+      // a negative, silently deflating the AUC)
+      .where(col("_s_lbl").isNotNull && col("_s_score").isNotNull)
       .groupBy(col("_s_grp"), col("_s_score"))
       .agg(sum(when(col("_s_lbl"), 1L).otherwise(0L)).as("_np"),
         sum(when(col("_s_lbl"), 0L).otherwise(1L)).as("_nn"))
@@ -227,9 +249,17 @@ object Stats {
     require(bins > 0, "bins must be positive")
     val unit = math.pow(10.0, scaleDp)
     val u = round(scoreCol * unit, 0).cast("long")
-    val bin = least(floor(scoreCol * bins), lit(bins - 1)).cast("long")
+    // exact integer binning on the pre-rounded units: floor(score·bins)
+    // in double misplaces exact boundary scores (0.3·10 =
+    // 2.9999999999999996 floors into bin 2), while u·bins div 10^dp is
+    // integer arithmetic with no boundary error — the same exactness
+    // discipline the per-bin sums already follow. NULL score/label rows
+    // carry no evidence and are excluded (histogram convention).
+    val bin = least(floor((u * bins).cast("double") / unit),
+      lit(bins - 1)).cast("long")
     df.select(bin.as("bin"), u.as("_u"),
         labelCol.cast("boolean").as("_l"))
+      .where(col("_u").isNotNull && col("_l").isNotNull)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("_u")).as("_su"),
@@ -259,6 +289,12 @@ object Stats {
     require(bins > 0, "bins must be positive")
     val counts = df.select(bucketCol.cast("long").as("bin"),
         baseCol.cast("boolean").as("_base"))
+      // a NULL bucket (or a value that casts to NULL) is not a real bin:
+      // unfiltered it would form a phantom bin=NULL row that gets
+      // Laplace-smoothed into the PSI sum and n_bins, turning a change in
+      // null-share into a fake drift signal. NULL side flags likewise
+      // carry no window evidence. (histogram convention)
+      .where(col("bin").isNotNull && col("_base").isNotNull)
       .groupBy(col("bin"))
       .agg(sum(when(col("_base"), 1L).otherwise(0L)).as("_cb"),
         sum(when(col("_base"), 0L).otherwise(1L)).as("_cc"))
@@ -279,7 +315,11 @@ object Stats {
     * over the bounded dictionary, not the corpus.
     */
   def entropy(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    // NULL group keys would silently vanish at the totals equi-join; a
+    // NULL value is not a dictionary symbol — exclude both explicitly
+    // (histogram convention)
     val counts = df.select(col(groupCol).as("_s_grp"), valueCol.as("_s_v"))
+      .where(col("_s_grp").isNotNull && col("_s_v").isNotNull)
       .groupBy(col("_s_grp"), col("_s_v"))
       .agg(count(lit(1)).as("_cnt"))
     val totals = counts.groupBy(col("_s_grp")).agg(sum(col("_cnt")).as("_tot"))

@@ -1260,6 +1260,13 @@ object Streams {
   case class TokenEvent(shard: Int, token: String)
   /** A shard's current estimate for a token after a batch. */
   case class TokenCount(token: String, est: Long)
+  // NOTE: Encoders.product codegen for the processor state classes in
+  // this object (this one, LastEvent, LandmarkState, OpenIsland, …)
+  // trips a Janino method-resolution limitation on nested case classes
+  // and falls back to interpreted serialization with a per-batch ERROR
+  // log line — cosmetic: the fallback is correct, it affects plain-long
+  // state classes just the same, and the cost is per state row, not per
+  // event.
   private case class MgState(items: Map[String, Long])
 
   /** Continuous Misra-Gries heavy hitters via `transformWithState` —
@@ -1771,7 +1778,9 @@ object Streams {
     * bins exactly once when the watermark passes the day end.
     *
     * Arithmetic is the batch operator's term for term: bin =
-    * min(⌊score·bins⌋, bins−1) (the top bin absorbs score = 1.0);
+    * min(⌊u·bins/10^scaleDp⌋, bins−1) on the pre-rounded integer units
+    * (exact at bin boundaries, where ⌊score·bins⌋ in double misplaces
+    * them; the top bin absorbs score = 1.0);
     * scores accumulate as integer units round(score·10^scaleDp)
     * HALF_UP exactly like Spark's `round(col, 0)`, so mean_score =
     * round(su/n/unit, 6) and pos_rate = round(n_pos/n, 6) reproduce
@@ -1809,10 +1818,15 @@ object Streams {
         if (e.value != null && java.lang.Double.isFinite(e.value.doubleValue)
             && e.value.doubleValue >= 0.0) {
           val v = e.value.doubleValue
-          val b = math.min(bins - 1L, math.floor(v * bins).toLong).toInt
-          c.n(b) += 1L
-          c.su(b) += BigDecimal(v * unit)
+          val u = BigDecimal(v * unit)
             .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+          // exact integer binning on the pre-rounded units, term for term
+          // with the batch operator's fix: floor(v·bins) in double
+          // misplaces exact boundary scores (0.3·10 floors into bin 2)
+          val b = math.min(bins - 1L,
+            math.floor(u.toDouble * bins / unit).toLong).toInt
+          c.n(b) += 1L
+          c.su(b) += u
           if (labelOf(e)) c.npos(b) += 1L
           touched = true
         }

@@ -168,6 +168,27 @@ class DedupSpec extends SparkSpec {
     unionSig shouldBe expected
   }
 
+  test("MinHashUnionAgg: mixed signature lengths fail loudly in either arrival order") {
+    val agg = new Dedup.MinHashUnionAgg
+    // shorter-into-longer: the unchecked loop would throw a bare
+    // IndexOutOfBounds; longer-into-shorter would silently truncate
+    val b3 = agg.reduce(agg.zero, Seq(3L, 2L, 1L))
+    intercept[IllegalArgumentException](agg.reduce(b3, Seq(1L, 2L)))
+      .getMessage should include("numHashes")
+    val b2 = agg.reduce(agg.zero, Seq(5L, 6L))
+    intercept[IllegalArgumentException](agg.reduce(b2, Seq(1L, 2L, 3L)))
+      .getMessage should include("numHashes")
+    intercept[IllegalArgumentException](agg.merge(Array(1L, 2L), Array(1L, 2L, 3L)))
+      .getMessage should include("numHashes")
+  }
+
+  test("clusters (driver path): a NULL id fails loudly instead of a cryptic encoder error") {
+    val pairs = Seq((Option(1L), Option(2L)), (Option(2L), Option(3L)),
+      (None: Option[Long], Option(4L))).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException](Dedup.clusters(pairs))
+      .getMessage should include("NULL id")
+  }
+
   test("native simhash kernel is value-identical to the composed HOF pipeline") {
     import graft.functions.{DedupExpr, TextAnalytics}
     val both = docs.select(

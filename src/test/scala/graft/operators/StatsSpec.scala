@@ -771,4 +771,85 @@ class StatsSpec extends SparkSpec {
     }
     e.getMessage should include("Ford")
   }
+
+  test("chiSquare/mutualInfo: NULL categories carry no evidence — nulled rows equal the clean subset") {
+    // pre-fix, a NULL cell dropped at the marginal equi-joins but still
+    // counted in n, so Σ o²/e − n could go NEGATIVE (an impossible χ²)
+    val clean = (Seq.fill(4)(("x", "p")) ++ Seq.fill(4)(("x", "q")) ++
+      Seq.fill(4)(("y", "p")) ++ Seq.fill(4)(("y", "q"))).toDF("a", "b")
+    val nulled = (Seq.fill(4)((Option("x"), Option("p"))) ++
+      Seq.fill(4)((Option("x"), Option("q"))) ++
+      Seq.fill(4)((Option("y"), Option("p"))) ++
+      Seq.fill(4)((Option("y"), Option("q"))) ++
+      Seq((None: Option[String], Option("p")), (Option("x"), None),
+        (None, None))).toDF("a", "b")
+    val c0 = Stats.chiSquare(clean, col("a"), col("b"))
+      .as[(Double, Long, Long)].collect()(0)
+    val c1 = Stats.chiSquare(nulled, col("a"), col("b"))
+      .as[(Double, Long, Long)].collect()(0)
+    c1 shouldBe c0
+    c1._1 should be >= 0.0
+    val m0 = Stats.mutualInfo(clean, col("a"), col("b"))
+      .as[(Double, Long)].collect()(0)
+    val m1 = Stats.mutualInfo(nulled, col("a"), col("b"))
+      .as[(Double, Long)].collect()(0)
+    m1 shouldBe m0
+  }
+
+  test("calibration bins by exact integer units — a boundary score lands in its own bin") {
+    // double floor(0.3 * 10) = floor(2.9999999999999996) = 2; the
+    // integer path (u·bins div 10^dp = 3000·10 div 10000) must give 3
+    val df = Seq((0.3, true), (0.2999, false), (0.3001, true)).toDF("s", "l")
+    val got = Stats.calibration(df, col("s"), col("l"), bins = 10)
+      .orderBy("bin").as[(Long, Long, Long, Double, Double)].collect()
+    got.map(_._1) shouldBe Array(2L, 3L)
+    got(0)._2 shouldBe 1L // 0.2999 alone below the boundary
+    got(1)._2 shouldBe 2L // 0.3 (the boundary) and 0.3001
+  }
+
+  test("auc excludes NULL-label/NULL-score rows instead of counting them as negatives") {
+    val clean = Seq(("g", Option(0.9), Option(true)),
+      ("g", Option(0.1), Option(false))).toDF("g", "s", "l")
+    val nulled = clean.union(Seq(
+      ("g", Option(0.5), None: Option[Boolean]),
+      ("g", None: Option[Double], Option(true))).toDF("g", "s", "l"))
+    val a0 = Stats.auc(clean, col("g"), col("s"), col("l"))
+      .as[(String, Long, Long, Double)].collect()(0)
+    val a1 = Stats.auc(nulled, col("g"), col("s"), col("l"))
+      .as[(String, Long, Long, Double)].collect()(0)
+    a1 shouldBe a0
+    a0 shouldBe (("g", 1L, 1L, 1.0))
+  }
+
+  test("psi ignores NULL buckets instead of smoothing a phantom bin into the drift sum") {
+    val clean = Seq((Option(0L), true), (Option(1L), true),
+      (Option(0L), false), (Option(1L), false)).toDF("b", "base")
+    val nulled = clean.union(Seq((None: Option[Long], true),
+      (None: Option[Long], false)).toDF("b", "base"))
+    val p0 = Stats.psi(clean, col("b"), col("base"), bins = 10)
+      .as[(Long, Double)].collect()(0)
+    val p1 = Stats.psi(nulled, col("b"), col("base"), bins = 10)
+      .as[(Long, Double)].collect()(0)
+    p1 shouldBe p0
+    p0._1 shouldBe 2L // two real bins, no phantom
+  }
+
+  test("iqrOutliers/mad/entropy: NULL group keys are excluded, not silently vanished at the join") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).map(v => (Option("a"), Option(v))) ++
+      Seq((None: Option[String], Option(50.0)),
+        (Option("a"), None: Option[Double]))).toDF("g", "v")
+    val iqr = Stats.iqrOutliers(df, "g", col("v"))
+      .as[(String, Long, Double, Double)].collect()
+    iqr shouldBe Array(("a", 1L, 100.0, 100.0))
+    val madGot = Stats.mad(df, "g", col("v"))
+      .as[(String, Double, Double, Long)].collect()
+    madGot.length shouldBe 1
+    madGot(0)._1 shouldBe "a"
+    madGot(0)._4 shouldBe 6L // n counts evidence rows only (no null value)
+    val ent = Stats.entropy(df.select(col("g"), col("v").cast("string").as("v")),
+        "g", col("v"))
+      .as[(String, Long, Long, Double)].collect()
+    ent.length shouldBe 1
+    ent(0)._3 shouldBe 6L // null value is not a dictionary symbol
+  }
 }
