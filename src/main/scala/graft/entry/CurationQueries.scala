@@ -377,12 +377,10 @@ private[graft] object CurationQueries {
            |      16, 10) AS BIGINT), 256) AS b,
            |    count(*) AS c
            |  FROM g GROUP BY 1, 2, 3),
-           |raw AS (SELECT b, sum(c) AS cr FROM bk GROUP BY b),
-           |tgt AS (SELECT b, sum(c) AS ct FROM bk
-           |        WHERE source IN ('src0', 'src1', 'src2', 'src3')
-           |        GROUP BY b),
-           |dim AS (SELECT raw.b AS b, cr, coalesce(ct, CAST(0 AS BIGINT)) AS ct
-           |        FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+           |dim AS (SELECT b, sum(c) AS cr,
+           |          sum(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+           |              THEN c ELSE CAST(0 AS BIGINT) END) AS ct
+           |        FROM bk GROUP BY b),
            |tot AS (SELECT sum(cr) AS totr, sum(ct) AS tott FROM dim),
            |llr AS (SELECT /*+ BROADCAST(tot) */ b,
            |          ln(CAST(ct + 1 AS DOUBLE) / (tott + 256)) -

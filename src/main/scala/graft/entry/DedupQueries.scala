@@ -95,9 +95,16 @@ private[graft] object DedupQueries {
       // raw interpolator: the s-interpolator processes \\ escapes even in
       // triple quotes, which would hand Spark '\s+' (unescaped to regex
       // "s+" — splitting on the letter s)
+      // explode_OUTER, not explode: plain explode makes the optimizer
+      // infer a `size(sh) > 0 AND isnotnull(sh)` pre-filter
+      // (InferFiltersFromGenerate) that pushes below the projection and
+      // re-evaluates the shingle_hashes kernel TWICE more per document
+      // (plan-verified, r15). A doc with zero shingles emits one h=NULL
+      // row instead of none; NULL never equi-joins, so the pair set —
+      // and the oracle hash — are unchanged.
       s.sql(
         raw"""WITH ex AS (
-           |  SELECT doc_id, size(sh) AS n_sh, explode(sh) AS h FROM (
+           |  SELECT doc_id, size(sh) AS n_sh, explode_outer(sh) AS h FROM (
            |    SELECT doc_id,
            |      shingle_hashes(filter(split(text, '\\s+'), t -> length(t) > 0), 3) AS sh
            |    FROM parquet.`$dir/documents.parquet`))

@@ -119,8 +119,58 @@ object Multimodal {
     v
   }
 
-  /** REAL audio decode via the JRE-native `javax.sound.sampled`
-    * (WAV/AIFF/AU — every container the JRE ships a reader for).
+  /** The JRE's registered [[javax.sound.sampled.spi.AudioFileReader]]s,
+    * resolved ONCE per JVM. `AudioSystem.getAudioInputStream` re-runs
+    * the ServiceLoader provider scan on EVERY call (the JDK 9+ sound
+    * stack dropped the old 60 s provider cache), and on a Spark executor
+    * that scan walks META-INF/services across the full several-hundred-
+    * jar classpath — measured 20 ms/row inside an executor vs 50 µs/row
+    * for the identical decode in a thin-classpath JVM (AudioProbe,
+    * OPTIMIZATION_r15.md). Caching the provider list is the §4.5
+    * "initialise heavyweight state once, not per row" fix; the decode
+    * below still runs the same JRE reader (WaveFileReader et al.), in
+    * the same priority order AudioSystem uses.
+    */
+  private lazy val audioFileReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    // Gervill's SoftMidiAudioFileReader LAST: probing it costs a fresh
+    // synchronized MIDI provider scan PER CALL (MidiSystem.getSequence →
+    // JDK13Services.getProviders — the stack the AudioProbe sampler
+    // caught under every executor thread, ~1 ms/row with lock
+    // contention), and the JDK's container readers reject foreign bytes
+    // from the magic number alone for ~1 µs. Only payloads NO standard
+    // reader accepts ever reach it, and reader order only matters when
+    // two readers accept the same bytes — which the distinct WAV/AIFF/
+    // AU/MIDI magics preclude, so acceptance semantics are unchanged.
+    val (midi, std) = buf.partition(_.getClass.getName.contains("Midi"))
+    (std ++ midi).toArray
+  }
+
+  /** AudioSystem.getAudioInputStream semantics over the cached provider
+    * list: first reader that accepts the stream wins; readers that
+    * reject reset the (mark-supported) stream per the SPI contract.
+    * Returns None when no reader accepts (AudioSystem throws
+    * UnsupportedAudioFileException there — the caller treated that as
+    * None already).
+    */
+  private def readAudioStream(
+      in: java.io.InputStream): Option[javax.sound.sampled.AudioInputStream] = {
+    var i = 0
+    while (i < audioFileReaders.length) {
+      try return Some(audioFileReaders(i).getAudioInputStream(in))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      i += 1
+    }
+    None
+  }
+
+  /** REAL audio decode via the JRE-native `javax.sound.sampled` SPI
+    * (WAV/AIFF/AU — every container the JRE ships a reader for), with
+    * the provider list cached per JVM (see [[audioFileReaders]]).
     * Returns the stream only for 16-bit signed PCM payloads (the format
     * this kernel's sample parser handles); anything else falls back to
     * the documented stub.
@@ -128,14 +178,12 @@ object Multimodal {
   private def decodeAudio(a: Asset): Option[javax.sound.sampled.AudioInputStream] =
     if (a.media_type == "audio" || a.format.startsWith("audio/"))
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(a.content))
-        val f = ais.getFormat
-        if (f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          f.getSampleSizeInBits == 16) Some(ais)
-        else None
+        readAudioStream(new java.io.ByteArrayInputStream(a.content)).filter { ais =>
+          val f = ais.getFormat
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16
+        }
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
         case _: java.io.IOException => None
       }
     else None

@@ -41,24 +41,33 @@ object Baskets {
     * @note BEHAVIOR CHANGE (r14): the guard defaults ON at 10000. A
     *       caller whose legitimate baskets exceed 10k items — previously
     *       accepted, at Σ|basket|² self-join cost — must now pass an
-    *       explicit `maxBasketCheck` (or ≤ 0 to opt out, which also
-    *       skips the guard's one extra aggregate job over the
-    *       already-materialized item table).
+    *       explicit `maxBasketCheck` (or ≤ 0 to opt out of the check).
+    * @note r15: the basket-size aggregate always runs (one job over the
+    *       already-materialized item table) because it now also yields
+    *       the basket total N — replacing the countDistinct subtree the
+    *       plan previously recomputed per execution; opting out of the
+    *       guard no longer skips that job, it only skips the require().
     */
   def cooccurrence(df: DataFrame, basketCol: Column, itemCol: Column,
                    minCount: Long, maxBasketCheck: Long = 10000): DataFrame = {
     val items = df.select(basketCol.as("_b"), itemCol.as("_i")).distinct()
       .localCheckpoint(true)
-    if (maxBasketCheck > 0) {
-      val row = items.groupBy(col("_b")).agg(count(lit(1)).as("_sz"))
-        .agg(max(col("_sz"))).head()
-      val mx = if (row.isNullAt(0)) 0L else row.getLong(0)
+    // ONE aggregate over the basket-size table serves BOTH the fan-out
+    // guard (max |basket|) and the basket total N (count of non-null
+    // basket groups == countDistinct(_b)) — previously the guard ran its
+    // own aggregate job AND the plan carried a two-exchange countDistinct
+    // subtree for N (guide §2.4: don't recompute what one pass yields).
+    // N rides the plan as a literal; the lift arithmetic is unchanged
+    // (long·long product, double division).
+    val szRow = items.groupBy(col("_b")).agg(count(lit(1)).as("_sz"))
+      .agg(max(col("_sz")), count(col("_b"))).head()
+    val mx = if (szRow.isNullAt(0)) 0L else szRow.getLong(0)
+    val nBaskets = szRow.getLong(1)
+    if (maxBasketCheck > 0)
       require(mx <= maxBasketCheck,
         s"cooccurrence pair fan-out is sum(|basket|^2): max basket size " +
           s"$mx exceeds maxBasketCheck=$maxBasketCheck — cap baskets " +
           "upstream (e.g. drop or sample mega-baskets) or raise the knob")
-    }
-    val nBaskets = items.agg(countDistinct(col("_b")).as("_n"))
     val support = items.groupBy(col("_i")).agg(count(lit(1)).as("_s"))
     val pairs = items.select(col("_b"), col("_i").as("item_a"))
       .join(items.select(col("_b"), col("_i").as("item_b")), Seq("_b"))
@@ -69,8 +78,7 @@ object Baskets {
     pairs
       .join(support.select(col("_i").as("item_a"), col("_s").as("_sa")), "item_a")
       .join(support.select(col("_i").as("item_b"), col("_s").as("_sb")), "item_b")
-      .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("n_ab"),
-        ((col("n_ab") * col("_n")) / (col("_sa") * col("_sb"))).as("lift"))
+        ((col("n_ab") * nBaskets) / (col("_sa") * col("_sb"))).as("lift"))
   }
 }

@@ -644,12 +644,16 @@ object Curation {
       buckets).withColumnRenamed("_llr", "llr")
 
   private def dsirDimPre(bucketed: DataFrame, buckets: Int): DataFrame = {
-    // bounded bucket dimensions: raw = every doc, target = the slice
-    val rawDim = bucketed.groupBy(col("b")).agg(sum(col("c")).as("cr"))
-    val tgtDim = bucketed.where(col("_t")).groupBy(col("b"))
-      .agg(sum(col("c")).as("ct"))
-    val dim = rawDim.join(tgtDim, Seq("b"), "left")
-      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    // bounded bucket dimension in ONE aggregate: raw = every doc's
+    // count, target = the slice's count as a conditional sum — exactly
+    // the rows the old rawDim LEFT JOIN tgtDim produced (a bucket with
+    // no target rows sums to 0, the coalesce'd value), minus one full
+    // aggregate pass over `bucketed` and the join (guide §2.4; the old
+    // shape also recomputed both aggregates AGAIN under `tot`, putting
+    // five copies of the gram-bucketing subtree in the plan)
+    val dim = bucketed.groupBy(col("b")).agg(
+      sum(col("c")).as("cr"),
+      sum(when(col("_t"), col("c")).otherwise(lit(0L))).as("ct"))
     val tot = dim.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
     dim.crossJoin(broadcast(tot)) // one-row totals
       .select(col("b"),

@@ -371,10 +371,16 @@ object Dedup {
     // smaller than the corpus). Below the limit, union-find on the
     // driver beats distributed rounds — each round costs fixed job
     // overhead regardless of data size. Above it, fall through to
-    // distributed large-star/small-star rounds.
-    val edgeCount = p.count()
-    if (integralIds && edgeCount <= driverEdgeLimit)
-      return clustersDriver(p, edgeCount, driverEdgeLimit)
+    // distributed large-star/small-star rounds. With the driver path
+    // disabled (limit ≤ 0) the routing count is dead weight — skip the
+    // job and go straight to the distributed rounds (r15; previously an
+    // EMPTY edge set with limit 0 took the driver path via 0 ≤ 0 — both
+    // paths return the same empty (id, cluster_id) result there).
+    if (driverEdgeLimit > 0) {
+      val edgeCount = p.count()
+      if (integralIds && edgeCount <= driverEdgeLimit)
+        return clustersDriver(p, edgeCount, driverEdgeLimit)
+    }
     clustersStarWithRounds(p, maxIters, reliable)._1
   }
 
@@ -402,31 +408,58 @@ object Dedup {
     def mat(df: DataFrame): DataFrame =
       if (reliable) { ensureCheckpointDir(df.sparkSession); df.checkpoint(true) }
       else df.localCheckpoint(true)
-    val nodes = mat(p.select(col("src").as("id"))
-      .unionAll(p.select(col("dst").as("id"))).distinct())
+    // lineage-truncating persist whose MATERIALIZATION is deferred to
+    // the caller's next action (the per-round signature aggregate), so a
+    // round costs ONE action instead of eager-checkpoint + signature
+    // (r15, guide §1.2/§2.4 — at test scale each action is a fixed
+    // job-latency tax; 77 jobs → ~40 on the forced-distributed query).
+    // Reliable mode keeps the eager form: RDD.checkpoint() after a
+    // non-persisted action RECOMPUTES the plan for the checkpoint file,
+    // which is worse than one extra job.
+    def matDeferred(df: DataFrame): DataFrame =
+      if (reliable) mat(df) else df.localCheckpoint(false)
+    // NOT materialized: consumed exactly once by the final label join,
+    // and its input p is already a checkpoint — an eager distinct here
+    // was one more job + exchange ahead of the loop for no reuse.
+    val nodes = p.select(col("src").as("id"))
+      .unionAll(p.select(col("dst").as("id"))).distinct()
     // canonical working set: distinct (lo, hi), lo < hi
     var edges = mat(p.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .distinct())
 
+    // Exchange discipline (r15): each star op repartitions its input by
+    // ITS grouping key once, so the aggregate AND the join probe reuse
+    // that single exchange (ENSURE_REQUIREMENTS sees hash(u) on both
+    // sides) — the unkeyed form paid separate exchanges for the
+    // groupBy, each join side, and a distinct, ~6 per round vs 3 now.
+    //
     // large-star: per node u over its FULL neighborhood, connect every
-    // strictly-larger neighbor to m = min(N(u) ∪ {u})
+    // strictly-larger neighbor to m = min(N(u) ∪ {u}). No trailing
+    // distinct: each INPUT edge (lo,hi) yields exactly one output row
+    // (only the u=lo orientation passes v > u), so the bag stays ≤ |e|
+    // rows, and small-star's min aggregates are duplicate-insensitive
+    // while its trailing distinct re-canonicalizes the round's output —
+    // the per-round edge SET trajectory (and so the round count and the
+    // fixpoint) is unchanged.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("lo").as("u"), col("hi").as("v"))
         .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+        .repartition(col("u"))
       val mins = sym.groupBy(col("u"))
         .agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("u"), col("_mn")).as("m"))
       sym.join(mins, Seq("u")).where(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))
-        .distinct()
     }
     // small-star: per node u over its SMALLER neighbors L(u), connect
-    // them (and u) to m = min(L(u))
+    // them (and u) to m = min(L(u)); the trailing distinct canonicalizes
+    // the round (bag in, set out).
     def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val rewired = e.join(mins, Seq("hi")).where(col("lo") =!= col("m"))
+      val eP = e.repartition(col("hi"))
+      val mins = eP.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val rewired = eP.join(mins, Seq("hi")).where(col("lo") =!= col("m"))
         .select(col("m").as("lo"), col("lo").as("hi"))
       rewired.unionAll(mins.select(col("m").as("lo"), col("hi")))
         .distinct()
@@ -443,7 +476,9 @@ object Dedup {
     var rounds = 0
     var converged = edges.isEmpty
     while (!converged && rounds < maxIters) {
-      val next = mat(smallStar(largeStar(edges)))
+      // deferred persist: the signature aggregate below is the action
+      // that computes (and thereby checkpoints) the round's edge set
+      val next = matDeferred(smallStar(largeStar(edges)))
       val nextSig = signature(next)
       converged = nextSig == sig
       edges.unpersist()

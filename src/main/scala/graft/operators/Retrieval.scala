@@ -445,8 +445,17 @@ object Retrieval {
     * RetrievalSpec against [[knnGraph]]).
     */
   def knnGraphFromPairs(pairs: DataFrame, k: Int): DataFrame = {
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim")))
+    // symmetrize by a map-side explode of BOTH orientations, NOT a
+    // unionAll of two selects over `pairs`: a union duplicates the
+    // whole upstream subtree, so the LSH candidate generation + exact
+    // cosine verification executed TWICE per run (r15 plan audit —
+    // the duplicated pipeline was the query's dominant task time);
+    // the explode emits both orientations from ONE evaluation.
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"),
+        col("_e.cos_sim").as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src"))
       .orderBy(col("cos_sim").desc, col("dst"))

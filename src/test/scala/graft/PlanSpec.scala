@@ -396,7 +396,13 @@ class PlanSpec extends SparkSpec {
 
   test("q_dsir: bucket dimensions join by broadcast — grams never meet a shuffle join") {
     val p = planOf("q_dsir")
-    "BroadcastHashJoin".r.findAllIn(p).size should be >= 2
+    // r15: the dim is ONE conditional-sum aggregate (the old shape's
+    // rawDim LEFT JOIN tgtDim is gone — guide §2.4), so the plan keeps
+    // exactly the scoring-side broadcast join; assert the 100 TB
+    // property directly: no shuffle join anywhere near the gram stream
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 1
+    (p should not).include("SortMergeJoin")
+    (p should not).include("ShuffledHashJoin")
     (p should not).include("CartesianProduct")
   }
 
