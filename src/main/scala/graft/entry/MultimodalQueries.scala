@@ -42,6 +42,10 @@ private[graft] object MultimodalQueries {
         .select(col("asset_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           round(element_at(col("embedding"), 1).cast("double"), 6).as("luma"))
+        // lazy persist before the global sort: the range partitioner's
+        // sampling pass otherwise re-executes the whole decode pipeline
+        // a second time (r15 — every codec runs 2x per query without it)
+        .localCheckpoint(false)
         .orderBy(col("asset_id"))
     }),
 
@@ -56,7 +60,9 @@ private[graft] object MultimodalQueries {
       val assets = s.read.schema(graft.multimodal.Multimodal.assetSchema)
         .parquet(gradPngAssetsFixture(s, dir))
         .as[graft.multimodal.Multimodal.Asset]
-      graft.multimodal.Multimodal.dHash64(assets).orderBy(col("asset_id"))
+      graft.multimodal.Multimodal.dHash64(assets)
+        .localCheckpoint(false) // decode+hash once, not 2x (sort sampling; r15)
+        .orderBy(col("asset_id"))
     }),
 
     // -- multimodal: image near-dup pairs — banded-Hamming equi-join
@@ -89,6 +95,8 @@ private[graft] object MultimodalQueries {
           col("channels").cast("long").as("channels"), col("n_frames"),
           col("duration_ms"),
           round(element_at(col("rms"), 1).cast("double"), 6).as("rms1"))
+        // lazy persist before the global sort (see q_image_decode; r15)
+        .localCheckpoint(false)
         .orderBy(col("asset_id"))
     }),
 

@@ -200,6 +200,9 @@ private[graft] object TextQueries {
           col("pii.n_ips").as("n_ips"),
           col("pii.n_phones").as("n_phones"),
           col("redacted_md5"))
+        // lazy persist before the global sort: the range partitioner's
+        // sampling pass otherwise runs the whole regex battery twice (r15)
+        .localCheckpoint(false)
         .orderBy(col("doc_id"))
     }),
 
@@ -210,6 +213,7 @@ private[graft] object TextQueries {
         .select(col("doc_id"),
           TextAnalytics.fingerprint(col("text")).as("fp"),
           size(TextAnalytics.bpeishTokens(col("text"))).cast("long").as("n_bpe_tokens"))
+        .localCheckpoint(false) // kernels once, not 2x (sort sampling; r15)
         .orderBy(col("doc_id"))),
 
     // Corpus-frequency boilerplate removal (CCNet/RefinedWeb line-dedup

@@ -51,7 +51,7 @@ object Baskets {
   def cooccurrence(df: DataFrame, basketCol: Column, itemCol: Column,
                    minCount: Long, maxBasketCheck: Long = 10000): DataFrame = {
     val items = df.select(basketCol.as("_b"), itemCol.as("_i")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the guard/N aggregate below materializes it (r15)
     // ONE aggregate over the basket-size table serves BOTH the fan-out
     // guard (max |basket|) and the basket total N (count of non-null
     // basket groups == countDistinct(_b)) — previously the guard ran its

@@ -264,7 +264,7 @@ object Dedup {
     // and the chunk geometry needs the corpus size (one cheap count on
     // the eager checkpoint — a corpus property, same as the LSH paths)
     val h = hashes.select(col(idCol).as("id"), col(hashCol).as("sh"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the geometry count below materializes it (r15)
     val m = hammingChunkCount(h.count(), maxHamming, nRef)
     val chunks = h.select(col("id"),
       explode(hammingKeyArray(col("sh"), m, maxHamming)).as("ck"))
@@ -684,7 +684,8 @@ object Dedup {
                             bands: Int = 16): DataFrame = {
     // materialize once — band fan-out and both candidate rejoin branches
     // would otherwise recompute the source (and its signatures)
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(false) // lazy: the dim probe + size count below materialize it (r15)
     val bandRows = vecs.select(col("id"),
       explode(lshBandKeyArray(col("v"), planesPerBand, bands)).as("bk"))
     val cand = bandRows.select(col("bk"), col("id").as("id_a"))

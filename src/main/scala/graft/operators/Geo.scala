@@ -82,7 +82,8 @@ object Geo {
       lonCol.as("_lon"),
       floor((lonCol + 180.0) / cellDeg).cast("long").as("_cx"),
       floor((latCol + 90.0) / cellDeg).cast("long").as("_cy"))
-      .localCheckpoint(true)
+      // lazy: the candidate-mass guard below materializes it (r15)
+      .localCheckpoint(false)
     requireBoundedMass(base, nx, maxCandidateMass)
     val stamped = base.select(col("_id").as("id_a"), col("_lat").as("_lata"),
         col("_lon").as("_lona"),

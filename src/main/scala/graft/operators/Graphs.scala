@@ -29,10 +29,17 @@ object Graphs {
     require(checkpointInterval >= 1, s"checkpointInterval $checkpointInterval")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
+    // LAZY lineage truncation (r15): localCheckpoint(false) cuts the
+    // logical plan to a LogicalRDD exactly like the eager form (both
+    // wrap the physical RDD immediately) but defers materialization to
+    // the first consuming job — each eager form here was a separate
+    // driver action whose fixed job latency dominated the operator at
+    // bench scale. Blocks still compute exactly once (BlockManager
+    // serializes same-partition computes across consumers).
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
-    val withDeg = e.join(deg, Seq("src")).localCheckpoint(true)
+    val withDeg = e.join(deg, Seq("src")).localCheckpoint(false)
     val base = when(col("id") === sourceId, lit(1.0) - lit(damping))
       .otherwise(lit(0.0))
     var pr = nodes.select(col("id"),
@@ -53,7 +60,7 @@ object Graphs {
       pr = contribs.select(col("id"),
         (base + col("_in") * lit(damping)).as("pr"))
       if ((i + 1) % checkpointInterval == 0 && i + 1 < iters)
-        pr = pr.localCheckpoint(true)
+        pr = pr.localCheckpoint(false)
     }
     pr
   }
@@ -175,7 +182,7 @@ object Graphs {
       labels = nodes.join(top, Seq("id"), "left")
         .select(col("id"), coalesce(col("_new"), col("id")).as("label"))
       if ((i + 1) % checkpointInterval == 0 && i + 1 < iters)
-        labels = labels.localCheckpoint(true)
+        labels = labels.localCheckpoint(false) // lazy lineage cut (r15)
     }
     labels
   }
@@ -304,13 +311,21 @@ object Graphs {
             java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
         df.checkpoint(true)
       } else df.localCheckpoint(true)
+    // deferred variant (r15): same LogicalRDD lineage cut, but the
+    // following action/consumer materializes it — drops one fixed-cost
+    // driver job per site (reliable mode stays eager: RDD.checkpoint
+    // after an unpersisted action recomputes the plan)
+    def matDeferred(df: DataFrame): DataFrame =
+      if (reliable) mat(df) else df.localCheckpoint(false)
     val e = mat(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    val nodes = mat(e.select(col("src").as("id"))
+    // nodes: the count() below materializes it; withDeg: the first
+    // iteration's job does
+    val nodes = matDeferred(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
     val n = nodes.count()
     val base = (1.0 - damping) / n
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
-    val withDeg = mat(e.join(deg, Seq("src")))
+    val withDeg = matDeferred(e.join(deg, Seq("src")))
     var pr = nodes.select(col("id"), lit(1.0 / n).as("pr"))
     for (i <- 0 until iters) {
       // zero-contribution seed rows fold the "nodes with no in-edges"
@@ -345,7 +360,8 @@ object Graphs {
         } else raw.groupBy(col("id")).agg(sum(col("c")).as("_in"))
       pr = contribs.select(col("id"),
         (lit(base) + col("_in") * damping).as("pr"))
-      if ((i + 1) % checkpointInterval == 0 && i + 1 < iters) pr = mat(pr)
+      if ((i + 1) % checkpointInterval == 0 && i + 1 < iters)
+        pr = matDeferred(pr)
     }
     pr
   }
@@ -404,13 +420,13 @@ object Graphs {
         .unionAll(nodes.select(col("id"),
           lit(0L).cast("decimal(38,0)").as("_c")))
         .groupBy(col("id")).agg(sum(col("_c")).as("a"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy lineage cut (r15)
       hub = e.join(auth.select(col("id").as("dst"), col("a")), Seq("dst"))
         .select(col("src").as("id"), col("a").as("_c"))
         .unionAll(nodes.select(col("id"),
           lit(0L).cast("decimal(38,0)").as("_c")))
         .groupBy(col("id")).agg(sum(col("_c")).as("h"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy lineage cut (r15)
     }
     val maxes = auth.agg(max(col("a")).as("_ma"))
       .crossJoin(hub.agg(max(col("h")).as("_mh")))
@@ -447,8 +463,8 @@ object Graphs {
     val sym = e0
       .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(true)
-    var dist = Seq((sourceId, 0)).toDF("id", "dist").localCheckpoint(true)
+      .distinct().localCheckpoint(false) // lazy lineage cut (r15)
+    var dist = Seq((sourceId, 0)).toDF("id", "dist").localCheckpoint(false)
     var frontier = dist
     var h = 1
     var frontierNonEmpty = true
@@ -460,7 +476,9 @@ object Graphs {
         .join(dist.select(col("id"), lit(true).as("_seen")), Seq("id"), "left")
         .where(col("_seen").isNull)
         .select(col("id"), lit(h).as("dist"))
-        .localCheckpoint(true)
+        // lazy: the frontier-emptiness count below is the materializing
+        // action — one job per hop instead of two (r15)
+        .localCheckpoint(false)
       frontierNonEmpty = next.limit(1).count() > 0
       if (frontierNonEmpty) {
         // no checkpoint on the union: every branch is itself an eagerly

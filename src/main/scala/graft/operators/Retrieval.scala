@@ -239,7 +239,7 @@ object Retrieval {
       .withColumn("_bnorm", sqrt(sum(col("_nw") * col("_nw")).over(suffix)))
       .where(col("_bnorm") >= threshold - 1e-9)
       .select(col("id"), col("term"), col("_bnorm"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the candidate-mass guard below materializes it (r15)
     // candidate-mass guard: Σ pdf·(pdf−1)/2 over the PREFIX posting
     // lists is the exact row count the prefix self-join will
     // materialize; refuse a quadratic melt loudly instead of running it
