@@ -261,8 +261,9 @@ object Dedup {
       s"maxHamming $maxHamming outside [1, 15]: 0 is exact grouping " +
         "(use exactByKey); >15 makes 64-bit bands too short to prune")
     // materialize once — both join branches would recompute the hashes,
-    // and the chunk geometry needs the corpus size (one cheap count on
-    // the eager checkpoint — a corpus property, same as the LSH paths)
+    // and the chunk geometry needs the corpus size (the geometry count
+    // below is the action that computes the LAZY checkpoint's blocks —
+    // a corpus property, same as the LSH paths)
     val h = hashes.select(col(idCol).as("id"), col(hashCol).as("sh"))
       .localCheckpoint(false) // lazy: the geometry count below materializes it (r15)
     val m = hammingChunkCount(h.count(), maxHamming, nRef)
@@ -357,11 +358,15 @@ object Dedup {
                maxIters: Int = 20, driverEdgeLimit: Long = 2000000L,
                reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // lineage cut so the (possibly expensive) pair computation runs ONCE
+    // — LAZY (r16): the next action (the routing count below, or the
+    // star loop's initial signature via the canonical edge set) is what
+    // computes the blocks; an eager checkpoint here was one extra job.
+    // Reliable mode keeps the eager form (RDD.checkpoint after an
+    // unpersisted action would recompute the plan for the file).
     def mat(df: DataFrame): DataFrame =
       if (reliable) { ensureCheckpointDir(df.sparkSession); df.checkpoint(true) }
-      else df.localCheckpoint(true)
-    // materialize the (possibly expensive) pair computation ONCE — the
-    // symmetrizing union below would otherwise evaluate it twice
+      else df.localCheckpoint(false)
     val p = mat(pairs.select(col(idA).as("src"), col(idB).as("dst")))
     val integralIds = p.schema.fields.forall(_.dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -375,7 +380,9 @@ object Dedup {
     // disabled (limit ≤ 0) the routing count is dead weight — skip the
     // job and go straight to the distributed rounds (r15; previously an
     // EMPTY edge set with limit 0 took the driver path via 0 ≤ 0 — both
-    // paths return the same empty (id, cluster_id) result there).
+    // paths return the same empty (id, cluster_id) ROWS there, though
+    // the distributed path keeps the input id type where the driver
+    // path widens to BIGINT — observable only on that empty edge case).
     if (driverEdgeLimit > 0) {
       val edgeCount = p.count()
       if (integralIds && edgeCount <= driverEdgeLimit)
@@ -391,100 +398,143 @@ object Dedup {
     * near-dup docs would take n rounds; star takes ~log n — asserted in
     * DedupSpec's chain test).
     *
-    * Each round is two star operations; each star operation is one
-    * aggregation + one equi-join, both keyed by a single vertex id —
-    * exchanges carry id pairs only, and every edge stays oriented
-    * (lo < hi) so the working set never doubles by symmetrization
-    * between rounds. Convergence = the canonical edge multiset's
-    * (count, hash-sum) signature repeating; at the fixpoint every edge
-    * is (componentMin, v). Lineage is truncated every round via the same
-    * `reliable`-selectable checkpoint discipline as [[clusters]].
+    * Each round is two star operations; each star operation is ONE
+    * exchange keyed by a single vertex id + one streaming window (no
+    * join, no aggregate) — exchanges carry id pairs only, and every
+    * edge stays oriented (lo < hi) so the working set never doubles by
+    * symmetrization between rounds. Rounds run on edge BAGS (r16 — no
+    * per-round distinct; the bag is non-increasing and collapses to the
+    * canonical set at the fixpoint, see the in-body proofs), so a round
+    * is exactly TWO exchanges. Convergence = the edge bag's
+    * (count, hash-sum) signature repeating between consecutive rounds;
+    * at the fixpoint every edge is (componentMin, v). Rounds execute in
+    * two-round strides with ONE driver action per stride (a union of
+    * the per-round signature aggregates). Lineage is truncated every
+    * round via the same `reliable`-selectable checkpoint discipline as
+    * [[clusters]].
     *
     * Returns (labels, roundsRun): labels covers every endpoint of the
     * input (self-loop-only nodes label themselves).
     */
   private[graft] def clustersStarWithRounds(p: DataFrame, maxIters: Int,
                                             reliable: Boolean): (DataFrame, Int) = {
-    def mat(df: DataFrame): DataFrame =
-      if (reliable) { ensureCheckpointDir(df.sparkSession); df.checkpoint(true) }
-      else df.localCheckpoint(true)
     // lineage-truncating persist whose MATERIALIZATION is deferred to
-    // the caller's next action (the per-round signature aggregate), so a
-    // round costs ONE action instead of eager-checkpoint + signature
-    // (r15, guide §1.2/§2.4 — at test scale each action is a fixed
-    // job-latency tax; 77 jobs → ~40 on the forced-distributed query).
+    // the caller's next action (the per-stride signature aggregate), so
+    // a round costs ZERO standalone actions (r15/r16, guide §1.2/§2.4 —
+    // at test scale each action is a fixed job-latency tax).
     // Reliable mode keeps the eager form: RDD.checkpoint() after a
     // non-persisted action RECOMPUTES the plan for the checkpoint file,
     // which is worse than one extra job.
     def matDeferred(df: DataFrame): DataFrame =
-      if (reliable) mat(df) else df.localCheckpoint(false)
+      if (reliable) { ensureCheckpointDir(df.sparkSession); df.checkpoint(true) }
+      else df.localCheckpoint(false)
     // NOT materialized: consumed exactly once by the final label join,
     // and its input p is already a checkpoint — an eager distinct here
     // was one more job + exchange ahead of the loop for no reuse.
     val nodes = p.select(col("src").as("id"))
       .unionAll(p.select(col("dst").as("id"))).distinct()
-    // canonical working set: distinct (lo, hi), lo < hi
-    var edges = mat(p.where(col("src") =!= col("dst"))
+    // canonical starting set: distinct (lo, hi), lo < hi — LAZY: the
+    // initial signature below is the action that computes it (and p).
+    var edges = matDeferred(p.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .distinct())
 
-    // Exchange discipline (r15): each star op repartitions its input by
-    // ITS grouping key once, so the aggregate AND the join probe reuse
-    // that single exchange (ENSURE_REQUIREMENTS sees hash(u) on both
-    // sides) — the unkeyed form paid separate exchanges for the
-    // groupBy, each join side, and a distinct, ~6 per round vs 3 now.
+    // Star shape (r16): each star op is ONE exchange keyed by its
+    // grouping vertex + ONE streaming window — the group minimum is
+    // `first(...)` over the (key, neighbor)-sorted running frame, which
+    // WindowExec evaluates without buffering the group. The r15 shape
+    // (repartition + aggregate + equi-join re-reading the exchange)
+    // computed the same minimum but paid a join that AQE re-planned to
+    // a broadcast at runtime — one broadcast-build job per star per
+    // round of pure latency at test scale, and a hash build per group
+    // at any scale. The window form reads the exchange once, never
+    // joins, and shuffles the same id-pair bytes.
     //
     // large-star: per node u over its FULL neighborhood, connect every
     // strictly-larger neighbor to m = min(N(u) ∪ {u}). No trailing
-    // distinct: each INPUT edge (lo,hi) yields exactly one output row
-    // (only the u=lo orientation passes v > u), so the bag stays ≤ |e|
-    // rows, and small-star's min aggregates are duplicate-insensitive
-    // while its trailing distinct re-canonicalizes the round's output —
-    // the per-round edge SET trajectory (and so the round count and the
-    // fixpoint) is unchanged.
+    // distinct: each INPUT row (lo,hi) yields exactly one output row
+    // (only the u=lo orientation passes v > u), so the bag never grows
+    // through a large-star, and the windowed min is duplicate-
+    // insensitive — the per-round edge SET trajectory (and so the
+    // fixpoint) is exactly the canonical algorithm's.
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+      val w = Window.partitionBy(col("u")).orderBy(col("v"))
+      e.select(col("lo").as("u"), col("hi").as("v"))
         .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
         .repartition(col("u"))
-      val mins = sym.groupBy(col("u"))
-        .agg(min(col("v")).as("_mn"))
-        .select(col("u"), least(col("u"), col("_mn")).as("m"))
-      sym.join(mins, Seq("u")).where(col("v") > col("u"))
-        .select(col("m").as("lo"), col("v").as("hi"))
+        .select(col("u"), col("v"), first(col("v")).over(w).as("_mn"))
+        .where(col("v") > col("u"))
+        .select(least(col("u"), col("_mn")).as("lo"), col("v").as("hi"))
     }
     // small-star: per node u over its SMALLER neighbors L(u), connect
-    // them (and u) to m = min(L(u)); the trailing distinct canonicalizes
-    // the round (bag in, set out).
+    // them (and u) to m = min(L(u)). NO trailing distinct (r16): the
+    // rounds run on edge BAGS, which never grow — small-star emits one
+    // row per input row (lo≠m rows rewire 1:1; the ≥1 lo=m duplicates
+    // of each group collapse into the single (m, hi) row the group's
+    // first sorted row emits), so |bag| is non-increasing from the
+    // distinct starting set, and the SET under the bag follows the
+    // canonical with-distinct trajectory (both stars' output sets
+    // depend only on their input set, min is duplicate-insensitive).
+    // At the set fixpoint F (every edge is (componentMin, v), one per
+    // v) a single small-star collapses the bag to exactly F — the
+    // convergence check below exploits that. Dropping the distinct
+    // removes one full (lo,hi)-keyed exchange + aggregate per round —
+    // a third of each round's shuffles at any scale (plan evidence in
+    // plans/r16). Ties in the row_number pick are harmless: tied rows
+    // are identical (lo, hi) duplicates emitting the same (m, hi).
     def smallStar(e: DataFrame): DataFrame = {
-      val eP = e.repartition(col("hi"))
-      val mins = eP.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val rewired = eP.join(mins, Seq("hi")).where(col("lo") =!= col("m"))
-        .select(col("m").as("lo"), col("lo").as("hi"))
-      rewired.unionAll(mins.select(col("m").as("lo"), col("hi")))
-        .distinct()
+      val w = Window.partitionBy(col("hi")).orderBy(col("lo"))
+      e.repartition(col("hi"))
+        .select(col("lo"), col("hi"),
+          first(col("lo")).over(w).as("_m"),
+          row_number().over(w).as("_rn"))
+        .select(explode(filter(array(
+            struct((col("lo") =!= col("_m")).as("_keep"),
+              col("_m").as("lo"), col("lo").as("hi")),
+            struct((col("_rn") === 1).as("_keep"),
+              col("_m").as("lo"), col("hi").as("hi"))),
+          s => s.getField("_keep"))).as("_e"))
+        .select(col("_e.lo").as("lo"), col("_e.hi").as("hi"))
     }
-    def signature(e: DataFrame): (Long, Long) = {
-      // order-independent multiset hash; summands bounded < 2^40 so the
-      // ANSI-mode sum cannot overflow below ~8M billion edges
-      val r = e.agg(count(lit(1)),
-        sum(pmod(xxhash64(col("lo"), col("hi")), lit(1L << 40)))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
+    // One (count, multiset-hash) signature PER checkpoint of a stride,
+    // evaluated in a SINGLE action (a union of the per-checkpoint
+    // aggregates): the bag is unchanged between consecutive rounds iff
+    // the canonical set reached its fixpoint one round earlier (the
+    // small-star collapse argument above), so comparing CONSECUTIVE
+    // signatures keeps the original convergence criterion while paying
+    // one driver action per TWO rounds. The first branch's scan also
+    // computes the shared upstream checkpoint blocks (BlockManager's
+    // per-block write lock serializes concurrent same-partition
+    // computes, so each round's edges compute exactly once).
+    // Summands bounded < 2^40 so the ANSI-mode sum cannot overflow
+    // below ~8M billion edges.
+    def sigAgg(e: DataFrame, tag: Int): DataFrame =
+      e.agg(count(lit(1)).as("_c"),
+          sum(pmod(xxhash64(col("lo"), col("hi")), lit(1L << 40))).as("_s"))
+        .select(lit(tag).as("_i"), col("_c"), col("_s"))
+    def signatures(es: Seq[DataFrame]): Seq[(Long, Long)] =
+      es.zipWithIndex.map((sigAgg _).tupled).reduce(_.unionAll(_))
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))).toSeq
 
-    var sig = signature(edges)
+    var sig = signatures(Seq(edges)).head // materializes the lazy start
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = sig._1 == 0L // empty edge set: nothing to propagate
     while (!converged && rounds < maxIters) {
-      // deferred persist: the signature aggregate below is the action
-      // that computes (and thereby checkpoints) the round's edge set
-      val next = matDeferred(smallStar(largeStar(edges)))
-      val nextSig = signature(next)
-      converged = nextSig == sig
+      // a stride of (up to) two rounds per driver action: each round's
+      // edges are a lazy checkpoint; the stride's signature union is
+      // the action that computes all of them
+      val step = math.min(2, maxIters - rounds)
+      val stride = Iterator.iterate(matDeferred(smallStar(largeStar(edges))))(
+        prev => matDeferred(smallStar(largeStar(prev)))).take(step).toSeq
+      val sigs = signatures(stride)
+      converged = (sig +: sigs).sliding(2).exists(w => w(0) == w(1))
       edges.unpersist()
-      edges = next
-      sig = nextSig
-      rounds += 1
+      stride.init.foreach(_.unpersist()) // mid-stride blocks are dead
+      edges = stride.last
+      sig = sigs.last
+      rounds += step
     }
     val labels = nodes
       .join(edges.select(col("hi").as("id"), col("lo").as("label")),
@@ -688,10 +738,6 @@ object Dedup {
       .localCheckpoint(false) // lazy: the dim probe + size count below materialize it (r15)
     val bandRows = vecs.select(col("id"),
       explode(lshBandKeyArray(col("v"), planesPerBand, bands)).as("bk"))
-    val cand = bandRows.select(col("bk"), col("id").as("id_a"))
-      .join(bandRows.select(col("bk"), col("id").as("id_b")), Seq("bk"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
     // Verify-join strategy from the DIMENSION side's size, not Spark's
     // 10 MB default: when the vector table fits a deliberate broadcast
     // budget, BOTH rejoin sides broadcast and the candidate-pair stream
@@ -701,7 +747,8 @@ object Dedup {
     // verification regression). Past the budget the joins fall back to
     // shuffles — the only option once the corpus outgrows the driver —
     // where the pair stream pays one narrow exchange per side. Sizing
-    // actions are cheap: vecs is already an eager checkpoint.
+    // actions are cheap: the dim probe below is the action that
+    // computes the LAZY vecs checkpoint's blocks; the count reads them.
     // probe the first NON-NULL vector: size(NULL) is NULL and getInt on
     // it would NPE the whole job because one document lacks an embedding
     // (null vectors themselves flow through to a NULL cos_sim downstream)
@@ -710,11 +757,40 @@ object Dedup {
       .head(1).headOption.map(_.getInt(0)).getOrElse(0)
     val estBytes = vecs.count() * (24L + 8L * dim)
     val budget = maxBroadcastVectorBytes(df.sparkSession)
+    // Idle-capacity spread (r16, guide §2.6): in the broadcast regime
+    // the candidate-generation probe and the cosine verification are
+    // CPU-dense map work over narrow rows, and AQE's byte-based
+    // coalescing packs them into one or two tasks at modest corpus
+    // sizes (plan-verified: the whole distinct→rejoin→cosine chain ran
+    // in a single AQE-coalesced task at sf0.1 while 31 cores idled).
+    // An explicit hash repartition to the cluster's core count before
+    // each CPU-dense segment spreads the kernels; the exchanged rows
+    // are (band, id) / (id, id) — bytes are trivial next to the dot-
+    // product work. Gated to the broadcast regime: past the broadcast
+    // budget the corpus is large enough that the natural partitioning
+    // already feeds every core, and these exchanges would only add
+    // cost. Deterministic hash keys, never round-robin (guide §2.5).
+    val spreadN = df.sparkSession.sparkContext.defaultParallelism
+    def spread(d: DataFrame, keys: Column*): DataFrame =
+      if (estBytes <= budget) d.repartition(spreadN, keys: _*) else d
+    // probe side spread by id ALONE: the band join is a broadcast (no
+    // distribution requirement), and keying the spread by id keeps all
+    // of one id's band rows — and so every duplicate of its candidate
+    // pairs across bands — in ONE task, preserving map-side partial
+    // dedup ahead of the distinct's exchange (keying by (bk, id) was
+    // measured to triple the candidate exchange)
+    val cand = spread(bandRows, col("id")).select(col("bk"), col("id").as("id_a"))
+      .join(bandRows.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
     def side(n: String, v: String) = {
       val s = vecs.select(col("id").as(n), col("v").as(v))
       if (estBytes <= budget) broadcast(s) else s
     }
-    cand
+    // reversed key order vs the distinct's (id_a, id_b) grouping so the
+    // planner cannot elide this exchange as already-satisfied — it must
+    // survive to undo AQE's byte-based coalescing of the verify stage
+    spread(cand, col("id_b"), col("id_a"))
       .join(side("id_a", "va"), Seq("id_a"))
       .join(side("id_b", "vb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -187,12 +187,14 @@ object Retrieval {
     *
     * Plan shape: tokenize→(doc,term) count, term-keyed df aggregate
     * broadcast back; the weight table localCheckpoints once (five
-    * consumers — norms, prefix build, both verify maps — would each
-    * re-tokenize the corpus); per-doc suffix-norm window (keyed by id,
-    * doc-bounded frames); term-keyed PREFIX self-join (equi — never a
-    * nested loop); distinct pair keys; pair-keyed map rejoin for the
-    * exact dot; doc-keyed norm join. Every shuffle carries ids, term
-    * strings, and longs.
+    * consumers — the doc dimension, the prefix build and the verify —
+    * would each re-tokenize the corpus); ONE id-keyed dimension
+    * aggregate yielding norm + verify map per doc (r16); per-doc
+    * suffix-norm window (keyed by id, doc-bounded frames); term-keyed
+    * PREFIX self-join (equi — never a nested loop); distinct pair keys;
+    * one doc-keyed dimension join per pair side attaching the exact-dot
+    * map AND the norm. Every shuffle carries ids, term strings, longs
+    * and the bounded per-doc maps.
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        dfNum: Long, dfDen: Long, threshold: Double,
@@ -220,10 +222,20 @@ object Retrieval {
               (lit(1.0) + col("df"))) + 1.0) *
             10000, 0).cast("long").as("w"))
       .localCheckpoint(true)
-    val norms = w.groupBy(col("id"))
-      .agg(sum((col("w").cast("decimal(19,0)") * col("w"))
-        .cast("decimal(38,0)")).as("_n2"))
-      .select(col("id"), sqrt(col("_n2").cast("double")).as("_norm"))
+    // ONE per-doc dimension aggregate (r16, guide §2.4): the norm over
+    // ALL terms and the exact-dot verify map over joinable (df ≥ 2)
+    // terms come out of a single id-keyed pass (collect_list drops the
+    // NULLs the `when` leaves on df = 1 terms), replacing two separate
+    // id-keyed aggregates — and letting the verify below attach map AND
+    // norm with ONE join per pair side instead of two (4 joins → 2).
+    val docdim = w.groupBy(col("id"))
+      .agg(
+        sum((col("w").cast("decimal(19,0)") * col("w"))
+          .cast("decimal(38,0)")).as("_n2"),
+        map_from_entries(collect_list(
+          when(col("df") >= 2, struct(col("term"), col("w"))))).as("m"))
+      .select(col("id"), sqrt(col("_n2").cast("double")).as("_norm"), col("m"))
+    val norms = docdim.select(col("id"), col("_norm"))
     // df = 1 terms shape the norms above but cannot produce a pair
     val joinable = w.where(col("df") >= 2)
     // AllPairs prefix build (see scaladoc): normalized suffix norm in
@@ -261,21 +273,20 @@ object Retrieval {
         col("_ba") * col("_bb") >= threshold - 1e-9)
       .select(col("id_a"), col("id_b")).distinct()
     // exact dot for candidates only: per-doc (term → weight) maps rejoin
-    // by pair id; the decimal(38,0) accumulation matches the unfiltered
-    // join's sum bit-for-bit (integer products, order-free)
-    val docmap = joinable.groupBy(col("id"))
-      .agg(map_from_entries(collect_list(struct(col("term"), col("w")))).as("m"))
-    val dots = cand
-      .join(docmap.select(col("id").as("id_a"), col("m").as("ma")), Seq("id_a"))
-      .join(docmap.select(col("id").as("id_b"), col("m").as("mb")), Seq("id_b"))
+    // by pair id — map and norm ride the SAME docdim join per side; the
+    // decimal(38,0) accumulation matches the unfiltered join's sum
+    // bit-for-bit (integer products, order-free)
+    cand
+      .join(docdim.select(col("id").as("id_a"), col("m").as("ma"),
+        col("_norm").as("_na")), Seq("id_a"))
+      .join(docdim.select(col("id").as("id_b"), col("m").as("mb"),
+        col("_norm").as("_nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("""aggregate(map_entries(ma), CAST(0 AS DECIMAL(38,0)),
           (acc, e) -> acc + CAST(CAST(e.value AS DECIMAL(19,0)) *
             CAST(coalesce(try_element_at(mb, e.key), 0L) AS DECIMAL(19,0))
-            AS DECIMAL(38,0)))""").as("_dot"))
-    dots
-      .join(norms.select(col("id").as("id_a"), col("_norm").as("_na")), Seq("id_a"))
-      .join(norms.select(col("id").as("id_b"), col("_norm").as("_nb")), Seq("id_b"))
+            AS DECIMAL(38,0)))""").as("_dot"),
+        col("_na"), col("_nb"))
       .select(col("id_a"), col("id_b"),
         round(col("_dot").cast("double") / (col("_na") * col("_nb")),
           roundTo).as("cos_sim"))

@@ -431,7 +431,12 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q_tfidf_cosine")
     p should include("_ba")                 // suffix-norm columns gate the join
     p should include("_bb")
-    p should include("collect_list(struct(term") // per-doc weight maps build
+    // per-doc weight maps build (r16: ONE id-keyed aggregate yields the
+    // verify map — conditional on df ≥ 2 — AND the norm, so the
+    // collect_list sits under a CASE WHEN beside the norm sum; Catalyst
+    // additionally folds map_entries(map_from_entries(entries)) back to
+    // the raw entry array, so no standalone map build node remains)
+    p should include("collect_list(CASE WHEN")
     p should include("map_entries")         // the pair-keyed exact dot
     p should include("element_at")          // ... probing the partner's map
     (p should not).include("BroadcastNestedLoopJoin")

@@ -347,6 +347,26 @@ class DedupSpec extends SparkSpec {
     viaStar shouldBe viaDriver
   }
 
+  test("star clustering: bag rounds emit exactly one label row per node (r16 no-distinct rounds)") {
+    import spark.implicits._
+    // heavy duplicate/reversed multiplicity + a chain deep enough that
+    // convergence lands mid-stride: the no-distinct rounds must still
+    // hand the label join a duplicate-free fixpoint edge set — one
+    // OUTPUT ROW per node, which the toMap in the equality tests above
+    // would silently forgive
+    val edges = ((0 until 12).map(i => (i.toLong, i.toLong + 1)) ++
+      (0 until 12).map(i => (i.toLong + 1, i.toLong)) ++ // reversed dups
+      Seq.fill(5)(Seq((3L, 4L), (20L, 21L), (21L, 20L))).flatten)
+      .toDF("id_a", "id_b")
+    val (labels, _) = Dedup.clustersStarWithRounds(
+      edges.select(col("id_a").as("src"), col("id_b").as("dst")),
+      maxIters = 20, reliable = false)
+    val rows = labels.as[(Long, Long)].collect()
+    rows.length shouldBe rows.map(_._1).distinct.length // no dup label rows
+    rows.toMap shouldBe ((0 to 12).map(_.toLong -> 0L) ++
+      Seq(20L -> 20L, 21L -> 20L)).toMap
+  }
+
   test("star clustering: self-loop-only nodes label themselves") {
     import spark.implicits._
     val pairs = Seq((1L, 1L), (2L, 3L)).toDF("id_a", "id_b")

@@ -179,6 +179,27 @@ class RetrievalSpec extends SparkSpec {
     recall should be >= 0.80
   }
 
+  test("knnGraphFromPairs explode-symmetrization equals the unionAll form") {
+    // the r15 restructure (unionAll of two selects → one map-side
+    // explode of both orientations) sits on a no-oracle query path:
+    // pin the equivalence directly against the naive union form so
+    // future restructures of this path have small-fixture evidence
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (2L, 3L, 0.7),
+      (4L, 5L, 0.6)).toDF("id_a", "id_b", "cos_sim")
+    val viaExplode = Retrieval.knnGraphFromPairs(pairs, k = 2)
+      .select("src", "dst", "cos_sim", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    val viaUnion = sym.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .select("src", "dst", "cos_sim", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    viaExplode shouldBe viaUnion
+  }
+
   test("bm25 edge cases: empty/no-match docs absent, case-insensitive terms") {
     val docs = Seq((1L, ""), (2L, "nothing relevant here"), (3L, "X X")).toDF("id", "text")
     val got = Retrieval.bm25(docs, "id", "text", Seq("x"))
