@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Intervals, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
+import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Intervals, Ivf, Packing, Par, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
 import graft.functions.{DedupExpr, TextAnalytics}
 import graft.EntryContext._
 
@@ -105,12 +105,15 @@ private[graft] object CurationQueries {
     // Pareto frontier of (quality max, token cost min) — the efficient
     // frontier of budgeted curation. Frontier test via two bounded
     // aggregates over the 4-dp score grid, never a self-join.
+    // quality-kernel scoring is the CPU — spread the one-split scan so
+    // it runs per-partition (identity at real scale, see Par)
     "q_pareto_docs" -> ((s, dir) =>
       CorpusStats.paretoFront(
-          Tables.documents(s, dir).select(col("doc_id"),
-            TextAnalytics.qualityScore(col("text"),
-              Seq("the", "a", "of", "and")).as("q"),
-            size(split(col("text"), " ")).cast("long").as("nt")),
+          Par.spreadSmallScan(Tables.documents(s, dir), col("doc_id"))
+            .select(col("doc_id"),
+              TextAnalytics.qualityScore(col("text"),
+                Seq("the", "a", "of", "and")).as("q"),
+              size(split(col("text"), " ")).cast("long").as("nt")),
           col("doc_id"), col("q"), col("nt"))
         .select(col("id").as("doc_id"), col("score").as("quality"),
           col("cost").as("n_tokens"))
@@ -277,6 +280,11 @@ private[graft] object CurationQueries {
     // bucket from integer arithmetic, so the oracle is DuckDB's own
     // ntile window under the identical total order
     "q_quality_bins" -> ((s, dir) => {
+      // NOT spread (r16 measured non-lever): a pre-kernel spread made
+      // this one SLOWER (1.13 → 1.28 s, task time 1.4 → 17 s) — the
+      // two-level globalOrderIndex above re-ranks per input partition,
+      // so extra partitions multiply its window state, unlike the flat
+      // aggregate shapes where the spread won (q_pareto_docs)
       val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"),
         TextAnalytics.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
       val ranked = Packing.globalOrderIndex(scored,
@@ -359,10 +367,14 @@ private[graft] object CurationQueries {
     // the DSIR pipeline expressed purely in spark.sql — same md5 bucket
     // contract, smoothing, and ln ratio as q_dsir (whose oracle it
     // shares verbatim): the SQL surface tracks the DataFrame surface
-    "q_dsir_sql" -> ((s, dir) =>
+    "q_dsir_sql" -> ((s, dir) => {
+      // SQL twin of the DataFrame surface's kernel spread (see Par /
+      // Curation.dsirBucketed): hint text is empty past one split
+      val sp = Par.spreadSmallScanHint(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       s.sql(
         raw"""WITH t AS (
-           |  SELECT doc_id, source,
+           |  SELECT $sp doc_id, source,
            |    filter(split(text, '\\s+'), x -> length(x) > 0) AS l
            |  FROM parquet.`$dir/documents.parquet`),
            |g AS (
@@ -389,7 +401,8 @@ private[graft] object CurationQueries {
            |SELECT /*+ BROADCAST(llr) */ doc_id, sum(c) AS n_grams,
            |  round(sum(c * llr), 4) AS dsir_score
            |FROM bk JOIN llr USING (b)
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    }),
   )
 
   // q_decontaminate_sql / q_dsir_sql compute tables identical to their

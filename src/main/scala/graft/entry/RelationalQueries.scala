@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Intervals, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
+import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Intervals, Ivf, Packing, Par, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
 import graft.functions.{DedupExpr, TextAnalytics}
 import graft.EntryContext._
 
@@ -267,8 +267,12 @@ private[graft] object RelationalQueries {
           col("sum_price"), col("n"))
         .orderBy(col("rflag"), col("lstatus"))),
 
+    // the exact-percentile partial buffers are the CPU — a one-split
+    // scan builds them in a single task; spread first (identity at real
+    // scale, see Par; buffer merge is multiset union, order-free)
     "q_percentile" -> ((s, dir) =>
-      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      Par.spreadSmallScan(Tables.lineitem(s, dir), col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
@@ -296,10 +300,13 @@ private[graft] object RelationalQueries {
         .limit(10)),
 
     // -- windows --------------------------------------------------------
+    // the map-side WindowGroupLimit top-k prune is the CPU — a
+    // one-split scan sorts in a single task; spread first so the prune
+    // runs per-partition (identity at real scale, see Par)
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-      Tables.lineitem(s, dir)
+      Par.spreadSmallScan(Tables.lineitem(s, dir), col("l_orderkey"))
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 5)
@@ -371,6 +378,10 @@ private[graft] object RelationalQueries {
           (col("l_discount") > 0.05).as("is_disc"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // NOT spread (r16 measured non-lever, same verdict as the r15
+    // pre-sort-persist probe): a kernel spread bought ~0.2 s wall for
+    // 3x the shuffle (14 → 42 MB) and 7x the task time — plain
+    // arithmetic is cheaper to recompute serially than to exchange
     "q_math_funcs" -> ((s, dir) =>
       Tables.lineitem(s, dir).select(
           col("l_orderkey"), col("l_linenumber"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Intervals, Ivf, Packing, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
+import graft.operators.{AsOfJoin, Baskets, Bpe, Cdc, Classifier, CorpusStats, CountMin, Curation, Dedup, Funnel, Geo, Graphs, HeavyHitters, Intervals, Ivf, Packing, Par, Pq, PrefixMatch, Profiling, Retrieval, Sampling, Similarity, Skew, Stats, TemplateFilters, Timeseries}
 import graft.functions.{DedupExpr, TextAnalytics}
 import graft.EntryContext._
 
@@ -221,7 +221,11 @@ private[graft] object StatsQueries {
     // fences (broadcast back, map-side least/greatest) and report the
     // mean before/after plus how many rows were clipped
     "q_winsorize" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      // the exact-percentile fence buffers and the clip pass are the
+      // CPU — a one-split scan runs both in a single task; spread once,
+      // shared by fences AND the probe via AQE exchange reuse (identity
+      // at real scale, see Par)
+      val li = Par.spreadSmallScan(Tables.lineitem(s, dir), col("l_orderkey"))
         .select(col("l_returnflag"), col("l_extendedprice").as("v"))
       // ONE exact-percentile buffer per group yielding both fences
       // (two scalar percentile aggs would each hold the group's full

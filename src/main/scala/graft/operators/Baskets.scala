@@ -69,6 +69,14 @@ object Baskets {
           s"$mx exceeds maxBasketCheck=$maxBasketCheck — cap baskets " +
           "upstream (e.g. drop or sample mega-baskets) or raise the knob")
     val support = items.groupBy(col("_i")).agg(count(lit(1)).as("_s"))
+    // NOT spread (r16 measured non-lever): pinning the self-join's
+    // partitioning to the core count (basket-keyed REPARTITION_BY_NUM
+    // on both sides, replacing the AQE-coalesced ENSURE exchanges)
+    // made the query SLOWER (1.86 → 2.06 s, shuffle 36 → 48 MB, task
+    // time 3.8 → 21 s at sf0.1/32 cores): the pair partial-aggregate
+    // state duplicates across tasks — the same mechanism that sank the
+    // r15 minPartitionSize probe. AQE's byte-based coalescing is the
+    // right call for an agg-above-join shape.
     val pairs = items.select(col("_b"), col("_i").as("item_a"))
       .join(items.select(col("_b"), col("_i").as("item_b")), Seq("_b"))
       .where(col("item_a") < col("item_b"))

@@ -37,14 +37,19 @@ object Bpe {
       s"encodeCorpus: vocabCap=$vocabCap exceeds MaxVocabCap=$MaxVocabCap " +
         "(the word-frequency table is collected to the driver for merge " +
         "training); lower the vocabCap knob")
-    val wordFreq = docs
+    // tokenize + word count (training) and the merge-encode kernel
+    // (scoring) are the CPU; a one-split corpus runs each in a single
+    // task — spread once, shared by both consumers via AQE exchange
+    // reuse (guide §2.6; identity at real scale, see Par)
+    val spread = Par.spreadSmallScan(docs, col(idCol))
+    val wordFreq = spread
       .select(explode(TextAnalytics.tokens(col(textCol))).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
       .orderBy(col("_f").desc, col("_w"))
       .limit(vocabCap) // bounded: driver state is ≤ vocabCap (word, long)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val merges = BpeKernels.trainMerges(wordFreq, numMerges)
-    docs.select(col(idCol).as("id"),
+    spread.select(col(idCol).as("id"),
       BpeExpr.bpeEncode(TextAnalytics.tokens(col(textCol)), merges).as("subwords"))
   }
 }

@@ -223,7 +223,11 @@ object Curation {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.7): DataFrame = {
     require(lambda > 0.0 && lambda <= 1.0, s"lambda $lambda")
-    val pairs = docs.select(col(idCol).as("id"),
+    // tokenPairs + explode + the per-doc bigram reduce are the CPU; a
+    // one-split corpus runs them in a single task — spread it (guide
+    // §2.6; identity at real scale, see Par)
+    val pairs = Par.spreadSmallScan(docs, col(idCol))
+      .select(col(idCol).as("id"),
         explode(TextAnalytics.tokenPairs(col(textCol))).as("p"))
       .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
     // reduce-before-join: collapse repeats within a document so the
@@ -621,8 +625,12 @@ object Curation {
   private def dsirBucketed(docs: DataFrame, idCol: String, textCol: String,
                            isTarget: Column, buckets: Int): DataFrame = {
     require(buckets > 1, s"buckets $buckets")
-    val toks = docs.select(col(idCol).as("id"), isTarget.as("_t"),
-      TextAnalytics.tokens(col(textCol)).as("_l"))
+    // the gram explode + md5 bucketing below is the pipeline's CPU; a
+    // one-split corpus runs it in a single task — spread it (guide
+    // §2.6; identity at real scale, see Par)
+    val toks = Par.spreadSmallScan(docs, col(idCol))
+      .select(col(idCol).as("id"), isTarget.as("_t"),
+        TextAnalytics.tokens(col(textCol)).as("_l"))
     toks.select(col("id"), col("_t"),
         explode(concat(col("_l"),
           expr("transform(slice(_l, 1, greatest(size(_l) - 1, 0))," +
