@@ -369,9 +369,15 @@ private[graft] object CurationQueries {
     // shares verbatim): the SQL surface tracks the DataFrame surface
     "q_dsir_sql" -> ((s, dir) => {
       // SQL twin of the DataFrame surface's kernel spread (see Par /
-      // Curation.dsirBucketed): hint text is empty past one split
+      // Curation.dsirBucketed): hint text is empty past one split.
+      // Keyed by the token ARRAY `l`, not doc_id: a doc_id-keyed spread
+      // satisfies bk's (doc_id, source, b) grouping, deleting bk's own
+      // exchange — the reuse point that keeps the gram kernel at one
+      // evaluation for bk's two consumers (hints can't carry derived
+      // expressions, so a non-grouping column stands in for Par's
+      // xxhash64 key).
       val sp = Par.spreadSmallScanHint(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        s.read.parquet(s"$dir/documents.parquet"), "l")
       s.sql(
         raw"""WITH t AS (
            |  SELECT $sp doc_id, source,
@@ -393,11 +399,10 @@ private[graft] object CurationQueries {
            |          sum(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
            |              THEN c ELSE CAST(0 AS BIGINT) END) AS ct
            |        FROM bk GROUP BY b),
-           |tot AS (SELECT sum(cr) AS totr, sum(ct) AS tott FROM dim),
-           |llr AS (SELECT /*+ BROADCAST(tot) */ b,
-           |          ln(CAST(ct + 1 AS DOUBLE) / (tott + 256)) -
-           |          ln(CAST(cr + 1 AS DOUBLE) / (totr + 256)) AS llr
-           |        FROM dim CROSS JOIN tot)
+           |llr AS (SELECT b,
+           |          ln(CAST(ct + 1 AS DOUBLE) / (sum(ct) OVER () + 256)) -
+           |          ln(CAST(cr + 1 AS DOUBLE) / (sum(cr) OVER () + 256)) AS llr
+           |        FROM dim)
            |SELECT /*+ BROADCAST(llr) */ doc_id, sum(c) AS n_grams,
            |  round(sum(c * llr), 4) AS dsir_score
            |FROM bk JOIN llr USING (b)

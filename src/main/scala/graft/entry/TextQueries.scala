@@ -303,6 +303,10 @@ private[graft] object TextQueries {
         .select(col("id").as("doc_id"),
           size(col("subwords")).cast("long").as("n_subwords"),
           size(array_distinct(col("subwords"))).cast("long").as("n_unique"))
+        // lazy persist of the NARROW row before the global sort: the
+        // range partitioner's sampling pass otherwise runs the trained
+        // merge-encode kernel twice (the r15 pii_scrub pattern; r16)
+        .localCheckpoint(false)
         .orderBy(col("doc_id"))),
 
     // PMI collocation mining: bigram pairs scored ln(c_ab·N/(c_a·c_b))

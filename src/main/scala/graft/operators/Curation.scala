@@ -232,11 +232,20 @@ object Curation {
       .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
     // reduce-before-join: collapse repeats within a document so the
     // (a, b)-keyed join below never carries the occurrence stream —
-    // repeated bigrams contribute cnt·log(p), not cnt joined rows
+    // repeated bigrams contribute cnt·log(p), not cnt joined rows.
+    // LAZY lineage cuts (r16): docBig feeds the scoring join + the
+    // bigram dimension, and big feeds pre/suf/tot + the join — each
+    // dimension rides a broadcast whose racing build materializes its
+    // OWN copy of the upstream stages (AQE's stage cache does not
+    // dedupe stages created inside in-flight broadcasts; final-plan
+    // evidence showed the tokenPairs kernel running once per branch).
+    // The first build computes the blocks, everyone else reads them.
     val docBig = pairs.groupBy(col("id"), col("a"), col("b"))
       .agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint(false)
     val big = docBig.groupBy(col("a"), col("b"))
       .agg(sum(col("_cnt")).as("_cab"))
+      .localCheckpoint(false)
     val pre = big.groupBy(col("a")).agg(sum(col("_cab")).as("_ca"))
     val suf = big.groupBy(col("b")).agg(sum(col("_cab")).as("_cb"))
     val tot = big.agg(sum(col("_cab")).as("_tot"))
@@ -611,7 +620,14 @@ object Curation {
     */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
                  isTarget: Column, buckets: Int): DataFrame = {
+    // LAZY lineage cut (r16): the dim-broadcast build is the first
+    // consumer and materializes the blocks; the scoring join then reads
+    // them. Without it the broadcast build's racing materialization
+    // carried its OWN copy of the gram/md5 stages — AQE's stage cache
+    // does not dedupe a stage created inside an in-flight broadcast
+    // against the main DAG's identical stage (r16 final-plan evidence).
     val bucketed = dsirBucketed(docs, idCol, textCol, isTarget, buckets)
+      .localCheckpoint(false)
     bucketed.join(broadcast(dsirDimPre(bucketed, buckets)), Seq("b"))
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_grams"),
@@ -662,12 +678,18 @@ object Curation {
     val dim = bucketed.groupBy(col("b")).agg(
       sum(col("c")).as("cr"),
       sum(when(col("_t"), col("c")).otherwise(lit(0L))).as("ct"))
-    val tot = dim.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
-    dim.crossJoin(broadcast(tot)) // one-row totals
-      .select(col("b"),
-        (log((col("ct") + 1).cast("double") / (col("tott") + buckets)) -
-          log((col("cr") + 1).cast("double") / (col("totr") + buckets)))
-          .as("_llr"))
+    // totals fold as ONE unpartitioned window over the bucket-BOUNDED
+    // dim (≤ `buckets` rows — the sanctioned block-aggregate
+    // construction, pinned in WindowAuditSpec). The previous
+    // crossJoin(broadcast(tot)) duplicated dim's whole subtree under
+    // the broadcast build, whose racing materialization re-ran the
+    // gram kernel once more per execution (r16 final-plan evidence:
+    // the tot branch carried its own copy of the explode/md5 stages).
+    val w = Window.partitionBy()
+    dim.select(col("b"),
+      (log((col("ct") + 1).cast("double") / (sum(col("ct")).over(w) + buckets)) -
+        log((col("cr") + 1).cast("double") / (sum(col("cr")).over(w) + buckets)))
+        .as("_llr"))
   }
 
   /** Map-only DSIR scoring against a TRAINED model — the deployment

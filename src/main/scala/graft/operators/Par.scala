@@ -37,7 +37,17 @@ object Par {
     require(keys.nonEmpty, "spreadSmallScan needs deterministic hash keys")
     val p = df.sparkSession.sparkContext.defaultParallelism
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (p > 1 && est <= oneSplitBytes(df)) df.repartition(p, keys: _*)
+    // partition on xxhash64(keys), NOT the raw keys: a raw-key spread
+    // whose key set is a subset of a downstream aggregate's grouping
+    // SATISFIES that aggregate's distribution, which deletes the
+    // aggregate's own exchange — and with it the runtime exchange-reuse
+    // point that made multi-consumer plans evaluate the kernel once
+    // (measured on q_dsir/q_bigram_logprob: the gram kernel re-ran per
+    // consumer branch, 3–6x the task time). A derived hash expression
+    // satisfies nothing downstream, so every consumer keeps its own
+    // exchange above the spread and reuse dedupes the kernel again.
+    if (p > 1 && est <= oneSplitBytes(df))
+      df.repartition(p, org.apache.spark.sql.functions.xxhash64(keys: _*))
     else df
   }
 

@@ -213,15 +213,18 @@ object Retrieval {
       .crossJoin(broadcast(n))
       .where(col("df") * dfDen <= col("n_l") * dfNum &&
         col("df") <= maxDf)
-    // materialize the weight table once: norms, the prefix build and
-    // both verify-map branches would each re-run tokenize+count+df
+    // materialize the weight table once: the doc dimension, the prefix
+    // build and the verify would each re-run tokenize+count+df. LAZY
+    // (r16): the candidate-mass guard below is the first action after
+    // this point and its lineage (pref → norms → docdim → w) computes
+    // the blocks — an eager checkpoint here was one extra job.
     val w = tf.join(broadcast(dfT), Seq("term"))
       .select(col("id"), col("term"), col("df"),
         round(col("tf") *
             (log((lit(1.0) + col("n_l").cast("double")) /
               (lit(1.0) + col("df"))) + 1.0) *
             10000, 0).cast("long").as("w"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // ONE per-doc dimension aggregate (r16, guide §2.4): the norm over
     // ALL terms and the exact-dot verify map over joinable (df ≥ 2)
     // terms come out of a single id-keyed pass (collect_list drops the

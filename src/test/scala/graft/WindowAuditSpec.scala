@@ -57,6 +57,10 @@ class WindowAuditSpec extends SparkSpec {
       "q_survival", "q_survival_sql",
       // Mann–Whitney: the below-count window over the per-value
       // aggregate — the KS/value-dimension construction
-      "q_mann_whitney")
+      "q_mann_whitney",
+      // DSIR: the totals fold as one global sum over the bucket-BOUNDED
+      // dim aggregate (≤ `buckets` rows) — replacing the crossJoin
+      // broadcast(tot) whose racing build re-ran the gram kernel (r16)
+      "q_dsir", "q_dsir_sql")
   }
 }
